@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine query: a Spark implementation plus (when SQL-expressible) a
+  * DuckDB oracle over the same parquet tables. The driver hash-compares
+  * the two at sf0.01 (see Verify.scala), so every query must be
+  * deterministic: explicit ORDER BY, no floating-point aggregation whose
+  * result depends on summation order (see [[Det]]).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** Typed readers for the driver fixture tables (TESTDATA.md / FIXTURES.md).
+  * Always read through these so column pruning + filter pushdown reach the
+  * parquet scan (verify with .explain: PushedFilters / ReadSchema).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+}
+
+/** Determinism helpers for the DuckDB-oracle hash compare.
+  *
+  * Floating-point SUM/AVG over a distributed dataset is order-dependent;
+  * Spark's partial aggregation order differs from DuckDB's sequential scan.
+  * We define such aggregates on a fixed-point grid instead: floor(x*scale)
+  * is bit-identical in both engines, integer sums are exact and
+  * order-independent, and the final division is a single deterministic
+  * IEEE op. This is an engine *definition*, not a hack: at 100 TB the same
+  * property (order-independent partial aggregation) is what makes the
+  * result reproducible across cluster sizes / AQE re-plans.
+  */
+object Det {
+  /** Exact, order-independent sum of a double expression at fixed scale. */
+  def fixedSum(x: Column, scale: Double): Column =
+    sum(floor(x * lit(scale))) / lit(scale)
+
+  /** Matching DuckDB fragment for [[fixedSum]]. */
+  def fixedSumSql(x: String, scale: String): String =
+    s"sum(floor(($x) * $scale)) / $scale"
+
+  /** Exact, order-independent mean of a double expression at fixed scale. */
+  def fixedAvg(x: Column, scale: Double): Column =
+    sum(floor(x * lit(scale))) / lit(scale) / count(lit(1))
+
+  def fixedAvgSql(x: String, scale: String): String =
+    s"sum(floor(($x) * $scale)) / $scale / count(*)"
+}
+
+/** The dedup test corpus: documents plus injected near-duplicates
+  * (90%-prefix truncations) and exact duplicates, with shifted doc_ids.
+  * Deterministic construction mirrored 1:1 in the oracle CTE so Spark and
+  * DuckDB see the same corpus. Near-dup injection stands in for the
+  * re-crawled / re-generated narratives the reference pipeline would see
+  * (reference: data_generation/generate_narratives_from_data.py:95-96
+  * derives per-record output names whose collisions are the only dedup
+  * the reference performs).
+  */
+object Corpus {
+  def withDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir).select($"doc_id", $"text", $"lang", $"source")
+    val nearDups = d
+      .filter(pmod($"doc_id", lit(50)) === 0)
+      .select(
+        ($"doc_id" + 1000000L).as("doc_id"),
+        expr("substring(text, 1, (length(text)*9) div 10)").as("text"),
+        $"lang", $"source")
+    val exactDups = d
+      .filter(pmod($"doc_id", lit(25)) === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang", $"source")
+    d.unionByName(nearDups).unionByName(exactDups)
+  }
+
+  /** DuckDB CTE body equivalent to [[withDups]]. */
+  val cte: String =
+    """SELECT doc_id, text, lang, source FROM documents
+      |UNION ALL SELECT doc_id + 1000000, substr(text, 1, (length(text)*9)//10), lang, source FROM documents WHERE doc_id % 50 = 0
+      |UNION ALL SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 25 = 0""".stripMargin
+}
