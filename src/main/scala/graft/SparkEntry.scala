@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * All queries live in graft.queries.* as QueryDef(name, fn, oracle);
+  * this object is just the registry the driver calls into. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Every implemented operator (SURVEY.md §2 + LLM-pipeline extensions). */
+  lazy val registry: Seq[QueryDef] =
+    ScanQueries.defs ++ ScalarQueries.defs ++
+      OrderQueries.defs ++ JoinQueries.defs ++ SetQueries.defs ++
+      AggQueries.defs ++ WindowQueries.defs ++ EventQueries.defs ++
+      VectorQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
+      AnnQueries.defs ++ MultimodalQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window
+    * rank -> relevance -> per-query agg with sentinel). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    VectorQueries.rankedRelevant(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -25,7 +25,17 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType
+    * micros — the fixture's values are micro-precision, so the `div 1000`
+    * is lossless and matches DuckDB's own ns->us view of the same data. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

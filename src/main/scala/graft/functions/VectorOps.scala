@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math on ArrayType(FloatType) embedding columns, built from
+  * codegen'd higher-order functions (zip_with / aggregate / transform) —
+  * no UDFs, so whole-stage codegen stays unbroken across the scoring
+  * pipeline (SURVEY.md §2.8, §4.3).
+  *
+  * Numerical contract shared with the DuckDB oracle (see the *Sql
+  * fragments): float32 components are widened to float64 (exact), products
+  * of widened float32 are exact in float64, and every accumulation is a
+  * sequential left fold in array order — so Spark and DuckDB produce
+  * bit-identical doubles, which is what lets the driver hash-compare
+  * scores. The same property makes results reproducible across partition
+  * layouts at cluster scale: nothing here depends on row or partition
+  * order.
+  *
+  * Reference: the embedding pipeline of
+  * rag_evaluation/RAG-eval-test_model.py:36-117 (mean-pool + normalize +
+  * full-corpus cosine ranking).
+  */
+object VectorOps {
+
+  /** Widen array<float> to array<double> (exact). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-fold sum of an array<double>. */
+  def foldSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two array<float> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  /** Sum of squares in double. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity of two array<float> embedding columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Mean over components (the reference's mean-pool,
+    * RAG-eval-test_model.py:81-83). */
+  def meanPool(v: Column): Column = foldSum(asDouble(v)) / size(v)
+
+  /** L2-normalized copy (normalize_embeddings=True,
+    * RAG-eval-test_model.py:42,51,59). */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(norm2(v))
+    transform(asDouble(v), x => x / n)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle fragments — keep op-for-op identical to the Columns
+  // above (same widening, same fold order).
+  // ------------------------------------------------------------------
+
+  def foldSumSql(v: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $v), (acc, x) -> acc + x)"
+
+  def dotSql(a: String, b: String): String =
+    foldSumSql(s"list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE)")
+
+  def norm2Sql(a: String): String = dotSql(a, a)
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})))"
+
+  def meanPoolSql(v: String): String =
+    s"(${foldSumSql(s"list_transform($v, x -> x::DOUBLE)")} / len($v))"
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** §2.5 aggregations (A1–A8).  A1/A2 (rank metrics) live with the
+  * retrieval-eval flagship in VectorQueries; here are the general agg
+  * surface queries. */
+object AggQueries {
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- A3
+    QueryDef(
+      "count_outputs",
+      (s, d) => docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_outputs")),
+      Some("SELECT source, count(*) AS n_outputs FROM documents GROUP BY source"),
+      "ls $OUT | wc -l output counting (run_data_generation_sophia.sh:61-65) " +
+        "per corpus dir; partial aggregation makes this a map-side combine."),
+
+    // ---------------------------------------------------------------- A4
+    QueryDef(
+      "count_by_group",
+      (s, d) => events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin),
+      "status.count('testmodel') run-state gauges " +
+        "(test_all_models_llm_eval_sophia.py:15; create_all_models_narrative" +
+        ".py:11) generalized to per-type counts."),
+
+    // ---------------------------------------------------------------- A5
+    QueryDef(
+      "collect_list_ranks",
+      (s, d) => docs(s, d)
+        .filter(col("text").rlike("(?:^|\\W)agg(?:$|\\W)"))
+        .groupBy(col("lang"))
+        .agg(
+          concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string"))).as("hit_docs"),
+          count(lit(1)).as("n_hits")),
+      Some("""SELECT lang,
+        | array_to_string(list(doc_id ORDER BY doc_id), ',') AS hit_docs,
+        | count(*) AS n_hits
+        |FROM documents WHERE regexp_matches(text, '(?:^|\W)agg(?:$|\W)')
+        |GROUP BY lang""".stripMargin),
+      "Per-query accumulated match positions index_list " +
+        "(RAG-eval-test_model.py:132-143); sorted then joined so the " +
+        "result is order-insensitive to shuffle layout."),
+
+    // ---------------------------------------------------------------- A6
+    QueryDef(
+      "pivot_scores",
+      (s, d) => {
+        val scored = Grids.adapters(s).crossJoin(Grids.tasks(s))
+          .select(col("adapter"), col("task"),
+            (length(col("adapter")) * 7 + length(col("task")) * 3 +
+              col("num_shot")).cast("bigint").as("score"))
+        scored.groupBy(col("adapter"))
+          .pivot("task", Grids.taskShots.map(_._1))
+          .agg(first(col("score")))
+      },
+      Some(s"""SELECT adapter,
+        | max(CASE WHEN task = 'winogrande' THEN score END) AS winogrande,
+        | max(CASE WHEN task = 'truthfulqa' THEN score END) AS truthfulqa,
+        | max(CASE WHEN task = 'arc_challenge' THEN score END) AS arc_challenge,
+        | max(CASE WHEN task = 'hellaswag' THEN score END) AS hellaswag,
+        | max(CASE WHEN task = 'mmlu' THEN score END) AS mmlu,
+        | max(CASE WHEN task = 'gsm8k' THEN score END) AS gsm8k
+        |FROM (SELECT adapter, task,
+        |        (length(adapter)*7 + length(task)*3 + num_shot)::BIGINT AS score
+        |      FROM ${Grids.adaptersSql} CROSS JOIN ${Grids.tasksSql})
+        |GROUP BY adapter""".stripMargin),
+      "Result matrix adapter x task (test_all_models_llm_eval_sophia.py:38-53 " +
+        "file grid) as an explicit pivot; explicit value list so the plan " +
+        "needs no extra distinct-values job."),
+
+    // ---------------------------------------------------------------- A7
+    QueryDef(
+      "distinct_dedupe",
+      (s, d) => docs(s, d)
+        .select(col("lang"), col("source")).distinct(),
+      Some("SELECT DISTINCT lang, source FROM documents"),
+      "Idempotence via unique keys (generate_narratives_from_data.py:95-96); " +
+        "full dedup family in DedupQueries."),
+
+    // ---------------------------------------------------------------- A8
+    QueryDef(
+      "grouping_sets_rollup",
+      (s, d) => docs(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        | sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin),
+      "Per-task / per-adapter / grand-total eval summaries as ROLLUP " +
+        "(grid dims of test_all_models_llm_eval_sophia.py:38-39)."),
+
+    // ---------------------------------------------------------------- A9 (extra surface: approx distinct at scale)
+    QueryDef(
+      "approx_count_users",
+      (s, d) => events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users")),
+      Some("SELECT event_type, count(DISTINCT user_id) AS exact_users " +
+        "FROM events GROUP BY event_type"),
+      "Cardinality gauge; exact here for oracle parity — at 100 TB swap in " +
+        "approx_count_distinct(user_id, 0.01) (HLL++, no exact shuffle)."),
+  )
+}
+
+/** §2.6 window functions (W1–W4). */
+object WindowQueries {
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- W1
+    QueryDef(
+      "rank_positions",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+          .cast("bigint").as("rank")),
+      Some("""SELECT o_orderkey, o_custkey,
+        | row_number() OVER (PARTITION BY o_custkey
+        |                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders""".stripMargin),
+      "Sequential 1-based rank assignment over retrieved docs " +
+        "(RAG-eval-test_model.py:132-142); partitioned window — one shuffle " +
+        "by key, sort within partition."),
+
+    // ---------------------------------------------------------------- W2
+    QueryDef(
+      "lag_prev_gap",
+      (s, d) => events(s, d).select(
+        col("event_id"), col("user_id"),
+        coalesce(
+          unix_micros(col("ts")) - unix_micros(
+            lag(col("ts"), 1).over(
+              Window.partitionBy(col("user_id"))
+                .orderBy(col("ts"), col("event_id")))),
+          lit(-1L)).as("gap_us")),
+      Some("""SELECT event_id, user_id, coalesce(
+        | epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id)),
+        | -1) AS gap_us
+        |FROM events""".stripMargin),
+      "Previous-row lookup (create_all_models.py:54-57 checkpoint chain) " +
+        "over the event stream: inter-event gap per user."),
+
+    // ---------------------------------------------------------------- W3
+    QueryDef(
+      "ntile_length_buckets",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        ntile(8).over(Window.orderBy(length(col("text")), col("doc_id")))
+          .cast("bigint").as("bucket")),
+      Some("""SELECT doc_id, ntile(8) OVER (ORDER BY length(text), doc_id)
+        | AS bucket FROM documents""".stripMargin),
+      "group_by_length batch buckets (RAG-eval-create_model.py:142)."),
+
+    // ---------------------------------------------------------------- W4
+    QueryDef(
+      "running_delta",
+      (s, d) => events(s, d).select(
+        col("event_id"), col("user_id"),
+        (sum(floor(col("value") * 100)).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / 100.0).as("running_value")),
+      Some("""SELECT event_id, user_id,
+        | sum(floor(value * 100)) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 100.0
+        | AS running_value
+        |FROM events""".stripMargin),
+      "Before/after output-count deltas (run_data_generation_sophia.sh:61-65) " +
+        "generalized: running totals; fixed-point so partial sums are " +
+        "order-exact."),
+  )
+}
+
+/** §2.9 streaming analogs, batch shadows (T1–T4).  The same computations
+  * are wired as true Structured Streaming jobs in graft.streaming, tested
+  * with MemoryStream in ScalaTest; the oracle checks the batch-equivalent
+  * semantics here. */
+object EventQueries {
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- T1
+    QueryDef(
+      "tumbling_window_counts",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin),
+      "Per-poll-interval run-state counts (create_all_models.py:76 15s tick) " +
+        "as tumbling event-time windows."),
+
+    // ---------------------------------------------------------------- T2
+    QueryDef(
+      "sliding_window_agg",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n")),
+      Some("""SELECT make_timestamp(((floor(epoch(ts)/900)::BIGINT * 900
+        |   - j.j * 900) * 1000000)::BIGINT) AS window_start,
+        | event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT range AS j FROM range(0, 4)) j
+        |GROUP BY 1, 2""".stripMargin),
+      "Capacity gauge over a recent sliding window " +
+        "(test_all_models_llm_eval_sophia.py:15): 1h window, 15min slide — " +
+        "each event lands in 4 windows."),
+
+    // ---------------------------------------------------------------- T3
+    QueryDef(
+      "sessionize_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val flagged = events(s, d).withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull
+            .or(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+              > 600000000L), 1L).otherwise(0L))
+        flagged
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    (sum(new_session) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2""".stripMargin),
+      "Job lifecycle as burst-until-idle sessions (create_all_models.py:48-76 " +
+        "submit-poll-done cycle): 10-minute-gap sessionization; streaming " +
+        "twin uses session_window."),
+
+    // ---------------------------------------------------------------- T4
+    QueryDef(
+      "watermark_late_data",
+      (s, d) => events(s, d)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique")),
+      Some("""SELECT event_type, count(*) AS n_unique
+        |FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        |      ORDER BY event_id)
+        |GROUP BY event_type""".stripMargin),
+      "At-most-once with tombstones (test_all_models_llm_eval_sophia.py:50-53 " +
+        "output-or-.debug skip): batch shadow of " +
+        "dropDuplicatesWithinWatermark; event_id is unique in the fixture so " +
+        "DISTINCT ON is deterministic."),
+  )
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Corpus, QueryDef, Tables}
+import graft.functions.VectorOps._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+  * bucket-join -> jaccard verify), SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * All run on [[graft.Corpus.withDups]] — documents plus injected exact
+  * and 90%-prefix near-duplicates — mirrored 1:1 in the oracle CTE.
+  *
+  * Determinism: every pair decision here is integer arithmetic
+  * (jaccard >= 1/2  <=>  3*|inter| >= |A|+|B|, hamming via bit_count),
+  * and every hash is md5-derived — both engines agree bit-for-bit, and
+  * at cluster scale results are independent of partitioning.
+  *
+  * Scale shape: shingle explode -> groupBy(doc) signature is a single
+  * shuffle on doc_id; band bucket-join shuffles on (band_id, band_val)
+  * — the classic MinHash-LSH layout where only same-bucket candidates
+  * are ever paired, never the O(n^2) cross join.
+  */
+object DedupQueries {
+
+  private val corpusSql = s"corpus AS (${Corpus.cte})"
+
+  /** Word 3-gram shingle set per doc (distinct). */
+  private def shingles(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    c.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ",
+            element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3)))).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3]) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |       (SELECT range AS i FROM range(0, 4096)) i
+      |  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3)""".stripMargin
+
+  /** k-th MinHash function: low 32 bits of md5("<k>:" + shingle). */
+  private def mh(k: Int): Column =
+    conv(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 8), 16, 10)
+      .cast("long")
+
+  private def mhSql(k: Int): String =
+    s"('0x' || substr(md5(concat('$k:', shingle)), 1, 8))::BIGINT"
+
+  private val NumHashes = 16
+  private val BandSize = 4 // 4 bands x 4 hashes
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------ exact
+    QueryDef(
+      "dedup_exact",
+      (s, d) => Corpus.withDups(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some(s"""WITH $corpusSql
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text)""".stripMargin),
+      "Exact dedup: hash-groupBy on content, keep lowest id. One shuffle " +
+        "on the 128-bit content hash; at 100 TB this is the standard " +
+        "first pass before any near-dup work."),
+
+    // ----------------------------------------------------- minhash + lsh
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(Corpus.withDups(s, d))
+        val sigCols = count(lit(1)).as("n_shingles") +:
+          (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
+        val sig = sh.groupBy(col("doc_id"))
+          .agg(sigCols.head, sigCols.tail: _*)
+        // 4 bands of 4 hashes -> (band_id, band_val) bucket keys
+        val bandCols = (0 until NumHashes / BandSize).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
+              .as("band_val"))
+        }
+        val bands = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+        val cands = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val inter = cands
+          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("b") === col("sb.doc_id") &&
+              col("sa.shingle") === col("sb.shingle"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
+        inter
+          .join(sizes.as("na"), col("a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
+          // jaccard >= 1/2  <=>  3*inter >= |A|+|B|  (integer, exact)
+          .filter(col("ninter") * 3 >= col("na.nsh") + col("nb.nsh"))
+          .select(col("a"), col("b"),
+            expr("(ninter * 1000) div (na.nsh + nb.nsh - ninter)")
+              .as("jaccard_e3"))
+      },
+      Some(s"""WITH $corpusSql,
+        |$shinglesSql,
+        |sig AS (SELECT doc_id, count(*) AS n_shingles,
+        |  ${(0 until NumHashes).map(k => s"min(${mhSql(k)}) AS h$k").mkString(", ")}
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (${(0 until NumHashes / BandSize).map { b =>
+          s"SELECT doc_id, $b AS band_id, concat_ws(','," +
+            (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(",") +
+            ") AS band_val FROM sig"
+        }.mkString("\n  UNION ALL ")}),
+        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |   AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a, b, count(*) AS ninter
+        |  FROM cands JOIN sh sa ON sa.doc_id = a
+        |  JOIN sh sb ON sb.doc_id = b AND sb.shingle = sa.shingle
+        |  GROUP BY a, b)
+        |SELECT a, b, ((ninter * 1000) // (na.nsh + nb.nsh - ninter))::BIGINT
+        |         AS jaccard_e3
+        |FROM inter JOIN sizes na ON na.doc_id = a
+        |JOIN sizes nb ON nb.doc_id = b
+        |WHERE ninter * 3 >= na.nsh + nb.nsh""".stripMargin),
+      "MinHash(16)+LSH(4x4) near-dup: shingle -> signature -> band " +
+        "buckets -> same-bucket candidates only -> exact-jaccard verify. " +
+        "Never materializes the O(n^2) pair space; candidate volume is " +
+        "controlled by band width — the scale path for near-dedup at " +
+        "100 TB."),
+
+    // ----------------------------------------------------------- simhash
+    QueryDef(
+      "dedup_simhash",
+      (s, d) => {
+        val toks = Corpus.withDups(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h",
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+        val bitCols = (0 until 16).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"b$j"))
+        val bitSums = toks.groupBy(col("doc_id"))
+          .agg(bitCols.head, bitCols.tail: _*)
+        val sim = bitSums.select(col("doc_id"),
+          (0 until 16).map(j =>
+            when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+        sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            expr("bit_count(x.simhash ^ y.simhash)").cast("bigint")
+              .as("hamming"))
+          .filter(col("hamming") <= 2)
+      },
+      Some(s"""WITH $corpusSql,
+        |toks AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM corpus) t),
+        |bitsums AS (SELECT doc_id,
+        |  ${(0 until 16).map(j =>
+          s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")}
+        |  FROM toks GROUP BY doc_id),
+        |sim AS (SELECT doc_id,
+        |  ${(0 until 16).map(j => s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")} AS simhash
+        |  FROM bitsums)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin),
+      "16-bit SimHash over the token multiset; near-dups = hamming <= 2 " +
+        "via bit_count(xor). At scale, block on simhash bytes instead of " +
+        "the all-pairs join shown here for the small fixture."),
+
+    // ---------------------------------------------------- n-gram jaccard
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(Corpus.withDups(s, d))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        // the injected near-dup pairs: (id, id + 1_000_000)
+        val pairs = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("a"),
+            (col("doc_id") + 1000000L).as("b"))
+        val inter = pairs
+          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("b") === col("sb.doc_id") &&
+              col("sa.shingle") === col("sb.shingle"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
+        pairs
+          .join(inter, Seq("a", "b"), "left")
+          .join(sizes.as("na"), col("a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
+          .select(col("a"), col("b"),
+            expr("(coalesce(ninter, 0) * 1000) div (na.nsh + nb.nsh - coalesce(ninter, 0))")
+              .as("jaccard_e3"))
+      },
+      Some(s"""WITH $corpusSql,
+        |$shinglesSql,
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |          WHERE doc_id % 50 = 0),
+        |inter AS (SELECT a, b, count(*) AS ninter
+        |  FROM pairs JOIN sh sa ON sa.doc_id = a
+        |  JOIN sh sb ON sb.doc_id = b AND sb.shingle = sa.shingle
+        |  GROUP BY a, b)
+        |SELECT p.a, p.b,
+        |  ((coalesce(ninter, 0) * 1000)
+        |   // (na.nsh + nb.nsh - coalesce(ninter, 0)))::BIGINT AS jaccard_e3
+        |FROM pairs p LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+        |JOIN sizes na ON na.doc_id = p.a
+        |JOIN sizes nb ON nb.doc_id = p.b""".stripMargin),
+      "Exact word-3-gram Jaccard on known near-dup pairs — the verify " +
+        "metric of the MinHash pipeline, isolated."),
+
+    // ------------------------------------------------- embedding cosine
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        val copies = base.filter(pmod(col("vec_id"), lit(25)) === 0)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+        val c = base.unionByName(copies)
+        c.as("x").join(c.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+          .filter(col("cos") >= 0.999)
+          .select(col("a"), col("b"),
+            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+        |              WHERE vec_id < 200),
+        |c AS (SELECT vec_id, embedding FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 10000, embedding FROM base WHERE vec_id % 25 = 0),
+        |scored AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |    ${cosineSql("x.embedding", "y.embedding")} AS cos
+        |  FROM c x JOIN c y ON x.vec_id < y.vec_id)
+        |SELECT a, b, floor(cos * 1000000)::BIGINT AS cos_e6
+        |FROM scored WHERE cos >= 0.999""".stripMargin),
+      "Embedding-cosine near-dup over corpus + injected exact-copy " +
+        "vectors; cos >= 0.999 pairs. At 100 TB, bucket by LSH signature " +
+        "first (see ann_lsh_bucketed) so only same-bucket pairs are " +
+        "scored."),
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.MediaSource
+
+/** Multimodal-column queries over the synthesized media table (see
+  * graft.sources.media): metadata projection, the mapPartitions
+  * feature-extraction pass (stub decode, real plumbing), and video frame
+  * sampling.  Oracles replicate the deterministic stub arithmetic. */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "media_metadata",
+      (s, d) => MediaSource.media(s, d).toDF().select(
+        col("mediaId").as("media_id"),
+        col("meta.kind").as("kind"),
+        col("meta.width").cast("bigint").as("width"),
+        col("meta.height").cast("bigint").as("height"),
+        col("meta.durationMs").as("duration_ms"),
+        col("meta.fmt").as("fmt"),
+        length(col("payload")).cast("bigint").as("byte_len")),
+      Some("""SELECT doc_id AS media_id,
+        | ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+        | (n_chars % 640 + 16) AS width,
+        | (n_chars % 480 + 16) AS height,
+        | (n_chars * 40) AS duration_ms,
+        | upper(lang) AS fmt,
+        | octet_length(encode(text))::BIGINT AS byte_len
+        |FROM documents""".stripMargin),
+      "Binary payload + typed metadata projection: media as first-class " +
+        "columns; the payload is opaque bytes, never parsed by the plan."),
+
+    QueryDef(
+      "media_feature_extract",
+      (s, d) => MediaSource.extractFeatures(MediaSource.media(s, d)).toDF()
+        .select(col("mediaId").as("media_id"), col("kind"),
+          col("byteLen").as("byte_len"),
+          col("f0"), col("f1"), col("f2"), col("f3")),
+      Some("""SELECT doc_id AS media_id,
+        | ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+        | octet_length(encode(text))::BIGINT AS byte_len,
+        | unicode(substr(text, 1, 1))::BIGINT AS f0,
+        | unicode(substr(text, 2, 1))::BIGINT AS f1,
+        | unicode(substr(text, 3, 1))::BIGINT AS f2,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(string_split_regex(text, ''),
+        |                  c -> unicode(c)::BIGINT)),
+        |   (a, b) -> (a + b) % 100000) AS f3
+        |FROM documents""".stripMargin),
+      "Decode / feature-extract as a per-partition mapPartitions pass over " +
+        "Dataset[MediaRecord] — decoder instantiated once per partition, " +
+        "records streamed in batches; decode itself stubbed " +
+        "deterministically (no media libs in-container)."),
+
+    QueryDef(
+      "media_frame_sample",
+      (s, d) => MediaSource.sampleFrames(s, d),
+      Some("""SELECT doc_id AS media_id,
+        | f.frame_idx::BIGINT AS frame_idx
+        |FROM documents
+        |CROSS JOIN (SELECT range AS frame_idx FROM range(0, 64)) f
+        |WHERE doc_id % 3 = 2
+        |  AND f.frame_idx <= (n_chars * 40) // 1000""".stripMargin),
+      "Frame sampling at 1 fps from video metadata: explode(sequence) — " +
+        "a generator, no shuffle; downstream per-frame decode would ride " +
+        "the same mapPartitions path as media_feature_extract."),
+  )
+}

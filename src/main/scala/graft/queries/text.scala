@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (token-marker heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and rolling-hash document
+  * fingerprinting.  All-integer scoring so both engines agree exactly.
+  *
+  * These model the text-hygiene steps around the reference's corpus
+  * handling (blank/short-line drops, generate_narratives_from_data.py:83;
+  * terminator stripping, :55-61) extended to what a 100 TB LLM-data
+  * pipeline needs.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Deterministic per-language marker lexicon over the fixture vocab. */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "table", "en" -> "row", "en" -> "value",
+    "de" -> "join", "de" -> "shuffle", "de" -> "batch",
+    "fr" -> "column", "fr" -> "window", "fr" -> "scan",
+    "es" -> "spark", "es" -> "data", "es" -> "order",
+    "zh" -> "hash", "zh" -> "key", "zh" -> "agg")
+
+  private val lexiconSql: String =
+    lexicon.map { case (l, w) => s"('$l','$w')" }
+      .mkString("(VALUES ", ",", ") lex(cand, marker)")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------ lang id
+    QueryDef(
+      "text_langid",
+      (s, d) => {
+        import s.implicits._
+        val lex = lexicon.toDF("cand", "marker")
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val scores = toks.join(broadcast(lex), col("tok") === col("marker"))
+          .groupBy(col("doc_id"), col("cand"))
+          .agg(count(lit(1)).as("hits"))
+        val best = scores.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("hits").desc, col("cand"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("cand").as("pred_lang"), col("hits"))
+        docs(s, d).select(col("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+            coalesce(col("hits"), lit(0L)).as("marker_hits"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |scores AS (SELECT doc_id, cand, count(*) AS hits
+        |  FROM toks JOIN $lexiconSql ON tok = marker
+        |  GROUP BY doc_id, cand),
+        |best AS (SELECT doc_id, cand AS pred_lang, hits, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+        |  FROM scores)
+        |SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+        |       coalesce(b.hits, 0) AS marker_hits
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |ON d.doc_id = b.doc_id""".stripMargin),
+      "n-gram/marker-token language ID: explode tokens, broadcast-join a " +
+        "tiny lexicon, argmax per doc with alphabetical tiebreak. The " +
+        "lexicon side always broadcasts; corpus side never shuffles until " +
+        "the per-doc agg."),
+
+    // ------------------------------------------------------ quality score
+    QueryDef(
+      "text_quality_score",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        docs(s, d).select(
+          col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+          length(col("text")).cast("bigint").as("n_chars_obs"),
+          // type-token ratio e3 + mean word length e3: all integer div
+          expr("(size(split(text, ' ')) * 1000) div greatest(size(split(text, ' ')), 1)")
+            .as("dummy_one_e3"),
+          expr("(size(array_distinct(split(text, ' '))) * 1000) div size(split(text, ' '))")
+            .as("ttr_e3"),
+          expr("((length(text) - size(split(text, ' ')) + 1) * 1000) div size(split(text, ' '))")
+            .as("mean_wordlen_e3"))
+          .drop("dummy_one_e3")
+          .withColumn("quality_e3",
+            least(col("ttr_e3"), lit(1000L)) +
+              when(col("n_tokens") >= 20 && col("n_tokens") <= 200, 500L)
+                .otherwise(0L))
+      },
+      Some("""SELECT doc_id,
+        | len(string_split(text, ' '))::BIGINT AS n_tokens,
+        | len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+        | length(text)::BIGINT AS n_chars_obs,
+        | ((len(list_distinct(string_split(text, ' '))) * 1000)
+        |   // len(string_split(text, ' ')))::BIGINT AS ttr_e3,
+        | (((length(text) - len(string_split(text, ' ')) + 1) * 1000)
+        |   // len(string_split(text, ' ')))::BIGINT AS mean_wordlen_e3,
+        | (least((len(list_distinct(string_split(text, ' '))) * 1000)
+        |   // len(string_split(text, ' ')), 1000)
+        |  + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+        |         THEN 500 ELSE 0 END)::BIGINT AS quality_e3
+        |FROM documents""".stripMargin),
+      "Quality scoring from length / type-token ratio / mean word length " +
+        "(all-integer fixed point) — the filter family used to gate LLM " +
+        "training corpora."),
+
+    // ------------------------------------------------------- token count
+    QueryDef(
+      "text_token_count",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("bigint").as("bpe_ish_tokens")),
+      Some("""SELECT doc_id,
+        | len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+        |   AS bpe_ish_tokens
+        |FROM documents""".stripMargin),
+      "Token counting: whitespace split + BPE-ish regex segmentation " +
+        "(letters / digits / punct singletons), the max_length currency of " +
+        "RAG-eval-test_model.py:74,99."),
+
+    // ------------------------------------------------------- fingerprint
+    QueryDef(
+      "text_fingerprint",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), " "),
+            w => (ascii(w) * 100 + length(w)).cast("long")),
+          lit(0L),
+          (acc, v) => (acc * 31 + v) % 1000000007L).as("fingerprint")),
+      Some("""SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(string_split(text, ' '),
+        |                  w -> (unicode(w) * 100 + length(w))::BIGINT)),
+        |   (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin),
+      "Rolling polynomial hash over the token stream (mod 1e9+7) — " +
+        "order-sensitive document fingerprint, exact in both engines."),
+  )
+}
+
+/** Approximate-nearest-neighbor over the embedding column: brute-force
+  * cosine top-k as the correctness baseline (cosine_topk in
+  * VectorQueries) and a random-hyperplane LSH-bucketed variant as the
+  * scale path. */
+object AnnQueries {
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random integer hyperplane weights, generated by
+    * a fixed LCG and inlined as literals in BOTH engines. */
+  private[queries] val planes: IndexedSeq[IndexedSeq[Long]] = {
+    var state = 88172645463325252L
+    def next(): Long = { // xorshift64
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      state
+    }
+    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(next() % 1001))
+  }
+
+  private val planesSql: String =
+    (for (j <- 0 until NumPlanes; dd <- 0 until Dim)
+      yield s"($j,$dd,${planes(j)(dd)})")
+      .mkString("(VALUES ", ",", ") pl(j, d, w)")
+
+  /** Integer dot of an embedding with plane j: components scaled by 1e6
+    * and floored, so the sign is an exact integer decision. */
+  private def intDot(embCol: Column, j: Int): Column = {
+    val w = array(planes(j).map(x => lit(x)): _*)
+    aggregate(
+      zip_with(embCol, w,
+        (x, ww) => floor(x.cast("double") * 1000000).cast("long") * ww),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  private def bucketCol(embCol: Column): Column =
+    (0 until NumPlanes).map(j =>
+      when(intDot(embCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  import graft.functions.VectorOps._
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ann_bucket_assign",
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"), bucketCol(col("embedding")).as("bucket")),
+      Some(s"""WITH comps AS (
+        |  SELECT vec_id, pl.j,
+        |    sum(floor(embedding[pl.d + 1]::DOUBLE * 1000000)::BIGINT * pl.w)
+        |      AS dotj
+        |  FROM embeddings CROSS JOIN $planesSql
+        |  GROUP BY vec_id, pl.j)
+        |SELECT vec_id,
+        |  sum(CASE WHEN dotj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |    AS bucket
+        |FROM comps GROUP BY vec_id""".stripMargin),
+      "Random-hyperplane (SimHash-for-vectors) LSH bucket assignment: 8 " +
+        "integer hyperplanes -> 256 buckets. Integer dots so the bucket " +
+        "decision is exact and partition-independent."),
+
+    QueryDef(
+      "ann_lsh_topk",
+      (s, d) => {
+        val withB = Tables.embeddings(s, d).select(
+          col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+        val q = withB.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket"))
+        val scored = q.join(withB.withColumnRenamed("vec_id", "cid")
+            .withColumnRenamed("embedding", "ce"), Seq("bucket"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"), col("bucket"),
+            cosine(col("qe"), col("ce")).as("cos"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("cid"))).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"), col("bucket"), col("rank"),
+            floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
+      },
+      Some(s"""WITH comps AS (
+        |  SELECT vec_id, pl.j,
+        |    sum(floor(embedding[pl.d + 1]::DOUBLE * 1000000)::BIGINT * pl.w)
+        |      AS dotj
+        |  FROM embeddings CROSS JOIN $planesSql
+        |  GROUP BY vec_id, pl.j),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dotj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS bucket
+        |  FROM comps GROUP BY vec_id),
+        |withb AS (SELECT e.vec_id, e.embedding, b.bucket
+        |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+        |    ${cosineSql("q.embedding", "c.embedding")} AS cos
+        |  FROM withb q JOIN withb c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (SELECT qid, cid, bucket, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM scored)
+        |SELECT qid, cid, bucket, rank, floor(cos * 1000000)::BIGINT AS score_e6
+        |FROM ranked WHERE rank <= 3""".stripMargin),
+      "LSH-bucketed ANN: candidates restricted to the query's bucket, " +
+        "then exact cosine re-rank. The join is an equi-join on bucket — " +
+        "shuffle-partitioned by bucket, never all-pairs; the 100 TB " +
+        "similarity-search layout."),
+  )
+}

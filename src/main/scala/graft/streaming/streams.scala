@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the §2.9 batch analogs: the reference's
+  * poll-driven scheduler loops (create_all_models.py:48-76,
+  * test_all_models.py:45-57, test_all_models_llm_eval_sophia.py:54-66)
+  * re-expressed as event-time streaming over an events stream.
+  *
+  * Each function takes a *streaming* DataFrame with the events schema
+  * (event_id, ts timestamp, user_id, event_type, value, props) and
+  * returns a transformed streaming frame; MemoryStream-driven ScalaTests
+  * exercise them.  The batch shadows (oracle-checked) are in
+  * graft.queries.EventQueries.
+  */
+object Streams {
+
+  /** T1: per-interval run-state counts (15 s poll ticks scaled to 1 h). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** T2: capacity gauge over a sliding window
+    * (status.count('testmodel') > 2, test_all_models_llm_eval_sophia.py:15). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** T3: job lifecycle sessionization (submit→poll→done burst until idle). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** T4: late/duplicate tolerance — at-most-once via watermark dedupe
+    * (the output-or-.debug tombstone check, LE:50-53). */
+  def dedupeWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Admission-control gate with per-key state: tracks a running count of
+    * in-flight jobs per user and flags events that exceed capacity — the
+    * check_queue(...) <= 3 gate (create_all_models.py:6-13,
+    * test_all_models_llm_eval_sophia.py:6-19) as mapGroupsWithState. */
+  def capacityGate(events: Dataset[JobEvent], capacity: Int): Dataset[GateDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[JobEvent], state: GroupState[Int]) => {
+          var inFlight = state.getOption.getOrElse(0)
+          var admitted = 0
+          var rejected = 0
+          evs.foreach { e =>
+            val starts = e.event_type == "signup" || e.event_type == "click"
+            val ends = e.event_type == "purchase" || e.event_type == "error"
+            if (starts) {
+              if (inFlight < capacity) { inFlight += 1; admitted += 1 }
+              else rejected += 1
+            } else if (ends && inFlight > 0) inFlight -= 1
+          }
+          state.update(inFlight)
+          GateDecision(user, inFlight, admitted, rejected)
+        })
+  }
+}
+
+final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
+final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
+    rejected: Int)

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{JobEvent, Streams}
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming twins (T1–T4 + capacity gate) driven by
+  * MemoryStream — semantics only; the oracle-checked batch shadows live
+  * in EventQueries. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runBatches[T](q: org.apache.spark.sql.DataFrame, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
+  test("tumblingCounts aggregates by hour after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(15), 1, "click", 1.0, "{}"),
+      Ev(3, ts(70), 2, "view", 1.0, "{}"))
+    // advance watermark far past hour 0/1
+    mem.addData(Ev(4, ts(600), 3, "view", 1.0, "{}"))
+    val out = runBatches(Streams.tumblingCounts(mem.toDF()), "tumbling")
+    val rows = out.select(col("window_start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows.contains((ts(0), "click", 2L)))
+    assert(rows.contains((ts(60), "view", 1L)))
+  }
+
+  test("sessionize groups bursts separated by >10min gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(5), 1, "click", 1.0, "{}"),   // same session
+      Ev(3, ts(30), 1, "click", 1.0, "{}"))  // new session
+    mem.addData(Ev(4, ts(600), 9, "view", 1.0, "{}")) // close watermark
+    val out = runBatches(Streams.sessionize(mem.toDF()), "sessions")
+    val u1 = out.filter(col("user_id") === 1)
+      .select(col("n_events")).as[Long].collect().sorted.toSeq
+    assert(u1 === Seq(1L, 2L))
+  }
+
+  test("dedupeWithWatermark drops duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(1), 1, "click", 1.0, "{}"), // dup within watermark
+      Ev(2, ts(2), 1, "view", 1.0, "{}"))
+    val out = runBatches(Streams.dedupeWithWatermark(mem.toDF()), "dedupe")
+    assert(out.count() === 2)
+  }
+
+  test("capacityGate admits at most `capacity` concurrent jobs per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[JobEvent]
+    mem.addData(
+      JobEvent(1, 1, "click"), JobEvent(2, 1, "click"),
+      JobEvent(3, 1, "click"), JobEvent(4, 1, "click"), // 4th rejected (cap 3)
+      JobEvent(5, 1, "purchase"),                        // one completes
+      JobEvent(6, 1, "click"))                           // admitted again
+    val q = Streams.capacityGate(mem.toDS(), capacity = 3)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.Row
+    val r = spark.table("gate").collect().head
+    assert(r.getAs[Int]("in_flight") === 3)
+    assert(r.getAs[Int]("admitted") === 4)
+    assert(r.getAs[Int]("rejected") === 1)
+  }
+}
