@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two array<float>
+  * embedding columns, fused into one loop with whole-stage codegen
+  * (doGenCode) — the hot inner kernel of every similarity join in the
+  * engine.
+  *
+  * Versus the HOF formulation (zip_with + aggregate, VectorOps.cosine):
+  * no intermediate array allocation, one pass over both vectors, plain
+  * JIT-friendly primitive loop.  Accumulation order per accumulator is
+  * identical to the HOF fold (sequential over index), so results are
+  * bit-identical — the DuckDB oracle parity argument (see VectorOps)
+  * carries over unchanged.
+  *
+  * Reference semantics: the full-corpus cosine ranking of
+  * rag_evaluation/RAG-eval-test_model.py:130,242-248.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |}
+         |${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column wrapper for the native kernel. */
+  def cosineNative(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -37,8 +37,16 @@ object VectorOps {
   /** Sum of squares in double. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity of two array<float> embedding columns. */
+  /** Cosine similarity of two array<float> embedding columns.
+    * Uses the fused native Catalyst kernel (one codegen'd loop, no
+    * intermediate arrays); bit-identical to the HOF formulation
+    * [[cosineHof]] — same per-accumulator fold order. */
   def cosine(a: Column, b: Column): Column =
+    CosineSimilarity.cosineNative(a, b)
+
+  /** HOF formulation of [[cosine]], kept as the public-API-only
+    * fallback and for the parity test against the native kernel. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Mean over components (the reference's mean-pool,

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's classic Column internals (private[sql]),
+  * used to wrap custom Catalyst Expressions as Columns in Spark 4's
+  * connect-compatible Column API.  Lives under org.apache.spark.sql so
+  * the private[sql] members resolve — the standard extension-library
+  * technique; only public Spark behavior is relied upon. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

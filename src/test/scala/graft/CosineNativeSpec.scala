@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** The native codegen cosine kernel must be bit-identical to the HOF
+  * formulation (same sequential fold) — this is what carries the DuckDB
+  * oracle parity over to the fast path. */
+class CosineNativeSpec extends SparkSpec {
+
+  test("native kernel is bit-identical to the HOF fold on all pairs") {
+    val e = Tables.embeddings(spark, sfDir).limit(60)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+    val diff = pairs.select(
+      VectorOps.cosine(col("ea"), col("eb")).as("native"),
+      VectorOps.cosineHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact, not approximate
+      .count()
+    assert(diff === 0)
+  }
+
+  test("interpreted eval path agrees too") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    val Row = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.cosineHof(col("a"), col("b")).as("h")).head()
+    assert(Row.getDouble(0) === Row.getDouble(1))
+    assert(math.abs(Row.getDouble(0) - 10.0 / 14.0) < 1e-12)
+  }
+}
