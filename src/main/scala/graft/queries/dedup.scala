@@ -27,15 +27,25 @@ object DedupQueries {
 
   private val corpusSql = s"corpus AS (${Corpus.cte})"
 
-  /** Word 3-gram shingle set per doc (distinct). */
+  /** Word 3-gram shingle set per doc (distinct).
+    *
+    * Built from three shifted slices zipped together rather than indexed
+    * element_at lookups inside the lambda: HOF lambdas evaluate
+    * interpreted (outside codegen), so any expression referenced inside
+    * one is re-evaluated per element — an inlined split(text) there turns
+    * into O(tokens^2) regex splits per document.  With slices, split runs
+    * a constant number of times per row regardless of optimizer
+    * projection collapsing. */
   private def shingles(c: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    c.filter(size(toks) >= 3)
+    val n = size(toks)
+    val t1 = slice(toks, lit(1), n - 2)
+    val t2 = slice(toks, lit(2), n - 2)
+    val t3 = slice(toks, lit(3), n - 2)
+    c.filter(n >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ",
-            element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3)))).as("shingle"))
+        explode(zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)),
+          t3, (ab, cc) => concat(ab, lit(" "), cc))).as("shingle"))
       .distinct()
   }
 
