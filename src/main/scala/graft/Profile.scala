@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-profiler: runs each named query N times, printing per-iteration
+  * seconds — separates one-time codegen/compile cost from steady state.
+  * Usage: runMain graft.Profile <sfDir> <reps> <query ...> */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    names.foreach { n =>
+      val q = byName(n)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -57,16 +57,39 @@ object DedupQueries {
       |       (SELECT range AS i FROM range(0, 4096)) i
       |  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3)""".stripMargin
 
-  /** k-th MinHash function: low 32 bits of md5("<k>:" + shingle). */
-  private def mh(k: Int): Column =
-    conv(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 8), 16, 10)
-      .cast("long")
-
-  private def mhSql(k: Int): String =
-    s"('0x' || substr(md5(concat('$k:', shingle)), 1, 8))::BIGINT"
-
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 hashes
+
+  /** Base shingle hash: one md5 per shingle, reduced mod p = 2^31-1.
+    * The k-th MinHash is the universal family (a_k * h + b_k) mod p —
+    * 16 integer ops per shingle instead of 16 md5 passes (at 100 TB the
+    * md5 pass dominates signature cost; hash once, mix k times).
+    * Operands < 2^31 so products fit in int64 exactly in both engines. */
+  private val P = 2147483647L // 2^31 - 1
+  private val hashAB: IndexedSeq[(Long, Long)] = {
+    var state = 1234567891011L
+    def next(): Long = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      math.floorMod(state, P - 1) + 1
+    }
+    IndexedSeq.fill(NumHashes)((next(), next()))
+  }
+
+  private def baseHash: Column =
+    pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
+
+  private def mh(k: Int): Column = {
+    val (a, b) = hashAB(k)
+    pmod(baseHash * a + b, lit(P))
+  }
+
+  private val baseHashSql =
+    s"((('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $P)"
+
+  private def mhSql(k: Int): String = {
+    val (a, b) = hashAB(k)
+    s"(($baseHashSql * $a + $b) % $P)"
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ exact
@@ -87,11 +110,17 @@ object DedupQueries {
     QueryDef(
       "dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(Corpus.withDups(s, d))
-        val sigCols = count(lit(1)).as("n_shingles") +:
+        // The shingle table is referenced by the signature agg, both
+        // sides of the band self-join, and both sides of the jaccard
+        // verify — persist it once or the whole explode+hash pipeline
+        // re-runs per reference (at scale: materialize the signature
+        // table, exactly like the reference persists its vector store,
+        // RAG-eval-test_model.py:242).
+        val sh = shingles(Corpus.withDups(s, d)).persist()
+        val sigCols = count(lit(1)).as("nsh") +:
           (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
         val sig = sh.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail: _*)
+          .agg(sigCols.head, sigCols.tail: _*).persist()
         // 4 bands of 4 hashes -> (band_id, band_val) bucket keys
         val bandCols = (0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band_id"),
@@ -107,13 +136,13 @@ object DedupQueries {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         val inter = cands
           .join(sh.as("sa"), col("a") === col("sa.doc_id"))
           .join(sh.as("sb"),
             col("b") === col("sb.doc_id") &&
               col("sa.shingle") === col("sb.shingle"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
+        val sizes = sig.select(col("doc_id"), col("nsh"))
         inter
           .join(sizes.as("na"), col("a") === col("na.doc_id"))
           .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
@@ -168,12 +197,33 @@ object DedupQueries {
         val sim = bitSums.select(col("doc_id"),
           (0 until 16).map(j =>
             when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-        sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id"))
+            .reduce(_ + _).as("simhash")).persist()
+        // Candidate blocking instead of the O(n^2) pair join: split the
+        // 16 bits into 3 bands (6/5/5).  hamming <= 2 touches at most 2
+        // bands, so every qualifying pair shares at least one band —
+        // the equi-join on (band_id, band_val) is exhaustive for the
+        // threshold, and shuffles by band bucket instead of exploding
+        // all pairs.
+        val banded = sim.select(col("doc_id"), col("simhash"),
+          explode(array(
+            struct(lit(0).as("band_id"),
+              (col("simhash").bitwiseAND(lit(63L))).as("band_val")),
+            struct(lit(1).as("band_id"),
+              (shiftright(col("simhash"), 6).bitwiseAND(lit(31L))).as("band_val")),
+            struct(lit(2).as("band_id"),
+              (shiftright(col("simhash"), 11).bitwiseAND(lit(31L))).as("band_val"))
+          )).as("band"))
+          .select(col("doc_id"), col("simhash"),
+            col("band.band_id"), col("band.band_val"))
+        banded.as("x").join(banded.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
             expr("bit_count(x.simhash ^ y.simhash)").cast("bigint")
               .as("hamming"))
           .filter(col("hamming") <= 2)
+          .distinct()
       },
       Some(s"""WITH $corpusSql,
         |toks AS (SELECT doc_id,
@@ -201,7 +251,7 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(Corpus.withDups(s, d))
+        val sh = shingles(Corpus.withDups(s, d)).persist()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         // the injected near-dup pairs: (id, id + 1_000_000)
         val pairs = Tables.documents(s, d)
