@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Scale-path techniques demonstrated as oracle-checked queries: the
+  * result is identical to the naive formulation, the physical plan is
+  * the one that survives 100 TB.  These are the patterns the rest of the
+  * engine reaches for when a key distribution goes hostile. */
+object ScaleQueries {
+
+  private val Salts = 8
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------ salted join
+    QueryDef(
+      "skewjoin_salted",
+      (s, d) => {
+        // events.user_id x a per-user dimension derived from customer.
+        // Hot keys (low user ids dominate a zipf-ish stream) would pile
+        // into one task in a plain shuffle join; salting splits each key
+        // into `Salts` shuffle buckets: fact side gets a random-but-
+        // deterministic salt, the dim side is exploded across all salts.
+        val facts = Tables.events(s, d)
+          .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit((Salts - 1).toLong))))
+        facts.join(dim, Seq("user_id", "salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(floor(col("value") * 100)) / 100.0).as("total_value"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+        | sum(floor(value * 100)) / 100.0 AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+      "Skew-salted equi-join: per-row salt on the fact side, salt-exploded " +
+        "dimension — same result as the plain join (the oracle), but the " +
+        "hot key's rows spread over 8 tasks. At 100 TB this (or AQE " +
+        "skew-join splitting) is mandatory for zipf-distributed keys."),
+
+    // --------------------------------------------- pre-partitioned agg
+    QueryDef(
+      "repartitioned_two_phase_agg",
+      (s, d) => {
+        // Two aggregations on the same key: repartition once, both aggs
+        // reuse the exchange (Spark's ReusedExchange / AQE) instead of
+        // shuffling twice.
+        val byUser = Tables.events(s, d).repartition(col("user_id"))
+        val counts = byUser.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val sums = byUser.groupBy(col("user_id"))
+          .agg((sum(floor(col("value") * 100)) / 100.0).as("total_value"))
+        counts.join(sums, Seq("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        | sum(floor(value * 100)) / 100.0 AS total_value
+        |FROM events GROUP BY user_id""".stripMargin),
+      "Shared partitioning across aggregations: one explicit repartition " +
+        "on the key feeds both agg branches; the join is then " +
+        "co-partitioned (zero extra shuffle). The bucketed-table analog " +
+        "of this is how a 100 TB fact avoids re-shuffling per query."),
+
+    // ----------------------------------------- partition-pruned reading
+    QueryDef(
+      "partition_pruned_scan",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("l_extendedprice") * 100)) / 100.0).as("revenue")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+        | sum(floor(l_extendedprice * 100)) / 100.0 AS revenue
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin),
+      "Predicate reaches the parquet scan (PushedFilters on l_shipdate, " +
+        "row-group skipping); with a date-partitioned 100 TB layout the " +
+        "same predicate prunes whole partitions before any I/O."),
+  )
+}

@@ -257,5 +257,81 @@ object AnnQueries {
         "then exact cosine re-rank. The join is an equi-join on bucket — " +
         "shuffle-partitioned by bucket, never all-pairs; the 100 TB " +
         "similarity-search layout."),
+
+    // ---------------------------------------------------------- IVF ANN
+    QueryDef(
+      "ann_ivf_topk",
+      (s, d) => {
+        // IVF: coarse quantization against a fixed centroid set (a
+        // deterministic subsample standing in for k-means centroids),
+        // then probe the query's top-2 centroid lists only.
+        val e = Tables.embeddings(s, d)
+        val centroids = e.filter(pmod(col("vec_id"), lit(31)) === 7)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cvec"))
+        // assign every vector to its nearest centroid (argmax cosine)
+        val assign = e.crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"), col("centroid_id"),
+            cosine(col("embedding"), col("cvec")).as("ccos"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("ccos").desc, col("centroid_id"))))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("centroid_id"))
+        // per query: probe the 2 nearest centroids' lists
+        val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("centroid_id"),
+            cosine(col("embedding"), col("cvec")).as("ccos"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("ccos").desc, col("centroid_id"))))
+          .filter(col("crn") <= 2)
+          .select(col("qid"), col("qe"), col("centroid_id"))
+        val scored = probes.join(assign, Seq("centroid_id"))
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            cosine(col("qe"), col("embedding")).as("cos"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("cid"))).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"), col("rank"),
+            floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
+      },
+      Some(s"""WITH centroids AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 31 = 7),
+        |assign AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cosineSql("e.embedding", "c.cvec")} DESC, c.centroid_id)
+        |        AS crn
+        |    FROM embeddings e CROSS JOIN centroids c)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT qid, qe, centroid_id FROM (
+        |    SELECT e.vec_id AS qid, e.embedding AS qe, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cosineSql("e.embedding", "c.cvec")} DESC, c.centroid_id)
+        |        AS crn
+        |    FROM embeddings e CROSS JOIN centroids c
+        |    WHERE e.vec_id < 10)
+        |  WHERE crn <= 2),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id AS cid,
+        |    ${cosineSql("p.qe", "a.embedding")} AS cos
+        |  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+        |  WHERE p.qid <> a.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM scored)
+        |SELECT qid, cid, rank, floor(cos * 1000000)::BIGINT AS score_e6
+        |FROM ranked WHERE rank <= 3""".stripMargin),
+      "IVF ANN: coarse-quantize the corpus against broadcast centroids " +
+        "(one narrow pass), probe only the query's 2 nearest lists. At " +
+        "100 TB the assignment is a write-time partitioning column — " +
+        "probing reads 2 partitions instead of the corpus."),
   )
 }
