@@ -88,6 +88,24 @@ object ScanQueries {
       "Directory-glob corpus scan, per-file provenance retained " +
         "(RAG-eval-test_model.py:237-238; DirectoryLoader glob)."),
 
+    // ---------------------------------------------------------------- S5
+    QueryDef(
+      "scan_config_kv",
+      (s, d) => Tables.region(s, d)
+        .select(concat(upper(col("r_name")), lit("="), col("r_regionkey"))
+          .as("line"))
+        .select(split(col("line"), "=").getItem(0).as("key"),
+          split(col("line"), "=").getItem(1).as("value"))
+        .filter(col("key") === "ASIA"),
+      Some("""WITH lines AS (
+        |  SELECT concat(upper(r_name), '=', r_regionkey) AS line FROM region)
+        |SELECT string_split(line, '=')[1] AS key,
+        |       string_split(line, '=')[2] AS value
+        |FROM lines WHERE string_split(line, '=')[1] = 'ASIA'""".stripMargin),
+      "Single-value config read (token file, generate_narratives_from_data" +
+        ".py:17-19; generate_auth_token.py:38-39): parse KEY=value lines, " +
+        "select one key."),
+
     // ---------------------------------------------------------------- S6
     QueryDef(
       "sink_per_record_files",
@@ -175,6 +193,22 @@ object ScalarQueries {
         |SELECT doc_id FROM lines WHERE trim(line) <> ''""".stripMargin),
       "Blank-line skip (RAG-eval-create_model.py:60-62); blanks injected " +
         "deterministically since the fixture has none."),
+
+    // ---------------------------------------------------------------- F3
+    QueryDef(
+      "filter_comment_prefix",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0, concat(lit("# "), col("text")))
+            .otherwise(col("text")).as("line"))
+        .filter(!col("line").startsWith("#"))
+        .select(col("doc_id")),
+      Some("""WITH lines AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN concat('# ', text) ELSE text END
+        |    AS line FROM documents)
+        |SELECT doc_id FROM lines WHERE NOT starts_with(line, '#')""".stripMargin),
+      "Skip '#'-comment lines (RAG-eval-test_model.py:126); comments " +
+        "injected deterministically since the fixture has none."),
 
     // ---------------------------------------------------------------- F4
     QueryDef(
