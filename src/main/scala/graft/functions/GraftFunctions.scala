@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works like a
+  * built-in.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]]: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    — the standard deploy-time hook (SparkSessionExtensions.injectFunction).
+  *  - [[GraftFunctions.register]]: imperative registration on a live
+  *    session (used by tests and by hosts that didn't set the conf).
+  */
+object GraftFunctions {
+
+  private val cosineBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"cosine_similarity expects 2 arguments, got ${args.length}")
+    CosineSimilarity(args(0), args(1))
+  }
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getCanonicalName, "cosine_similarity")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder))
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      org.apache.spark.sql.graftx.Bridge.registerFunction(spark, ident.funcName, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}
