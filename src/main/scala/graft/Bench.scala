@@ -24,12 +24,20 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() shared subtrees (dedup family) must not
+      // leave blocks behind: accumulated storage across 76 queries starves
+      // execution memory for everything after them (GC/eviction thrash
+      // was worth >5x on the full-run total at local[4]/8g).
+      spark.catalog.clearCache()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keep the JSON line short (3-decimal seconds): the driver captures a
+    // bounded output tail, and a long line gets truncated -> unparseable.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,7 +24,9 @@ object Profile {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
       }
       println(f"$n%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
     }

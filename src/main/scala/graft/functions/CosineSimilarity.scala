@@ -39,12 +39,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** NULL on null input and on length-mismatched arrays (matching the
+    * HOF formulation: zip_with null-pads the shorter side and the
+    * product lambda propagates the null through the fold). */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
+  /** Zero-norm vectors yield NaN (0/0) from this kernel; the HOF
+    * formulation under ANSI mode raises DIVIDE_BY_ZERO on the same
+    * input. Non-zero vectors are the engine-portable precondition —
+    * callers filtering on a score threshold drop NaN rows anyway. */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -66,14 +76,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |  }
+         |  ${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
          |}
-         |${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
        """.stripMargin
     })
 

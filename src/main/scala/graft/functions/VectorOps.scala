@@ -54,11 +54,18 @@ object VectorOps {
   def meanPool(v: Column): Column = foldSum(asDouble(v)) / size(v)
 
   /** L2-normalized copy (normalize_embeddings=True,
-    * RAG-eval-test_model.py:42,51,59). */
-  def l2Normalize(v: Column): Column = {
-    val n = sqrt(norm2(v))
-    transform(asDouble(v), x => x / n)
-  }
+    * RAG-eval-test_model.py:42,51,59).
+    *
+    * The norm is materialized into a parallel array (array_repeat) and
+    * consumed through zip_with's lambda VARIABLES, never referenced as a
+    * subtree inside a lambda BODY: HOF lambdas evaluate interpreted and
+    * re-evaluate any embedded expression per element, which turns an
+    * inlined sqrt(norm2(v)) into an O(d^2)-per-row fold (measured ~10x
+    * on the l2_normalize query; worse once optimizer projection collapse
+    * inlines upstream columns). Same values, same fold order — oracle
+    * parity unchanged. */
+  def l2Normalize(v: Column): Column =
+    zip_with(asDouble(v), array_repeat(sqrt(norm2(v)), size(v)), (x, n) => x / n)
 
   // ------------------------------------------------------------------
   // DuckDB oracle fragments — keep op-for-op identical to the Columns

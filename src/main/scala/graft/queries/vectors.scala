@@ -167,13 +167,27 @@ object VectorQueries {
     QueryDef(
       "avg_search_rank",
       (s, d) => rankedRelevant(s, d)
-        .filter(col("relevant"))
-        .agg((sum(col("rank")) / count(lit(1))).as("avg_search_rank")),
-      Some(s"""WITH $rankedRelevantSql
-        |SELECT sum(rank) / count(*) AS avg_search_rank
-        |FROM ranked WHERE relevant""".stripMargin),
-      "Mean of all relevant-hit ranks (RAG-eval-test_model.py:149,152) " +
-        "over the flagship retrieval pipeline."),
+        .groupBy(col("qid"))
+        .agg(sum(when(col("relevant"), col("rank"))).as("rsum"),
+          count(when(col("relevant"), lit(1))).as("nrel"))
+        .agg((sum(coalesce(col("rsum"), lit(500L))) /
+          sum(when(col("nrel") === 0, lit(1L)).otherwise(col("nrel"))))
+          .as("avg_search_rank")),
+      Some(s"""WITH $rankedRelevantSql,
+        |per AS (SELECT qid,
+        |          sum(CASE WHEN relevant THEN rank END)::BIGINT AS rsum,
+        |          count(CASE WHEN relevant THEN 1 END)::BIGINT AS nrel
+        |        FROM ranked GROUP BY qid)
+        |SELECT sum(coalesce(rsum, 500))::BIGINT
+        |       / sum(CASE WHEN nrel = 0 THEN 1 ELSE nrel END)::BIGINT
+        |         AS avg_search_rank
+        |FROM per""".stripMargin),
+      "Mean of all relevant-hit ranks (RAG-eval-test_model.py:149,152): " +
+        "a query with zero relevant docs contributes one zone-sentinel " +
+        "rank (500), mirroring the reference's super_index_list.append " +
+        "on miss (RAG-eval-test_model.py:145-147) — same sentinel rule " +
+        "as avg_first_hit_rank. Integer sums keep the mean " +
+        "order-independent; the final division is one IEEE op."),
 
     // ---------------------------------------------------------------- A2
     QueryDef(

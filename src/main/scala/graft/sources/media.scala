@@ -38,15 +38,22 @@ final case class MediaFeatures(
     f0: Long, f1: Long, f2: Long, f3: Long)
 
 object MediaCodec {
-  /** Deterministic stand-in for image/audio decode: 4 features from byte
-    * content.  A real implementation would decode + resize / resample
-    * here; the call shape (Iterator[MediaRecord] => Iterator[...], batch
-    * per partition) is what matters to the engine. */
+  /** Deterministic stand-in for image/audio decode: 4 features from the
+    * decoded content.  A real implementation would decode + resize /
+    * resample here; the call shape (Iterator[MediaRecord] =>
+    * Iterator[...], batch per partition) is what matters to the engine.
+    *
+    * The stub "decodes" the UTF-8 payload back to text and derives
+    * features from Unicode CODEPOINTS (not raw bytes) — the same unit the
+    * DuckDB oracle's unicode(c) uses — so parity holds for non-ASCII
+    * payloads too.  byteLen stays the raw payload size. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
-    val b = r.payload
-    def at(i: Int): Long = if (b.isEmpty) 0L else (b(i % b.length) & 0xff).toLong
-    MediaFeatures(r.mediaId, r.meta.kind, b.length.toLong,
-      at(0), at(1), at(2), b.foldLeft(0L)((acc, x) => (acc + (x & 0xff)) % 100000L))
+    val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    def at(i: Int): Long = if (cps.isEmpty) 0L else cps(i % cps.length).toLong
+    MediaFeatures(r.mediaId, r.meta.kind, r.payload.length.toLong,
+      at(0), at(1), at(2),
+      cps.foldLeft(0L)((acc, c) => (acc + c) % 100000L))
   }
 }
 

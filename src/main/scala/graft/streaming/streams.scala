@@ -55,7 +55,14 @@ object Streams {
   /** Admission-control gate with per-key state: tracks a running count of
     * in-flight jobs per user and flags events that exceed capacity — the
     * check_queue(...) <= 3 gate (create_all_models.py:6-13,
-    * test_all_models_llm_eval_sophia.py:6-19) as mapGroupsWithState. */
+    * test_all_models_llm_eval_sophia.py:6-19) as mapGroupsWithState.
+    *
+    * Spark does not guarantee per-group value order inside a batch (a
+    * multi-partition source interleaves arbitrarily), so the fold sorts
+    * the group's events by event_id first — gate decisions are then
+    * deterministic for any partitioning. Batch-sized group buffering is
+    * the price; the per-user event volume per trigger is bounded by the
+    * poll cadence the gate models. */
   def capacityGate(events: Dataset[JobEvent], capacity: Int): Dataset[GateDecision] = {
     import events.sparkSession.implicits._
     events
@@ -65,7 +72,7 @@ object Streams {
           var inFlight = state.getOption.getOrElse(0)
           var admitted = 0
           var rejected = 0
-          evs.foreach { e =>
+          evs.toIndexedSeq.sortBy(_.event_id).foreach { e =>
             val starts = e.event_type == "signup" || e.event_type == "click"
             val ends = e.event_type == "purchase" || e.event_type == "error"
             if (starts) {

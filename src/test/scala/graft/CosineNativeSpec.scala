@@ -30,4 +30,33 @@ class CosineNativeSpec extends SparkSpec {
     assert(Row.getDouble(0) === Row.getDouble(1))
     assert(math.abs(Row.getDouble(0) - 10.0 / 14.0) < 1e-12)
   }
+
+  test("length mismatch yields NULL, matching the HOF null-padding") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.cosineHof(col("a"), col("b")).as("h")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // codegen and interpreted paths agree on the mismatch too
+    val interp = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.graftx.Bridge.expression(col("a")),
+      org.apache.spark.sql.graftx.Bridge.expression(col("b")))
+    assert(interp.nullable)
+  }
+
+  test("zero vector yields NaN from the native kernel (documented)") {
+    // The HOF formulation under ANSI mode (Spark 4 default) raises
+    // DIVIDE_BY_ZERO here instead — zero-norm inputs are outside the
+    // engine-portable precondition; the native kernel's NaN is the
+    // documented behavior for them.
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val row = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).head()
+    assert(row.getDouble(0).isNaN)
+    intercept[Throwable] {
+      df.select(VectorOps.cosineHof(col("a"), col("b")).as("h")).head()
+    }
+  }
 }

@@ -49,6 +49,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("oracle generator caps hold on the correctness-gate fixture") {
+    // The DuckDB oracles enumerate bounded ranges where Spark has true
+    // generators: shinglesSql range(0,4096) token positions, chunksSql
+    // range(0,64) chunks, media_frame_sample range(0,64) frames. A
+    // fixture document exceeding a bound would silently diverge the
+    // oracle, so pin the bounds at sf0.01 (the driver's gate scale).
+    val d01 = "/root/testdata/sf0.01"
+    val c = Corpus.withDups(spark, d01)
+    val maxTok = c.select(max(size(split(col("text"), " ")))).head.getInt(0)
+    assert(maxTok - 3 < 4096, s"shingle oracle cap: $maxTok tokens")
+    val docs = Tables.documents(spark, d01)
+    val maxChunks = docs.select(max(
+      lit(1) + greatest(lit(0),
+        ceil((length(col("text")) - 256) / 156.0).cast("int")))).head.getInt(0)
+    assert(maxChunks <= 64, s"chunk oracle cap: $maxChunks chunks")
+    val maxFrames = docs.select(max(expr("(n_chars * 40) div 1000")))
+      .head.getLong(0)
+    assert(maxFrames < 64, s"frame oracle cap: $maxFrames frames")
+    // media f0..f2 index the first 3 codepoints without the oracle's
+    // wrap-around; guaranteed meaningful only for texts >= 3 chars
+    val minLen = docs.select(min(length(col("text")))).head.getInt(0)
+    assert(minLen >= 3, s"shortest doc: $minLen chars")
+  }
+
   test("embedding cosine near-dup finds every injected copy pair") {
     val pairs = byName("dedup_embedding_cosine")
     val copies = pairs.filter(col("b") - col("a") === 10000L)
