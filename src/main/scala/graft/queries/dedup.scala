@@ -27,36 +27,6 @@ object DedupQueries {
 
   private val corpusSql = s"corpus AS (${Corpus.cte})"
 
-  /** Word 3-gram shingle set per doc (distinct).
-    *
-    * Built from three shifted slices zipped together rather than indexed
-    * element_at lookups inside the lambda: HOF lambdas evaluate
-    * interpreted (outside codegen), so any expression referenced inside
-    * one is re-evaluated per element — an inlined split(text) there turns
-    * into O(tokens^2) regex splits per document.  With slices, split runs
-    * a constant number of times per row regardless of optimizer
-    * projection collapsing. */
-  private def shingles(c: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    val t1 = slice(toks, lit(1), n - 2)
-    val t2 = slice(toks, lit(2), n - 2)
-    val t3 = slice(toks, lit(3), n - 2)
-    c.filter(n >= 3)
-      .select(col("doc_id"),
-        explode(zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)),
-          t3, (ab, cc) => concat(ab, lit(" "), cc))).as("shingle"))
-      .distinct()
-  }
-
-  private val shinglesSql =
-    """sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    concat_ws(' ', toks[i.i+1], toks[i.i+2], toks[i.i+3]) AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-      |       (SELECT range AS i FROM range(0, 4096)) i
-      |  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3)""".stripMargin
-
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 hashes
 
@@ -75,20 +45,60 @@ object DedupQueries {
     IndexedSeq.fill(NumHashes)((next(), next()))
   }
 
-  private def baseHash: Column =
-    pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
+  /** Word 3-gram shingle HASH set per doc (distinct).
+    *
+    * Two structural choices that matter at scale:
+    *
+    * 1. Shingles are built from three shifted slices zipped together
+    * rather than indexed element_at lookups inside the lambda: HOF
+    * lambdas evaluate interpreted (outside codegen), so any expression
+    * referenced inside one is re-evaluated per element — an inlined
+    * split(text) there turns into O(tokens^2) regex splits per document.
+    * With slices, split runs a constant number of times per row
+    * regardless of optimizer projection collapsing.
+    *
+    * 2. The shingle STRING is reduced to its md5-derived 31-bit hash
+    * immediately, before the distinct — so the distinct, the signature
+    * agg, and both sides of the jaccard-verify join shuffle fixed-width
+    * longs instead of ~30-byte strings.  Dedup semantics are therefore
+    * defined over the hashed shingle space on BOTH engines (the oracle
+    * hashes identically), so a hash collision changes both sides the
+    * same way — parity is by construction, and at 100 TB the shrunken
+    * shuffle payload is the difference between fitting the signature
+    * pass in memory or spilling. */
+  private def shingles(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val t1 = slice(toks, lit(1), n - 2)
+    val t2 = slice(toks, lit(2), n - 2)
+    val t3 = slice(toks, lit(3), n - 2)
+    c.filter(n >= 3)
+      .select(col("doc_id"),
+        explode(zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)),
+          t3, (ab, cc) => concat(ab, lit(" "), cc))).as("shingle"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+          lit(P)).as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ((('0x' || substr(md5(concat_ws(' ', toks[i.i+1], toks[i.i+2],
+      |        toks[i.i+3])), 1, 8))::BIGINT) % $P) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |       (SELECT range AS i FROM range(0, 4096)) i
+      |  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3)""".stripMargin
 
   private def mh(k: Int): Column = {
     val (a, b) = hashAB(k)
-    pmod(baseHash * a + b, lit(P))
+    pmod(col("sh") * a + b, lit(P))
   }
-
-  private val baseHashSql =
-    s"((('0x' || substr(md5(shingle), 1, 8))::BIGINT) % $P)"
 
   private def mhSql(k: Int): String = {
     val (a, b) = hashAB(k)
-    s"(($baseHashSql * $a + $b) % $P)"
+    s"((sh * $a + $b) % $P)"
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -140,7 +150,7 @@ object DedupQueries {
           .join(sh.as("sa"), col("a") === col("sa.doc_id"))
           .join(sh.as("sb"),
             col("b") === col("sb.doc_id") &&
-              col("sa.shingle") === col("sb.shingle"))
+              col("sa.sh") === col("sb.sh"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
         val sizes = sig.select(col("doc_id"), col("nsh"))
         inter
@@ -168,7 +178,7 @@ object DedupQueries {
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
         |inter AS (SELECT a, b, count(*) AS ninter
         |  FROM cands JOIN sh sa ON sa.doc_id = a
-        |  JOIN sh sb ON sb.doc_id = b AND sb.shingle = sa.shingle
+        |  JOIN sh sb ON sb.doc_id = b AND sb.sh = sa.sh
         |  GROUP BY a, b)
         |SELECT a, b, ((ninter * 1000) // (na.nsh + nb.nsh - ninter))::BIGINT
         |         AS jaccard_e3
@@ -176,7 +186,8 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = b
         |WHERE ninter * 3 >= na.nsh + nb.nsh""".stripMargin),
       "MinHash(16)+LSH(4x4) near-dup: shingle -> signature -> band " +
-        "buckets -> same-bucket candidates only -> exact-jaccard verify. " +
+        "buckets -> same-bucket candidates only -> jaccard verify over " +
+        "the hashed shingle space (see shingles). " +
         "Never materializes the O(n^2) pair space; candidate volume is " +
         "controlled by band width — the scale path for near-dedup at " +
         "100 TB."),
@@ -262,7 +273,7 @@ object DedupQueries {
           .join(sh.as("sa"), col("a") === col("sa.doc_id"))
           .join(sh.as("sb"),
             col("b") === col("sb.doc_id") &&
-              col("sa.shingle") === col("sb.shingle"))
+              col("sa.sh") === col("sb.sh"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
         pairs
           .join(inter, Seq("a", "b"), "left")
@@ -279,7 +290,7 @@ object DedupQueries {
         |          WHERE doc_id % 50 = 0),
         |inter AS (SELECT a, b, count(*) AS ninter
         |  FROM pairs JOIN sh sa ON sa.doc_id = a
-        |  JOIN sh sb ON sb.doc_id = b AND sb.shingle = sa.shingle
+        |  JOIN sh sb ON sb.doc_id = b AND sb.sh = sa.sh
         |  GROUP BY a, b)
         |SELECT p.a, p.b,
         |  ((coalesce(ninter, 0) * 1000)
@@ -287,8 +298,8 @@ object DedupQueries {
         |FROM pairs p LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
         |JOIN sizes na ON na.doc_id = p.a
         |JOIN sizes nb ON nb.doc_id = p.b""".stripMargin),
-      "Exact word-3-gram Jaccard on known near-dup pairs — the verify " +
-        "metric of the MinHash pipeline, isolated."),
+      "Word-3-gram Jaccard (hashed shingle space) on known near-dup " +
+        "pairs — the verify metric of the MinHash pipeline, isolated."),
 
     // ------------------------------------------------- embedding cosine
     QueryDef(
