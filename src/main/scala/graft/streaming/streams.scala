@@ -84,8 +84,43 @@ object Streams {
           GateDecision(user, inFlight, admitted, rejected)
         })
   }
+
+  /** Bounded-retry tracker with per-job state: 'error' events increment
+    * a retry counter; a job is retried while failures <= maxRetries and
+    * dead-lettered after — the check_queue recursion cap of 5
+    * (test_all_models_llm_eval_sophia.py:6-19) as flatMapGroupsWithState.
+    * Emits one decision per observed failure so the retry ladder is
+    * auditable; events are folded in event_id order for deterministic
+    * decisions under any partitioning (see [[capacityGate]]). */
+  def retryGate(events: Dataset[JobEvent], maxRetries: Int): Dataset[RetryDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[JobEvent], state: GroupState[Int]) => {
+          var failures = state.getOption.getOrElse(0)
+          val out = evs.toIndexedSeq.sortBy(_.event_id).map { e =>
+            failures += 1
+            RetryDecision(user, e.event_id, failures,
+              willRetry = failures <= maxRetries)
+          }
+          state.update(failures)
+          out.iterator
+        })
+  }
+
+  /** Stream-static enrichment: the event stream broadcast-joined to a
+    * small static dimension (the per-run metadata lookup every scheduler
+    * loop performs on its config tables).  The static side re-plans per
+    * micro-batch; no state, no watermark needed — at scale the dim stays
+    * broadcast and the stream never shuffles. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
 final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
     rejected: Int)
+final case class RetryDecision(user_id: Long, event_id: Long, failures: Int,
+    willRetry: Boolean)

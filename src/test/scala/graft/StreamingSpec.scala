@@ -90,4 +90,40 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Int]("admitted") === 4)
     assert(r.getAs[Int]("rejected") === 1)
   }
+
+  test("retryGate retries up to the cap then dead-letters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[JobEvent]
+    mem.addData((1L to 7L).map(i => JobEvent(i, 42, "error")): _*)
+    mem.addData(JobEvent(10, 42, "click")) // non-error: ignored
+    val q = Streams.retryGate(mem.toDS(), maxRetries = 5)
+      .writeStream.format("memory").queryName("retries")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("retries")
+      .orderBy(col("event_id")).collect()
+    assert(rows.length === 7)
+    assert(rows.count(_.getAs[Boolean]("willRetry")) === 5)
+    // failures climb monotonically in event order
+    assert(rows.map(_.getAs[Int]("failures")).toSeq === (1 to 7))
+  }
+
+  test("enrichWithDim broadcast-joins the static dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(1), 2, "view", 1.0, "{}"),
+      Ev(3, ts(2), 99, "view", 1.0, "{}")) // no dim row -> null segment
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("user_id", "segment")
+    val out = runBatches(Streams.enrichWithDim(mem.toDF(), dim), "enriched")
+    assert(out.count() === 3)
+    assert(out.filter(col("segment").isNull).count() === 1)
+    assert(out.filter(col("user_id") === 1 && col("segment") === "BUILDING")
+      .count() === 1)
+  }
 }
