@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Pipeline-maintenance operators: CDC-style latest-state compaction,
+  * wide->long reshaping (unpivot), and per-column data profiling — the
+  * housekeeping passes every long-lived 100 TB table needs between
+  * analytical queries. Determinism contract as everywhere: integer /
+  * fixed-point outputs, explicit tie-breaks. */
+object PipelineOpsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------- compaction
+    QueryDef(
+      "compact_latest_state",
+      (s, d) => Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts")).as("ts_us")),
+      Some("""SELECT user_id, event_id AS last_event,
+        | event_type AS last_type, epoch_us(ts::TIMESTAMP) AS ts_us
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin),
+      "Latest-record-per-key compaction (CDC upsert resolution): one " +
+        "shuffle on the key, rank-1 window with deterministic (ts, id) " +
+        "tie-break. The periodic rewrite that keeps a 100 TB mutable-" +
+        "state table queryable; same shape as streaming " +
+        "dropDuplicates-keep-last."),
+
+    // ------------------------------------------------------- unpivot
+    QueryDef(
+      "unpivot_user_metrics",
+      (s, d) => {
+        val wide = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100)).cast("long").as("value_e2"),
+            countDistinct(col("event_type")).as("n_types"))
+        wide.unpivot(
+          Array(col("user_id")),
+          Array(col("n_events"), col("value_e2"), col("n_types")),
+          "metric", "metric_value")
+      },
+      Some("""WITH wide AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         sum(floor(value * 100))::BIGINT AS value_e2,
+        |         count(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, 'n_events' AS metric, n_events AS metric_value FROM wide
+        |UNION ALL
+        |SELECT user_id, 'value_e2', value_e2 FROM wide
+        |UNION ALL
+        |SELECT user_id, 'n_types', n_types FROM wide""".stripMargin),
+      "Wide->long reshape (unpivot/melt), the inverse of pivot_scores: " +
+        "per-user metric matrix melted to (key, metric, value) triples — " +
+        "a narrow map after the aggregation, no extra shuffle; the " +
+        "feature-store export shape."),
+
+    // ------------------------------------------------ data profiling
+    QueryDef(
+      "profile_documents",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def prof(name: String, c: org.apache.spark.sql.Column) =
+          docs.agg(
+            lit(name).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            count(when(c.isNull, lit(1))).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(length(c.cast("string"))).cast("bigint").as("min_len"),
+            max(length(c.cast("string"))).cast("bigint").as("max_len"))
+        prof("text", col("text"))
+          .unionByName(prof("lang", col("lang")))
+          .unionByName(prof("source", col("source")))
+      },
+      Some("""SELECT 'text' AS column_name, count(*) AS n_rows,
+        |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+        |  count(DISTINCT text) AS n_distinct,
+        |  min(length(text::VARCHAR))::BIGINT AS min_len,
+        |  max(length(text::VARCHAR))::BIGINT AS max_len
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*),
+        |  count(CASE WHEN lang IS NULL THEN 1 END),
+        |  count(DISTINCT lang),
+        |  min(length(lang::VARCHAR))::BIGINT,
+        |  max(length(lang::VARCHAR))::BIGINT
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |  count(CASE WHEN source IS NULL THEN 1 END),
+        |  count(DISTINCT source),
+        |  min(length(source::VARCHAR))::BIGINT,
+        |  max(length(source::VARCHAR))::BIGINT
+        |FROM documents""".stripMargin),
+      "Per-column profiling (rows / nulls / distinct / length range): " +
+        "the table-health pass before any corpus job; each column's " +
+        "stats aggregate map-side in one scan per column group, and at " +
+        "100 TB distinct counts swap to approx_count_distinct " +
+        "(documented in approx_count_users)."),
+  )
+}

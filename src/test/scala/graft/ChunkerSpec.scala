@@ -34,6 +34,16 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  test("ChunkSpans generator is row-identical to the declarative chunker") {
+    import graft.functions.ChunkSpans.chunkSpans
+    val declarative = VectorQueries.chunks(spark, sfDir)
+    val generated = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), chunkSpans(col("text"), 256, 156))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    assert(declarative.exceptAll(generated).count() === 0)
+    assert(generated.exceptAll(declarative).count() === 0)
+  }
+
   test("property: reassembling stride-156 chunks reproduces the text") {
     import spark.implicits._
     // edge lengths: tiny, exact chunk size, +/-1 around boundaries, exact
