@@ -26,8 +26,24 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_similarity")
 
+  private val chunkSpansBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      s"chunk_spans expects (text, size, stride), got ${args.length} args")
+    def intArg(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"chunk_spans $what must be an integer literal, got $other")
+    }
+    ChunkSpans(args(0), intArg(args(1), "size"), intArg(args(2), "stride"))
+  }
+
+  private val chunkSpansInfo = new ExpressionInfo(
+    classOf[ChunkSpans].getCanonicalName, "chunk_spans")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder))
+    Seq(
+      (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
+      (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-wide physical-plan invariants: the shapes that make queries
+  * survive a 100 TB scale-up, asserted so a refactor cannot silently
+  * regress them.  (Plan text is inspected pre-AQE: sparkPlan, not
+  * executedPlan, so assertions are deterministic.) */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries DOCUMENTED as products over deliberately bounded inputs —
+    * the parameter-grid cross products (a LocalTableScan x a Range,
+    * J4 semantics), broadcast query rubrics, the bounded near-dup
+    * slice, and the IVF centroid table. Broadcast nested-loop is the
+    * correct plan for these: one side is tiny and broadcast. */
+  private val boundedProducts = Set(
+    "crossjoin_grid",        // the reference's parameter-grid product
+    "antijoin_completed", "semijoin_available",       // grid builders
+    "except_pending", "intersect_ready", "pivot_scores",
+    "cosine_topk",           // broadcast 10-vector rubric x corpus
+    "avg_search_rank", "avg_first_hit_rank", "retrieval_eval_detail",
+    "dedup_embedding_cosine", // bounded 208-vector slice, documented
+    "miss_sentinel",          // 4-term broadcast containment join
+    "ann_ivf_topk")           // centroid table x probe rubric
+
+  test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan =
+        try q.fn(spark, sfDir).queryExecution.sparkPlan.toString
+        catch { case e: Throwable => fail(s"${q.name}: $e") }
+      // A shuffle-based cartesian (both sides large) is never acceptable.
+      if (plan.contains("CartesianProduct")) Some(s"${q.name} (cartesian)")
+      // Broadcast NLJ implies one side is broadcast-small: fine exactly
+      // where the query is documented as a bounded product.
+      else if (plan.contains("BroadcastNestedLoopJoin") &&
+        !boundedProducts(q.name)) Some(s"${q.name} (bnlj)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shape in: ${offenders.mkString(", ")}")
+  }
+
+  test("asof join plans at most two exchanges (pre-agg + window)") {
+    val plan = SparkEntry.registry.find(_.name == "asof_join_latest_ref").get
+      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+    val exchanges = "(?m)^\\s*[+:]?-? ?Exchange".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"asof join grew to $exchanges exchanges:\n$plan")
+  }
+
+  test("filters reach the parquet scan for the pruned-scan query") {
+    val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
+      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), plan)
+  }
+}

@@ -24,4 +24,18 @@ class SqlFunctionSpec extends SparkSpec {
       .collect()
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("chunk_spans callable from spark.sql as a generator") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).limit(20)
+      .createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, chunk_idx, chunk
+        |FROM docs_v LATERAL VIEW chunk_spans(text, 256, 156) AS chunk_idx, chunk""".stripMargin)
+    val declarative = queries.VectorQueries.chunks(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).limit(20).select("doc_id"), "doc_id")
+      .select("doc_id", "chunk_idx", "chunk")
+    assert(viaSql.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(viaSql).count() === 0)
+  }
 }
