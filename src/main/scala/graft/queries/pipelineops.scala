@@ -64,6 +64,40 @@ object PipelineOpsQueries {
         "a narrow map after the aggregation, no extra shuffle; the " +
         "feature-store export shape."),
 
+    // ---------------------------------------------- cohort retention
+    QueryDef(
+      "cohort_retention",
+      (s, d) => {
+        val DayUs = 86400000000L
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+          .distinct()
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(firstDay, "user_id")
+          .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         (epoch_us(ts::TIMESTAMP) // 86400000000) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, (day - cohort_day) AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN fd USING (user_id)
+        |WHERE (day - cohort_day) <= 7
+        |GROUP BY cohort_day, day_offset""".stripMargin),
+      "Cohort retention (users active at day offsets 0-7 from their " +
+        "first-seen day): distinct (user, day) grid -> per-user min -> " +
+        "co-partitioned join on user -> offset agg. Integer epoch-day " +
+        "arithmetic on both engines; the engagement scorecard over any " +
+        "event stream, all aggregates map-side-combinable."),
+
     // ------------------------------------------------ data profiling
     QueryDef(
       "profile_documents",
