@@ -146,6 +146,45 @@ object TextQueries {
         |FROM documents""".stripMargin),
       "Rolling polynomial hash over the token stream (mod 1e9+7) — " +
         "order-sensitive document fingerprint, exact in both engines."),
+
+    // ---------------------------------------------------- PII redaction
+    QueryDef(
+      "redact_pii",
+      (s, d) => {
+        // Inject synthetic PII deterministically (fixture text has none),
+        // then scrub it — the redaction pass every training corpus runs.
+        // Patterns kept to the regex subset with identical semantics in
+        // Java regex and DuckDB's RE2: character classes, +, {n,m};
+        // no backrefs, no lookaround.
+        val withPii = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" call 555-867-5309")).otherwise(lit("")))
+        docs(s, d).select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(withPii,
+              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+            "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+      },
+      Some("""SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     text
+        |       || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || doc_id || '@example.com'
+        |            ELSE '' END
+        |       || CASE WHEN doc_id % 5 = 0
+        |            THEN ' call 555-867-5309' ELSE '' END,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin),
+      "PII redaction (emails, phone numbers -> placeholder tokens) over " +
+        "deterministically injected matches: pure regexp_replace, codegen " +
+        "scalar pass, no shuffle — the compliance scrub stage of a " +
+        "training-data pipeline."),
   )
 }
 
