@@ -117,6 +117,24 @@ object Streams {
     * broadcast and the stream never shuffles. */
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Production sink pattern: foreachBatch with batchId-keyed idempotent
+    * writes — replaying a batch after a failure overwrites the same
+    * directory instead of duplicating it, which together with the
+    * checkpoint gives exactly-once table semantics on a plain parquet
+    * sink.  This is the streaming form of the reference's
+    * skip-if-output-exists idempotence (generate_narratives_from_data
+    * .py:64-65; test_all_models_llm_eval_sophia.py:50-53). */
+  def startIdempotentSink(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
