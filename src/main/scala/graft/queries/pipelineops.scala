@@ -64,6 +64,40 @@ object PipelineOpsQueries {
         "a narrow map after the aggregation, no extra shuffle; the " +
         "feature-store export shape."),
 
+    // --------------------------------------------- sequence packing
+    QueryDef(
+      "pack_sequences",
+      (s, d) => {
+        // Greedy contiguous packing of documents into 2048-token bins,
+        // per language shard: exclusive running token sum -> bin =
+        // cum div capacity.  Partitioning by shard keeps the window
+        // parallel (no global sort) — exactly how packing runs at
+        // corpus scale; within a shard the assignment is the standard
+        // streaming-greedy approximation of bin packing.
+        val Capacity = 2048L
+        val toks = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("cum_before") / Capacity).cast("long").as("bin_id"))
+      },
+      Some("""SELECT doc_id, lang,
+        | len(string_split(text, ' '))::BIGINT AS n_tokens,
+        | (coalesce(sum(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  // 2048)::BIGINT AS bin_id
+        |FROM documents""".stripMargin),
+      "Sequence packing for LLM training: documents greedily packed " +
+        "into 2048-token context bins per language shard (exclusive " +
+        "running sum -> integer div). One shuffle on the shard key, " +
+        "window stays partition-parallel — the batch-construction pass " +
+        "between curation and the trainer."),
+
     // ---------------------------------------------- cohort retention
     QueryDef(
       "cohort_retention",
