@@ -55,6 +55,49 @@ object MultimodalQueries {
         "deterministically (no media libs in-container)."),
 
     QueryDef(
+      "media_resize",
+      (s, d) => {
+        // Thumbnail to fit 64x64 preserving aspect ratio: integer
+        // fixed-point scale (1e4) so both engines agree exactly.  The
+        // pixel resample itself would run in the decodeStub slot
+        // (mapPartitions, per-partition decoder); the plan computes
+        // target geometry + output byte size — the part the engine owns.
+        // Column `/` on longs is IEEE double division; `div` keeps the
+        // arithmetic in exact integers, matching DuckDB's `//`.
+        MediaSource.media(s, d).toDF()
+          .select(col("mediaId").as("media_id"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"))
+          .withColumn("scale_e4",
+            expr("least(640000 div width, 640000 div height)"))
+          .select(col("media_id"), col("width"), col("height"),
+            expr("(width * scale_e4) div 10000").as("out_w"),
+            expr("(height * scale_e4) div 10000").as("out_h"),
+            expr("((width * scale_e4) div 10000) * " +
+              "((height * scale_e4) div 10000) * 3").as("out_bytes"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        | (n_chars % 640 + 16)::BIGINT AS width,
+        | (n_chars % 480 + 16)::BIGINT AS height,
+        | ((n_chars % 640 + 16) * least(640000 // (n_chars % 640 + 16),
+        |                               640000 // (n_chars % 480 + 16))
+        |   // 10000)::BIGINT AS out_w,
+        | ((n_chars % 480 + 16) * least(640000 // (n_chars % 640 + 16),
+        |                               640000 // (n_chars % 480 + 16))
+        |   // 10000)::BIGINT AS out_h,
+        | (((n_chars % 640 + 16) * least(640000 // (n_chars % 640 + 16),
+        |                                640000 // (n_chars % 480 + 16))
+        |    // 10000)
+        |  * ((n_chars % 480 + 16) * least(640000 // (n_chars % 640 + 16),
+        |                                  640000 // (n_chars % 480 + 16))
+        |     // 10000) * 3)::BIGINT AS out_bytes
+        |FROM documents""".stripMargin),
+      "Resize planning for media payloads: fit-to-64x64 target geometry " +
+        "via fixed-point integer scale + RGB output size. The pixel " +
+        "resample rides the decodeStub mapPartitions slot; geometry " +
+        "stays a narrow codegen'd projection."),
+
+    QueryDef(
       "media_frame_sample",
       (s, d) => MediaSource.sampleFrames(s, d),
       Some("""SELECT doc_id AS media_id,
