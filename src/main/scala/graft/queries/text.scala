@@ -185,6 +185,69 @@ object TextQueries {
         "deterministically injected matches: pure regexp_replace, codegen " +
         "scalar pass, no shuffle — the compliance scrub stage of a " +
         "training-data pipeline."),
+
+    // ----------------------------------------------- mixture weighting
+    QueryDef(
+      "mixture_weighted_sample",
+      (s, d) => {
+        // Per-source mixture weights (25/50/75/100 % by source index mod
+        // 4), applied as deterministic Bernoulli keeps keyed on
+        // md5(source:doc_id) — the dataset-mixing stage that reweights
+        // corpora before training; reproducible under any partitioning.
+        val srcNum = expr("substring(source, 4)").cast("int")
+        val weight = (pmod(srcNum, lit(4)) + 1) * 25
+        val h = pmod(conv(substring(md5(concat(col("source"), lit(":"),
+          col("doc_id"))), 1, 8), 16, 10).cast("long"), lit(100L))
+        Tables.documents(s, d)
+          .withColumn("weight_pct", weight.cast("long"))
+          .filter(h < col("weight_pct"))
+          .groupBy(col("source"), col("weight_pct"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+      },
+      Some("""SELECT source, ((substr(source, 4)::INT % 4 + 1) * 25)::BIGINT
+        |         AS weight_pct,
+        |       count(*) AS n_kept, min(doc_id) AS first_id
+        |FROM documents
+        |WHERE (('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT
+        |        % 100) < ((substr(source, 4)::INT % 4 + 1) * 25)
+        |GROUP BY source""".stripMargin),
+      "Dataset mixture weighting: per-source keep rates applied as " +
+        "deterministic hash Bernoulli — corpus reweighting before " +
+        "training; narrow filter + one small agg shuffle."),
+
+    // ----------------------------------------------------- bigram table
+    QueryDef(
+      "ngram_counts",
+      (s, d) => {
+        // Corpus bigram frequency table, built with the same shifted-
+        // slice zip_with pattern as the dedup shingler (no expressions
+        // re-evaluated inside lambda bodies).
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val t1 = slice(toks, lit(1), n - 1)
+        val t2 = slice(toks, lit(2), n - 1)
+        Tables.documents(s, d).filter(n >= 2)
+          .select(explode(zip_with(t1, t2,
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .filter(length(col("bigram")) >= 9)
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""SELECT concat_ws(' ', toks[i.i+1], toks[i.i+2]) AS bigram,
+        |       count(*) AS n
+        |FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+        |     (SELECT range AS i FROM range(0, 4096)) i
+        |WHERE len(toks) >= 2 AND i.i <= len(toks) - 2
+        |  AND length(concat_ws(' ', toks[i.i+1], toks[i.i+2])) >= 9
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 20""".stripMargin),
+      "Corpus bigram frequency table (top-20): explode 2-gram windows " +
+        "-> count agg (map-side combinable) -> bounded ordered limit. " +
+        "The phrase-statistics pass behind contamination checks and " +
+        "boilerplate detection; at 100 TB the count shuffles by bigram " +
+        "hash and the top-k is a per-partition heap + small merge."),
   )
 }
 
