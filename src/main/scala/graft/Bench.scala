@@ -25,7 +25,7 @@ object Bench {
       // stalls that land on whichever query is executing (BASELINE.md);
       // a stall must hit BOTH runs of the same query to survive into
       // the number, while steady-state cost is unaffected.
-      val sec = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
@@ -36,7 +36,13 @@ object Bench {
         // thrash was worth >5x on the full-run total at local[4]/8g).
         spark.catalog.clearCache()
         t
-      }.min
+      }
+      var sec = math.min(once(), once())
+      // No query in the registry exceeds ~6 s steady-state at local[4]
+      // on sf0.1; a min-of-2 above 10 s means a host stall landed on
+      // BOTH runs (observed in round 2: 117 s reported for a 3 s query).
+      // One more run is cheap insurance against that double hit.
+      if (sec > 10.0) sec = math.min(sec, once())
       name -> sec
     }
     // Keep the JSON line short (3-decimal seconds): the driver captures a

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the fixture preconditions that the DuckDB oracle SQL relies on.
+  *
+  * Several oracle CTEs substitute a bounded integer range for an
+  * unsupported lateral generate_series (DuckDB 1.0), and one stub hashes
+  * UTF-8 bytes while its oracle sums Unicode codepoints — both are exact
+  * only while the fixture stays inside the bounds asserted here:
+  *
+  *  - shingle/token generators join `range(0, 4096)`
+  *    (DedupQueries.shinglesSql, TextQueries bigram CTE): any document
+  *    with >= 4096 whitespace tokens would silently lose shingles on the
+  *    oracle side only.
+  *  - chunk/frame generators join `range(0, 64)`
+  *    (chunk_text_overlap, media_frame_sample): bound breached when a
+  *    document needs >= 64 chunks (chunk stride 156 chars) or a video
+  *    stub needs >= 64 frames (n_chars/25).
+  *  - media_feature_extract's Spark path folds over UTF-8 *bytes*
+  *    (MediaSource.decodeStub) while the oracle folds `unicode(c)`
+  *    codepoints — identical only for ASCII text.
+  *
+  * If the driver regenerates fixtures and any assertion here fails, the
+  * oracle caps (not the Spark plans) must be raised to match.
+  */
+class FixtureBoundsSpec extends SparkSpec {
+
+  private def stats(dir: String) = {
+    val d = Tables.documents(spark, dir)
+      .select(
+        size(split(col("text"), " ")).as("ntok"),
+        length(col("text")).as("nlen"),
+        col("text").rlike("^[ -~]*$").as("ascii"))
+      .agg(max(col("ntok")), max(col("nlen")), min(col("ascii")))
+      .head()
+    (d.getInt(0), d.getInt(1), d.getBoolean(2))
+  }
+
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    val dir = s"/root/testdata/$sf"
+
+    test(s"$sf: token count stays far under the range(0,4096) oracle cap") {
+      val (maxTok, _, _) = stats(dir)
+      assert(maxTok < 2048, s"max tokens $maxTok approaches oracle cap 4096")
+    }
+
+    test(s"$sf: chunk and frame counts stay under the range(0,64) caps") {
+      val (_, maxLen, _) = stats(dir)
+      // chunk_text_overlap: ceil(maxLen / 156) chunks; frame stub: n_chars/25
+      assert(maxLen / 156 + 1 < 64, s"doc of $maxLen chars needs >= 64 chunks")
+      assert(maxLen / 25 < 64, s"doc of $maxLen chars yields >= 64 stub frames")
+    }
+
+    test(s"$sf: document text is printable ASCII (byte == codepoint)") {
+      val (_, _, ascii) = stats(dir)
+      assert(ascii, "non-ASCII text breaks media_feature_extract oracle parity")
+    }
+  }
+}
