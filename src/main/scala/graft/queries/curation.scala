@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps._
+
+/** Training-data curation operators (round 3): eval-set contamination
+  * detection, deterministic dataset splits, run-state reconciliation,
+  * text normalization, and kNN-graph construction — the curation layer a
+  * 100 TB pretraining pipeline runs between raw dedup and sharding.
+  *
+  * Reference anchors: the eval/train separation the reference maintains
+  * by directory convention (rag_evaluation/RAG-eval-test_model.py:237-243
+  * evaluates against a corpus disjoint from the training text of
+  * train_adapters/RAG-eval-create_model.py:58-66) is made explicit here
+  * as n-gram contamination checks and hash-bucket splits.
+  */
+object CurationQueries {
+
+  private val P = 2147483647L // 2^31 - 1, same shingle-hash space as dedup
+
+  /** Word n-gram 31-bit hashes per doc (distinct), n fixed at call site.
+    * Same slice/zip construction as DedupQueries.shingles — split() runs
+    * once per row, never inside an interpreted HOF lambda — generalized
+    * to n via a running concat over n shifted slices. */
+  private def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val cnt = size(toks)
+    val win = cnt - (n - 1)
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), win)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), win),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    docs.filter(cnt >= n)
+      .select(col("doc_id"), explode(joined).as("gram"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(P)).as("gh"))
+      .distinct()
+  }
+
+  /** Oracle CTE for [[ngramHashes]] over `documents`: gram hashes named
+    * (doc_id, gh); the range(0,4096) token cap is pinned by
+    * FixtureBoundsSpec. */
+  private def ngramHashesSql(n: Int, pred: String): String = {
+    val parts = (0 until n).map(k => s"toks[i.i+${k + 1}]").mkString(", ")
+    s"""grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    ((('0x' || substr(md5(concat_ws(' ', $parts)), 1, 8))::BIGINT)
+      |      % $P) AS gh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents WHERE $pred),
+      |       (SELECT range AS i FROM range(0, 4096)) i
+      |  WHERE len(toks) >= $n AND i.i <= len(toks) - $n)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------- contamination
+    QueryDef(
+      "contamination_ngram_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val isEval = pmod(col("doc_id"), lit(20)) === 7
+        // Eval-side gram SET is collapsed to distinct hashes and
+        // broadcast: eval suites are tiny next to the training corpus,
+        // so the train side never shuffles — a broadcast hash semi-pass
+        // over the full scan, the only layout that works at 100 TB.
+        val evalGrams = ngramHashes(docs.filter(isEval), 8)
+          .select(col("gh")).distinct()
+          .withColumn("hit", lit(1L))
+        ngramHashes(docs.filter(!isEval), 8)
+          .join(broadcast(evalGrams), Seq("gh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(col("hit")).as("n_hits"))
+          .filter(col("n_hits") > 0)
+          .select(col("doc_id"),
+            col("n_grams"), col("n_hits"),
+            expr("(n_hits * 1000) div n_grams").as("contaminated_permille"))
+      },
+      Some(s"""WITH ${ngramHashesSql(8, "doc_id % 20 != 7")},
+        |${ngramHashesSql(8, "doc_id % 20 = 7").replace("grams AS", "eval_grams AS")},
+        |ev AS (SELECT DISTINCT gh FROM eval_grams)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |       count(ev.gh)::BIGINT AS n_hits,
+        |       ((count(ev.gh) * 1000) // count(*))::BIGINT
+        |         AS contaminated_permille
+        |FROM grams g LEFT JOIN ev ON ev.gh = g.gh
+        |GROUP BY g.doc_id HAVING count(ev.gh) > 0""".stripMargin),
+      "Eval-set contamination: train documents sharing any word 8-gram " +
+        "with the held-out eval slice (doc_id % 20 = 7), with overlap " +
+        "permille. Eval grams collapse to a broadcast set; the train " +
+        "scan aggregates locally per doc — no train-side shuffle by " +
+        "gram, which is what keeps a 100 TB decontamination pass to one " +
+        "pass over the corpus."),
+
+    // ------------------------------------------------ train/val/test split
+    QueryDef(
+      "split_train_val_test",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(100L))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"),
+            size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+        |    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 100)
+        |      AS bucket,
+        |    len(string_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1""".stripMargin),
+      "Deterministic 80/10/10 split by md5 bucket of the stable doc id — " +
+        "content-independent, reproducible across runs and cluster " +
+        "sizes, never a random() that reshuffles membership on re-run. " +
+        "A narrow projection + one small agg; membership itself is a " +
+        "stateless expression any downstream job recomputes for free."),
+
+    // --------------------------------------------- full-outer reconcile
+    QueryDef(
+      "fullouter_reconcile",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val started = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_started"))
+        val finished = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_finished"))
+        started.join(finished, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_started"), lit(0L)).as("n_started"),
+            coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+            when(col("n_started").isNull, "finish_only")
+              .when(col("n_finished").isNull, "start_only")
+              .otherwise("both").as("status"))
+      },
+      Some("""WITH st AS (SELECT user_id, count(*)::BIGINT AS n_started
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fi AS (SELECT user_id, count(*)::BIGINT AS n_finished
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(st.user_id, fi.user_id) AS user_id,
+        |       coalesce(n_started, 0) AS n_started,
+        |       coalesce(n_finished, 0) AS n_finished,
+        |       CASE WHEN st.user_id IS NULL THEN 'finish_only'
+        |            WHEN fi.user_id IS NULL THEN 'start_only'
+        |            ELSE 'both' END AS status
+        |FROM st FULL OUTER JOIN fi ON st.user_id = fi.user_id""".stripMargin),
+      "Run-state reconciliation as a FULL OUTER join of submitted vs " +
+        "completed per user — the two-sided version of the reference's " +
+        "skip-if-done set difference (create_all_models.py:43-47): " +
+        "orphans on either side surface instead of silently dropping. " +
+        "Both sides pre-aggregate before the join, so the shuffle " +
+        "carries one row per user, not one per event."),
+
+    // ------------------------------------------------- text normalize
+    QueryDef(
+      "text_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")).cast("bigint")),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  len(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')))::BIGINT AS norm_len
+        |FROM documents""".stripMargin),
+      "Canonical text normalization (lowercase, strip non-alphanumeric, " +
+        "collapse whitespace) — the cleanup pass upstream of every " +
+        "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
+        "regexes, no shuffle, scales linearly with the scan."),
+
+    // ---------------------------------------------------- kNN graph
+    QueryDef(
+      "knn_graph",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"))
+        base.as("x").join(broadcast(base.as("y")),
+            col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+            cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+          .withColumn("nn_rank", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))).cast("bigint"))
+          .filter(col("nn_rank") <= 3)
+          .select(col("src"), col("dst"), col("nn_rank"),
+            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+        |             WHERE vec_id < 300),
+        |scored AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+        |    ${cosineSql("x.embedding", "y.embedding")} AS cos
+        |  FROM base x JOIN base y ON x.vec_id != y.vec_id),
+        |ranked AS (SELECT src, dst, cos, row_number() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst) AS nn_rank
+        |  FROM scored)
+        |SELECT src, dst, nn_rank, floor(cos * 1000000)::BIGINT AS cos_e6
+        |FROM ranked WHERE nn_rank <= 3""".stripMargin),
+      "k-nearest-neighbor graph (k=3) over embeddings — the similarity " +
+        "structure behind diversity sampling and semantic cluster " +
+        "curation. Fixture-scale is brute force with the smaller side " +
+        "broadcast (one pass, no shuffle until the per-src top-k " +
+        "window); at 100 TB the pair generation swaps to the LSH/IVF " +
+        "bucket join of ann_lsh_topk/ann_ivf_topk unchanged downstream " +
+        "of the score column."),
+  )
+}
