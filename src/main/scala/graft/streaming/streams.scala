@@ -118,6 +118,32 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join: each start event ('signup') matched to
+    * completion events ('purchase') of the same user arriving within
+    * [start, start + 1 hour] — the submit->done correlation the
+    * reference's pollers discover by re-listing the filesystem every 15 s
+    * (test_all_models.py:45-57), as a watermarked symmetric hash join.
+    * Both sides buffer keyed state bounded by watermark + interval; the
+    * join shuffles both streams on user_id once, and state eviction is
+    * automatic — the constant-memory form of start/done correlation at
+    * any scale. */
+  def correlateStartDone(events: DataFrame): DataFrame = {
+    val starts = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("start_id"), col("user_id"),
+        col("ts").as("start_ts"))
+      .withWatermark("start_ts", "10 minutes")
+    val dones = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("done_id"),
+        col("user_id").as("done_user"), col("ts").as("done_ts"))
+      .withWatermark("done_ts", "10 minutes")
+    starts.join(dones,
+      col("user_id") === col("done_user") &&
+        col("done_ts") >= col("start_ts") &&
+        col("done_ts") <= col("start_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("start_id"), col("done_id"),
+        col("start_ts"), col("done_ts"))
+  }
+
   /** Production sink pattern: foreachBatch with batchId-keyed idempotent
     * writes — replaying a batch after a failure overwrites the same
     * directory instead of duplicating it, which together with the

@@ -37,4 +37,17 @@ class SinkSpec extends SparkSpec {
     d5.write.mode("ignore").parquet(out)
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("ORC round-trip: write + read back preserves rows and schema") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/t"
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // columnar format honors pushdown on read like parquet
+    assert(back.filter(col("lang") === "en").count() ===
+      src.filter(col("lang") === "en").count())
+  }
 }

@@ -135,6 +135,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("correlateStartDone matches completions within the hour interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "signup", 1.0, "{}"),
+      Ev(2, ts(30), 1, "purchase", 1.0, "{}"),   // within the hour -> match
+      Ev(3, ts(0), 2, "signup", 1.0, "{}"),
+      Ev(4, ts(90), 2, "purchase", 1.0, "{}"),   // outside interval -> drop
+      Ev(5, ts(10), 3, "purchase", 1.0, "{}"))   // no start -> drop (inner)
+    mem.addData(Ev(9, ts(600), 9, "view", 1.0, "{}")) // advance watermark
+    val out = runBatches(Streams.correlateStartDone(mem.toDF()), "corr")
+    val rows = out.select(col("user_id"), col("start_id"), col("done_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 1L, 2L)))
+  }
+
   test("enrichWithDim broadcast-joins the static dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
