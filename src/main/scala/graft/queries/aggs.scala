@@ -112,6 +112,40 @@ object AggQueries {
         "FROM events GROUP BY event_type"),
       "Cardinality gauge; exact here for oracle parity — at 100 TB swap in " +
         "approx_count_distinct(user_id, 0.01) (HLL++, no exact shuffle)."),
+
+    // -------------------------------------- map-typed aggregation state
+    QueryDef(
+      "map_event_type_counts",
+      (s, d) => {
+        val per = events(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        per.groupBy(col("user_id"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .select(col("user_id"),
+            size(map_keys(col("m"))).cast("bigint").as("n_types"),
+            aggregate(map_values(col("m")), lit(0L), (a, b) => a + b)
+              .as("n_events"),
+            array_join(transform(map_entries(col("m")),
+              e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+              ",").as("serialized"))
+      },
+      Some("""WITH per AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, count(*)::BIGINT AS n_types,
+        |       sum(n)::BIGINT AS n_events,
+        |       string_agg(event_type || ':' || n, ','
+        |                  ORDER BY event_type) AS serialized
+        |FROM per GROUP BY user_id""".stripMargin),
+      "MapType as first-class aggregation state: per-user event_type -> " +
+        "count maps built with map_from_entries over a sorted entry " +
+        "list, consumed with map_keys/map_values/map_entries HOFs (the " +
+        "open-key-set record model of SURVEY §1.1's genome JSON). The " +
+        "map column itself is serialized key:value for the oracle; the " +
+        "two-level agg keeps the first shuffle partial (map-side " +
+        "combine on (user, type)) so the collect_list only ever sees " +
+        "pre-aggregated rows — collect_list over raw events would " +
+        "buffer unboundedly at 100 TB."),
   )
 }
 
@@ -185,6 +219,26 @@ object WindowQueries {
       "Before/after output-count deltas (run_data_generation_sophia.sh:61-65) " +
         "generalized: running totals; fixed-point so partial sums are " +
         "order-exact."),
+
+    // ------------------------------------------------------- W5 (extra)
+    QueryDef(
+      "percent_rank_cume",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        percent_rank().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).as("pct_rank"),
+        cume_dist().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).as("cume")),
+      Some("""SELECT doc_id, lang,
+        | percent_rank() OVER (PARTITION BY lang
+        |                      ORDER BY n_chars, doc_id) AS pct_rank,
+        | cume_dist() OVER (PARTITION BY lang
+        |                   ORDER BY n_chars, doc_id) AS cume
+        |FROM documents""".stripMargin),
+      "Relative standing within a partition: percent_rank ((rank-1)/(n-1)) " +
+        "and cume_dist (rank/n) — each a single IEEE division of exact " +
+        "integers, so cross-engine bit-parity holds without fixed-point. " +
+        "Same one-shuffle window shape as rank_positions."),
   )
 }
 

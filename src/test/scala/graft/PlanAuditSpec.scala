@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "avg_search_rank", "avg_first_hit_rank", "retrieval_eval_detail",
     "dedup_embedding_cosine", // bounded 208-vector slice, documented
     "miss_sentinel",          // 4-term broadcast containment join
-    "ann_ivf_topk")           // centroid table x probe rubric
+    "ann_ivf_topk",           // centroid table x probe rubric
+    "knn_graph")              // bounded 300-vector slice, broadcast side
+                              // (scale path: LSH/IVF bucket join, see doc)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
