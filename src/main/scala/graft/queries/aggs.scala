@@ -103,6 +103,20 @@ object AggQueries {
       "Per-task / per-adapter / grand-total eval summaries as ROLLUP " +
         "(grid dims of test_all_models_llm_eval_sophia.py:38-39)."),
 
+    // ------------------------------------------------------ A8b (CUBE)
+    QueryDef(
+      "cube_lang_source",
+      (s, d) => docs(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        | max(n_chars) AS max_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin),
+      "All marginal summaries at once: CUBE emits the four grouping " +
+        "sets {(lang,source),(lang),(source),()} in one pass — one " +
+        "shuffle with map-side partials per set, versus four separate " +
+        "scans of a 100 TB corpus."),
+
     // ---------------------------------------------------------------- A9 (extra surface: approx distinct at scale)
     QueryDef(
       "approx_count_users",
