@@ -30,6 +30,14 @@ object DedupQueries {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 hashes
 
+  // SimHash geometry: 60 bits (15 hex chars of md5 — the widest prefix
+  // that fits signed int64 in both engines), 4 bands x 15 bits, accept
+  // hamming <= 3 (bands - 1, the pigeonhole-exhaustive maximum).
+  private val SimhashBits = 60
+  private val SimhashBands = 4
+  private val BandBits = SimhashBits / SimhashBands // 15 -> 32768 buckets
+  private val SimhashMaxHamming = SimhashBands - 1
+
   /** Base shingle hash: one md5 per shingle, reduced mod p = 2^31-1.
     * The k-th MinHash is the universal family (a_k * h + b_k) mod p —
     * 16 integer ops per shingle instead of 16 md5 passes (at 100 TB the
@@ -198,32 +206,37 @@ object DedupQueries {
       (s, d) => {
         val toks = Corpus.withDups(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          // 15 hex chars = 60 bits: the widest md5 prefix that stays in
+          // signed int64 range in BOTH engines (16 chars can exceed
+          // 2^63-1 and overflow DuckDB's ::BIGINT cast).
           .withColumn("h",
-            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-        val bitCols = (0 until 16).map(j =>
+            conv(substring(md5(col("tok")), 1, SimhashBits / 4), 16, 10)
+              .cast("long"))
+        val bitCols = (0 until SimhashBits).map(j =>
           sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)).as(s"b$j"))
         val bitSums = toks.groupBy(col("doc_id"))
           .agg(bitCols.head, bitCols.tail: _*)
         val sim = bitSums.select(col("doc_id"),
-          (0 until 16).map(j =>
+          (0 until SimhashBits).map(j =>
             when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash")).persist()
         // Candidate blocking instead of the O(n^2) pair join: split the
-        // 16 bits into 3 bands (6/5/5).  hamming <= 2 touches at most 2
-        // bands, so every qualifying pair shares at least one band —
-        // the equi-join on (band_id, band_val) is exhaustive for the
-        // threshold, and shuffles by band bucket instead of exploding
-        // all pairs.
+        // 60 bits into 4 bands of 15.  hamming <= 3 flips bits in at
+        // most 3 bands, so every qualifying pair shares at least one
+        // intact band (pigeonhole) — the equi-join on (band_id,
+        // band_val) is exhaustive for the threshold.  Each band value
+        // ranges over 2^15 buckets, so the shuffle key has real
+        // cardinality at cluster scale (a narrow band — say 6 bits / 64
+        // buckets — would concentrate the whole corpus on a handful of
+        // reducers at 100 TB).
+        val bandCols = (0 until SimhashBands).map { b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("simhash"), b * BandBits)
+              .bitwiseAND(lit((1L << BandBits) - 1)).as("band_val"))
+        }
         val banded = sim.select(col("doc_id"), col("simhash"),
-          explode(array(
-            struct(lit(0).as("band_id"),
-              (col("simhash").bitwiseAND(lit(63L))).as("band_val")),
-            struct(lit(1).as("band_id"),
-              (shiftright(col("simhash"), 6).bitwiseAND(lit(31L))).as("band_val")),
-            struct(lit(2).as("band_id"),
-              (shiftright(col("simhash"), 11).bitwiseAND(lit(31L))).as("band_val"))
-          )).as("band"))
+          explode(array(bandCols: _*)).as("band"))
           .select(col("doc_id"), col("simhash"),
             col("band.band_id"), col("band.band_val"))
         banded.as("x").join(banded.as("y"),
@@ -233,33 +246,34 @@ object DedupQueries {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
             expr("bit_count(x.simhash ^ y.simhash)").cast("bigint")
               .as("hamming"))
-          .filter(col("hamming") <= 2)
+          .filter(col("hamming") <= SimhashMaxHamming)
           .distinct()
       },
       Some(s"""WITH $corpusSql,
         |toks AS (SELECT doc_id,
-        |    ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+        |    ('0x' || substr(md5(t.tok), 1, ${SimhashBits / 4}))::BIGINT AS h
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |        FROM corpus) t),
         |bitsums AS (SELECT doc_id,
-        |  ${(0 until 16).map(j =>
+        |  ${(0 until SimhashBits).map(j =>
           s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
           .mkString(", ")}
         |  FROM toks GROUP BY doc_id),
         |sim AS (SELECT doc_id,
-        |  ${(0 until 16).map(j => s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        |  ${(0 until SimhashBits).map(j => s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)")
           .mkString(" + ")} AS simhash
         |  FROM bitsums)
         |SELECT x.doc_id AS a, y.doc_id AS b,
         |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""".stripMargin),
-      "16-bit SimHash over the token multiset; near-dups = hamming <= 2 " +
-        "via bit_count(xor), candidates from 3-band (6/5/5-bit) " +
-        "blocking — every qualifying pair shares a band (pigeonhole), " +
-        "so the join is an equi-join on (band_id, band_val), never " +
-        "all-pairs. The oracle checks the same result via the direct " +
-        "pair join, exhaustiveness by construction."),
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming""".stripMargin),
+      s"$SimhashBits-bit SimHash over the token multiset; near-dups = " +
+        s"hamming <= $SimhashMaxHamming via bit_count(xor), candidates " +
+        s"from $SimhashBands-band (${BandBits}-bit) blocking — every " +
+        "qualifying pair shares an intact band (pigeonhole), so the " +
+        "join is an equi-join on (band_id, band_val) with 2^15 buckets " +
+        "per band, never all-pairs. The oracle checks the same result " +
+        "via the direct pair join, exhaustiveness by construction."),
 
     // ---------------------------------------------------- n-gram jaccard
     QueryDef(
