@@ -186,6 +186,41 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ------------------------------------------------ z-order clustering
+    QueryDef(
+      "zorder_cluster",
+      (s, d) => {
+        // Morton code: interleave the low 8 bits of the two dimensions.
+        // Pure integer bit math, generated from one constant on both
+        // engines — parity by construction.
+        val u = col("user_id").bitwiseAND(lit(255L))
+        val t = pmod(col("event_id"), lit(256L))
+        val z = (0 until 8).map { i =>
+          (shiftright(u, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+            (shiftright(t, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+        }.reduce(_ + _)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), z.as("zcode"))
+          .withColumn("zbucket", expr("zcode div 4096"))
+      },
+      Some(s"""SELECT event_id, user_id,
+        |  (${(0 until 8).map(i =>
+          s"(((user_id & 255) >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"(((event_id % 256) >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")}) AS zcode,
+        |  ((${(0 until 8).map(i =>
+          s"(((user_id & 255) >> $i) & 1) * ${1L << (2 * i)} + " +
+            s"(((event_id % 256) >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")}) // 4096)::BIGINT AS zbucket
+        |FROM events""".stripMargin),
+      "Z-order (Morton) clustering key over two dimensions: writing a " +
+        "100 TB table sorted by zcode co-locates rows close in BOTH " +
+        "dimensions, so min/max file statistics prune scans for " +
+        "predicates on either — the layout trick behind multi-dim " +
+        "pruning in modern lakehouse formats, as a plain integer " +
+        "expression. zbucket (zcode div 4096) is the file/partition " +
+        "assignment a writer would repartitionByRange on."),
+
     // ---------------------------------------------------- kNN graph
     QueryDef(
       "knn_graph",

@@ -25,6 +25,19 @@ class SketchSpec extends SparkSpec {
       s"false-positive rate ${fp.toDouble / probes.size} >> requested 0.01")
   }
 
+  test("freqItems finds every genuinely frequent event type") {
+    val ev = Tables.events(spark, sfDir)
+    val found = ev.stat.freqItems(Array("event_type"), support = 0.2)
+      .head().getSeq[String](0).toSet
+    // any value with true frequency >= support must be reported
+    val n = ev.count()
+    val truth = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= n * 0.2)
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(found),
+      s"freqItems missed ${truth.diff(found)}")
+  }
+
   test("count-min sketch never under-counts event types") {
     val ev = Tables.events(spark, sfDir)
     val cms = ev.stat.countMinSketch("event_type", eps = 0.001,
