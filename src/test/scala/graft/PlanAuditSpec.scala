@@ -50,6 +50,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"asof join grew to $exchanges exchanges:\n$plan")
   }
 
+  /** Narrow transforms must stay shuffle-free: scan -> project/filter
+    * only. An Exchange appearing here means a refactor introduced a
+    * repartition/sort that turns a streaming pass into a 100 TB shuffle. */
+  private val narrowQueries = Seq(
+    "text_normalize", "zorder_cluster", "json_extract_field",
+    "json_serialize_record", "filter_min_length", "filter_nonblank",
+    "regex_strip_suffix", "prompt_template_concat", "media_metadata",
+    "media_resize", "redact_pii", "text_token_count", "text_fingerprint",
+    "l2_normalize", "mean_pool_embedding", "truncate_pad_tokens",
+    "epoch_format_decimal", "path_key_concat", "split_train_val_test")
+    // split_train_val_test has one agg exchange; allow 1 there
+  private val narrowAllowance = Map("split_train_val_test" -> 1)
+
+  test("narrow transforms plan zero unexpected exchanges") {
+    val offenders = narrowQueries.flatMap { name =>
+      val plan = SparkEntry.registry.find(_.name == name).get
+        .fn(spark, sfDir).queryExecution.sparkPlan.toString
+      val n = "Exchange".r.findAllIn(plan).length
+      val cap = narrowAllowance.getOrElse(name, 0)
+      if (n > cap) Some(s"$name ($n exchanges, cap $cap)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  /** Exchange-free queries execute eagerly (no AdaptiveSparkPlan
+    * wrapper), so their executedPlan string carries the codegen stage
+    * markers; AQE-wrapped queries only annotate them at runtime, which
+    * is why this check targets the narrow scalar paths. */
+  test("scalar hot paths run inside whole-stage codegen") {
+    Seq("text_normalize", "zorder_cluster", "json_extract_field",
+      "media_resize").foreach { name =>
+      val plan = SparkEntry.registry.find(_.name == name).get
+        .fn(spark, sfDir).queryExecution.executedPlan.toString
+      // codegen'd stages print with the *(id) prefix
+      assert(plan.contains("*("), s"$name has no WholeStageCodegen span")
+    }
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
