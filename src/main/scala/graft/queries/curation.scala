@@ -186,6 +186,32 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ------------------------------------------------ safe ingestion cast
+    QueryDef(
+      "ingest_try_cast",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            col("n_chars").cast("string"))
+            .otherwise(split(col("text"), " ").getItem(0)).as("raw"))
+        .select(col("doc_id"), expr("try_cast(raw AS BIGINT)").as("parsed"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("parsed")).as("n_parsed"),
+          sum(col("parsed")).as("sum_parsed")),
+      Some("""WITH raw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN n_chars::VARCHAR
+        |       ELSE string_split(text, ' ')[1] END AS raw
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       count(try_cast(raw AS BIGINT))::BIGINT AS n_parsed,
+        |       sum(try_cast(raw AS BIGINT))::BIGINT AS sum_parsed
+        |FROM raw""".stripMargin),
+      "Dirty-data ingestion under ANSI mode: Spark 4 CAST throws on " +
+        "malformed input, so bulk parses use try_cast -- NULL on " +
+        "failure, then count/quarantine instead of killing a 100 TB " +
+        "job on row one. The mixed numeric/word column is synthesized " +
+        "deterministically so both engines see identical dirt."),
+
     // ------------------------------------------------ z-order clustering
     QueryDef(
       "zorder_cluster",
