@@ -349,5 +349,40 @@ object EventQueries {
         "output-or-.debug skip): batch shadow of " +
         "dropDuplicatesWithinWatermark; event_id is unique in the fixture so " +
         "DISTINCT ON is deterministic."),
+
+    // --------------------------------------------------------------- T5
+    QueryDef(
+      "interval_join_start_done",
+      (s, d) => {
+        val ev = events(s, d)
+        val starts = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("start_id"), col("user_id"),
+            col("ts").as("start_ts"))
+        val dones = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("done_id"),
+            col("user_id").as("done_user"), col("ts").as("done_ts"))
+        starts.join(dones,
+            col("user_id") === col("done_user") &&
+              col("done_ts") >= col("start_ts") &&
+              col("done_ts") <= col("start_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("start_id"), col("done_id"),
+            (unix_micros(col("done_ts")) - unix_micros(col("start_ts")))
+              .as("latency_us"))
+      },
+      Some("""SELECT s.user_id, s.event_id AS start_id, p.event_id AS done_id,
+        |  (epoch_us(p.ts::TIMESTAMP) - epoch_us(s.ts::TIMESTAMP))
+        |    AS latency_us
+        |FROM events s JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(s.ts::TIMESTAMP)
+        | AND epoch_us(p.ts::TIMESTAMP)
+        |     <= epoch_us(s.ts::TIMESTAMP) + 3600000000""".stripMargin),
+      "Batch shadow of Streams.correlateStartDone: start events matched " +
+        "to completions of the same user within [start, start+1h]. " +
+        "Equi-join on user_id carries the shuffle; the interval " +
+        "predicate filters inside the matched group — at 100 TB the " +
+        "bucket-quantized form (range_join_bucketed) replaces the " +
+        "in-group filter when per-key event counts are large."),
   )
 }

@@ -45,6 +45,21 @@ class CurationSpec extends SparkSpec {
       col("mn") =!= 1).count() === 0)
   }
 
+  test("zorder writer layout: range partitions by zcode are disjoint") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val z = byName("zorder_cluster").repartitionByRange(4, col("zcode"))
+    val ranges = z.groupBy(spark_partition_id().as("pid"))
+      .agg(min(col("zcode")).as("lo"), max(col("zcode")).as("hi"))
+      .orderBy(col("lo")).collect()
+    assert(ranges.length > 1)
+    // each partition's zcode range ends before the next begins: the
+    // min/max file statistics a writer records are non-overlapping
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"overlapping zcode ranges: $a vs $b")
+    }
+  }
+
   test("fullouter_reconcile covers the union of both activity sets") {
     val r = byName("fullouter_reconcile")
     val ev = Tables.events(spark, sfDir)
