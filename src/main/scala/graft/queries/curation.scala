@@ -186,6 +186,38 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ---------------------------------------------------- fuzzy matching
+    QueryDef(
+      "fuzzy_match_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // candidate pairs: each sampled doc vs its successor sampled doc
+        // — a bounded, deterministic pair list standing in for a
+        // blocking stage's output (at scale the pair list comes from an
+        // LSH/sorted-neighborhood block, never all-pairs).
+        val sampled = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val pairs = sampled.select(col("doc_id").as("a"),
+            (col("doc_id") + 10L).as("b"), col("text").as("ta"))
+          .join(sampled.select(col("doc_id").as("b"),
+            col("text").as("tb")), "b")
+        pairs.select(col("a"), col("b"),
+          levenshtein(substring(col("ta"), 1, 64),
+            substring(col("tb"), 1, 64)).cast("bigint").as("edit_dist"))
+          .withColumn("near_match", col("edit_dist") <= 16)
+      },
+      Some("""WITH sampled AS (SELECT doc_id, substr(text, 1, 64) AS t
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       levenshtein(x.t, y.t)::BIGINT AS edit_dist,
+        |       levenshtein(x.t, y.t) <= 16 AS near_match
+        |FROM sampled x JOIN sampled y ON y.doc_id = x.doc_id + 10""".stripMargin),
+      "Edit-distance fuzzy matching over a blocked candidate list: " +
+        "levenshtein on fixed 64-char prefixes (the O(k^2) DP cost per " +
+        "pair is capped by the prefix, the way production fuzzy joins " +
+        "bound worst-case work). Pair generation is an equi-join from " +
+        "the blocking key; the verify metric is exact integer DP -- " +
+        "same number in both engines."),
+
     // ------------------------------------------------ safe ingestion cast
     QueryDef(
       "ingest_try_cast",
