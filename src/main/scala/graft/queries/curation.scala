@@ -186,6 +186,41 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ------------------------------------- sorted-neighborhood blocking
+    QueryDef(
+      "blocking_sorted_neighborhood",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            substring(lower(col("text")), 1, 12).as("bkey"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("bkey"), col("doc_id"))
+        keyed.select(col("doc_id"), col("lang"), col("bkey"),
+            lead(col("doc_id"), 1).over(w).as("next_id"),
+            lead(col("bkey"), 1).over(w).as("next_bkey"))
+          .filter(col("next_id").isNotNull)
+          .select(col("doc_id"), col("next_id"), col("lang"),
+            (substring(col("bkey"), 1, 4) ===
+              substring(col("next_bkey"), 1, 4)).as("prefix_match"))
+      },
+      Some("""WITH keyed AS (SELECT doc_id, lang,
+        |    substr(lower(text), 1, 12) AS bkey FROM documents),
+        |nbr AS (SELECT doc_id, lang, bkey,
+        |    lead(doc_id) OVER (PARTITION BY lang
+        |                       ORDER BY bkey, doc_id) AS next_id,
+        |    lead(bkey) OVER (PARTITION BY lang
+        |                     ORDER BY bkey, doc_id) AS next_bkey
+        |  FROM keyed)
+        |SELECT doc_id, next_id, lang,
+        |       (substr(bkey, 1, 4) = substr(next_bkey, 1, 4)) AS prefix_match
+        |FROM nbr WHERE next_id IS NOT NULL""".stripMargin),
+      "Sorted-neighborhood blocking, the non-LSH dedup candidate " +
+        "strategy: sort each partition (lang) by a normalized blocking " +
+        "key and pair adjacent docs via lead() — window size 1 here, " +
+        "widen with more lead offsets. One shuffle on the partition " +
+        "key; at 100 TB the sort rides range partitioning and each " +
+        "task emits only its neighborhood pairs, never a cross join."),
+
     // ---------------------------------------------------- fuzzy matching
     QueryDef(
       "fuzzy_match_pairs",
