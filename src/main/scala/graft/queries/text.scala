@@ -71,6 +71,48 @@ object TextQueries {
         "lexicon side always broadcasts; corpus side never shuffles until " +
         "the per-doc agg."),
 
+    // -------------------------------------------------- repetition ratio
+    QueryDef(
+      "text_repetition_ratio",
+      (s, d) => {
+        // distinct vs total word 3-grams per doc: highly repetitive
+        // (looping/boilerplate) text shows a low distinct share — the
+        // standard "repeated n-gram" quality gate in pretraining
+        // pipelines. Shares the slice/zip shingle shape of the dedup
+        // family (split() runs once per row, outside HOF lambdas).
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val t1 = slice(toks, lit(1), n - 2)
+        val t2 = slice(toks, lit(2), n - 2)
+        val t3 = slice(toks, lit(3), n - 2)
+        docs(s, d).filter(n >= 3)
+          .select(col("doc_id"),
+            explode(zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)),
+              t3, (ab, cc) => concat(ab, lit(" "), cc))).as("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("g")).as("n_distinct"))
+          .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+            expr("((n_grams - n_distinct) * 1000) div n_grams")
+              .as("repetition_permille"))
+      },
+      Some("""WITH grams AS (
+        |  SELECT doc_id, concat_ws(' ', toks[i.i+1], toks[i.i+2],
+        |                           toks[i.i+3]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |       (SELECT range AS i FROM range(0, 4096)) i
+        |  WHERE len(toks) >= 3 AND i.i <= len(toks) - 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |       count(DISTINCT g)::BIGINT AS n_distinct,
+        |       (((count(*) - count(DISTINCT g)) * 1000) // count(*))::BIGINT
+        |         AS repetition_permille
+        |FROM grams GROUP BY doc_id""".stripMargin),
+      "Repeated-3-gram ratio per document — the boilerplate/loop-output " +
+        "quality gate: permille of n-grams that are duplicates within " +
+        "the doc. One explode + one per-doc agg (map-side partial), no " +
+        "joins; integer permille for cross-engine parity."),
+
     // ------------------------------------------------------ quality score
     QueryDef(
       "text_quality_score",
