@@ -164,6 +164,25 @@ object AdvancedQueries {
         "approx_percentile sketch is the 100 TB path; exact is the " +
         "oracle-checkable contract."),
 
+    // --------------------------------------------- grouped quantiles
+    QueryDef(
+      "quantile_by_lang",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars")),
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        | quantile_cont(n_chars, 0.5) AS p50_chars,
+        | quantile_cont(n_chars, 0.9) AS p90_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+      "Per-group exact quantiles (length distribution per language) — " +
+        "the distribution profile behind per-source length filters. One " +
+        "shuffle on the group key; per-group sorted-multiset " +
+        "interpolation on exact integers, so the doubles agree " +
+        "bit-for-bit cross-engine. approx_percentile swaps in at 100 TB " +
+        "as with quantile_values."),
+
     // ------------------------------------------------------- tf-idf
     QueryDef(
       "tfidf_top_terms",

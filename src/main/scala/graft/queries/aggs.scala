@@ -234,6 +234,35 @@ object WindowQueries {
         "generalized: running totals; fixed-point so partial sums are " +
         "order-exact."),
 
+    // ------------------------------------------------------- W6 (extra)
+    QueryDef(
+      "range_frame_hour_sum",
+      (s, d) => {
+        // integer seconds: Column `/` would be IEEE double division
+        val sec = expr("unix_micros(ts) div 1000000")
+        events(s, d)
+          .select(col("event_id"), col("user_id"), sec.as("t_sec"),
+            floor(col("value") * 100).cast("long").as("v100"))
+          .withColumn("hour_sum_e2",
+            sum(col("v100")).over(
+              Window.partitionBy(col("user_id")).orderBy(col("t_sec"))
+                .rangeBetween(-3600L, Window.currentRow)))
+          .select(col("event_id"), col("user_id"), col("hour_sum_e2"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  (sum(v100) OVER (PARTITION BY user_id ORDER BY t_sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS hour_sum_e2
+        |FROM (SELECT event_id, user_id,
+        |        epoch_us(ts::TIMESTAMP) // 1000000 AS t_sec,
+        |        floor(value * 100)::BIGINT AS v100
+        |      FROM events)""".stripMargin),
+      "RANGE-framed window: per-user trailing-hour sum where the frame " +
+        "is bounded by the ORDER BY value (event-time seconds), not row " +
+        "count — rows landing in the same second share a frame, unlike " +
+        "ROWS. Fixed-point sum keeps the running total exact under any " +
+        "partitioning; one shuffle on the partition key."),
+
     // ------------------------------------------------------- W5 (extra)
     QueryDef(
       "percent_rank_cume",
