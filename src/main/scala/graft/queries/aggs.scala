@@ -127,6 +127,24 @@ object AggQueries {
       "Cardinality gauge; exact here for oracle parity — at 100 TB swap in " +
         "approx_count_distinct(user_id, 0.01) (HLL++, no exact shuffle)."),
 
+    // ----------------------------------------------------- histogram
+    QueryDef(
+      "histogram_event_values",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          // floor (not integer div): div truncates toward zero, so the
+          // two would disagree on negative values
+          floor(col("value")).cast("bigint").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, floor(value)::BIGINT AS bucket,
+        | count(*)::BIGINT AS n
+        |FROM events GROUP BY event_type, bucket""".stripMargin),
+      "Equi-width value histogram per event type: bucket assignment is a " +
+        "stateless floor expression, so the histogram is one map-side- " +
+        "partial groupBy — the distribution profile that sizes skew " +
+        "salts and AQE thresholds before running the heavy joins."),
+
     // -------------------------------------- map-typed aggregation state
     QueryDef(
       "map_event_type_counts",

@@ -71,6 +71,25 @@ object TextQueries {
         "lexicon side always broadcasts; corpus side never shuffles until " +
         "the per-doc agg."),
 
+    // ---------------------------------------------- positional explode
+    QueryDef(
+      "posexplode_tokens",
+      (s, d) => docs(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("tok")),
+      Some("""SELECT doc_id, i.i AS pos, toks[i.i+1] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 20),
+        |     (SELECT range AS i FROM range(0, 4096)) i
+        |WHERE i.i < len(toks)""".stripMargin),
+      "Generator with ordinality: posexplode keeps each token's 0-based " +
+        "position — the index the reference's enumerate()-style file " +
+        "suffixes and chunk offsets rely on. Narrow generate, no " +
+        "shuffle; position comes from the array, not a window, so no " +
+        "global ordering is involved."),
+
     // -------------------------------------------------- repetition ratio
     QueryDef(
       "text_repetition_ratio",

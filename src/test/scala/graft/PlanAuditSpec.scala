@@ -88,6 +88,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces shuffle partitions at runtime for small aggs") {
+    val q = SparkEntry.registry.find(_.name == "count_by_group").get
+      .fn(spark, sfDir)
+    q.queryExecution.toRdd.count() // materialize so AQE finalizes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      s"expected AQE shuffle coalescing in:\n$plan")
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
