@@ -127,6 +127,33 @@ object AggQueries {
       "Cardinality gauge; exact here for oracle parity — at 100 TB swap in " +
         "approx_count_distinct(user_id, 0.01) (HLL++, no exact shuffle)."),
 
+    // ------------------------------------------------ calendar gap-fill
+    QueryDef(
+      "date_spine_gapfill",
+      (s, d) => {
+        val ev = events(s, d).select(to_date(col("ts")).as("day"))
+        val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val spine = bounds.select(
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+      },
+      Some("""WITH days AS (SELECT ts::DATE AS day FROM events),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+        |spine AS (SELECT d0 + (i.i::INT) AS day
+        |  FROM bounds, (SELECT range AS i FROM range(0, 4096)) i
+        |  WHERE d0 + (i.i::INT) <= d1),
+        |daily AS (SELECT day, count(*)::BIGINT AS n FROM days GROUP BY day)
+        |SELECT spine.day, coalesce(daily.n, 0)::BIGINT AS n_events
+        |FROM spine LEFT JOIN daily ON daily.day = spine.day""".stripMargin),
+      "Calendar-spine gap filling: generate the full day range from the " +
+        "data's own bounds (sequence over a 1-row agg — no driver " +
+        "round-trip) and left-join daily counts so silent days surface " +
+        "as zeros — the missing-data guard every scheduled-pipeline " +
+        "health dashboard needs. Spine is O(days) and broadcast; the " +
+        "event side aggregates before the join."),
+
     // ----------------------------------------------------- histogram
     QueryDef(
       "histogram_event_values",
