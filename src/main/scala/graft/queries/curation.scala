@@ -186,6 +186,38 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // --------------------------------------------- schema-evolution union
+    QueryDef(
+      "union_schema_evolution",
+      (s, d) => {
+        // v1 records lack quality_score; v2 records lack lang — the
+        // columns either schema version is missing fill with nulls, the
+        // standard shape when a corpus spans writer versions.
+        val v1 = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("lang"))
+        val v2 = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars").as("quality_score"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .select(col("doc_id"),
+            coalesce(col("lang"), lit("unknown")).as("lang"),
+            coalesce(col("quality_score"), lit(-1)).cast("bigint")
+              .as("quality_score"))
+      },
+      Some("""SELECT doc_id,
+        |  coalesce(lang, 'unknown') AS lang,
+        |  coalesce(quality_score, -1)::BIGINT AS quality_score
+        |FROM (
+        |  SELECT doc_id, lang, NULL AS quality_score
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, n_chars AS quality_score, NULL AS lang
+        |  FROM documents WHERE doc_id % 2 = 1)""".stripMargin),
+      "Schema-evolution union: unionByName(allowMissingColumns) aligns " +
+        "records from different writer versions by column NAME, " +
+        "null-filling what each side lacks — positional UNION would " +
+        "silently cross-wire columns. How a years-spanning 100 TB " +
+        "corpus reads as one table without a rewrite."),
+
     // ------------------------------------- sorted-neighborhood blocking
     QueryDef(
       "blocking_sorted_neighborhood",

@@ -71,6 +71,40 @@ object TextQueries {
         "lexicon side always broadcasts; corpus side never shuffles until " +
         "the per-doc agg."),
 
+    // -------------------------------------------- null-preserving explode
+    QueryDef(
+      "explode_outer_short_docs",
+      (s, d) => {
+        // 3-gram arrays are empty for docs under 3 tokens; explode_outer
+        // keeps those docs as a null row instead of dropping them — the
+        // difference between "no grams" and "document lost".
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val grams = when(n >= 3,
+          slice(toks, lit(1), n - 2)).otherwise(array())
+        docs(s, d).filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode_outer(grams).as("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(col("g")).as("n_grams"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) >= 3
+        |         THEN string_split(text,' ')[1:len(string_split(text,' '))-2]
+        |         ELSE [] END AS grams
+        |  FROM documents WHERE doc_id < 50),
+        |ex AS (SELECT doc_id, unnest(
+        |         CASE WHEN len(grams) = 0 THEN [NULL] ELSE grams END) AS tok
+        |       FROM g)
+        |SELECT doc_id, count(tok)::BIGINT AS n_grams,
+        |       count(*)::BIGINT AS n_rows
+        |FROM ex GROUP BY doc_id""".stripMargin),
+      "explode_outer: generators drop rows whose array is empty; the " +
+        "outer variant emits one null row instead, so per-doc accounting " +
+        "(count(col) vs count(*)) distinguishes empty from missing — " +
+        "essential when a 100 TB pipeline must prove no document was " +
+        "silently lost across a generate stage."),
+
     // ---------------------------------------------- positional explode
     QueryDef(
       "posexplode_tokens",
