@@ -71,6 +71,29 @@ object TextQueries {
         "lexicon side always broadcasts; corpus side never shuffles until " +
         "the per-doc agg."),
 
+    // ---------------------------------------------- extract-all matches
+    QueryDef(
+      "regexp_extract_all_long_words",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]{8,}"), lit(0))
+            .as("longs"))
+        .select(col("doc_id"),
+          size(col("longs")).cast("bigint").as("n_long"),
+          // ANSI mode: element_at throws on an empty array; try_ variant
+          // yields NULL, matching DuckDB's out-of-range list index
+          coalesce(expr("try_element_at(longs, 1)"), lit(""))
+            .as("first_long")),
+      Some("""SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z]{8,}'))::BIGINT AS n_long,
+        | coalesce(regexp_extract_all(text, '[a-z]{8,}')[1], '')
+        |   AS first_long
+        |FROM documents""".stripMargin),
+      "All-occurrence regex extraction into an array column (the " +
+        "multi-match sibling of regexp_extract): long-word inventory " +
+        "per doc. Array stays row-local — consumed by size/element_at " +
+        "in the same codegen stage, never shuffled."),
+
     // -------------------------------------------- null-preserving explode
     QueryDef(
       "explode_outer_short_docs",
