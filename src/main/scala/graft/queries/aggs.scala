@@ -205,6 +205,40 @@ object AggQueries {
         "combine on (user, type)) so the collect_list only ever sees " +
         "pre-aggregated rows — collect_list over raw events would " +
         "buffer unboundedly at 100 TB."),
+
+    // --------------------------------------------- map value transform
+    QueryDef(
+      "map_share_permille",
+      (s, d) => {
+        val per = events(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        per.groupBy(col("user_id"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .withColumn("total",
+            aggregate(map_values(col("m")), lit(0L), (a, b) => a + b))
+          // transform_values rescales inside the map — counts become
+          // permille shares without ever exploding the map to rows
+          .withColumn("shares",
+            expr("transform_values(m, (k, v) -> (v * 1000) div total)"))
+          .select(col("user_id"), col("total"),
+            expr("array_join(transform(map_entries(shares), " +
+              "e -> concat(e.key, ':', e.value)), ',')").as("serialized"))
+      },
+      Some("""WITH per AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |tot AS (SELECT user_id, sum(n)::BIGINT AS total FROM per
+        |        GROUP BY user_id)
+        |SELECT per.user_id, tot.total,
+        |       string_agg(event_type || ':' || ((n * 1000) // total), ','
+        |                  ORDER BY event_type) AS serialized
+        |FROM per JOIN tot ON tot.user_id = per.user_id
+        |GROUP BY per.user_id, tot.total""".stripMargin),
+      "Map-value transformation HOF: transform_values rescales every " +
+        "count to its permille share in place, keyed arithmetic " +
+        "referencing a sibling column (total) — the normalization step " +
+        "of any mixture/profile map without an explode-aggregate " +
+        "round-trip (which would add a shuffle at 100 TB)."),
   )
 }
 
@@ -278,6 +312,35 @@ object WindowQueries {
       "Before/after output-count deltas (run_data_generation_sophia.sh:61-65) " +
         "generalized: running totals; fixed-point so partial sums are " +
         "order-exact."),
+
+    // ------------------------------------------------------- W7 (extra)
+    QueryDef(
+      "first_last_event_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .select(col("user_id"),
+            first(col("event_type")).over(w).as("first_type"),
+            last(col("event_type")).over(w).as("last_type"),
+            nth_value(col("event_type"), 2).over(w).as("second_type"))
+          .distinct()
+          .select(col("user_id"), col("first_type"), col("last_type"),
+            coalesce(col("second_type"), lit("none")).as("second_type"))
+      },
+      Some("""SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  coalesce(nth_value(event_type, 2) OVER w, 'none') AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+      "Value-picking windows (first/last/nth over the full partition " +
+        "frame): each user's entry, exit, and second event — the " +
+        "lifecycle summary of the reference's submit..done polling " +
+        "loops. Deterministic because the frame is unbounded on both " +
+        "sides and the order key is unique."),
 
     // ------------------------------------------------------- W6 (extra)
     QueryDef(
