@@ -186,6 +186,42 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ------------------------------------------- array set algebra
+    QueryDef(
+      "array_set_overlap",
+      (s, d) => {
+        val toks = array_distinct(split(col("text"), " "))
+        val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+        val a = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id").as("a"), col("t").as("ta"))
+        val b = docs.filter(pmod(col("doc_id"), lit(20)) === 10)
+          .select((col("doc_id") - 10L).as("a"), col("t").as("tb"))
+        a.join(b, "a")
+          .select(col("a").as("doc_a"), (col("a") + 10L).as("doc_b"),
+            size(array_intersect(col("ta"), col("tb"))).cast("bigint")
+              .as("n_common"),
+            size(array_union(col("ta"), col("tb"))).cast("bigint")
+              .as("n_union"),
+            size(array_except(col("ta"), col("tb"))).cast("bigint")
+              .as("n_only_a"))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+        |             AS t FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.t, b.t))::BIGINT AS n_common,
+        |  len(list_distinct(list_concat(a.t, b.t)))::BIGINT AS n_union,
+        |  len(list_filter(a.t, x -> NOT list_contains(b.t, x)))::BIGINT
+        |    AS n_only_a
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 10
+        |WHERE a.doc_id % 20 = 0""".stripMargin),
+      "Row-local array set algebra: token-set intersection/union/" +
+        "difference cardinalities per pair via array_intersect/union/" +
+        "except — the explode-join-free form of small-set overlap. One " +
+        "equi-join moves the arrays; all set logic runs inside the row, " +
+        "so no shuffle carries exploded tokens (contrast " +
+        "dedup_ngram_jaccard, the join formulation for when sets are " +
+        "too large to carry as values)."),
+
     // --------------------------------------------- schema-evolution union
     QueryDef(
       "union_schema_evolution",

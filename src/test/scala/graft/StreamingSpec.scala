@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Int]("rejected") === 1)
   }
 
+  test("capacityGate is deterministic under multi-partition input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same event set as the single-partition test, but the stream is
+    // repartitioned so the group's iterator order is NOT insertion
+    // order — the event_id sort inside the state function must produce
+    // identical gate decisions (the determinism contract of the fold).
+    val mem = MemoryStream[JobEvent]
+    mem.addData(
+      JobEvent(1, 1, "click"), JobEvent(2, 1, "click"),
+      JobEvent(3, 1, "click"), JobEvent(4, 1, "click"),
+      JobEvent(5, 1, "purchase"), JobEvent(6, 1, "click"))
+    val shuffled = mem.toDS().repartition(8)
+    val q = Streams.capacityGate(shuffled, capacity = 3)
+      .writeStream.format("memory").queryName("gate_mp")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("gate_mp").collect().head
+    assert(r.getAs[Int]("in_flight") === 3)
+    assert(r.getAs[Int]("admitted") === 4)
+    assert(r.getAs[Int]("rejected") === 1)
+  }
+
   test("retryGate retries up to the cap then dead-letters") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
