@@ -186,6 +186,38 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // ------------------------------------- gaps-and-islands run encoding
+    QueryDef(
+      "event_runs_rle",
+      (s, d) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val byTimeAndType = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            (row_number().over(byTime) - row_number().over(byTimeAndType))
+              .as("island"))
+          .groupBy(col("user_id"), col("event_type"), col("island"))
+          .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("start_id"))
+          .select(col("user_id"), col("event_type"), col("run_len"),
+            col("start_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  - row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS island
+        |  FROM events)
+        |SELECT user_id, event_type, count(*)::BIGINT AS run_len,
+        |       min(event_id) AS start_id
+        |FROM o GROUP BY user_id, event_type, island""".stripMargin),
+      "Run-length encoding of per-user event streams via the " +
+        "gaps-and-islands trick: the difference of two row_numbers is " +
+        "constant exactly within a maximal same-type run. Both windows " +
+        "share the user_id shuffle; the alternative sequential fold is " +
+        "the typed flatMapGroups twin (TypedApiSpec), which buffers one " +
+        "group at a time — islands stays fully vectorized."),
+
     // ------------------------------------------- array set algebra
     QueryDef(
       "array_set_overlap",
