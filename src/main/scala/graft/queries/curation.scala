@@ -186,6 +186,42 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // --------------------------------------------- null-safe equi-join
+    QueryDef(
+      "nullsafe_join_lang",
+      (s, d) => {
+        // nullif makes 'de' rows carry a NULL key: plain = would drop
+        // them from the join entirely; <=> matches NULL to NULL, so the
+        // null group participates like any other key.
+        val probe = Tables.documents(s, d)
+          .select(col("doc_id"), nullif(col("lang"), lit("de")).as("k"))
+        val build = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(100)) === 7)
+          .select(col("doc_id").as("ref_id"),
+            nullif(col("lang"), lit("de")).as("k"))
+        probe.join(build, probe("k") <=> build("k"))
+          .groupBy(coalesce(probe("k"), lit("<null>")).as("key"))
+          .agg(countDistinct(col("doc_id")).as("n_probe"),
+            countDistinct(col("ref_id")).as("n_build"),
+            count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH probe AS (SELECT doc_id, nullif(lang, 'de') AS k
+        |  FROM documents),
+        |build AS (SELECT doc_id AS ref_id, nullif(lang, 'de') AS k
+        |  FROM documents WHERE doc_id % 100 = 7)
+        |SELECT coalesce(probe.k, '<null>') AS key,
+        |       count(DISTINCT doc_id)::BIGINT AS n_probe,
+        |       count(DISTINCT ref_id)::BIGINT AS n_build,
+        |       count(*)::BIGINT AS n_pairs
+        |FROM probe JOIN build ON probe.k IS NOT DISTINCT FROM build.k
+        |GROUP BY 1""".stripMargin),
+      "Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys " +
+        "form a real join group instead of silently vanishing — the " +
+        "semantics reconciliation and SCD merges need when the business " +
+        "key is nullable. Plans as a normal hash equi-join (null-safe " +
+        "keys hash like values), so the scale shape is unchanged; a hot " +
+        "NULL group skews like any hot key and salts the same way."),
+
     // ------------------------------------- gaps-and-islands run encoding
     QueryDef(
       "event_runs_rle",
