@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: replicates the documents/embeddings fixture
+  * xN into a scratch dir (ids offset per copy; each copy's text gets a
+  * distinct leading token so copies are near- but not exact duplicates),
+  * then times named queries at 1x and Nx so the growth CURVE — not just
+  * the absolute number — backs the SCALE.md claims.
+  *
+  * Usage: ScaleProbe <sfDir> <scratchDir> <factor> <reps> <query ...>
+  * Only document/embedding-backed queries are valid targets (the events
+  * fixture's TIMESTAMP(NANOS) encoding cannot be round-tripped through a
+  * plain parquet rewrite — see Tables.events).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val scratch = args(1)
+    val factor = args(2).toInt
+    val reps = args(3).toInt
+    val names = args.drop(4).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, base)
+    val reps10 = (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(lit(s"v$i "), col("text"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    reps10.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val emb = Tables.embeddings(spark, base)
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    Seq(base -> "1x", scratch -> s"${factor}x").foreach { case (dir, tag) =>
+      names.foreach { n =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          byName(n).fn(spark, dir).queryExecution.toRdd.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }
+        println(f"$tag%-4s $n%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")
+      }
+    }
+    spark.stop()
+  }
+}
