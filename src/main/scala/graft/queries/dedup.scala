@@ -29,6 +29,7 @@ object DedupQueries {
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands x 4 hashes
+  private val MaxBucket = 64 // LSH bucket-size cap (see dedup_minhash_lsh)
 
   // SimHash geometry: 60 bits (15 hex chars of md5 — the widest prefix
   // that fits signed int64 in both engines), 4 bands x 15 bits, accept
@@ -148,7 +149,21 @@ object DedupQueries {
         val bands = sig.select(col("doc_id"),
           explode(array(bandCols: _*)).as("band"))
           .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
-        val cands = bands.as("x").join(bands.as("y"),
+        // Bucket-size cap: a bucket of n docs emits C(n,2) candidate
+        // pairs, so one degenerate bucket (boilerplate, mass-duplicated
+        // content) can dominate the whole verify stage — measured in
+        // SCALE.md's x100 probe, where 100-copy groups made the verify
+        // ~50x the x10 volume. Buckets over the cap are dropped on BOTH
+        // engines (same filter in the oracle CTE), so parity holds; on
+        // healthy corpora no bucket approaches the cap and this is a
+        // no-op. Production tuning: cap ~ a few hundred, after exact
+        // dedup has collapsed identical content.
+        val okBuckets = bands.groupBy(col("band_id"), col("band_val"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= MaxBucket)
+          .select(col("band_id"), col("band_val"))
+        val capped = bands.join(okBuckets, Seq("band_id", "band_val"))
+        val cands = capped.as("x").join(capped.as("y"),
             col("x.band_id") === col("y.band_id") &&
               col("x.band_val") === col("y.band_val") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -180,8 +195,13 @@ object DedupQueries {
             (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(",") +
             ") AS band_val FROM sig"
         }.mkString("\n  UNION ALL ")}),
+        |ok AS (SELECT band_id, band_val FROM bands
+        |  GROUP BY band_id, band_val HAVING count(*) <= $MaxBucket),
+        |capped AS (SELECT bands.* FROM bands
+        |  JOIN ok ON ok.band_id = bands.band_id
+        |         AND ok.band_val = bands.band_val),
         |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y ON x.band_id = y.band_id
+        |  FROM capped x JOIN capped y ON x.band_id = y.band_id
         |   AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
         |inter AS (SELECT a, b, count(*) AS ninter
@@ -194,11 +214,11 @@ object DedupQueries {
         |JOIN sizes nb ON nb.doc_id = b
         |WHERE ninter * 3 >= na.nsh + nb.nsh""".stripMargin),
       "MinHash(16)+LSH(4x4) near-dup: shingle -> signature -> band " +
-        "buckets -> same-bucket candidates only -> jaccard verify over " +
-        "the hashed shingle space (see shingles). " +
-        "Never materializes the O(n^2) pair space; candidate volume is " +
-        "controlled by band width — the scale path for near-dedup at " +
-        "100 TB."),
+        "buckets (size-capped at 64, mirrored in the oracle) -> " +
+        "same-bucket candidates only -> jaccard verify over the hashed " +
+        "shingle space (see shingles). Never materializes the O(n^2) " +
+        "pair space; candidate volume is controlled by band width AND " +
+        "the bucket cap — the scale path for near-dedup at 100 TB."),
 
     // ----------------------------------------------------------- simhash
     QueryDef(
