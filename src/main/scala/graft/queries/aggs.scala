@@ -127,6 +127,54 @@ object AggQueries {
       "Cardinality gauge; exact here for oracle parity — at 100 TB swap in " +
         "approx_count_distinct(user_id, 0.01) (HLL++, no exact shuffle)."),
 
+    // ------------------------------------------------- bitmask rollup
+    QueryDef(
+      "bitmask_event_types",
+      (s, d) => {
+        // stable bit index per type: alphabetical rank over the closed
+        // set — the dictionary a real pipeline would keep in a dim table
+        val typeBit = map(
+          lit("click"), lit(1L), lit("error"), lit(2L),
+          lit("purchase"), lit(4L), lit("signup"), lit(8L),
+          lit("view"), lit(16L))
+        events(s, d)
+          .select(col("user_id"), element_at(typeBit, col("event_type")).as("b"))
+          .groupBy(col("user_id"))
+          .agg(bit_or(col("b")).as("type_mask"),
+            bit_count(bit_or(col("b"))).cast("bigint").as("n_types"))
+      },
+      Some("""SELECT user_id,
+        | bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |   WHEN 'view' THEN 16 END)::BIGINT AS type_mask,
+        | bit_count(bit_or(CASE event_type WHEN 'click' THEN 1
+        |   WHEN 'error' THEN 2 WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |   WHEN 'view' THEN 16 END))::BIGINT AS n_types
+        |FROM events GROUP BY user_id""".stripMargin),
+      "Bitmask rollup: bit_or folds each user's event-type set into one " +
+        "int64 — set-membership aggregation at 8 bytes per group " +
+        "instead of a collect_set, and downstream subset tests are one " +
+        "AND. Order-independent and mergeable, so partial aggregation " +
+        "applies like any sum."),
+
+    // ---------------------------------------------- boolean aggregates
+    QueryDef(
+      "bool_agg_user_flags",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(bool_or(col("event_type") === "purchase").as("ever_purchased"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          count_if(col("event_type") === "error").as("n_errors")),
+      Some("""SELECT user_id,
+        | bool_or(event_type = 'purchase') AS ever_purchased,
+        | bool_and(value >= 0) AS all_nonneg,
+        | count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT
+        |   AS n_errors
+        |FROM events GROUP BY user_id""".stripMargin),
+      "Boolean aggregates (bool_or / bool_and / count_if): predicate " +
+        "rollups without CASE-sum gymnastics; mergeable partials like " +
+        "any agg, so they survive AQE re-plans untouched."),
+
     // ------------------------------------------------ calendar gap-fill
     QueryDef(
       "date_spine_gapfill",
