@@ -157,6 +157,35 @@ object AggQueries {
         "AND. Order-independent and mergeable, so partial aggregation " +
         "applies like any sum."),
 
+    // ------------------------------------------------- min_by / max_by
+    QueryDef(
+      "minby_maxby_events",
+      (s, d) => {
+        // composite int64 key (fixed-point value, event_id) makes the
+        // argmin/argmax pick deterministic under value ties — bare
+        // max_by(x, value) is pick-any on ties, which would hash-differ
+        // between engines
+        val key = expr("floor(value * 100)").cast("long") * lit(100000000L) +
+          col("event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_id"), key.as("k"))
+          .groupBy(col("user_id"))
+          .agg(max_by(col("event_id"), col("k")).as("top_event"),
+            min_by(col("event_id"), col("k")).as("bottom_event"))
+      },
+      Some("""SELECT user_id,
+        | max_by(event_id, floor(value * 100)::BIGINT * 100000000
+        |        + event_id) AS top_event,
+        | min_by(event_id, floor(value * 100)::BIGINT * 100000000
+        |        + event_id) AS bottom_event
+        |FROM events GROUP BY user_id""".stripMargin),
+      "Aggregate-form argmax/argmin (max_by / min_by): the highest- and " +
+        "lowest-valued event per user in ONE aggregation pass — no " +
+        "window, no self-join (contrast argmax_event_per_user, the " +
+        "window form that keeps the whole row). The composite " +
+        "fixed-point key breaks value ties by event_id so the pick is " +
+        "deterministic on any engine or partitioning."),
+
     // ---------------------------------------------- boolean aggregates
     QueryDef(
       "bool_agg_user_flags",
