@@ -157,6 +157,43 @@ object AggQueries {
         "AND. Order-independent and mergeable, so partial aggregation " +
         "applies like any sum."),
 
+    // ------------------------------------------- exact moment statistics
+    QueryDef(
+      "variance_fixed_point",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+        .select(col("event_type"), col("n"),
+          // population variance from exact integer moments, assembled
+          // with explicit double casts so both engines run the same
+          // IEEE op sequence (long*long would overflow under ANSI;
+          // DuckDB would promote to HUGEINT with different rounding).
+          // Builtin var_pop folds doubles in partition-merge order and
+          // drifts across partitionings; this is one mul/div/sub/div.
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+            .as("var_pop_e4"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mean_e2")),
+      Some("""SELECT event_type, n,
+        | ((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE) / n::DOUBLE)
+        |   AS var_pop_e4,
+        | (s1::DOUBLE / n::DOUBLE) AS mean_e2
+        |FROM (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2
+        |      FROM (SELECT event_type, floor(value * 100)::BIGINT AS v
+        |            FROM events)
+        |      GROUP BY event_type)""".stripMargin),
+      "Second-moment statistics the order-independent way: exact " +
+        "integer sums of v and v^2 (fixed-point), variance assembled " +
+        "by a final scalar expression. Builtin var_pop/stddev merge " +
+        "running double moments in partition order — bit-drift across " +
+        "cluster sizes and AQE re-plans; integer moments make the " +
+        "result reproducible anywhere, same trick as Det.fixedSum."),
+
     // ------------------------------------------------- min_by / max_by
     QueryDef(
       "minby_maxby_events",
