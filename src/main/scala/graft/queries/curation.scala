@@ -186,6 +186,53 @@ object CurationQueries {
         "dedup/fingerprint stage. Pure narrow projection: codegen'd " +
         "regexes, no shuffle, scales linearly with the scan."),
 
+    // --------------------------------------------------- funnel analysis
+    QueryDef(
+      "funnel_conversion",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("t"))
+        val stages = ev.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "signup", col("t"))).as("t1"))
+          .join(ev, Seq("user_id"))
+          .groupBy(col("user_id"), col("t1")).agg(
+            min(when(col("event_type") === "click" && col("t") >= col("t1"),
+              col("t"))).as("t2"))
+          .join(ev, Seq("user_id"))
+          .groupBy(col("user_id"), col("t1"), col("t2")).agg(
+            min(when(col("event_type") === "purchase" && col("t") >= col("t2"),
+              col("t"))).as("t3"))
+        stages.agg(
+          count(col("t1")).as("reached_signup"),
+          count(col("t2")).as("reached_click"),
+          count(col("t3")).as("reached_purchase"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts::TIMESTAMP) AS t FROM events),
+        |s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN t END) AS t1
+        |  FROM ev GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, t1,
+        |    min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
+        |  FROM ev JOIN s1 ON s1.user_id = ev.user_id
+        |  GROUP BY ev.user_id, t1),
+        |s3 AS (SELECT ev.user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END)
+        |      AS t3
+        |  FROM ev JOIN s2 ON s2.user_id = ev.user_id
+        |  GROUP BY ev.user_id, t1, t2)
+        |SELECT count(t1)::BIGINT AS reached_signup,
+        |       count(t2)::BIGINT AS reached_click,
+        |       count(t3)::BIGINT AS reached_purchase
+        |FROM s3""".stripMargin),
+      "Strict-order funnel (signup -> click-after -> purchase-after): " +
+        "each stage is the earliest qualifying event at-or-after the " +
+        "previous stage's time, folded as conditional min aggregates — " +
+        "no per-user sequence scan, every stage is one agg over the " +
+        "user_id shuffle that AQE can coalesce. NULL timestamps " +
+        "propagate 'never reached' through count(col)."),
+
     // --------------------------------------------- null-safe equi-join
     QueryDef(
       "nullsafe_join_lang",
