@@ -427,6 +427,33 @@ object WindowQueries {
         "generalized: running totals; fixed-point so partial sums are " +
         "order-exact."),
 
+    // ------------------------------------------------------- W8 (extra)
+    QueryDef(
+      "moving_avg_last5",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .select(col("event_id"), col("user_id"),
+            (sum(col("v")).over(w).cast("double") /
+              count(lit(1)).over(w).cast("double")).as("avg5_e2"))
+      },
+      Some("""SELECT event_id, user_id,
+        | ((sum(v) OVER w)::DOUBLE / (count(*) OVER w)::DOUBLE) AS avg5_e2
+        |FROM (SELECT event_id, user_id, ts,
+        |        floor(value * 100)::BIGINT AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "Bounded-ROWS moving average (last 5 events per user): the third " +
+        "frame type next to unbounded (running_delta) and value-RANGE " +
+        "(range_frame_hour_sum). Fixed-point sum over the frame with " +
+        "one final double division; the frame's row count divides, so " +
+        "warm-up rows (fewer than 5 predecessors) average what exists " +
+        "instead of null-padding."),
+
     // ------------------------------------------------------- W7 (extra)
     QueryDef(
       "first_last_event_per_user",
