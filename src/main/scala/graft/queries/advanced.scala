@@ -102,6 +102,56 @@ object AdvancedQueries {
         "stream. Oracle uses DuckDB's native ASOF JOIN for an " +
         "independent formulation."),
 
+    // ------------------------------------------------- forward as-of
+    QueryDef(
+      "asof_join_next_ref",
+      (s, d) => {
+        // Forward twin of asof_join_latest_ref: the EARLIEST build
+        // at-or-after each probe. Same tagged union, mirrored window:
+        // frame open toward the future, first(ignoreNulls), probes
+        // sorted before builds at equal t so the same instant counts.
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+        val builds = ev
+          .filter(col("event_type").isin("signup", "click"))
+          .groupBy(col("user_id"), col("ts").as("t"))
+          .agg(max(col("event_id")).as("ref_event"))
+          .select(col("user_id"), col("t"), col("ref_event"),
+            lit(null).cast("bigint").as("event_id"), lit(1).as("is_build"))
+        val probes = ev
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("ts").as("t"),
+            lit(null).cast("bigint").as("ref_event"), col("event_id"),
+            lit(0).as("is_build"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("is_build"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        builds.unionByName(probes)
+          .withColumn("next_ref",
+            first(col("ref_event"), ignoreNulls = true).over(w))
+          .filter(col("is_build") === 0)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("t")).as("ts_us"),
+            coalesce(col("next_ref"), lit(-1L)).as("next_ref"))
+      },
+      Some("""WITH builds AS (
+        |  SELECT user_id, ts AS t, max(event_id) AS ref_event
+        |  FROM events WHERE event_type IN ('signup', 'click')
+        |  GROUP BY 1, 2),
+        |probes AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type IN ('purchase', 'error'))
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts::TIMESTAMP) AS ts_us,
+        |       coalesce(min_by(b.ref_event, b.t), -1) AS next_ref
+        |FROM probes p LEFT JOIN builds b
+        |  ON b.user_id = p.user_id AND b.t >= p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin),
+      "Forward as-of join (earliest signup/click at-or-after each " +
+        "purchase/error) — the 'next scheduled run' lookup, mirrored " +
+        "from the backward form: same single shuffle + window, frame " +
+        "opened toward the future. Oracle uses the independent " +
+        "inequality-join + min_by formulation."),
+
     // ----------------------------------------------------- range join
     QueryDef(
       "range_join_bucketed",

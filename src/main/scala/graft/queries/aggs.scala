@@ -103,6 +103,24 @@ object AggQueries {
       "Per-task / per-adapter / grand-total eval summaries as ROLLUP " +
         "(grid dims of test_all_models_llm_eval_sophia.py:38-39)."),
 
+    // ---------------------------------------------- A8a (grouping_id)
+    QueryDef(
+      "rollup_grouping_id",
+      (s, d) => docs(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          grouping(col("lang")).cast("bigint").as("lang_is_total"),
+          grouping(col("source")).cast("bigint").as("source_is_total")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        | GROUPING(lang)::BIGINT AS lang_is_total,
+        | GROUPING(source)::BIGINT AS source_is_total
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin),
+      "ROLLUP with GROUPING() markers: distinguishes a genuine NULL " +
+        "group value from the NULL that means 'total across this " +
+        "column' — without it, subtotal rows are ambiguous the moment " +
+        "a dimension is nullable. Same one-shuffle plan as " +
+        "grouping_sets_rollup; the marker is free metadata."),
+
     // ------------------------------------------------------ A8b (CUBE)
     QueryDef(
       "cube_lang_source",
