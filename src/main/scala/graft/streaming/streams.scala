@@ -144,6 +144,24 @@ object Streams {
         col("start_ts"), col("done_ts"))
   }
 
+  /** Batch-catchup drain: process everything currently available, then
+    * stop on our own — Trigger.AvailableNow. This is the scheduled-job
+    * form of a stream (the reference's cron-like sweep drivers rerun and
+    * exit, create_all_models.py:48-76): each invocation drains the
+    * backlog with full checkpoint/watermark semantics and terminates, so
+    * the same pipeline code serves both continuous and scheduled modes. */
+  def drainAvailable(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Production sink pattern: foreachBatch with batchId-keyed idempotent
     * writes — replaying a batch after a failure overwrites the same
     * directory instead of duplicating it, which together with the

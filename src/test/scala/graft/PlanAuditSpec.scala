@@ -88,6 +88,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("parquet aggregate pushdown serves count/min/max from metadata") {
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown is a DataSource V2 feature; parquet defaults to
+    // the V1 path, so drop it from the V1 list for this read
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"no PushedAggregation in:\n$plan")
+    } finally {
+      prevAgg match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("AQE coalesces shuffle partitions at runtime for small aggs") {
     val q = SparkEntry.registry.find(_.name == "count_by_group").get
       .fn(spark, sfDir)

@@ -176,6 +176,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, 1L, 2L)))
   }
 
+  test("drainAvailable processes the backlog then terminates itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-drain").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(1), 2, "view", 1.0, "{}"))
+    val q = Streams.drainAvailable(mem.toDF(), out, ckpt)
+    // AvailableNow: the query stops on its own once the backlog drains
+    assert(q.awaitTermination(60000), "drain did not self-terminate")
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
   test("enrichWithDim broadcast-joins the static dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
