@@ -389,14 +389,14 @@ object AnnQueries {
     IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(next() % 1001))
   }
 
-  private val planesSql: String =
+  private[queries] val planesSql: String =
     (for (j <- 0 until NumPlanes; dd <- 0 until Dim)
       yield s"($j,$dd,${planes(j)(dd)})")
       .mkString("(VALUES ", ",", ") pl(j, d, w)")
 
   /** Integer dot of an embedding with plane j: components scaled by 1e6
     * and floored, so the sign is an exact integer decision. */
-  private def intDot(embCol: Column, j: Int): Column = {
+  private[queries] def intDot(embCol: Column, j: Int): Column = {
     val w = array(planes(j).map(x => lit(x)): _*)
     aggregate(
       zip_with(embCol, w,

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps._
+
+/** Embedding-space curation operators, round 4: random-projection
+  * dimensionality reduction, deterministic fixed-point k-means (the
+  * clustering stage under IVF indexes and SemDeDup), and SemDeDup-style
+  * within-cluster semantic pruning.
+  *
+  * All arithmetic is exact integer fixed point (components quantized to
+  * 1e-6) so cluster assignments and prune decisions are bit-identical
+  * across engines, partitionings, and cluster sizes — the property that
+  * makes a 100 TB curation run reproducible (same contract as the LSH /
+  * SimHash family in AnnQueries/DedupQueries).
+  *
+  * Reference anchor: the reference's embedding stage
+  * (rag_evaluation/RAG-eval-test_model.py:36-117) stops at brute-force
+  * cosine ranking; these are the operators that stand between that and
+  * corpus-scale semantic search/dedup.
+  */
+object Vector2Queries {
+
+  /** floor(x * 1e6) quantization of an array<float> to array<long> —
+    * exact in both engines (f32->f64 widening then floor). */
+  private def quant(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  private val quantSql =
+    "list_transform(%s, x -> floor(x::DOUBLE * 1000000)::BIGINT)"
+
+  /** Integer squared L2 distance between two array<long>. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_zip($a, $b), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+
+  /** One Lloyd assignment step: nearest centroid by integer squared
+    * distance, ties to the lowest centroid id. Centroid sets are k rows
+    * — always broadcast; the points side never shuffles. */
+  private def assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qe"), col("cid"),
+        sqDist(col("qe"), col("cvec")).as("dist"))
+      .groupBy(col("vec_id"), col("qe"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("qe"),
+        col("m.cid").as("cluster"), col("m.dist").as("dist"))
+
+  /** Centroid recomputation: exact integer per-dimension sums, then
+    * truncating integer division — Spark's `div` and DuckDB's `//`
+    * both truncate toward zero (measured on negative sums; DuckDB's
+    * FLOOR-like `//` behavior applies to FLOAT operands only). */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("qe")).as(Seq("d", "v")))
+      .groupBy(col("cluster"), col("d"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("d"),
+        expr("sv div n").as("cv"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+        p => p.getField("cv")).as("cvec"))
+      .select(col("cluster").as("cid"), col("cvec"))
+
+  private def assignSql(points: String, cents: String): String =
+    s"""SELECT vec_id, qe, cid AS cluster, dist FROM (
+      |    SELECT q.vec_id, q.qe, c.cid,
+      |      ${sqDistSql("q.qe", "c.cvec")} AS dist,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${sqDistSql("q.qe", "c.cvec")}, c.cid) AS rn
+      |    FROM $points q CROSS JOIN $cents c)
+      |  WHERE rn = 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------- random-projection reduction
+    QueryDef(
+      "random_projection_reduce",
+      (s, d) => Tables.embeddings(s, d).select(
+        (col("vec_id") +: (0 until 8).map(j =>
+          AnnQueries.intDot(col("embedding"), j).as(s"p$j"))): _*),
+      Some(s"""WITH comps AS (
+        |  SELECT vec_id, pl.j,
+        |    sum(floor(embedding[pl.d + 1]::DOUBLE * 1000000)::BIGINT * pl.w)
+        |      AS dotj
+        |  FROM embeddings CROSS JOIN ${AnnQueries.planesSql}
+        |  GROUP BY vec_id, pl.j)
+        |SELECT vec_id,
+        |  ${(0 until 8).map(j =>
+          s"sum(CASE WHEN j = $j THEN dotj ELSE 0 END)::BIGINT AS p$j")
+          .mkString(",\n        |  ")}
+        |FROM comps GROUP BY vec_id""".stripMargin),
+      "Johnson-Lindenstrauss random-projection reduction: 64-dim float " +
+        "embeddings down to 8 integer components via the fixed xorshift " +
+        "hyperplane matrix (shared with ann_bucket_assign). Row-local " +
+        "fixed-point dots — a narrow codegen'd projection, the cheap " +
+        "sketch that stands in for the full vector in coarse filters, " +
+        "cutting 100 TB of vector bytes ~8x before any shuffle."),
+
+    // ------------------------------------------ fixed-point k-means
+    QueryDef(
+      "kmeans_cluster_assign",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val c0 = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("qe").as("cvec"))
+        val a2 = assign(q, update(assign(q, c0)))
+        a2.select(col("vec_id"), col("cluster"), col("dist"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id,
+        |    ${quantSql.format("embedding")} AS qe FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qe AS cvec FROM q WHERE vec_id < 8),
+        |a1 AS (${assignSql("q", "c0")}),
+        |upd AS (SELECT cluster, dd.dd AS d,
+        |    sum(qe[dd.dd + 1])::BIGINT AS sv, count(*)::BIGINT AS n
+        |  FROM a1, (SELECT range AS dd FROM range(0, 64)) dd
+        |  GROUP BY cluster, dd.dd),
+        |c1 AS (SELECT cluster AS cid, list(sv // n ORDER BY d) AS cvec
+        |  FROM upd GROUP BY cluster),
+        |a2 AS (${assignSql("q", "c1")})
+        |SELECT vec_id, cluster, dist FROM a2""".stripMargin),
+      "Deterministic Lloyd k-means (k=8, 2 assignment passes, exact " +
+        "integer arithmetic): init centroids are the first k vectors, " +
+        "distances are fixed-point squared L2, centroid updates are " +
+        "exact integer sums + floor division — so the clustering is " +
+        "reproducible regardless of partitioning, unlike float k-means " +
+        "whose centroid sums drift with reduce order. Each pass is one " +
+        "broadcast of k centroids over a narrow scan plus one " +
+        "(cluster, dim)-keyed agg: the 100 TB IVF/SemDeDup " +
+        "cluster-build loop, with iterations as repeated passes."),
+
+    // ----------------------------------------- SemDeDup within-cluster
+    QueryDef(
+      "semdedup_prune",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        // Injected exact-copy vectors (same construction as
+        // dedup_embedding_cosine) model re-embedded duplicate content.
+        val c = base.unionByName(
+          base.filter(pmod(col("vec_id"), lit(25)) === 0)
+            .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+        val q = c.select(col("vec_id"), col("embedding"),
+          quant(col("embedding")).as("qe"))
+        val cents = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("qe").as("cvec"))
+        val clustered = assign(
+          q.select(col("vec_id"), col("qe")), cents)
+          .select(col("vec_id"), col("cluster"))
+          .join(q.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        // Greedy keep-lowest-id: b is pruned if any earlier same-cluster
+        // vector is a near-duplicate. Pairing is within-cluster only —
+        // the whole point of SemDeDup: clusters bound the O(n^2).
+        val pairs = clustered.as("x")
+          .join(clustered.as("y"),
+            col("x.cluster") === col("y.cluster") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("y.vec_id").as("vec_id"), col("y.cluster").as("cluster"),
+            col("x.vec_id").as("dup_of"),
+            cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+          .filter(col("cos") >= 0.999)
+        pairs.withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cluster"), col("dup_of"),
+            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"))
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |c AS (SELECT vec_id, embedding FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 10000, embedding FROM base
+        |      WHERE vec_id % 25 = 0),
+        |q AS (SELECT vec_id, embedding,
+        |    ${quantSql.format("embedding")} AS qe FROM c),
+        |c0 AS (SELECT vec_id AS cid, qe AS cvec FROM q WHERE vec_id < 8),
+        |a1 AS (${assignSql("q", "c0")}),
+        |cl AS (SELECT a1.vec_id, a1.cluster, q.embedding
+        |  FROM a1 JOIN q ON q.vec_id = a1.vec_id),
+        |pairs AS (SELECT y.vec_id AS vec_id, y.cluster AS cluster,
+        |    x.vec_id AS dup_of,
+        |    ${cosineSql("x.embedding", "y.embedding")} AS cos
+        |  FROM cl x JOIN cl y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+        |hits AS (SELECT vec_id, cluster, dup_of, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dup_of) AS rn
+        |  FROM pairs WHERE cos >= 0.999)
+        |SELECT vec_id, cluster, dup_of,
+        |       floor(cos * 1000000)::BIGINT AS cos_e6
+        |FROM hits WHERE rn = 1""".stripMargin),
+      "SemDeDup semantic pruning: coarse-cluster the corpus (one " +
+        "fixed-point assignment pass), then drop any vector whose " +
+        "cluster contains an earlier near-duplicate (cos >= 0.999), " +
+        "reporting what it duplicated. Pair generation is an equi-join " +
+        "on cluster id — the cluster stage is exactly what turns " +
+        "all-pairs semantic dedup into a per-bucket job that scales to " +
+        "100 TB; swap the assignment pass for kmeans_cluster_assign's " +
+        "iterated centroids unchanged."),
+  )
+}
