@@ -22,8 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_embedding_cosine", // bounded 208-vector slice, documented
     "miss_sentinel",          // 4-term broadcast containment join
     "ann_ivf_topk",           // centroid table x probe rubric
-    "knn_graph")              // bounded 300-vector slice, broadcast side
+    "knn_graph",              // bounded 300-vector slice, broadcast side
                               // (scale path: LSH/IVF bucket join, see doc)
+    "length_outlier_filter",  // broadcast of 1-row total + 2-value bounds
+    "kmeans_cluster_assign",  // broadcast of k=8 centroid rows per pass
+    "semdedup_prune")         // broadcast of k=8 centroid rows (assign)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
