@@ -125,6 +125,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected AQE shuffle coalescing in:\n$plan")
   }
 
+  /** Every rank<=k-over-window query must plan WindowGroupLimit — Spark
+    * 4's rank-limit pushdown (partial per-partition top-k BEFORE the
+    * shuffle + final after), which bounds both sort width and shuffle
+    * volume to k rows per group per partition. This is why the engine
+    * has no custom grouped-top-k physical operator: the built-in plans
+    * the exact two-phase bounded-heap shape a custom SparkPlan would,
+    * and a regression here (e.g. a filter rewritten so the rank
+    * predicate no longer matches) silently reverts to full group sorts
+    * at 100 TB. */
+  test("top-k window queries plan two-phase WindowGroupLimit") {
+    Seq("cosine_topk", "knn_graph", "ann_lsh_topk", "limit_topk").foreach {
+      name =>
+        val plan = SparkEntry.registry.find(_.name == name).get
+          .fn(spark, sfDir).queryExecution.sparkPlan.toString
+        val n = "WindowGroupLimit".r.findAllIn(plan).length
+        if (plan.contains("Window")) // rank-based top-k queries only
+          assert(n >= 1, s"$name plans Window without WindowGroupLimit")
+    }
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
