@@ -251,5 +251,95 @@ object Curation2Queries {
         "token-keyed shuffle); the only shuffle re-aggregates per " +
         "doc_id — the pass that decides tokenizer fit before a " +
         "100 TB tokenization run."),
+
+    // --------------------------------------- statistical LM quality score
+    QueryDef(
+      "bigram_lm_score",
+      (s, d) => {
+        val toksC = split(col("text"), " ")
+        val docs = Tables.documents(s, d)
+        // Per-doc bigram instances, built row-locally from two shifted
+        // slices (split runs once; no token-keyed explode before the
+        // stats join).
+        val bi = docs.select(col("doc_id"),
+            explode(zip_with(
+              slice(toksC, lit(1), size(toksC) - 1),
+              slice(toksC, lit(2), size(toksC) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        val uni = docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val bc = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        bi.join(broadcast(bc), Seq("w1", "w2"))
+          .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+          .select(col("doc_id"), expr("(1000000 * cb) div cu").as("sc"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("ssum"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("ssum div n_bigrams").as("lm_score_e6"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |uni AS (SELECT t2.tok, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t2 GROUP BY 1),
+        |bi AS (SELECT doc_id, toks[i.i + 1] AS w1, toks[i.i + 2] AS w2
+        |  FROM t, (SELECT range AS i FROM range(0, 128)) i
+        |  WHERE i.i <= len(toks) - 2),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bi GROUP BY 1, 2)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum((1000000 * bc.cb) // u.cu) // count(*))::BIGINT
+        |    AS lm_score_e6
+        |FROM bi b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+        |JOIN uni u ON u.tok = b.w1
+        |GROUP BY b.doc_id""".stripMargin),
+      "Statistical bigram-LM quality score, no stub: corpus-MLE " +
+        "P(w2|w1) in fixed point (floor(1e6 * c(w1 w2) / c(w1))), " +
+        "averaged per document — the self-supervised fluency signal a " +
+        "pretraining filter computes when no external LM is available. " +
+        "The n-gram statistics collapse to vocabulary-sized tables and " +
+        "broadcast; documents are scored in place, so the corpus scan " +
+        "stays narrow and only the per-doc agg shuffles."),
+
+    // ------------------------------------------- dataset mixture rates
+    QueryDef(
+      "domain_mixture_rebalance",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        val tot = perSrc.agg(sum(col("n_tokens")).as("total"),
+          count(lit(1)).as("n_sources"))
+        perSrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("(1000 * n_tokens) div total").as("share_permille"),
+            least(lit(1000L),
+              expr("(1000 * (total div n_sources)) div n_tokens"))
+              .as("sample_rate_permille"))
+          .withColumn("sampled_tokens",
+            expr("(n_tokens * sample_rate_permille) div 1000"))
+      },
+      Some("""WITH per AS (SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total,
+        |    count(*)::BIGINT AS n_sources FROM per)
+        |SELECT source, n_tokens,
+        |  ((1000 * n_tokens) // total)::BIGINT AS share_permille,
+        |  least(1000, (1000 * (total // n_sources)) // n_tokens)::BIGINT
+        |    AS sample_rate_permille,
+        |  ((n_tokens * least(1000, (1000 * (total // n_sources))
+        |      // n_tokens)) // 1000)::BIGINT AS sampled_tokens
+        |FROM per, tot""".stripMargin),
+      "Dataset-mixture rebalancing: per-domain token counts vs a " +
+        "uniform target share, emitting the deterministic downsampling " +
+        "rate (permille) that equalizes domains without upsampling — " +
+        "the static mixture computation run before sharding a " +
+        "pretraining corpus. One domain-level agg plus a broadcast of " +
+        "the two totals; the rates then drive sample_subset-style " +
+        "md5-bucket sampling over the full corpus."),
   )
 }

@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "regex_strip_suffix", "prompt_template_concat", "media_metadata",
     "media_resize", "redact_pii", "text_token_count", "text_fingerprint",
     "l2_normalize", "mean_pool_embedding", "truncate_pad_tokens",
-    "epoch_format_decimal", "path_key_concat", "split_train_val_test")
+    "epoch_format_decimal", "path_key_concat", "split_train_val_test",
+    "c4_line_filter", "random_projection_reduce")
     // split_train_val_test has one agg exchange; allow 1 there
   private val narrowAllowance = Map("split_train_val_test" -> 1)
 
