@@ -56,5 +56,15 @@ class FixtureBoundsSpec extends SparkSpec {
       val (_, _, ascii) = stats(dir)
       assert(ascii, "non-ASCII text breaks media_feature_extract oracle parity")
     }
+
+    test(s"$sf: line and bigram counts stay under the round-4 oracle caps") {
+      val (maxTok, _, _) = stats(dir)
+      // c4_line_filter: (maxTok-1) div 10 + 1 lines vs range(0, 16);
+      // bigram_lm_score: maxTok - 1 bigrams vs range(0, 128)
+      assert((maxTok - 1) / 10 + 1 < 16,
+        s"doc of $maxTok tokens needs >= 16 lines (c4_line_filter cap)")
+      assert(maxTok - 1 < 128,
+        s"doc of $maxTok tokens yields >= 128 bigrams (bigram_lm_score cap)")
+    }
   }
 }
