@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
                               // (scale path: LSH/IVF bucket join, see doc)
     "length_outlier_filter",  // broadcast of 1-row total + 2-value bounds
     "kmeans_cluster_assign",  // broadcast of k=8 centroid rows per pass
-    "semdedup_prune")         // broadcast of k=8 centroid rows (assign)
+    "semdedup_prune",         // broadcast of k=8 centroid rows (assign)
+    "domain_mixture_rebalance", // broadcast of the 1-row totals
+    "pagerank_knn")           // bounded 300-vector kNN slice (see knn_graph)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
