@@ -16,7 +16,8 @@ object SparkEntry {
       VectorQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
       AnnQueries.defs ++ MultimodalQueries.defs ++ ScaleQueries.defs ++
       AdvancedQueries.defs ++ PipelineOpsQueries.defs ++ CurationQueries.defs ++
-      Curation2Queries.defs ++ Vector2Queries.defs ++ GraphQueries.defs
+      Curation2Queries.defs ++ Vector2Queries.defs ++ GraphQueries.defs ++
+      SubqueryQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

@@ -118,6 +118,23 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming twin of the `dedup_incremental` batch operator: a stream
+    * of incoming documents is deduped (a) against a static historical
+    * fingerprint index via a stream-static LEFT ANTI join — one of the
+    * stream-static join types Structured Streaming supports stateless,
+    * the static side re-planned per micro-batch — and (b) within the
+    * stream itself via watermark-bounded fingerprint state
+    * (dropDuplicatesWithinWatermark), so in-flight state stays bounded
+    * no matter how long the stream runs. Expects columns (doc_id, text,
+    * ts); index carries a single `fp` column of md5 fingerprints. */
+  def incrementalDedup(docs: DataFrame, index: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+      .join(index, Seq("fp"), "left_anti")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join: each start event ('signup') matched to
     * completion events ('purchase') of the same user arriving within
     * [start, start + 1 hour] — the submit->done correlation the

@@ -48,4 +48,27 @@ class SketchSpec extends SparkSpec {
       assert(cms.estimateCount(k) >= n, s"CMS under-counted $k")
     }
   }
+
+  test("approx_count_distinct tracks the exact cardinality within rsd") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd = 0.02))
+      .head().getLong(0)
+    // HLL++ at rsd=0.02: allow 3 sigma
+    assert(math.abs(approx - exact) <= math.max(3, 0.06 * exact),
+      s"HLL estimate $approx vs exact $exact")
+  }
+
+  test("approx percentile brackets the exact median") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.stat.approxQuantile("value", Array(0.5), 0.0).head
+    val approx = ev.select(
+      percentile_approx(col("value"), lit(0.5), lit(10000))).head().getDouble(0)
+    // accuracy 10000 -> rank error <= n/10000; value tolerance via the
+    // exact p45/p55 band (any value in that band is a valid 1%-rank miss)
+    val band = ev.stat.approxQuantile("value", Array(0.45, 0.55), 0.0)
+    assert(approx >= band(0) && approx <= band(1),
+      s"approx median $approx outside exact [p45, p55] band " +
+        s"[${band(0)}, ${band(1)}]; exact median was $exact")
+  }
 }

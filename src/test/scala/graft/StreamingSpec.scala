@@ -9,6 +9,8 @@ import graft.streaming.{JobEvent, Streams}
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
 /** Structured Streaming twins (T1–T4 + capacity gate) driven by
   * MemoryStream — semantics only; the oracle-checked batch shadows live
   * in EventQueries. */
@@ -205,5 +207,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("segment").isNull).count() === 1)
     assert(out.filter(col("user_id") === 1 && col("segment") === "BUILDING")
       .count() === 1)
+  }
+
+  test("incrementalDedup drops history hits and in-stream repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    // history index holds the fingerprint of "Seen Before!" (normalized)
+    val index = Seq("seen before").toDF("t")
+      .select(md5(col("t")).as("fp")).select(col("fp"))
+    val q = Streams.incrementalDedup(mem.toDF(), index)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      StreamDoc(1, "Seen Before!", ts(0)),   // in history -> dropped
+      StreamDoc(2, "fresh one", ts(1)))      // survives
+    q.processAllAvailable()
+    mem.addData( // second micro-batch: state from the first dedupes 3
+      StreamDoc(3, "FRESH   one", ts(2)),    // same normalized fp -> dropped
+      StreamDoc(4, "another doc", ts(3)))    // survives
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("incdedup")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids === Set(2L, 4L))
   }
 }
