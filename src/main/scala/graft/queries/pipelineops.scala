@@ -174,5 +174,78 @@ object PipelineOpsQueries {
         "stats aggregate map-side in one scan per column group, and at " +
         "100 TB distinct counts swap to approx_count_distinct " +
         "(documented in approx_count_users)."),
+
+    // -------------------------------------------- forward fill (LOCF)
+    QueryDef(
+      "forward_fill_locf",
+      (s, d) => {
+        // Sensor-style missing data: 'error' events carry no usable
+        // reading (synthesized as NULL deterministically in both
+        // engines); impute last-observation-carried-forward per user.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("t_us"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"),
+            when(col("event_type") =!= "error",
+              floor(col("value") * 1000).cast("bigint")).as("reading_e3"))
+          .withColumn("filled_e3",
+            last(col("reading_e3"), ignoreNulls = true).over(w))
+          .withColumn("was_imputed",
+            col("reading_e3").isNull && col("filled_e3").isNotNull)
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS t_us,
+        |  CASE WHEN event_type != 'error'
+        |       THEN floor(value * 1000)::BIGINT END AS reading_e3,
+        |  last_value(CASE WHEN event_type != 'error'
+        |                  THEN floor(value * 1000)::BIGINT END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS filled_e3,
+        |  (CASE WHEN event_type != 'error'
+        |        THEN floor(value * 1000)::BIGINT END IS NULL
+        |   AND last_value(CASE WHEN event_type != 'error'
+        |                  THEN floor(value * 1000)::BIGINT END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) IS NOT NULL) AS was_imputed
+        |FROM events""".stripMargin),
+      "Forward fill / last-observation-carried-forward: NULL readings " +
+        "imputed from the user's most recent non-null via " +
+        "last(ignoreNulls) over an unbounded-preceding ROWS frame — " +
+        "the missing-data repair every telemetry/feature pipeline runs. " +
+        "One shuffle on the partition key; the frame scans forward " +
+        "incrementally, so cost is linear per partition regardless of " +
+        "gap length (never a self-join per gap)."),
+
+    // ------------------------------------------------ map HOF filtering
+    QueryDef(
+      "map_filter_hot_types",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("event_id")).as("last_id"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("last_id"))))).as("m"))
+        .select(col("user_id"),
+          map_filter(col("m"), (k, v) => v >= 5000).as("hot"))
+        .select(col("user_id"),
+          size(col("hot")).cast("bigint").as("n_hot"),
+          array_join(array_sort(map_keys(col("hot"))), ",").as("hot_types")),
+      Some("""WITH last AS (SELECT user_id, event_type,
+        |    max(event_id) AS last_id FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  count(CASE WHEN last_id >= 5000 THEN 1 END)::BIGINT AS n_hot,
+        |  coalesce(string_agg(CASE WHEN last_id >= 5000 THEN event_type END,
+        |                      ',' ORDER BY event_type), '') AS hot_types
+        |FROM last GROUP BY user_id""".stripMargin),
+      "Row-local map filtering: the per-user type->latest-id map " +
+        "(map_from_entries over pre-deduped entries — duplicate map " +
+        "keys throw in Spark) pruned to hot entries with map_filter, " +
+        "then re-emitted as sorted scalars so the result is map-order " +
+        "independent. Completes the map HOF family " +
+        "(map_event_type_counts builds, map_share_permille transforms " +
+        "values, this filters); map state stays one bounded map per " +
+        "user through the agg."),
   )
 }

@@ -148,6 +148,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** SQL correlated subqueries must decorrelate: EXISTS/NOT EXISTS plan
+    * as one semi + one anti hash join, and the scalar aggregate subquery
+    * as a pre-aggregated join — never a per-row subquery re-execution
+    * (which would be a correlated nested loop at 100 TB). */
+  test("correlated subqueries decorrelate to semi/anti/aggregate joins") {
+    val exists = SparkEntry.registry.find(_.name == "exists_correlated").get
+      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(exists.contains("LeftSemi"), s"no semi join in:\n$exists")
+    assert(exists.contains("LeftAnti"), s"no anti join in:\n$exists")
+    val scalar = SparkEntry.registry
+      .find(_.name == "scalar_subquery_above_avg").get
+      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(scalar.contains("HashAggregate"),
+      s"scalar subquery not pre-aggregated:\n$scalar")
+    assert(!scalar.contains("CartesianProduct"))
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString

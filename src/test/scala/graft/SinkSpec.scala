@@ -50,4 +50,19 @@ class SinkSpec extends SparkSpec {
     assert(back.filter(col("lang") === "en").count() ===
       src.filter(col("lang") === "en").count())
   }
+
+  test("XML round-trip: Spark 4 built-in xml source preserves records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 50)
+    src.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(s"$dir/docs")
+    val back = spark.read.option("rowTag", "doc")
+      .schema(src.schema).format("xml").load(s"$dir/docs")
+    assert(back.count() === src.count())
+    val a = src.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b, "XML round-trip changed record contents")
+  }
 }
