@@ -165,6 +165,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scalar.contains("CartesianProduct"))
   }
 
+  /** Unhinted equi-joins must pick broadcast under the size threshold
+    * and degrade to shuffle (sort-merge/shuffled-hash) when the build
+    * side outgrows it — the property that lets the same query text run
+    * at sf0.001 and at 100 TB without a rewrite. Explicitly-hinted
+    * joins (broadcast(dim)) are pinned choices and exempt. */
+  test("unhinted joins flip broadcast -> shuffle with the threshold") {
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    def planOf(): String = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"))
+      .groupBy(cust("c_nationkey")).count()
+      .queryExecution.sparkPlan.toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert(planOf().contains("BroadcastHashJoin"),
+        "small dim did not broadcast under the default threshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = planOf()
+      assert(!big.contains("BroadcastHashJoin"),
+        s"join still broadcasts with threshold disabled:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"no shuffle join planned:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
