@@ -247,5 +247,50 @@ object PipelineOpsQueries {
         "(map_event_type_counts builds, map_share_permille transforms " +
         "values, this filters); map state stays one bounded map per " +
         "user through the agg."),
+
+    // ------------------------------------- corrupt-record JSON ingestion
+    QueryDef(
+      "scan_json_corrupt_records",
+      (s, d) => {
+        // Synthesize a JSON-lines feed with deterministic corruption
+        // (every 7th record truncated mid-object) so both engines see
+        // identical dirt — the PERMISSIVE-parse shape of a crawl whose
+        // writers occasionally die mid-line.
+        val good = concat(lit("{\"id\":"), col("doc_id"),
+          lit(",\"n\":"), col("n_chars"), lit("}"))
+        val bad = concat(lit("{\"id\":"), col("doc_id"), lit(",\"n\":"))
+        val lines = Tables.documents(s, d).select(col("source"),
+          when(pmod(col("doc_id"), lit(7)) === 0, bad).otherwise(good)
+            .as("line"))
+        lines
+          .select(col("source"), from_json(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, n BIGINT")).as("j"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_lines"),
+            count(col("j.id")).as("n_parsed"),
+            (count(lit(1)) - count(col("j.id"))).as("n_corrupt"),
+            sum(col("j.n")).as("sum_n"))
+      },
+      Some("""WITH lines AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN '{"id":' || doc_id || ',"n":'
+        |         ELSE '{"id":' || doc_id || ',"n":' || n_chars || '}'
+        |    END AS line
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_lines,
+        |  count(CASE WHEN json_valid(line) THEN 1 END)::BIGINT AS n_parsed,
+        |  count(CASE WHEN NOT json_valid(line) THEN 1 END)::BIGINT
+        |    AS n_corrupt,
+        |  sum(CASE WHEN json_valid(line)
+        |           THEN (line->>'$.n')::BIGINT END)::BIGINT AS sum_n
+        |FROM lines GROUP BY source""".stripMargin),
+      "Corrupt-tolerant JSON ingestion: from_json in PERMISSIVE mode " +
+        "nulls out malformed records instead of failing the job, and " +
+        "the per-source quarantine counts (parsed / corrupt / payload " +
+        "sum) surface feed health — a 100 TB crawl ingest NEVER dies on " +
+        "row one (same contract as ingest_try_cast for scalar casts). " +
+        "Narrow parse + one small agg; corruption is synthesized " +
+        "deterministically so the DuckDB oracle sees identical dirt."),
   )
 }
