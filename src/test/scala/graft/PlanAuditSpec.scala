@@ -138,7 +138,8 @@ class PlanAuditSpec extends SparkSpec {
     * predicate no longer matches) silently reverts to full group sorts
     * at 100 TB. */
   test("top-k window queries plan two-phase WindowGroupLimit") {
-    Seq("cosine_topk", "knn_graph", "ann_lsh_topk", "limit_topk").foreach {
+    Seq("cosine_topk", "knn_graph", "ann_lsh_topk", "limit_topk",
+      "topk_terms_per_lang", "sample_fixed_per_group").foreach {
       name =>
         val plan = SparkEntry.registry.find(_.name == name).get
           .fn(spark, sfDir).queryExecution.sparkPlan.toString
