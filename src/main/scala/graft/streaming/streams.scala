@@ -110,6 +110,22 @@ object Streams {
         })
   }
 
+  /** Streaming twin of the `sliding_distinct_users` batch operator:
+    * distinct-user cardinality per 3 h window sliding by 1 h. Exact
+    * streaming count-distinct would buffer every user id per open window;
+    * approx_count_distinct keeps one HLL++ sketch per window instead —
+    * constant state per window, partials merged map-side — which is the
+    * only form that survives unbounded cardinality (error bound pinned in
+    * SketchSpec). */
+  def slidingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("n_users_approx"), col("n_events"))
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * small static dimension (the per-run metadata lookup every scheduler
     * loop performs on its config tables).  The static side re-plans per

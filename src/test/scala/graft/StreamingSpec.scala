@@ -232,4 +232,31 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(ids === Set(2L, 4L))
   }
+
+  test("slidingDistinctUsers emits per-window sketched cardinality " +
+    "after watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // hour 0: users 1,1,2 -> 2 distinct; hour 1: user 3 -> windows
+    // [22:00..0:00], [23:00..1:00], [0:00..2:00] etc. cover each event
+    mem.addData(
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(20), 1, "click", 1.0, "{}"),
+      Ev(3, ts(40), 2, "view", 1.0, "{}"),
+      Ev(4, ts(70), 3, "view", 1.0, "{}"))
+    mem.addData(Ev(5, ts(6000), 9, "view", 1.0, "{}")) // advance watermark
+    val out = runBatches(Streams.slidingDistinctUsers(mem.toDF()), "sdu")
+    val byStart = out
+      .select(col("window_start"), col("n_users_approx"), col("n_events"))
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (w, u, n) => w -> ((u, n)) }.toMap
+    // the window starting at hour 0 covers all 4 early events, 3 users
+    assert(byStart(ts(0)) === ((3L, 4L)))
+    // the window starting at 22:00 prev day covers hour 0 only: 2 users
+    assert(byStart(Timestamp.valueOf("2023-12-31 22:00:00")) === ((2L, 3L)))
+    // each early event replicated into exactly 3 closed windows; the
+    // watermark-advancing event's own windows stay open (append mode)
+    assert(byStart.values.map(_._2).sum === 4L * 3)
+  }
 }
