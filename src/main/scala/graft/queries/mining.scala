@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Typed-cogroup input records (top-level for stable Encoders). */
+final case class MiningUserEvent(user_id: Long, t_us: Long)
+final case class MiningUserOrder(user_id: Long, t_us: Long, price_c: Long)
+final case class MiningActivity(
+    user_id: Long, n_events: Long, n_orders: Long,
+    last_event_us: Option[Long], last_order_us: Option[Long],
+    total_price_c: Long)
+
+/** Sequence- and co-occurrence-mining operators over the event ledger:
+  * the usage-pattern analytics a pipeline operator runs on its own run
+  * history (the reference's sweep drivers log exactly such event streams
+  * — submit/poll/done lines in create_all_models.py:48-76 — but never
+  * analyze them).
+  */
+object MiningQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------- co-occurrence pairs
+    QueryDef(
+      "cooccurrence_pairs",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+        val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+        a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*)::BIGINT AS n_users
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin),
+      "Market-basket co-occurrence: for every unordered pair of event " +
+        "types, the number of users exhibiting both. The self-join is " +
+        "keyed by user after a distinct that caps each user's rows at " +
+        "the type-vocabulary size, so per-user pair fan-out is C(|V|,2) " +
+        "— bounded by the vocabulary, never by event volume. At 100 TB " +
+        "this is the pair-counting stage of FP-growth-style mining; " +
+        "larger itemsets repeat the same bounded join on the survivor " +
+        "pairs (apriori pruning keeps the frontier broadcastable)."),
+
+    // ------------------------------------------ event transitions
+    QueryDef(
+      "event_transition_counts",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t_us"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*)::BIGINT AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+      "First-order Markov transition counts over each user's event " +
+        "sequence (lag window, tie-broken by event_id, then a global " +
+        "pair count). One shuffle on the sequence key + one tiny " +
+        "|V|^2-row aggregate; the transition matrix normalizes " +
+        "row-wise into the behavioral model that anomaly detection and " +
+        "session simulation consume. Same shape at 100 TB — the window " +
+        "never sees more than one user's history per partition."),
+
+    // --------------------------------------------- typed cogroup merge
+    QueryDef(
+      "cogroup_user_activity",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+          .as[MiningUserEvent]
+          .groupByKey(_.user_id)
+        val or = Tables.orders(s, d)
+          .select(col("o_custkey").as("user_id"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+            floor(col("o_totalprice") * 100).cast("bigint").as("price_c"))
+          .as[MiningUserOrder]
+          .groupByKey(_.user_id)
+        ev.cogroup(or) { (uid, evs, ors) =>
+          // order-independent folds only: iterator order within a
+          // cogroup bucket is not guaranteed
+          var nE = 0L; var lastE = Long.MinValue
+          evs.foreach { e => nE += 1; if (e.t_us > lastE) lastE = e.t_us }
+          var nO = 0L; var lastO = Long.MinValue; var total = 0L
+          ors.foreach { o =>
+            nO += 1; total += o.price_c; if (o.t_us > lastO) lastO = o.t_us
+          }
+          Iterator.single(MiningActivity(uid, nE, nO,
+            if (nE == 0) None else Some(lastE),
+            if (nO == 0) None else Some(lastO), total))
+        }.toDF()
+      },
+      Some("""WITH e AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    max(epoch_us(ts::TIMESTAMP)) AS last_event_us
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT o_custkey AS user_id, count(*)::BIGINT AS n_orders,
+        |    max(epoch_us(o_orderdate::TIMESTAMP)) AS last_order_us,
+        |    sum(floor(o_totalprice * 100))::BIGINT AS total_price_c
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(e.user_id, o.user_id) AS user_id,
+        |  coalesce(n_events, 0)::BIGINT AS n_events,
+        |  coalesce(n_orders, 0)::BIGINT AS n_orders,
+        |  last_event_us, last_order_us,
+        |  coalesce(total_price_c, 0)::BIGINT AS total_price_c
+        |FROM e FULL OUTER JOIN o USING (user_id)""".stripMargin),
+      "KeyValueGroupedDataset.cogroup (SURVEY §2.10 typed surface): both " +
+        "sides shuffle once on the shared key and each key's two " +
+        "iterators meet in one function call — the typed form of a " +
+        "full-outer merge where per-key logic is imperative. The folds " +
+        "here are order-independent (counts/max/sum of integers), so " +
+        "results are partitioning-proof; the DuckDB oracle is the " +
+        "equivalent relational FULL OUTER JOIN of two aggregates. Use " +
+        "the relational form when aggregates suffice (it gets partial " +
+        "aggregation); cogroup earns its shuffle when the per-key merge " +
+        "is genuinely sequential (e.g. event/order interleaving logic)."),
+  )
+}
