@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Dense global 0-based indexing WITHOUT a single-partition sort — the
+  * 100 TB form of the `zip_with_index` query (whose global row_number
+  * window funnels everything through one task, fine for ~1e3 outputs,
+  * fatal for 1e11).
+  *
+  * Shape: range-partition by the (unique) order key so partition i holds
+  * strictly smaller keys than partition i+1, sort within partitions, then
+  * add per-partition offsets (RDD.zipWithIndex: one count job over the
+  * partitions + one map with the prefix-sum offsets). Total order is the
+  * key order, indices are dense, and no task ever holds more than its
+  * partition — the same technique Spark itself uses for
+  * `DataFrame.withSequenceColumn`/monotonically-increasing ids, but dense.
+  *
+  * ScalableIndexSpec proves exact parity with the windowed query on the
+  * fixture.
+  */
+object ScalableIndex {
+
+  def withDenseIndex(df: DataFrame, orderCol: String, numParts: Int,
+      idxCol: String = "idx"): DataFrame = {
+    val sorted = df
+      .repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = sorted.schema.add(idxCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -102,6 +102,66 @@ object AdvancedQueries {
         "stream. Oracle uses DuckDB's native ASOF JOIN for an " +
         "independent formulation."),
 
+    // ----------------------------------------------- tolerance as-of
+    QueryDef(
+      "asof_join_tolerance",
+      (s, d) => {
+        // asof_join_latest_ref with a max-staleness gate: a reference
+        // older than 1 hour is no reference (the checkpoint-expiry /
+        // sensor-staleness rule). Same single-shuffle union+window —
+        // the window carries (build time, ref) as a struct so the gate
+        // is a row-local check after the as-of resolution.
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+        val builds = ev
+          .filter(col("event_type").isin("signup", "click"))
+          .groupBy(col("user_id"), col("ts").as("t"))
+          .agg(max(col("event_id")).as("ref_event"))
+          .select(col("user_id"), col("t"), col("ref_event"),
+            lit(null).cast("bigint").as("event_id"), lit(1).as("is_build"))
+        val probes = ev
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("ts").as("t"),
+            lit(null).cast("bigint").as("ref_event"), col("event_id"),
+            lit(0).as("is_build"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("is_build").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        builds.unionByName(probes)
+          .withColumn("asof", last(
+            when(col("is_build") === 1,
+              struct(col("t").as("bt"), col("ref_event").as("ref"))),
+            ignoreNulls = true).over(w))
+          .filter(col("is_build") === 0)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("t")).as("ts_us"),
+            when(col("asof").isNotNull &&
+              unix_micros(col("t")) - unix_micros(col("asof.bt"))
+                <= 3600000000L,
+              col("asof.ref")).otherwise(lit(-1L)).as("asof_ref_1h"))
+      },
+      Some("""WITH builds AS (
+        |  SELECT user_id, ts AS t, max(event_id) AS ref_event
+        |  FROM events WHERE event_type IN ('signup', 'click')
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,
+        |  CASE WHEN b.t IS NOT NULL
+        |        AND epoch_us(e.ts::TIMESTAMP) - epoch_us(b.t::TIMESTAMP)
+        |            <= 3600000000
+        |       THEN b.ref_event ELSE -1 END AS asof_ref_1h
+        |FROM events e
+        |ASOF LEFT JOIN builds b
+        |  ON e.user_id = b.user_id AND e.ts >= b.t
+        |WHERE e.event_type IN ('purchase', 'error')""".stripMargin),
+      "As-of join with staleness tolerance: the latest reference " +
+        "at-or-before each probe counts only within a 1 h window — " +
+        "older checkpoints are expired to the miss sentinel. The window " +
+        "carries (build_time, ref) as one struct through the same " +
+        "single-shuffle union+window as asof_join_latest_ref, so " +
+        "tolerance costs one row-local comparison, not a second join. " +
+        "Oracle: DuckDB native ASOF JOIN + the same gate."),
+
     // ------------------------------------------------- forward as-of
     QueryDef(
       "asof_join_next_ref",

@@ -177,6 +177,31 @@ object Streams {
         col("start_ts"), col("done_ts"))
   }
 
+  /** Timeout detection: the LEFT OUTER form of [[correlateStartDone]] —
+    * starts with no completion within the hour surface as a row with
+    * null done_id once the watermark passes start_ts + interval (the
+    * "job never finished" alarm the reference's pollers can only raise
+    * by timing out their 15 s loop). Outer stream-stream joins require
+    * watermarks on both sides plus the time constraint so Spark knows
+    * when a start can no longer match and must be emitted unmatched. */
+  def correlateStartDoneOuter(events: DataFrame): DataFrame = {
+    val starts = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("start_id"), col("user_id"),
+        col("ts").as("start_ts"))
+      .withWatermark("start_ts", "10 minutes")
+    val dones = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("done_id"),
+        col("user_id").as("done_user"), col("ts").as("done_ts"))
+      .withWatermark("done_ts", "10 minutes")
+    starts.join(dones,
+      col("user_id") === col("done_user") &&
+        col("done_ts") >= col("start_ts") &&
+        col("done_ts") <= col("start_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("user_id"), col("start_id"), col("done_id"),
+        col("start_ts"), col("done_ts"))
+  }
+
   /** Batch-catchup drain: process everything currently available, then
     * stop on our own — Trigger.AvailableNow. This is the scheduled-job
     * form of a stream (the reference's cron-like sweep drivers rerun and

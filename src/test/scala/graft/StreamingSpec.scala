@@ -233,6 +233,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(2L, 4L))
   }
 
+  test("correlateStartDoneOuter emits unmatched starts with null done " +
+    "after the watermark closes the match window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "signup", 1.0, "{}"),    // matched within the hour
+      Ev(2, ts(30), 1, "purchase", 1.0, "{}"),
+      Ev(3, ts(10), 2, "signup", 1.0, "{}"))   // never completes
+    // push BOTH sides' watermarks far past start_ts + 1h + 10min: the
+    // per-side watermark nodes sit behind the event_type filters, so
+    // only signup/purchase rows advance them
+    mem.addData(
+      Ev(4, ts(6000), 8, "signup", 1.0, "{}"),
+      Ev(5, ts(6000), 9, "purchase", 1.0, "{}"))
+    // state eviction + outer-null emission happen in a batch AFTER the
+    // watermark update — force one more micro-batch
+    mem.addData(
+      Ev(6, ts(6200), 8, "signup", 1.0, "{}"),
+      Ev(7, ts(6200), 9, "purchase", 1.0, "{}"))
+    val out = runBatches(Streams.correlateStartDoneOuter(mem.toDF()), "sdo")
+    val rows = out.select(col("start_id"), col("done_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows(1L) === Some(2L))
+    assert(rows(3L) === None)
+  }
+
   test("slidingDistinctUsers emits per-window sketched cardinality " +
     "after watermark close") {
     import spark.implicits._
