@@ -126,6 +126,45 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("n_users_approx"), col("n_events"))
 
+  /** Custom sessionization with an event-time TIMER: per-user session
+    * state accumulates until the watermark passes last-event + gap, at
+    * which point the state times out and the closed session summary is
+    * emitted — the flatMapGroupsWithState + EventTimeTimeout form of
+    * session_window (use this one when sessions need custom merge logic
+    * or per-session emission policy; the built-in otherwise). The folds
+    * are order-independent (count/min/max), so summaries are identical
+    * under any partitioning. State is one small record per OPEN session
+    * and is removed on timeout — bounded by concurrently-active users,
+    * not by history. */
+  def sessionizeWithTimeout(events: Dataset[SessEvent],
+      gapMinutes: Int): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, evs: Iterator[SessEvent],
+            state: GroupState[SessionSummary]) => {
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            var s = state.getOption.getOrElse(
+              SessionSummary(user, 0L, Long.MaxValue, Long.MinValue))
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              s = SessionSummary(user, s.n_events + 1,
+                math.min(s.first_ms, t), math.max(s.last_ms, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.last_ms + gapMinutes * 60000L)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * small static dimension (the per-run metadata lookup every scheduler
     * loop performs on its config tables).  The static side re-plans per
@@ -240,6 +279,9 @@ object Streams {
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
+final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+final case class SessionSummary(user_id: Long, n_events: Long,
+    first_ms: Long, last_ms: Long)
 final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
     rejected: Int)
 final case class RetryDecision(user_id: Long, event_id: Long, failures: Int,

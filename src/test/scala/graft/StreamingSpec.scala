@@ -233,6 +233,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(2L, 4L))
   }
 
+  test("sessionizeWithTimeout closes sessions via event-time timer and " +
+    "emits order-independent summaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.SessEvent]
+    import graft.streaming.SessEvent
+    // user 1: a 3-event burst inside 20 minutes
+    mem.addData(
+      SessEvent(1, ts(10)), SessEvent(1, ts(0)), SessEvent(1, ts(20)))
+    // another user far in the future advances the watermark past
+    // last(1) + 30min gap + 10min watermark delay
+    mem.addData(SessEvent(2, ts(600)))
+    // one more batch so the timed-out state is visited and emitted
+    mem.addData(SessEvent(2, ts(620)))
+    val out = runBatches(
+      Streams.sessionizeWithTimeout(mem.toDS(), gapMinutes = 30).toDF(),
+      "sesstimeout")
+    import java.sql.Timestamp
+    val rows = out.as[graft.streaming.SessionSummary].collect()
+      .map(s => s.user_id -> s).toMap
+    assert(rows.contains(1L), s"no closed session for user 1: ${rows.keys}")
+    val s1 = rows(1L)
+    assert(s1.n_events === 3L)
+    assert(s1.first_ms === ts(0).getTime)
+    assert(s1.last_ms === ts(20).getTime)
+    // user 2's session is still open — nothing emitted for it
+    assert(!rows.contains(2L))
+  }
+
   test("correlateStartDoneOuter emits unmatched starts with null done " +
     "after the watermark closes the match window") {
     import spark.implicits._
