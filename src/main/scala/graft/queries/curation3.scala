@@ -47,21 +47,27 @@ object Curation3Queries {
     QueryDef(
       "line_dedup_global",
       (s, d) => {
-        // Globally-first occurrence wins: rank every identical line by
-        // (doc_id, position) and keep rank 1, then reassemble each
-        // document from its surviving lines in original order.
-        val w = Window.partitionBy(col("line"))
-          .orderBy(col("doc_id"), col("i"))
-        lineRows(s, d)
-          .withColumn("rk", row_number().over(w))
+        // Globally-first occurrence wins. NOT a row_number window over
+        // partitionBy(line): a viral boilerplate line would funnel all
+        // its instances into one partition and sort them. min(struct)
+        // aggregation is partial-aggregatable — hot lines collapse
+        // map-side to one candidate per task before the shuffle — and
+        // the winner joins back to flag the single kept instance.
+        val lines = lineRows(s, d)
+        val winners = lines
+          .groupBy(col("line"))
+          .agg(min(struct(col("doc_id"), col("i"))).as("w"))
+        lines.join(winners, Seq("line"))
+          .withColumn("kept",
+            col("doc_id") === col("w.doc_id") && col("i") === col("w.i"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_lines"),
-            count(when(col("rk") === 1, lit(1))).as("n_kept"),
+            count(when(col("kept"), lit(1))).as("n_kept"),
             array_join(
               transform(
                 array_sort(collect_list(
-                  when(col("rk") === 1, struct(col("i"), col("line"))))),
+                  when(col("kept"), struct(col("i"), col("line"))))),
                 x => x.getField("line")),
               "\n").as("cleaned_text"))
       },
@@ -77,10 +83,12 @@ object Curation3Queries {
       "Cross-document line-level dedup (the C4 span-dedup pass): every " +
         "repeated line keeps exactly its globally-first occurrence " +
         "(doc_id, position), all later copies are dropped, and documents " +
-        "are reassembled in order. Two shuffles — one on the line hash " +
-        "(the wide one; at 100 TB shuffle md5(line) instead of line " +
-        "bytes and join the winners back), one on doc_id to reassemble. " +
-        "Run over the dup-injected corpus so cross-doc repeats exist."),
+        "are reassembled in order. The winner per line is min(struct) — " +
+        "partial-aggregatable, so a viral boilerplate line collapses " +
+        "map-side instead of hot-spotting one sort partition (the " +
+        "row_number-over-line form does not have this property). At " +
+        "100 TB shuffle md5(line) instead of line bytes. Run over the " +
+        "dup-injected corpus so cross-doc repeats exist."),
 
     // ------------------------------------------- boilerplate detection
     QueryDef(
