@@ -80,6 +80,38 @@ object AdvancedQueries {
     exactPairs.unionByName(nearPairs)
   }
 
+  // ------------------------------------------------------------------
+  // Connected components over the near/exact-duplicate edge set by
+  // iterative min-label propagation, run to the true fixpoint (the
+  // driver loop does one distributed count per round; each round is a
+  // shuffle join — the standard large-CC pattern, convergence in
+  // O(log diameter) rounds with doubling, O(diameter) here). Returns
+  // (doc_id, cluster_id) for EVERY node — singletons label themselves.
+  // ------------------------------------------------------------------
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    val edges = dupEdges(s, d)
+      .select(col("a"), col("b")).persist()
+    val und = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    val nodes = Corpus.withDups(s, d).select(col("doc_id"))
+    var labels = nodes.select(col("doc_id"),
+      col("doc_id").as("lbl")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = und.join(labels, und("a") === labels("doc_id"))
+        .select(col("b").as("doc_id"), col("lbl"))
+      val next = labels.select(col("doc_id"), col("lbl"))
+        .unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---------------------------------------------------------- as-of
     QueryDef(
@@ -339,37 +371,8 @@ object AdvancedQueries {
     // ----------------------------------- duplicate cluster resolution
     QueryDef(
       "dedup_clusters",
-      (s, d) => {
-        val sess = s
-        import sess.implicits._
-        // Connected components over the near/exact-duplicate edge set by
-        // iterative min-label propagation, run to the true fixpoint (the
-        // driver loop does one distributed count per round; each round
-        // is a shuffle join — the standard large-CC pattern, convergence
-        // in O(log diameter) rounds with doubling, O(diameter) here).
-        val edges = dupEdges(s, d)
-          .select(col("a"), col("b")).persist()
-        val und = edges.unionByName(
-          edges.select(col("b").as("a"), col("a").as("b")))
-        val nodes = Corpus.withDups(s, d).select(col("doc_id"))
-        var labels = nodes.select(col("doc_id"),
-          col("doc_id").as("lbl")).persist()
-        var changed = 1L
-        while (changed > 0) {
-          val viaNbr = und.join(labels, und("a") === labels("doc_id"))
-            .select(col("b").as("doc_id"), col("lbl"))
-          val next = labels.select(col("doc_id"), col("lbl"))
-            .unionByName(viaNbr)
-            .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-            .persist()
-          changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(col("lbl") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-        }
-        labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-          .filter(col("doc_id") =!= col("cluster_id"))
-      },
+      (s, d) => ccLabels(s, d)
+        .filter(col("doc_id") =!= col("cluster_id")),
       Some(s"""WITH RECURSIVE corpus AS (${Corpus.cte}),
         |exact AS (SELECT md5(text) AS h, doc_id FROM corpus),
         |roots AS (SELECT h, min(doc_id) AS root FROM exact GROUP BY h),
@@ -395,6 +398,63 @@ object AdvancedQueries {
         "cluster representative (min doc_id). The step after pair " +
         "detection in any production dedup: pairs alone over-count " +
         "when duplicates chain."),
+
+    // ----------------------------------- quality-aware dup resolution
+    QueryDef(
+      "dedup_keep_best",
+      (s, d) => {
+        // Survivor POLICY on top of the cluster structure: keep the
+        // longest member (near-dups are truncations, so longest = the
+        // un-truncated original), tie-broken by doc_id. Ranking runs
+        // per cluster — cluster cardinality is small by construction
+        // (bounded dup chains), so the window is cheap; mass clusters
+        // would use the max_by aggregation form instead.
+        val members = ccLabels(s, d)
+          .join(Corpus.withDups(s, d)
+            .select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("len").desc, col("doc_id"))
+        members
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .filter(col("rk") === 1 && col("n_members") > 1)
+          .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+            col("len").cast("bigint").as("kept_len"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE corpus AS (${Corpus.cte}),
+        |exact AS (SELECT md5(text) AS h, doc_id FROM corpus),
+        |roots AS (SELECT h, min(doc_id) AS root FROM exact GROUP BY h),
+        |pairs AS (
+        |  SELECT root AS a, doc_id AS b FROM exact JOIN roots USING (h)
+        |  WHERE doc_id <> root
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM corpus
+        |  UNION
+        |  SELECT u.b AS node, r.lbl
+        |  FROM reach r JOIN und u ON u.a = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |m AS (SELECT cc.cluster_id, cc.doc_id, length(c.text) AS len,
+        |        row_number() OVER (PARTITION BY cc.cluster_id
+        |                           ORDER BY length(c.text) DESC, cc.doc_id)
+        |          AS rk,
+        |        count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+        |      FROM cc JOIN corpus c USING (doc_id))
+        |SELECT cluster_id, doc_id AS kept_doc, len::BIGINT AS kept_len,
+        |       n_members::BIGINT AS n_members
+        |FROM m WHERE rk = 1 AND n_members > 1""".stripMargin),
+      "Quality-aware duplicate resolution: each multi-member duplicate " +
+        "cluster keeps its best member under an explicit policy " +
+        "(longest text, deterministic tie-break) instead of first-seen " +
+        "— the 'keep the canonical crawl, drop the truncated re-crawl' " +
+        "rule. Composes the CC cluster structure with a per-cluster " +
+        "argmax; the policy column is the only thing to swap for " +
+        "quality-score- or recency-based retention."),
 
     // ------------------------------------------- stratified sampling
     QueryDef(
