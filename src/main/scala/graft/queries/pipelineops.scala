@@ -292,5 +292,78 @@ object PipelineOpsQueries {
         "row one (same contract as ingest_try_cast for scalar casts). " +
         "Narrow parse + one small agg; corruption is synthesized " +
         "deterministically so the DuckDB oracle sees identical dirt."),
+
+    // --------------------------------------- data-quality constraints
+    QueryDef(
+      "constraint_violations",
+      (s, d) => {
+        // Deequ/dbt-test-style constraint suite: each rule is one
+        // aggregate (or anti-join count) and the report is their union
+        // — the gate a corpus ingest runs before promoting a snapshot.
+        val orders = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val li = Tables.lineitem(s, d)
+        val docs = Tables.documents(s, d)
+        def rule(name: String, violations: org.apache.spark.sql.Column,
+            checked: org.apache.spark.sql.DataFrame) =
+          checked.agg(violations.cast("bigint").as("n_violations"),
+            count(lit(1)).as("n_checked"))
+            .select(lit(name).as("rule"), col("n_violations"),
+              col("n_checked"))
+        val fk = orders.join(cust,
+            orders("o_custkey") === cust("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orders_custkey_fk").as("rule"),
+            col("n_violations"),
+            lit(null).cast("bigint").as("n_checked"))
+          .crossJoin(orders.agg(count(lit(1)).as("nc")))
+          .select(col("rule"), col("n_violations"),
+            col("nc").as("n_checked"))
+        fk.unionByName(
+            rule("lineitem_quantity_range",
+              count(when(col("l_quantity") < 1 || col("l_quantity") > 50,
+                lit(1))), li))
+          .unionByName(
+            rule("documents_doc_id_unique",
+              count(lit(1)) - countDistinct(col("doc_id")), docs))
+          .unionByName(
+            rule("documents_text_nonblank",
+              count(when(col("text").isNull ||
+                length(trim(col("text"))) === 0, lit(1))), docs))
+          .unionByName(
+            rule("events_type_domain",
+              count(when(!col("event_type").isin(
+                "signup", "click", "view", "purchase", "error"), lit(1))),
+              Tables.events(s, d)))
+      },
+      Some("""SELECT 'orders_custkey_fk' AS rule,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |    AS n_violations,
+        |  (SELECT count(*) FROM orders)::BIGINT AS n_checked
+        |UNION ALL SELECT 'lineitem_quantity_range',
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT,
+        |  (SELECT count(*) FROM lineitem)::BIGINT
+        |UNION ALL SELECT 'documents_doc_id_unique',
+        |  (SELECT count(*) - count(DISTINCT doc_id) FROM documents)::BIGINT,
+        |  (SELECT count(*) FROM documents)::BIGINT
+        |UNION ALL SELECT 'documents_text_nonblank',
+        |  (SELECT count(*) FROM documents
+        |   WHERE text IS NULL OR length(trim(text)) = 0)::BIGINT,
+        |  (SELECT count(*) FROM documents)::BIGINT
+        |UNION ALL SELECT 'events_type_domain',
+        |  (SELECT count(*) FROM events
+        |   WHERE event_type NOT IN
+        |     ('signup','click','view','purchase','error'))::BIGINT,
+        |  (SELECT count(*) FROM events)::BIGINT""".stripMargin),
+      "Data-quality constraint suite (referential integrity, range, " +
+        "uniqueness, non-blank, domain membership) as one report: each " +
+        "rule is a single aggregate or broadcast anti-join over its " +
+        "table, all map-side combinable, unioned into a (rule, " +
+        "violations, checked) gate table. The pre-promotion check a " +
+        "production ingest runs on every snapshot; rules are data, so " +
+        "extending the suite is appending a row, not new plumbing."),
   )
 }

@@ -1,0 +1,39 @@
+package graft
+
+/** Automated proof of the engine's central determinism claim: results
+  * are independent of physical partitioning. A representative sample
+  * from every operator family runs under 3 and then 32 shuffle
+  * partitions; row-set equality must hold exactly. (The DuckDB oracle
+  * already pins one partitioning; this pins the claim ACROSS
+  * partitionings — what AQE re-plans and cluster resizes do at 100 TB.)
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val sample = Seq(
+    "star_join_revenue",          // multi-join + fixed-point agg
+    "line_dedup_global",          // global winner selection + reassembly
+    "quantile_normalize_scores",  // global order statistics
+    "dedup_minhash_lsh",          // banding/bucketing pipeline
+    "interpolate_linear",         // window-frame float math
+    "variance_fixed_point",       // integer-moment aggregation
+    "cogroup_user_activity",      // typed cogroup folds
+    "sample_fixed_per_group")     // hash-ordered windowed sampling
+
+  for (name <- sample) {
+    test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
+      val q = SparkEntry.registry.find(_.name == name).get
+      val orig = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = q.fn(spark, sfDir).cache()
+        a.count() // materialize under 3 partitions
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val b = q.fn(spark, sfDir).cache()
+        try {
+          assert(a.exceptAll(b).count() === 0, "rows lost at 32 parts")
+          assert(b.exceptAll(a).count() === 0, "rows gained at 32 parts")
+        } finally { a.unpersist(); b.unpersist() }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    }
+  }
+}
