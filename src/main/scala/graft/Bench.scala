@@ -46,12 +46,34 @@ object Bench {
       if (sec > 10.0) sec = math.min(sec, once())
       name -> sec
     }
-    // Keep the JSON line short (3-decimal seconds): the driver captures a
-    // bounded output tail, and a long line gets truncated -> unparseable.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // The driver records only the last ~2000 chars of stdout; a JSON line
+    // carrying all 130+ per-query timings is ~3.5 KB and gets cut mid-line
+    // (BENCH_r01..r03 all show parsed:null for exactly this reason).  So:
+    //   - the FULL per-query map goes to a file + stderr for humans,
+    //   - stdout gets ONE compact line: total over ALL queries, plus a
+    //     fixed headline subset that always fits inside the tail window.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(results)
+    System.err.println(full)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val headline = Set(
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_exact", "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk",
+      "cosine_topk", "l2_normalize", "json_extract_field",
+      "grouping_sets_rollup", "equijoin_meta", "asof_join_latest_ref",
+      "range_join_bucketed", "skewjoin_salted", "star_join_revenue",
+      "sessionize_user", "tfidf_top_terms", "text_langid",
+      "text_repetition_ratio", "first_hit", "retrieval_eval_detail",
+      "chunk_text_overlap", "pack_sequences", "line_dedup_global",
+      "contamination_ngram_overlap", "kmeans_cluster_assign", "pagerank_knn")
+    println(jsonLine(results.filter(r => headline(r._1))))
     spark.stop()
   }
 }

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    (chunk_text_overlap, media_frame_sample): bound breached when a
   *    document needs >= 64 chunks (chunk stride 156 chars) or a video
   *    stub needs >= 64 frames (n_chars/25).
-  *  - media_feature_extract's Spark path folds over UTF-8 *bytes*
-  *    (MediaSource.decodeStub) while the oracle folds `unicode(c)`
-  *    codepoints — identical only for ASCII text.
+  *  - media_feature_extract's stub now folds Unicode codepoints on both
+  *    engines (MediaCodec.decodeStub / oracle `unicode(c)`), but the
+  *    ASCII pin below stays as a tripwire for any future byte-indexed
+  *    stub arithmetic (byte == codepoint only holds for ASCII).
   *
   * If the driver regenerates fixtures and any assertion here fails, the
   * oracle caps (not the Spark plans) must be raised to match.
