@@ -88,5 +88,46 @@ object GraphQueries {
         "the shuffle-per-superstep shape that holds at billions of " +
         "edges; iterations chain as repeated passes with the rank " +
         "frontier checkpointed between them at scale."),
+
+    QueryDef(
+      "triangle_count_knn",
+      (s, d) => {
+        // Undirect the kNN edges (a<b canonical), then count triangles
+        // by the two-join wedge-close: e(a,b) ⋈ e(b,c) forms the wedge
+        // a<b<c, closed iff e(a,c) exists. Each triangle appears exactly
+        // once, then fans out to its three member nodes.
+        val und = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e1.b") === col("e2.a"))
+          .join(und.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH $knnEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |members AS (SELECT x AS vec_id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT vec_id, count(*)::BIGINT AS n_triangles
+        |FROM members GROUP BY vec_id""".stripMargin),
+      "Per-node triangle participation over the kNN graph — the local " +
+        "clustering signal that separates dense semantic neighborhoods " +
+        "(near-duplicate clouds) from chain-like ones. Canonical a<b " +
+        "ordering means each triangle is produced once with no " +
+        "post-dedup; the wedge join is the standard vertex-ordered " +
+        "formulation whose join fan-in stays bounded because kNN caps " +
+        "out-degree at k — at 100 TB the same two self-joins, " +
+        "pre-partitioned on the join keys, with the high-degree-last " +
+        "ordering keeping wedge counts near the theoretical minimum."),
   )
 }

@@ -276,9 +276,42 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .start()
+
+  /** Streaming twin of the `decayed_user_activity` batch operator: a
+    * per-user half-life-per-day decayed score maintained incrementally.
+    * State is one (anchor_day, score) pair; when a batch advances the
+    * anchor, the stored score right-shifts by the day delta (weight
+    * 2^-days is an exact power of two, so incremental decay is pure
+    * integer and bit-equal to recomputing from scratch). Events fold in
+    * (day, event_id) order for deterministic results under any
+    * partitioning (see [[capacityGate]]). */
+  def decayedActivity(events: Dataset[DayEvent]): Dataset[DecayedScore] = {
+    import events.sparkSession.implicits._
+    val Unit30 = 1L << 30 // weight of an event on the current anchor day
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[DayEvent], state: GroupState[DecayedScore]) => {
+          var s = state.getOption.getOrElse(DecayedScore(user, 0L, 0L, 0L))
+          evs.toIndexedSeq.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            val anchor = math.max(s.anchor_day, e.day)
+            val decayedOld =
+              if (anchor - s.anchor_day < 63) s.score >> (anchor - s.anchor_day)
+              else 0L
+            val add =
+              if (anchor - e.day < 63) Unit30 >> (anchor - e.day) else 0L
+            s = DecayedScore(user, anchor, decayedOld + add, s.n_events + 1)
+          }
+          state.update(s)
+          s
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
+final case class DayEvent(event_id: Long, user_id: Long, day: Long)
+final case class DecayedScore(user_id: Long, anchor_day: Long, score: Long,
+    n_events: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

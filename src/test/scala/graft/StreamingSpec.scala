@@ -315,4 +315,35 @@ class StreamingSpec extends SparkSpec {
     // watermark-advancing event's own windows stay open (append mode)
     assert(byStart.values.map(_._2).sum === 4L * 3)
   }
+
+  test("decayedActivity matches the from-scratch batch recomputation " +
+      "across incremental batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DayEvent
+    val mem = MemoryStream[DayEvent]
+    // batch 1: user 1 active on days 0 and 1; user 2 on day 0
+    mem.addData(DayEvent(1, 1, 0), DayEvent(2, 1, 1), DayEvent(3, 2, 0))
+    // batch 2: day advances to 3 -> stored scores must right-shift by 2
+    mem.addData(DayEvent(4, 1, 3), DayEvent(5, 2, 1))
+    val q = Streams.decayedActivity(mem.toDS().repartition(8))
+      .writeStream.format("memory").queryName("decay")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    // latest Update row per user == batch formula sum(2^30 >> (anchor-day))
+    val last = spark.table("decay")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("anchor_day"), col("score")))
+        .as("s"))
+      .select(col("user_id"), col("s.anchor_day"), col("s.score"),
+        col("s.n_events"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, a, sc, n) => u -> ((a, sc, n)) }.toMap
+    val unit = 1L << 30
+    // user 1: anchor 3, events at days 0,1,3
+    assert(last(1L) === ((3L, (unit >> 3) + (unit >> 2) + unit, 3L)))
+    // user 2: anchor 1, events at days 0,1
+    assert(last(2L) === ((1L, (unit >> 1) + unit, 2L)))
+  }
 }
