@@ -28,7 +28,12 @@ class PlanAuditSpec extends SparkSpec {
     "kmeans_cluster_assign",  // broadcast of k=8 centroid rows per pass
     "semdedup_prune",         // broadcast of k=8 centroid rows (assign)
     "domain_mixture_rebalance", // broadcast of the 1-row totals
-    "pagerank_knn")           // bounded 300-vector kNN slice (see knn_graph)
+    "pagerank_knn",           // bounded 300-vector kNN slice (see knn_graph)
+    "triangle_count_knn",     // same bounded kNN slice as pagerank_knn
+    "constraint_violations",  // broadcast of 1-row bounds per rule
+    "bm25_topk",              // broadcast of the 1-row corpus stats
+    "domain_temperature_sample", // broadcast of the 1-row normalizer
+    "hamming_topk_binary")    // broadcast 10-signature query rubric
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
