@@ -67,5 +67,13 @@ class FixtureBoundsSpec extends SparkSpec {
       assert(maxTok - 1 < 128,
         s"doc of $maxTok tokens yields >= 128 bigrams (bigram_lm_score cap)")
     }
+
+    test(s"$sf: word length stays under the bpe_merge_step range(0,16) cap") {
+      val maxWlen = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(max(length(col("tok")))).head().getInt(0)
+      assert(maxWlen < 16,
+        s"word of $maxWlen chars exceeds the oracle's position cap")
+    }
   }
 }
