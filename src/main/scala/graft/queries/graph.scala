@@ -129,5 +129,43 @@ object GraphQueries {
         "out-degree at k — at 100 TB the same two self-joins, " +
         "pre-partitioned on the join keys, with the high-degree-last " +
         "ordering keeping wedge counts near the theoretical minimum."),
+
+    QueryDef(
+      "two_hop_neighbors",
+      (s, d) => {
+        val und = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val twoHop = adj.as("e1")
+          .join(adj.as("e2"), col("e1.b") === col("e2.a"))
+          .filter(col("e1.a") =!= col("e2.b"))
+          .select(col("e1.a").as("a"), col("e2.b").as("c"))
+          .distinct()
+          .join(adj.select(col("a"), col("b").as("c")),
+            Seq("a", "c"), "left_anti")
+        twoHop.groupBy(col("a").as("vec_id"))
+          .agg(count(lit(1)).as("n_twohop"))
+      },
+      Some(s"""WITH $knnEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges),
+        |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        |twohop AS (SELECT DISTINCT e1.a AS a, e2.b AS c
+        |  FROM adj e1 JOIN adj e2 ON e1.b = e2.a
+        |  WHERE e1.a <> e2.b),
+        |pruned AS (SELECT t.a, t.c FROM twohop t
+        |  WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = t.a AND adj.b = t.c))
+        |SELECT a AS vec_id, count(*)::BIGINT AS n_twohop
+        |FROM pruned GROUP BY a""".stripMargin),
+      "Strict 2-hop neighborhood size per node (friends-of-friends who " +
+        "are not already friends): symmetric adjacency, one wedge join, " +
+        "anti-join against direct edges. The expansion-frontier metric " +
+        "behind graph-based diversity sampling; the anti join plans as " +
+        "a shuffled hash anti on the same (a, c) key the wedge join " +
+        "produced, and kNN's degree cap bounds the wedge fan-out at " +
+        "any corpus size."),
   )
 }

@@ -136,6 +136,52 @@ object Vector2Queries {
         "(cluster, dim)-keyed agg: the 100 TB IVF/SemDeDup " +
         "cluster-build loop, with iterations as repeated passes."),
 
+    // ------------------------------------- product quantization encode
+    QueryDef(
+      "pq_encode",
+      (s, d) => {
+        // 4 subspaces x 16 dims; codebook = the first 8 vectors' slices
+        // (deterministic stand-in for per-subspace k-means codebooks —
+        // swap in kmeans_cluster_assign's iterated centroids unchanged).
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), quant(col("embedding")).as("qe"))
+        val sub = q
+          .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("m"),
+            col("qe"))
+          .select(col("vec_id"), col("m"),
+            expr("slice(qe, m * 16 + 1, 16)").as("sv"))
+        val cb = sub.filter(col("vec_id") < 8)
+          .select(col("m"), col("vec_id").as("cid"), col("sv").as("csub"))
+        sub.join(broadcast(cb), "m")
+          .select(col("vec_id"), col("m"),
+            struct(sqDist(col("sv"), col("csub")).as("dist"),
+              col("cid")).as("dc"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(col("dc")).as("m2"))
+          .select(col("vec_id"), col("m").cast("bigint").as("m"),
+            col("m2.cid").as("code"), col("m2.dist").as("dist"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id,
+        |    ${quantSql.format("embedding")} AS qe FROM embeddings),
+        |sub AS (SELECT vec_id, m.m AS m,
+        |    qe[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+        |  FROM q, (SELECT range AS m FROM range(0, 4)) m),
+        |cb AS (SELECT m, vec_id AS cid, sv AS csub FROM sub WHERE vec_id < 8),
+        |scored AS (SELECT s.vec_id, s.m, c.cid,
+        |    ${sqDistSql("s.sv", "c.csub")} AS dist,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.m
+        |      ORDER BY ${sqDistSql("s.sv", "c.csub")}, c.cid) AS rn
+        |  FROM sub s JOIN cb c ON s.m = c.m)
+        |SELECT vec_id, m::BIGINT AS m, cid AS code, dist
+        |FROM scored WHERE rn = 1""".stripMargin),
+      "Product-quantization encoding: the 64-dim vector split into 4 " +
+        "subspaces, each mapped to its nearest 8-entry codebook slice " +
+        "by exact integer squared L2 (ties to lowest code id) — 256 " +
+        "bytes of float down to 4 code bytes, the compression behind " +
+        "IVF-PQ billion-vector indexes. The codebook broadcast is k*m " +
+        "rows; points never shuffle (the groupBy key includes vec_id, " +
+        "so AQE folds it into the scan-side partial)."),
+
     // ----------------------------------------- SemDeDup within-cluster
     QueryDef(
       "semdedup_prune",

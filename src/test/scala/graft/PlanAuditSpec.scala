@@ -33,7 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     "constraint_violations",  // broadcast of 1-row bounds per rule
     "bm25_topk",              // broadcast of the 1-row corpus stats
     "domain_temperature_sample", // broadcast of the 1-row normalizer
-    "hamming_topk_binary")    // broadcast 10-signature query rubric
+    "hamming_topk_binary",    // broadcast 10-signature query rubric
+    "two_hop_neighbors",      // bounded 300-vector kNN slice (see knn_graph)
+    "contrastive_negative_pairs", // broadcast of the 1-row corpus count
+    "chi2_lang_source")       // broadcast of the 1-row n/dof totals
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
