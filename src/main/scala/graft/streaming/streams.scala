@@ -306,12 +306,47 @@ object Streams {
           s
         })
   }
+
+  /** Streaming twin of `anomaly_zscore_trailing`: the per-user trailing
+    * 10-value frame carried as explicit ring-buffer state (Spark offers
+    * no ROWS-frame windows over streams). Emits one verdict per event
+    * once the buffer is full, using the same cross-multiplied integer
+    * inequality as the batch operator — state is O(frame) per user, and
+    * the (ts, event_id)-sorted fold keeps verdicts deterministic under
+    * any partitioning. */
+  def anomalyZscore(events: Dataset[ValueEvent]): Dataset[AnomalyVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[ValueEvent], state: GroupState[Seq[Long]]) => {
+          var buf = state.getOption.getOrElse(Seq.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[AnomalyVerdict]()
+          evs.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            val x = e.x_e3
+            if (buf.length == 10) {
+              val s1 = buf.sum
+              val s2 = buf.map(v => v * v).sum
+              val d = x * 10 - s1
+              out += AnomalyVerdict(e.event_id, user, x,
+                d * d > (s2 * 10 - s1 * s1) * 4)
+            }
+            buf = (buf :+ x).takeRight(10)
+          }
+          state.update(buf)
+          out.iterator
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
 final case class DayEvent(event_id: Long, user_id: Long, day: Long)
 final case class DecayedScore(user_id: Long, anchor_day: Long, score: Long,
     n_events: Long)
+final case class ValueEvent(event_id: Long, user_id: Long, ts_ms: Long,
+    x_e3: Long)
+final case class AnomalyVerdict(event_id: Long, user_id: Long, x_e3: Long,
+    is_anomaly: Boolean)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

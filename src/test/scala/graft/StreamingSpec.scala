@@ -346,4 +346,34 @@ class StreamingSpec extends SparkSpec {
     // user 2: anchor 1, events at days 0,1
     assert(last(2L) === ((1L, (unit >> 1) + unit, 2L)))
   }
+
+  test("anomalyZscore matches the direct trailing-frame recomputation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ValueEvent
+    // 12 events for user 1: a stable run of 100s, one spike at the end
+    val evs = (1 to 11).map(i =>
+      ValueEvent(i.toLong, 1L, 1000L * i, if (i <= 10) 100L + i else 5000L))
+    val mem = MemoryStream[ValueEvent]
+    mem.addData(evs.take(6): _*)   // ring buffer spans batch boundary
+    mem.addData(evs.drop(6): _*)
+    val q = Streams.anomalyZscore(mem.toDS().repartition(8))
+      .writeStream.format("memory").queryName("zscore")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("zscore")
+      .select(col("event_id"), col("is_anomaly"))
+      .as[(Long, Boolean)].collect().toMap
+    // Scala reference: same integer inequality over a sliding window
+    val xs = evs.map(_.x_e3)
+    val want = (10 until xs.length).map { i =>
+      val frame = xs.slice(i - 10, i)
+      val s1 = frame.sum; val s2 = frame.map(v => v * v).sum
+      val d = xs(i) * 10 - s1
+      (i + 1).toLong -> (d * d > (s2 * 10 - s1 * s1) * 4)
+    }.toMap
+    assert(got === want)
+    assert(got(11L) === true) // the spike is flagged
+  }
 }
