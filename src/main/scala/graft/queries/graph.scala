@@ -167,5 +167,127 @@ object GraphQueries {
         "a shuffled hash anti on the same (a, c) key the wedge join " +
         "produced, and kNN's degree cap bounds the wedge fan-out at " +
         "any corpus size."),
+
+    // ------------------------------------------- link prediction
+    QueryDef(
+      "resource_allocation_linkpred",
+      (s, d) => {
+        val und = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val deg = adj.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+        // wedges u -z- v (u < v canonical), each common neighbor z
+        // contributes 1e6 div deg(z); anti-join out already-linked pairs
+        val wedges = adj.as("e1")
+          .join(adj.as("e2"), col("e1.b") === col("e2.a"))
+          .filter(col("e1.a") < col("e2.b"))
+          .select(col("e1.a").as("u"), col("e2.b").as("v"),
+            col("e1.b").as("z"))
+        wedges.join(deg, "z")
+          .groupBy(col("u"), col("v"))
+          .agg(sum(expr("1000000 div deg")).as("ra_e6"),
+            count(lit(1)).as("n_common"))
+          .join(und.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"), "left_anti")
+      },
+      Some(s"""WITH $knnEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges),
+        |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        |deg AS (SELECT a AS z, count(*)::BIGINT AS deg FROM adj GROUP BY a),
+        |wedges AS (SELECT e1.a AS u, e2.b AS v, e1.b AS z
+        |  FROM adj e1 JOIN adj e2 ON e1.b = e2.a
+        |  WHERE e1.a < e2.b),
+        |ra AS (SELECT w.u, w.v,
+        |    sum(1000000 // d.deg)::BIGINT AS ra_e6,
+        |    count(*)::BIGINT AS n_common
+        |  FROM wedges w JOIN deg d USING (z) GROUP BY w.u, w.v)
+        |SELECT s.u, s.v, s.ra_e6, s.n_common FROM ra s
+        |WHERE NOT EXISTS (SELECT 1 FROM und
+        |                  WHERE und.a = s.u AND und.b = s.v)""".stripMargin),
+      "Resource-allocation link prediction over the kNN graph: " +
+        "non-adjacent pairs scored by sum(1/deg(z)) over common " +
+        "neighbors z — the degree-discounted variant of " +
+        "common-neighbor counting (low-degree shared neighbors are " +
+        "stronger evidence). The 1e6 div deg weight is integer-exact " +
+        "(Adamic-Adar's 1/ln(deg) would hit cross-engine ln rounding); " +
+        "one wedge join + one broadcast-sized degree join + one anti " +
+        "join, all on equi-keys, fan-out bounded by the kNN degree cap."),
+
+    // ---------------------------------------- label propagation
+    QueryDef(
+      "label_propagation_communities",
+      (s, d) => {
+        val und = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"))
+        // synchronous min-label propagation: lbl <- min(lbl, neighbors')
+        def step(lbl: org.apache.spark.sql.DataFrame) = {
+          val nb = adj.join(lbl, adj("b") === lbl("vec_id"))
+            .groupBy(col("a")).agg(min(col("lbl")).as("nbmin"))
+          lbl.join(nb, lbl("vec_id") === nb("a"), "left")
+            .select(lbl("vec_id"),
+              least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
+        }
+        val lbl0 = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
+        step(step(lbl0)).select(col("vec_id"), col("lbl").as("community"))
+      },
+      Some(s"""WITH $knnEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges),
+        |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
+        |l0 AS (SELECT vec_id, vec_id AS lbl FROM nodes),
+        |n1 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
+        |       JOIN l0 l ON l.vec_id = adj.b GROUP BY adj.a),
+        |l1 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
+        |       FROM l0 l LEFT JOIN n1 n ON n.a = l.vec_id),
+        |n2 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
+        |       JOIN l1 l ON l.vec_id = adj.b GROUP BY adj.a),
+        |l2 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
+        |       FROM l1 l LEFT JOIN n2 n ON n.a = l.vec_id)
+        |SELECT vec_id, lbl AS community FROM l2""".stripMargin),
+      "Community detection by synchronous min-label propagation (2 " +
+        "supersteps) over the kNN graph — deterministic (min is order-" +
+        "free, unlike frequency-vote LPA whose ties depend on visit " +
+        "order). After convergence labels equal connected-component " +
+        "ids; fixed-superstep output is a checkpointable prefix of " +
+        "that. Per superstep: one edge-label equi-join + per-node min " +
+        "agg — the Pregel-free DataFrame shape that scales linearly " +
+        "in edges and supersteps."),
+
+    // ------------------------------------------ degree histogram
+    QueryDef(
+      "graph_degree_distribution",
+      (s, d) => {
+        val und = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val adj = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some(s"""WITH $knnEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges),
+        |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+        |deg AS (SELECT a, count(*)::BIGINT AS deg FROM adj GROUP BY a)
+        |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY deg""".stripMargin),
+      "Degree histogram of the undirected kNN graph — the first " +
+        "sanity profile after any graph build (kNN guarantees " +
+        "out-degree k but mutual links make undirected degree vary in " +
+        "[k, 2k]; a heavier tail flags hub nodes / near-dup clouds). " +
+        "Two cheap partial-aggregatable counts; at 100 TB the second " +
+        "groupBy is over at most max-degree distinct keys."),
   )
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Retrieval-index construction over the corpus: inverted-index posting
+  * lists, exact phrase search through a positional index, and
+  * IDF-weighted set similarity.  The reference's retrieval layer
+  * (rag_evaluation/RAG-eval-test_model.py:123-137) regex-scans every
+  * document per query keyword — a full corpus pass per query; an
+  * inverted index is the engine-native structure that turns that scan
+  * into a posting-list lookup, and the index build itself is the
+  * shuffle-heavy batch job that must scale.
+  */
+object RetrievalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------- inverted index
+    QueryDef(
+      "inverted_index_postings",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) >= 4)
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("tok")).agg(
+            count(lit(1)).as("df"),
+            sum(col("tf")).as("tf_total"),
+            slice(sort_array(collect_list(col("doc_id"))), 1, 8)
+              .as("postings_head"))
+          .filter(col("df") >= 2)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, t.tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE length(t.tok) >= 4),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+        |       FROM toks GROUP BY doc_id, tok)
+        |SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+        |  (list(doc_id ORDER BY doc_id))[1:8] AS postings_head
+        |FROM tf GROUP BY tok HAVING count(*) >= 2""".stripMargin),
+      "Inverted-index build: term -> document frequency, total term " +
+        "frequency, and the head of the sorted posting list. Two " +
+        "shuffles — (doc,term) tf then term — both partial-" +
+        "aggregatable; posting lists are collected per term so the " +
+        "reduce-side state is bounded by df, and the stored head is " +
+        "capped at 8 (full lists would be written bucketed-by-term at " +
+        "100 TB, turning query-time lookups into pruned single-bucket " +
+        "reads). Replaces the reference's per-query corpus regex scan " +
+        "(RAG-eval-test_model.py:130-137) with an indexed lookup."),
+
+    // ------------------------------------------------ phrase search
+    QueryDef(
+      "phrase_bigram_search",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        // positional bigram index; toks is a materialized child column so
+        // the element_at lookups inside the lambda are O(1) each (see
+        // DedupQueries.shingles for the inline-split O(n^2) trap)
+        val bg = t.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> " +
+              "struct(CAST(i AS BIGINT) AS pos, " +
+              "concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bg))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.pos").as("pos"), col("x.bg").as("bg"))
+        // phase 1: the globally most frequent bigram (deterministic
+        // tie-break); phase 2: positional hits via a 1-row broadcast join
+        val top = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bg")).limit(1).select(col("bg"))
+        bg.join(broadcast(top), "bg")
+          .select(col("doc_id"), col("pos"), col("bg"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bgs AS (SELECT doc_id, i.i::BIGINT AS pos,
+        |          toks[i.i] || ' ' || toks[i.i + 1] AS bg
+        |        FROM t, (SELECT range AS i FROM range(1, 4096)) i
+        |        WHERE i.i <= len(toks) - 1),
+        |top AS (SELECT bg FROM (SELECT bg, count(*) AS cnt FROM bgs
+        |          GROUP BY bg ORDER BY cnt DESC, bg LIMIT 1))
+        |SELECT b.doc_id, b.pos, b.bg FROM bgs b JOIN top USING (bg)""".stripMargin),
+      "Exact phrase search via a positional bigram index: phase 1 finds " +
+        "the corpus's most frequent bigram (stand-in for a user phrase; " +
+        "deterministic tie-break), phase 2 returns every (doc, position) " +
+        "hit. The phrase row is broadcast into an equi-join on the bigram " +
+        "key — a hash probe per index row, no NL join, no per-query " +
+        "corpus rescan. Longer phrases chain position+1 self-joins on " +
+        "the same index."),
+
+    // ----------------------------------- IDF-weighted set similarity
+    QueryDef(
+      "idf_weighted_jaccard",
+      (s, d) => {
+        // 5-gram shingle sets over a deterministic 1-in-5 slice of the
+        // dup-injected corpus (the fixture's 31-word vocabulary makes
+        // every unigram common; shingles restore a rare-feature tail)
+        val t = graft.Corpus.withDups(s, d)
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 5)
+        val toksD = t.select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 4), i -> " +
+              "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+              "element_at(toks, i + 2), element_at(toks, i + 3), " +
+              "element_at(toks, i + 4)))")).as("sh"))
+          .distinct()
+        val w = toksD.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("w", expr("1000000000 div df"))
+        // candidate pairs: docs sharing a shingle with df in [2, 3] —
+        // rare-feature blocking bounds candidates at C(3,2) per shingle
+        val rare = w.filter(col("df") >= 2 && col("df") <= 3)
+          .select(col("sh"))
+        val byRare = toksD.join(rare, "sh")
+        val pairs = byRare.as("l").join(byRare.as("r"),
+            col("l.sh") === col("r.sh") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .distinct()
+        val tokW = toksD.join(w.select(col("sh"), col("w")), "sh")
+        val docW = tokW.groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
+        val inter = pairs
+          .join(tokW.as("ta"), col("a") === col("ta.doc_id"))
+          .join(tokW.as("tb"),
+            col("b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+          .groupBy(col("a"), col("b")).agg(sum(col("ta.w")).as("swi"))
+        pairs
+          .join(inter, Seq("a", "b"), "left")
+          .join(docW.as("wa"), col("a") === col("wa.doc_id"))
+          .join(docW.as("wb"), col("b") === col("wb.doc_id"))
+          .select(col("a"), col("b"),
+            expr("(1000 * coalesce(swi, 0L)) div " +
+              "(wa.sw + wb.sw - coalesce(swi, 0L))").as("wj_permille"))
+      },
+      Some(s"""WITH corpus AS (${graft.Corpus.cte}),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM corpus WHERE doc_id % 5 = 0
+        |        AND len(string_split(text, ' ')) >= 5),
+        |toksd AS (SELECT DISTINCT doc_id,
+        |    toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] || ' ' ||
+        |      toks[i.i+3] || ' ' || toks[i.i+4] AS sh
+        |  FROM t, (SELECT range AS i FROM range(1, 4096)) i
+        |  WHERE i.i <= len(toks) - 4),
+        |w AS (SELECT sh, count(*)::BIGINT AS df,
+        |        (1000000000 // count(*))::BIGINT AS w
+        |      FROM toksd GROUP BY sh),
+        |rare AS (SELECT sh FROM w WHERE df BETWEEN 2 AND 3),
+        |byrare AS (SELECT d.doc_id, d.sh FROM toksd d JOIN rare USING (sh)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |          FROM byrare l JOIN byrare r
+        |            ON l.sh = r.sh AND l.doc_id < r.doc_id),
+        |tokw AS (SELECT d.doc_id, d.sh, w.w FROM toksd d JOIN w USING (sh)),
+        |docw AS (SELECT doc_id, sum(w)::BIGINT AS sw FROM tokw GROUP BY doc_id),
+        |inter AS (SELECT p.a, p.b, sum(ta.w)::BIGINT AS swi
+        |          FROM pairs p
+        |          JOIN tokw ta ON ta.doc_id = p.a
+        |          JOIN tokw tb ON tb.doc_id = p.b AND ta.sh = tb.sh
+        |          GROUP BY p.a, p.b)
+        |SELECT p.a, p.b,
+        |  ((1000 * coalesce(i.swi, 0)) //
+        |   (wa.sw + wb.sw - coalesce(i.swi, 0)))::BIGINT AS wj_permille
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+        |JOIN docw wa ON wa.doc_id = p.a
+        |JOIN docw wb ON wb.doc_id = p.b""".stripMargin),
+      "IDF-weighted Jaccard over rare-shingle-blocked candidate pairs: " +
+        "rare shared features are a far stronger near-dup/plagiarism " +
+        "signal than raw overlap, and the integer weight 1e9 div df is " +
+        "monotone in idf without cross-engine ln() rounding. Blocking " +
+        "on df in [2,3] bounds candidates per shingle at C(3,2) (same " +
+        "principle as LSH banding: only feature-collided pairs are " +
+        "scored); every join is an equi-join on shingle or doc_id — no " +
+        "quadratic stage anywhere, so the shape survives 100 TB with " +
+        "the blocking band and shingle width as the knobs."),
+  )
+}

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     "hamming_topk_binary",    // broadcast 10-signature query rubric
     "two_hop_neighbors",      // bounded 300-vector kNN slice (see knn_graph)
     "contrastive_negative_pairs", // broadcast of the 1-row corpus count
-    "chi2_lang_source")       // broadcast of the 1-row n/dof totals
+    "chi2_lang_source",       // broadcast of the 1-row n/dof totals
+    "resource_allocation_linkpred", // bounded 300-vector kNN slice
+    "label_propagation_communities", // bounded 300-vector kNN slice
+    "graph_degree_distribution")     // bounded 300-vector kNN slice
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
