@@ -19,7 +19,8 @@ object SparkEntry {
       Curation2Queries.defs ++ Vector2Queries.defs ++ GraphQueries.defs ++
       SubqueryQueries.defs ++ Curation3Queries.defs ++ AnalyticsQueries.defs ++
       MiningQueries.defs ++ Curation4Queries.defs ++ Curation5Queries.defs ++
-      Curation6Queries.defs ++ StatsQueries.defs ++ RetrievalQueries.defs
+      Curation6Queries.defs ++ StatsQueries.defs ++ RetrievalQueries.defs ++
+      MlPrepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-set preparation operators: stratified k-fold assignment,
+  * class-balanced downsampling, feature hashing, leave-one-out target
+  * encoding, trailing EWMA, and readability grading.  The reference
+  * prepares its fine-tune corpora with ad-hoc Python list slicing
+  * (train_adapters/RAG-eval-create_model.py:60-74 builds the train list
+  * in driver memory); these are the same preparation steps as
+  * shuffle-bounded engine operators.
+  */
+object MlPrepQueries {
+
+  /** Deterministic md5 bucket of an integer id, in [0, n). Same idiom as
+    * split_train_val_test — portable across engines and partitionings. */
+  private def md5Bucket(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(n.toLong))
+
+  private def md5BucketSql(c: String, n: Int) =
+    s"(('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % $n)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------ stratified k-fold
+    QueryDef(
+      "kfold_assign",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("fold", md5Bucket(col("doc_id"), 5))
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc")),
+      Some(s"""SELECT lang, ${md5BucketSql("doc_id", 5)} AS fold,
+        |  count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1, 2""".stripMargin),
+      "Stratified 5-fold cross-validation assignment: fold = md5 bucket " +
+        "of the stable id — deterministic under any partitioning, " +
+        "reproducible across runs/engines, no global shuffle or RNG " +
+        "state (the property rand(seed) lacks: its draw depends on row " +
+        "order within partitions). Per-(stratum, fold) counts verify " +
+        "balance; the doc-level assignment is the same projection " +
+        "without the final agg."),
+
+    // ------------------------------- class-balanced downsampling
+    QueryDef(
+      "class_balance_downsample",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        // minority-class size, computed on the 10-row per-label counts
+        // then windowed across them (never a full-table single partition)
+        val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
+        val ranked = e.select(col("vec_id"), col("label"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        ranked.join(counts.select(col("label"), col("n_min")), "label")
+          .filter(col("rk") <= col("n_min"))
+          .select(col("vec_id"), col("label"))
+      },
+      Some("""WITH counts AS (SELECT label, count(*)::BIGINT AS n
+        |                FROM embeddings GROUP BY label),
+        |m AS (SELECT label, min(n) OVER () AS n_min FROM counts),
+        |ranked AS (SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY label ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+        |  FROM embeddings)
+        |SELECT r.vec_id, r.label FROM ranked r JOIN m USING (label)
+        |WHERE r.rk <= m.n_min""".stripMargin),
+      "Class-balanced downsampling to the minority-class size: " +
+        "deterministic md5-order rank within each label, cut at " +
+        "min(count). The cut size is data-derived (one 10-row agg + " +
+        "window, broadcast back) — no hand-tuned constant; the rank " +
+        "pass is the per-group sort that sample_fixed_per_group " +
+        "already bounds, and md5 order makes the kept subset a " +
+        "uniform, reproducible draw."),
+
+    // ------------------------------------------- feature hashing
+    QueryDef(
+      "feature_hash_vec",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bin", md5Bucket(col("tok"), 64))
+        .groupBy(col("doc_id"), col("bin"))
+        .agg(count(lit(1)).as("cnt")),
+      Some(s"""SELECT doc_id, ${md5BucketSql("tok", 64)} AS bin,
+        |  count(*)::BIGINT AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin),
+      "Hashing-trick featurization: token -> md5 bin in a fixed " +
+        "64-dim space, per-document sparse counts as (doc, bin, cnt) " +
+        "triples. No vocabulary build, no dictionary broadcast, fixed " +
+        "output dimensionality — the property that lets featurization " +
+        "run in one pass at 100 TB where a vocab join would need its " +
+        "own shuffle. The dense vector is a downstream pivot/" +
+        "map_from_entries over the triples."),
+
+    // ------------------------------ leave-one-out target encoding
+    QueryDef(
+      "target_encode_loo",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("slang", sum(col("n_chars")).over(w))
+          .withColumn("nlang", count(lit(1)).over(w))
+          .filter(col("nlang") > 1)
+          .select(col("doc_id"), col("lang"),
+            expr("(1000 * (slang - n_chars)) div (nlang - 1)").as("enc_e3"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS slang,
+        |    count(*) OVER (PARTITION BY lang) AS nlang
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  ((1000 * (slang - n_chars)) // (nlang - 1))::BIGINT AS enc_e3
+        |FROM w WHERE nlang > 1""".stripMargin),
+      "Leave-one-out target encoding of a categorical column (lang -> " +
+        "mean length of the OTHER members, the encoding that avoids " +
+        "self-leakage): enc = (sum - x) / (n - 1) from one windowed " +
+        "sum+count — integer-exact at e3, no per-row re-aggregation. " +
+        "At 100 TB the window over a 5-value key is skew-prone; the " +
+        "production shape is the 5-row groupBy agg broadcast back, " +
+        "algebraically identical."),
+
+    // ------------------------------------------------ trailing EWMA
+    QueryDef(
+      "ewma_halflife",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v100"))
+        .withColumn("xs", collect_list(col("v100")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-15, Window.currentRow)))
+        .select(col("event_id"), col("user_id"),
+          expr("""aggregate(
+            zip_with(xs, sequence(1, size(xs)),
+                     (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i - 1)),
+            CAST(0 AS BIGINT), (a, b) -> a + b)
+            div (shiftleft(CAST(1 AS BIGINT), size(xs)) - 1)""")
+            .as("ewma_e2")),
+      Some("""WITH seq AS (SELECT event_id, user_id,
+        |    list(floor(value * 100)::BIGINT) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM events),
+        |expanded AS (SELECT event_id, user_id,
+        |    sum(xs[i.i] * (1::BIGINT << (i.i - 1)))::BIGINT AS num,
+        |    ((1::BIGINT << len(xs)) - 1)::BIGINT AS den
+        |  FROM seq, (SELECT range AS i FROM range(1, 17)) i
+        |  WHERE i.i <= len(xs)
+        |  GROUP BY event_id, user_id, len(xs))
+        |SELECT event_id, user_id, (num // den)::BIGINT AS ewma_e2
+        |FROM expanded""".stripMargin),
+      "Trailing exponentially-weighted moving average (half-life decay, " +
+        "16-event frame): weight of the j-th most recent event is " +
+        "2^-j, realized as exact power-of-two integer weights over a " +
+        "bounded ROWS frame — no float accumulation, no recursion " +
+        "(the truncated-window form of the recurrence the streaming " +
+        "twin Streams.decayedActivity keeps in state). One window " +
+        "pass partitioned by user; frame bound 16 caps per-row state " +
+        "at any scale."),
+
+    // ----------------------------------------- readability grade
+    QueryDef(
+      "flesch_reading_grade",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+            .as("syllables"))
+        .select(col("doc_id"), col("words"), col("syllables"),
+          expr("390 * words + (11800 * syllables) div words - 15590")
+            .as("fk_grade_e3")),
+      Some("""SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS words,
+        |  len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT AS syllables,
+        |  (390 * len(string_split(text, ' '))
+        |   + (11800 * len(regexp_extract_all(text, '[aeiouy]+')))
+        |     // len(string_split(text, ' '))
+        |   - 15590)::BIGINT AS fk_grade_e3
+        |FROM documents""".stripMargin),
+      "Flesch-Kincaid grade level (0.39 w/s + 11.8 syl/w - 15.59, at " +
+        "e3 fixed point) with vowel-group syllable counting — the " +
+        "classic readability gate for training-text curation. The " +
+        "fixture corpus has no sentence punctuation, so sentences = 1 " +
+        "and w/s = words; on punctuated text the sentence count is " +
+        "one more regexp_count('[.!?]+'). Pure per-row projection — " +
+        "embarrassingly parallel, codegen'd, no shuffle."),
+  )
+}
