@@ -337,6 +337,39 @@ object Streams {
           out.iterator
         })
   }
+
+  /** One-sided CUSUM drift detection per user: S_i = max(0, S_{i-1} +
+    * (x_i - ref - slack)), drift flagged when S crosses `threshold`
+    * (then reset — the standard restart-after-alarm form).  The
+    * recurrence is inherently sequential — no batch ROWS-frame window
+    * can express the max(0, ...) clamp — which is exactly the shape
+    * mapGroupsWithState state is for: O(1) integer state per key,
+    * verdicts deterministic under any partitioning via the
+    * (ts, event_id)-sorted fold (see [[capacityGate]]).  All values are
+    * e3 fixed-point integers, so the detector is exactly reproducible
+    * across engines, restarts, and cluster layouts.  Models the drift
+    * check a long-running ingest pipeline runs against its quality
+    * score (the reference re-checks its sweep outputs per poll tick,
+    * rag_evaluation/test_all_models.py:45-57). */
+  def cusumDrift(events: Dataset[ValueEvent], refE3: Long, slackE3: Long,
+      thresholdE3: Long): Dataset[CusumVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[ValueEvent], state: GroupState[Long]) => {
+          var s = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[CusumVerdict]()
+          evs.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            s = math.max(0L, s + (e.x_e3 - refE3 - slackE3))
+            val drift = s > thresholdE3
+            out += CusumVerdict(e.event_id, user, s, drift)
+            if (drift) s = 0L // restart after alarm
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
@@ -347,6 +380,8 @@ final case class ValueEvent(event_id: Long, user_id: Long, ts_ms: Long,
     x_e3: Long)
 final case class AnomalyVerdict(event_id: Long, user_id: Long, x_e3: Long,
     is_anomaly: Boolean)
+final case class CusumVerdict(event_id: Long, user_id: Long, cusum_e3: Long,
+    drift: Boolean)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

@@ -376,4 +376,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
     assert(got(11L) === true) // the spike is flagged
   }
+
+  test("cusumDrift matches the sequential recurrence and resets on alarm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ValueEvent
+    // user 1: values hover at ref=100e3, then drift upward persistently;
+    // user 2: one spike only — accumulates but never crosses
+    val evs =
+      (1 to 6).map(i => ValueEvent(i.toLong, 1L, 1000L * i, 100000L)) ++
+        (7 to 12).map(i => ValueEvent(i.toLong, 1L, 1000L * i, 130000L)) ++
+        Seq(ValueEvent(13L, 2L, 1000L, 150000L),
+          ValueEvent(14L, 2L, 2000L, 100000L))
+    val mem = MemoryStream[ValueEvent]
+    mem.addData(evs.take(8): _*) // state crosses the batch boundary
+    mem.addData(evs.drop(8): _*)
+    val q = Streams.cusumDrift(mem.toDS().repartition(8),
+        refE3 = 100000L, slackE3 = 5000L, thresholdE3 = 60000L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum")
+      .select(col("event_id"), col("cusum_e3"), col("drift"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // sequential reference fold per user
+    val want = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    evs.groupBy(_.user_id).foreach { case (_, es) =>
+      var s = 0L
+      es.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+        s = math.max(0L, s + (e.x_e3 - 100000L - 5000L))
+        val drift = s > 60000L
+        want(e.event_id) = (s, drift)
+        if (drift) s = 0L
+      }
+    }
+    assert(got === want.toMap)
+    // the sustained +30e3 drift (net +25e3/event) crosses within 3 events
+    assert(got(9L)._2 === true)
+    // user 2's lone spike decays back toward zero without alarming
+    assert(got.filter(_._1 >= 13L).values.forall(!_._2))
+  }
 }
