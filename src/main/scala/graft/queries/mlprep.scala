@@ -193,5 +193,43 @@ object MlPrepQueries {
         "and w/s = words; on punctuated text the sentence count is " +
         "one more regexp_count('[.!?]+'). Pure per-row projection — " +
         "embarrassingly parallel, codegen'd, no shuffle."),
+
+    // -------------------------------------- robust feature scaling
+    QueryDef(
+      "robust_scale_embedding",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
+            floor(col("x").cast("double") * 1000).cast("long").as("q"))
+        val stats = q.groupBy(col("dim")).agg(
+          expr("percentile(q, 0.25)").as("p25"),
+          expr("percentile(q, 0.5)").as("p50"),
+          expr("percentile(q, 0.75)").as("p75"))
+        q.filter(col("vec_id") < 20 && col("dim") < 8)
+          .join(stats, "dim")
+          .select(col("vec_id"), col("dim"),
+            expr("""CAST(floor(1000 * (q - p50) / (p75 - p25)) AS BIGINT)""")
+              .as("scaled_e3"))
+      },
+      Some("""WITH q AS (SELECT vec_id, i.i AS dim,
+        |    floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT AS q
+        |  FROM embeddings, (SELECT range AS i FROM range(0, 64)) i),
+        |stats AS (SELECT dim, quantile_cont(q, 0.25) AS p25,
+        |    quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.75) AS p75
+        |  FROM q GROUP BY dim)
+        |SELECT v.vec_id, v.dim,
+        |  floor(1000 * (v.q - s.p50) / (s.p75 - s.p25))::BIGINT AS scaled_e3
+        |FROM q v JOIN stats s USING (dim)
+        |WHERE v.vec_id < 20 AND v.dim < 8""".stripMargin),
+      "Robust feature scaling (x - median) / IQR per embedding " +
+        "dimension — the outlier-insensitive normalization for " +
+        "whitening before clustering/ANN. Quartiles are exact " +
+        "interpolated order statistics over e3 fixed-point values " +
+        "(bit-identical cross-engine, as quantile_values proved); the " +
+        "scale step is a fixed IEEE sequence + floor. One posexplode " +
+        "+ one 64-key agg broadcast back onto the (bounded demo) " +
+        "projection; at 100 TB the exact quartiles swap to " +
+        "approx_percentile per dim, everything else unchanged."),
   )
 }

@@ -14,6 +14,53 @@ import graft.{QueryDef, Tables}
   */
 object RetrievalQueries {
 
+  /** Distinct 5-gram shingle sets over a deterministic 1-in-5 slice of
+    * the dup-injected corpus (the fixture's 31-word vocabulary makes
+    * every unigram common; shingles restore a rare-feature tail). */
+  private def shingleSets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val t = graft.Corpus.withDups(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+    t.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), i -> " +
+          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2), element_at(toks, i + 3), " +
+          "element_at(toks, i + 4)))")).as("sh"))
+      .distinct()
+  }
+
+  private val shingleSetsSql: String =
+    s"""corpus AS (${graft.Corpus.cte}),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM corpus WHERE doc_id % 5 = 0
+      |        AND len(string_split(text, ' ')) >= 5),
+      |toksd AS (SELECT DISTINCT doc_id,
+      |    toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] || ' ' ||
+      |      toks[i.i+3] || ' ' || toks[i.i+4] AS sh
+      |  FROM t, (SELECT range AS i FROM range(1, 4096)) i
+      |  WHERE i.i <= len(toks) - 4)""".stripMargin
+
+  /** Candidate (a, b) doc pairs sharing a shingle with df in [2, 3] —
+    * rare-feature blocking bounds candidates at C(3,2) per shingle. */
+  private def blockedPairs(toksD: org.apache.spark.sql.DataFrame) = {
+    val rare = toksD.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 3).select(col("sh"))
+    val byRare = toksD.join(rare, "sh")
+    byRare.as("l").join(byRare.as("r"),
+        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+  }
+
+  private val blockedPairsSql: String =
+    """dfs AS (SELECT sh, count(*)::BIGINT AS df FROM toksd GROUP BY sh),
+      |rare AS (SELECT sh FROM dfs WHERE df BETWEEN 2 AND 3),
+      |byrare AS (SELECT d.doc_id, d.sh FROM toksd d JOIN rare USING (sh)),
+      |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |          FROM byrare l JOIN byrare r
+      |            ON l.sh = r.sh AND l.doc_id < r.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // -------------------------------------------- inverted index
@@ -96,32 +143,11 @@ object RetrievalQueries {
     QueryDef(
       "idf_weighted_jaccard",
       (s, d) => {
-        // 5-gram shingle sets over a deterministic 1-in-5 slice of the
-        // dup-injected corpus (the fixture's 31-word vocabulary makes
-        // every unigram common; shingles restore a rare-feature tail)
-        val t = graft.Corpus.withDups(s, d)
-          .filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 5)
-        val toksD = t.select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(toks) - 4), i -> " +
-              "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-              "element_at(toks, i + 2), element_at(toks, i + 3), " +
-              "element_at(toks, i + 4)))")).as("sh"))
-          .distinct()
+        val toksD = shingleSets(s, d)
         val w = toksD.groupBy(col("sh"))
           .agg(count(lit(1)).as("df"))
           .withColumn("w", expr("1000000000 div df"))
-        // candidate pairs: docs sharing a shingle with df in [2, 3] —
-        // rare-feature blocking bounds candidates at C(3,2) per shingle
-        val rare = w.filter(col("df") >= 2 && col("df") <= 3)
-          .select(col("sh"))
-        val byRare = toksD.join(rare, "sh")
-        val pairs = byRare.as("l").join(byRare.as("r"),
-            col("l.sh") === col("r.sh") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .distinct()
+        val pairs = blockedPairs(toksD)
         val tokW = toksD.join(w.select(col("sh"), col("w")), "sh")
         val docW = tokW.groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
         val inter = pairs
@@ -137,23 +163,9 @@ object RetrievalQueries {
             expr("(1000 * coalesce(swi, 0L)) div " +
               "(wa.sw + wb.sw - coalesce(swi, 0L))").as("wj_permille"))
       },
-      Some(s"""WITH corpus AS (${graft.Corpus.cte}),
-        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |      FROM corpus WHERE doc_id % 5 = 0
-        |        AND len(string_split(text, ' ')) >= 5),
-        |toksd AS (SELECT DISTINCT doc_id,
-        |    toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] || ' ' ||
-        |      toks[i.i+3] || ' ' || toks[i.i+4] AS sh
-        |  FROM t, (SELECT range AS i FROM range(1, 4096)) i
-        |  WHERE i.i <= len(toks) - 4),
-        |w AS (SELECT sh, count(*)::BIGINT AS df,
-        |        (1000000000 // count(*))::BIGINT AS w
-        |      FROM toksd GROUP BY sh),
-        |rare AS (SELECT sh FROM w WHERE df BETWEEN 2 AND 3),
-        |byrare AS (SELECT d.doc_id, d.sh FROM toksd d JOIN rare USING (sh)),
-        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |          FROM byrare l JOIN byrare r
-        |            ON l.sh = r.sh AND l.doc_id < r.doc_id),
+      Some(s"""WITH $shingleSetsSql,
+        |$blockedPairsSql,
+        |w AS (SELECT sh, df, (1000000000 // df)::BIGINT AS w FROM dfs),
         |tokw AS (SELECT d.doc_id, d.sh, w.w FROM toksd d JOIN w USING (sh)),
         |docw AS (SELECT doc_id, sum(w)::BIGINT AS sw FROM tokw GROUP BY doc_id),
         |inter AS (SELECT p.a, p.b, sum(ta.w)::BIGINT AS swi
@@ -177,5 +189,48 @@ object RetrievalQueries {
         "scored); every join is an equi-join on shingle or doc_id — no " +
         "quadratic stage anywhere, so the shape survives 100 TB with " +
         "the blocking band and shingle width as the knobs."),
+
+    // ------------------------------------ asymmetric containment
+    QueryDef(
+      "shingle_containment_pairs",
+      (s, d) => {
+        val toksD = shingleSets(s, d)
+        val pairs = blockedPairs(toksD)
+        val sizes = toksD.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val inter = pairs
+          .join(toksD.as("ta"), col("a") === col("ta.doc_id"))
+          .join(toksD.as("tb"),
+            col("b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+          .select(col("a"), col("b"),
+            expr("(1000 * ni) div sa.nsh").as("containment_a_permille"),
+            expr("(1000 * ni) div sb.nsh").as("containment_b_permille"))
+      },
+      Some(s"""WITH $shingleSetsSql,
+        |$blockedPairsSql,
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS nsh
+        |          FROM toksd GROUP BY doc_id),
+        |inter AS (SELECT p.a, p.b, count(*)::BIGINT AS ni
+        |          FROM pairs p
+        |          JOIN toksd ta ON ta.doc_id = p.a
+        |          JOIN toksd tb ON tb.doc_id = p.b AND ta.sh = tb.sh
+        |          GROUP BY p.a, p.b)
+        |SELECT i.a, i.b,
+        |  ((1000 * i.ni) // sa.nsh)::BIGINT AS containment_a_permille,
+        |  ((1000 * i.ni) // sb.nsh)::BIGINT AS containment_b_permille
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.a
+        |JOIN sizes sb ON sb.doc_id = i.b""".stripMargin),
+      "Asymmetric containment (|A∩B|/|A| vs /|B|) over the same " +
+        "rare-shingle-blocked candidates as idf_weighted_jaccard: " +
+        "catches sub-document duplication — quotation, boilerplate " +
+        "embedding, truncated re-crawls — that symmetric Jaccard " +
+        "under-scores (a 90%-prefix truncation has containment ~1000 " +
+        "from the short side but Jaccard ~900). Same bounded blocking " +
+        "and equi-join shape; only the final scoring differs, and " +
+        "Catalyst shares the shingle/pair subtrees when both run."),
   )
 }

@@ -370,6 +370,42 @@ object Streams {
           out.iterator
         })
   }
+
+  /** Token-bucket rate limiting per user: a bucket of `capacityMilli`
+    * millitokens refills at `refillMilliPerSec` from event-time deltas;
+    * each event needs 1000 millitokens to be admitted.  Pure integer
+    * state ((tokens, last_ts) per key, O(1)), event-time driven so the
+    * decision sequence is reproducible from the log regardless of
+    * wall-clock — the admission-throttle half of [[capacityGate]]'s
+    * concurrency gate (the reference serializes its job submissions
+    * with a 15 s poll loop, train_adapters/create_all_models.py:48-76;
+    * a token bucket is that policy as per-key state). Deterministic
+    * via the (ts, event_id)-sorted fold. */
+  def rateLimiter(events: Dataset[ValueEvent], capacityMilli: Long,
+      refillMilliPerSec: Long): Dataset[ThrottleDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[ValueEvent],
+         state: GroupState[(Long, Long)]) => {
+          var (tokens, lastMs) = state.getOption.getOrElse((capacityMilli, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[ThrottleDecision]()
+          evs.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            if (lastMs != Long.MinValue && e.ts_ms > lastMs) {
+              val dt = e.ts_ms - lastMs
+              tokens = math.min(capacityMilli,
+                tokens + (dt * refillMilliPerSec) / 1000L)
+            }
+            lastMs = math.max(lastMs, e.ts_ms)
+            val admitted = tokens >= 1000L
+            if (admitted) tokens -= 1000L
+            out += ThrottleDecision(e.event_id, user, admitted, tokens)
+          }
+          state.update((tokens, lastMs))
+          out.iterator
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
@@ -382,6 +418,8 @@ final case class AnomalyVerdict(event_id: Long, user_id: Long, x_e3: Long,
     is_anomaly: Boolean)
 final case class CusumVerdict(event_id: Long, user_id: Long, cusum_e3: Long,
     drift: Boolean)
+final case class ThrottleDecision(event_id: Long, user_id: Long,
+    admitted: Boolean, tokens_milli: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

@@ -82,6 +82,35 @@ class RetrievalGraphSpec extends SparkSpec {
     exact.foreach(r => assert(r.getLong(2) == 1000L))
   }
 
+  test("shingle_containment_pairs: prefix truncations are fully contained " +
+    "from the short side") {
+    val rows = byName("shingle_containment_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+    // a near-dup (+1000000) is a 90%-CHARACTER-prefix truncation: all its
+    // shingles except the <=4 spanning the cut's partial word appear in
+    // the original, so short-side containment is high (but not 1000) and
+    // dominates the long-side ratio
+    val nearDups = rows.filter(r => r.getLong(0) < 1000000L &&
+      r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(nearDups.nonEmpty, "no near-dup pair surfaced")
+    nearDups.foreach { r =>
+      assert(r.getLong(3) >= 850L,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) containment_b=${r.getLong(3)}")
+      assert(r.getLong(3) >= r.getLong(2),
+        "short-side containment must dominate")
+    }
+    // and symmetric Jaccard on the same pair is strictly lower than the
+    // short-side containment (the signal containment exists to add)
+    val exact = rows.filter(r => r.getLong(1) == r.getLong(0) + 2000000L)
+    exact.foreach { r =>
+      assert(r.getLong(2) == 1000L && r.getLong(3) == 1000L)
+    }
+  }
+
   test("graph_degree_distribution: handshake law and degree bounds") {
     val dist = byName("graph_degree_distribution").collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -418,4 +418,43 @@ class StreamingSpec extends SparkSpec {
     // user 2's lone spike decays back toward zero without alarming
     assert(got.filter(_._1 >= 13L).values.forall(!_._2))
   }
+
+  test("rateLimiter: burst drains the bucket, event-time refill restores it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ValueEvent
+    // capacity 3 tokens (3000 milli), refill 1 token/s; user 1 bursts 5
+    // events at t=0..40ms, then one event 2.5s later
+    val evs = (1 to 5).map(i => ValueEvent(i.toLong, 1L, (i - 1) * 10L, 0L)) :+
+      ValueEvent(6L, 1L, 2540L, 0L)
+    val mem = MemoryStream[ValueEvent]
+    mem.addData(evs.take(4): _*) // bucket state crosses the batch boundary
+    mem.addData(evs.drop(4): _*)
+    val q = Streams.rateLimiter(mem.toDS().repartition(8),
+        capacityMilli = 3000L, refillMilliPerSec = 1000L)
+      .writeStream.format("memory").queryName("throttle")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("throttle")
+      .select(col("event_id"), col("admitted"), col("tokens_milli"))
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // sequential reference fold
+    var tokens = 3000L; var last = Long.MinValue
+    val want = evs.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+      if (last != Long.MinValue && e.ts_ms > last)
+        tokens = math.min(3000L, tokens + (e.ts_ms - last) * 1000L / 1000L)
+      last = math.max(last, e.ts_ms)
+      val adm = tokens >= 1000L
+      if (adm) tokens -= 1000L
+      e.event_id -> (adm, tokens)
+    }.toMap
+    assert(got === want)
+    // events 1-3 admitted, 4-5 rejected (refill over 40ms is 40 milli),
+    // event 6 admitted after ~2.5s of refill
+    assert(got(1L)._1 && got(2L)._1 && got(3L)._1)
+    assert(!got(4L)._1 && !got(5L)._1)
+    assert(got(6L)._1)
+  }
 }
