@@ -72,7 +72,8 @@ object Bench {
       "sessionize_user", "tfidf_top_terms", "text_langid",
       "text_repetition_ratio", "first_hit", "retrieval_eval_detail",
       "chunk_text_overlap", "pack_sequences", "line_dedup_global",
-      "contamination_ngram_overlap", "kmeans_cluster_assign", "pagerank_knn")
+      "contamination_ngram_overlap", "kmeans_cluster_assign", "pagerank_knn",
+      "inverted_index_postings", "idf_weighted_jaccard", "ewma_halflife")
     println(jsonLine(results.filter(r => headline(r._1))))
     spark.stop()
   }

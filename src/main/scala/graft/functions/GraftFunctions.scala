@@ -40,10 +40,20 @@ object GraftFunctions {
   private val chunkSpansInfo = new ExpressionInfo(
     classOf[ChunkSpans].getCanonicalName, "chunk_spans")
 
+  private val jaroWinklerBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"jaro_winkler expects 2 arguments, got ${args.length}")
+    JaroWinklerSimilarity(args(0), args(1))
+  }
+
+  private val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinklerSimilarity].getCanonicalName, "jaro_winkler")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
-      (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder))
+      (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder),
+      (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
