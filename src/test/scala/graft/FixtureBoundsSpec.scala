@@ -68,6 +68,17 @@ class FixtureBoundsSpec extends SparkSpec {
         s"doc of $maxTok tokens yields >= 128 bigrams (bigram_lm_score cap)")
     }
 
+    test(s"$sf: per-term document frequency stays under the " +
+      "postings_delta_encode range(2,8192) cap") {
+      val maxDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) >= 4).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head().getLong(0)
+      assert(maxDf < 8191,
+        s"df $maxDf reaches the oracle's gap-position cap")
+    }
+
     test(s"$sf: word length stays under the bpe_merge_step range(0,16) cap") {
       val maxWlen = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
