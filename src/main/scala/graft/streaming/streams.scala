@@ -406,6 +406,46 @@ object Streams {
           out.iterator
         })
   }
+
+  /** Space-Saving heavy hitters: per user, at most k (item, count, err)
+    * counters over the event-type stream — the bounded-memory frequent-
+    * items sketch (Metwally et al.) whose guarantee is
+    * true_count <= count <= true_count + err and sum(counts) = N.
+    * Eviction picks the minimum count with lexicographic tie-break, and
+    * the fold is event_id-sorted, so the sketch state is deterministic
+    * under any partitioning — reproducible heavy hitters, unlike a
+    * wall-clock-raced implementation.  Emits the full counter table
+    * after each batch, stamped with n_seen (monotone), so downstream
+    * takes the max-n_seen snapshot per user.  The batch-side twins are
+    * stat.freqItems / count-min (SketchSpec); this is the streaming
+    * form that never holds more than k counters per key. */
+  def heavyHitters(events: Dataset[JobEvent], k: Int): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[JobEvent],
+         state: GroupState[(Long, Map[String, (Long, Long)])]) => {
+          var (n, counters) = state.getOption.getOrElse((0L, Map.empty[String, (Long, Long)]))
+          evs.toIndexedSeq.sortBy(_.event_id).foreach { e =>
+            n += 1
+            counters.get(e.event_type) match {
+              case Some((c, err)) =>
+                counters = counters.updated(e.event_type, (c + 1, err))
+              case None if counters.size < k =>
+                counters = counters.updated(e.event_type, (1L, 0L))
+              case None =>
+                val (victim, (vc, _)) = counters.minBy { case (it, (c, _)) => (c, it) }
+                counters = (counters - victim)
+                  .updated(e.event_type, (vc + 1, vc))
+            }
+          }
+          state.update((n, counters))
+          counters.toSeq.sortBy(_._1).iterator.map { case (it, (c, err)) =>
+            HeavyHitter(user, it, c, err, n)
+          }
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
@@ -420,6 +460,8 @@ final case class CusumVerdict(event_id: Long, user_id: Long, cusum_e3: Long,
     drift: Boolean)
 final case class ThrottleDecision(event_id: Long, user_id: Long,
     admitted: Boolean, tokens_milli: Long)
+final case class HeavyHitter(user_id: Long, item: String, count: Long,
+    err: Long, n_seen: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

@@ -457,4 +457,65 @@ class StreamingSpec extends SparkSpec {
     assert(!got(4L)._1 && !got(5L)._1)
     assert(got(6L)._1)
   }
+
+  test("heavyHitters: Space-Saving invariants and exact replication") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.JobEvent
+    // user 1: skewed over 5 types with k=3 (forces evictions);
+    // user 2: only 2 types with k=3 (sketch is exact)
+    val types = Seq("click", "click", "view", "click", "purchase", "error",
+      "click", "view", "signup", "click", "view", "click")
+    val evs = types.zipWithIndex.map { case (t, i) =>
+      JobEvent((i + 1).toLong, 1L, t)
+    } ++ Seq(JobEvent(100L, 2L, "click"), JobEvent(101L, 2L, "view"),
+      JobEvent(102L, 2L, "click"))
+    val mem = MemoryStream[JobEvent]
+    mem.addData(evs.take(7): _*) // counters survive the batch boundary
+    mem.addData(evs.drop(7): _*)
+    val q = Streams.heavyHitters(mem.toDS().repartition(8), k = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("hh")
+      .select(col("user_id"), col("item"), col("count"), col("err"),
+        col("n_seen"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // take the final snapshot (max n_seen) per user
+    val finalN = all.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._5).max }
+    val got = all.filter(r => r._5 == finalN(r._1))
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // reference fold with identical eviction rule
+    def ref(seq: Seq[JobEvent], k: Int): Map[String, (Long, Long)] = {
+      var c = Map.empty[String, (Long, Long)]
+      seq.sortBy(_.event_id).foreach { e =>
+        c.get(e.event_type) match {
+          case Some((n, err)) => c = c.updated(e.event_type, (n + 1, err))
+          case None if c.size < k => c = c.updated(e.event_type, (1L, 0L))
+          case None =>
+            val (v, (vc, _)) = c.minBy { case (it, (n, _)) => (n, it) }
+            c = (c - v).updated(e.event_type, (vc + 1, vc))
+        }
+      }
+      c
+    }
+    val want = (ref(evs.filter(_.user_id == 1L), 3).map {
+      case (it, v) => (1L, it) -> v
+    } ++ ref(evs.filter(_.user_id == 2L), 3).map {
+      case (it, v) => (2L, it) -> v
+    }).toMap
+    assert(got === want)
+    // invariants: sum of counts = N per user; <= k counters per user
+    assert(got.filter(_._1._1 == 1L).values.map(_._1).sum == 12L)
+    assert(got.filter(_._1._1 == 2L).values.map(_._1).sum == 3L)
+    assert(got.keys.count(_._1 == 1L) <= 3)
+    // user 2 with 2 distinct types: exact (err = 0) and correct counts
+    assert(got((2L, "click")) == ((2L, 0L)))
+    assert(got((2L, "view")) == ((1L, 0L)))
+    // the dominant item's true count is within [count - err, count]
+    val (c1, e1) = got((1L, "click"))
+    val trueClicks = 6L
+    assert(trueClicks <= c1 && c1 <= trueClicks + e1)
+  }
 }
