@@ -66,4 +66,20 @@ object Formats {
       .option("pathGlobFilter", glob)
       .text(dir)
       .select(col("value").as("line"), input_file_name().as("source_file"))
+
+  /** Raw-binary ingest for multimodal payloads: each matched file becomes
+    * one row (path, modificationTime, length, content binary) — the
+    * entry point that feeds MediaSource's decode/feature stages when
+    * media arrives as files rather than parquet binary columns. The
+    * built-in binaryFile source streams file bytes into the row without
+    * driver-side reads, prunes on path/length pushdown, and at 100 TB is
+    * governed by spark.sql.files.maxPartitionBytes like any scan; files
+    * larger than a partition stay single-row (binary payloads are
+    * opaque), so pathological file sizes belong in an object-store
+    * chunking layer upstream. */
+  def binaryDir(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"), col("content"))
 }

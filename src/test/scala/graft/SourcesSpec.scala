@@ -33,6 +33,24 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("answer_key") === "cpd00159").count() === 1)
   }
 
+  test("binaryDir: raw file bytes arrive as one row per file with length") {
+    val dir = res("terms.tsv").stripSuffix("terms.tsv")
+    val df = Formats.binaryDir(spark, dir, "*.tsv")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0).endsWith("terms.tsv"))
+    val bytes = r.getAs[Array[Byte]](2)
+    assert(r.getLong(1) === bytes.length.toLong)
+    // content round-trips bit-exact: matches the text-source view
+    val viaText = Formats.termsTsv(spark, res("terms.tsv")).count()
+    val asText = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    assert(asText.linesIterator.count(l =>
+      l.nonEmpty && !l.startsWith("#")) === viaText)
+    // glob pruning: no match -> no rows, schema intact
+    assert(Formats.binaryDir(spark, dir, "*.nope").count() === 0)
+  }
+
   test("narratives: short lines dropped, terminator stripped + flagged") {
     val df = Formats.narratives(spark, res("narratives.txt"))
     assert(df.count() === 4) // blank and 'x' dropped
