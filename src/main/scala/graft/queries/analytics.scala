@@ -136,5 +136,49 @@ object AnalyticsQueries {
         "(fine for the per-source summary it feeds); at 100 TB replace " +
         "it with approx quantiles at fixed grid points and join on the " +
         "bucket index instead of the exact order statistic."),
+
+    // --------------------------------------- TPC-H Q1 (fixed point)
+    QueryDef(
+      "tpch_q1_pricing",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") * 100).cast("long").as("q2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("p2"),
+          floor(col("l_discount") * 100).cast("long").as("d2"),
+          floor(col("l_tax") * 100).cast("long").as("t2"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("count_order"),
+          sum(col("q2")).as("sum_qty_e2"),
+          sum(col("p2")).as("sum_base_e2"),
+          sum(col("p2") * (lit(100L) - col("d2"))).as("sum_disc_e4"),
+          sum(col("p2") * (lit(100L) - col("d2")) * (lit(100L) + col("t2")))
+            .as("sum_charge_e6"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("count_order"),
+          col("sum_qty_e2"), col("sum_base_e2"), col("sum_disc_e4"),
+          col("sum_charge_e6"),
+          expr("sum_qty_e2 div count_order").as("avg_qty_e2"),
+          expr("sum_base_e2 div count_order").as("avg_price_e2")),
+      Some("""WITH q AS (SELECT l_returnflag, l_linestatus,
+        |    floor(l_quantity * 100)::BIGINT AS q2,
+        |    floor(l_extendedprice * 100)::BIGINT AS p2,
+        |    floor(l_discount * 100)::BIGINT AS d2,
+        |    floor(l_tax * 100)::BIGINT AS t2
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS count_order,
+        |  sum(q2)::BIGINT AS sum_qty_e2, sum(p2)::BIGINT AS sum_base_e2,
+        |  sum(p2 * (100 - d2))::BIGINT AS sum_disc_e4,
+        |  sum(p2 * (100 - d2) * (100 + t2))::BIGINT AS sum_charge_e6,
+        |  (sum(q2) // count(*))::BIGINT AS avg_qty_e2,
+        |  (sum(p2) // count(*))::BIGINT AS avg_price_e2
+        |FROM q GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1 pricing summary in exact fixed point: quantity/price/" +
+        "discount/tax are 2-decimal fixtures, so floor(x*100) is " +
+        "lossless and disc_price/charge become pure integer products " +
+        "(e4/e6 scales) — order-independent partial sums where the " +
+        "float original is run-order-dependent. The canonical " +
+        "single-shuffle scan-heavy agg: predicate pushed to the scan, " +
+        "4-way map-side combine into 6 counters per (flag, status) " +
+        "pair — the shape whose 100 TB cost is the scan, nothing else."),
   )
 }

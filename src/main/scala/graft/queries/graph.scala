@@ -289,5 +289,100 @@ object GraphQueries {
         "[k, 2k]; a heavier tail flags hub nodes / near-dup clouds). " +
         "Two cheap partial-aggregatable counts; at 100 TB the second " +
         "groupBy is over at most max-degree distinct keys."),
+
+    // --------------------- scalable connected components (star ops)
+    QueryDef(
+      "connected_components_largestar",
+      (s, d) => {
+        val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"))
+        val selfLoops = nodes.select(col("vec_id").as("a"),
+          col("vec_id").as("b"))
+        // Large-star: every node links its strictly-larger neighbors to
+        // the minimum of its closed neighborhood; small-star: links its
+        // smaller-or-equal neighborhood to that minimum. Alternating the
+        // two converges to per-component stars in O(log n) rounds
+        // (Kiveris et al., "Connected Components in MapReduce and
+        // Beyond") — the scalable CC construction, vs the recursive-CTE
+        // label spread the (bounded) dedup_clusters oracle uses.
+        def largeStar(e: DataFrame): DataFrame = {
+          val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+            .unionByName(selfLoops)
+          val mins = adj.groupBy(col("a")).agg(min(col("b")).as("m"))
+          adj.join(mins, "a")
+            .filter(col("b") > col("a"))
+            .select(col("b").as("a"), col("m").as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+        }
+        def smallStar(e: DataFrame): DataFrame = {
+          val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+            .filter(col("b") <= col("a"))
+            .unionByName(selfLoops)
+          val mins = adj.groupBy(col("a")).agg(min(col("b")).as("m"))
+          adj.join(mins, "a")
+            .select(col("b").as("a"), col("m").as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+        }
+        // driver-controlled fixpoint: each round is two bounded shuffle
+        // passes. localCheckpoint(eager) TRUNCATES LINEAGE — without it
+        // every round's plan re-derives all prior rounds and the loop
+        // goes exponential (at 100 TB: reliable checkpoint to storage).
+        // Convergence is a 4-counter checksum equality, one cheap agg
+        // per round instead of two exceptAll shuffles; the edge sets of
+        // consecutive rounds are equal iff the stars stopped moving
+        // (checksum collision is 2^-64-ish, and the oracle would catch
+        // a wrong final labeling anyway).
+        def checksum(e: DataFrame): (Long, Long, Long, Long) = {
+          val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b")),
+            sum(col("a") * 1000003L + col("b"))).head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            if (r.isNullAt(3)) 0L else r.getLong(3))
+        }
+        var edges = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint(true)
+        var sig = checksum(edges)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 12) {
+          val next = smallStar(largeStar(edges)).localCheckpoint(true)
+          val nextSig = checksum(next)
+          converged = nextSig == sig
+          edges = next
+          sig = nextSig
+          rounds += 1
+        }
+        val labeled = nodes
+          .join(edges.select(col("a").as("vec_id"), col("b").as("root")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("root"), col("vec_id")).as("component"))
+        labeled
+      },
+      Some(s"""WITH RECURSIVE $knnEdgesSql,
+        |und AS (SELECT a, b FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+        |  UNION
+        |  SELECT b, a FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)),
+        |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
+        |reach AS (
+        |  SELECT vec_id AS node, vec_id AS lbl FROM nodes
+        |  UNION
+        |  SELECT u.b AS node, r.lbl FROM reach r JOIN und u ON u.a = r.node)
+        |SELECT node AS vec_id, min(lbl) AS component
+        |FROM reach GROUP BY node""".stripMargin),
+      "Connected components by alternating large-star/small-star to a " +
+        "driver-checked fixpoint — the O(log n)-round algorithm that " +
+        "computes CC at 100 TB where recursive label spreading needs " +
+        "O(diameter) passes. Each round is two map-side-combinable " +
+        "groupBy-min passes + equi-joins; state between rounds is one " +
+        "bounded edge list (monotonically star-ifying), and the final " +
+        "label of every node is the component minimum — exactly what " +
+        "the oracle's recursive reach computes independently. The " +
+        "same loop body scales by swapping persist for checkpoint."),
   )
 }

@@ -138,6 +138,32 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got == lbl)
   }
 
+  test("connected_components_largestar: edges never cross components, " +
+    "roots are component minima") {
+    val lbl = byName("connected_components_largestar").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    undEdges.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"edge ($a,$b) crosses components")
+    }
+    // each component's label is the minimum member id, and the root
+    // labels itself
+    lbl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c min is not the label")
+      assert(lbl(c) == c)
+    }
+    // independent union-find over the same edges gives identical labels
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    undEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    lbl.foreach { case (v, c) => assert(find(v) == c, s"node $v") }
+  }
+
   test("resource_allocation_linkpred matches driver-side recompute") {
     val got = byName("resource_allocation_linkpred").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
