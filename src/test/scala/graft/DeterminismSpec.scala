@@ -17,7 +17,12 @@ class DeterminismSpec extends SparkSpec {
     "interpolate_linear",         // window-frame float math
     "variance_fixed_point",       // integer-moment aggregation
     "cogroup_user_activity",      // typed cogroup folds
-    "sample_fixed_per_group")     // hash-ordered windowed sampling
+    "sample_fixed_per_group",     // hash-ordered windowed sampling
+    "grouped_ols_trend",          // IEEE-tail over integer moments
+    "idf_weighted_jaccard",       // blocked pair generation + weights
+    "timeline_overlap_merge",     // running-max island windows
+    "connected_components_largestar", // iterated star contraction
+    "fuzzy_match_jw")             // native JW kernel over sorted blocks
 
   for (name <- sample) {
     test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
