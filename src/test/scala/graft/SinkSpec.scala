@@ -22,6 +22,52 @@ class SinkSpec extends SparkSpec {
     assert(one.count() === 25)
   }
 
+  test("small-file compaction: many shards rewritten to target file count, " +
+    "contents identical") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$out/fragmented"
+    val compact = s"$out/compacted"
+    // simulate a streaming/hourly ingest that left many tiny files
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val shards = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(shards >= 32, s"expected many shards, got $shards")
+    // compaction pass: read + coalesce to a target and rewrite — the
+    // maintenance job that keeps scan task counts sane at 100 TB (real
+    // deployments size by bytes via maxRecordsPerFile; the shape is the
+    // same single narrow rewrite, no shuffle with coalesce)
+    spark.read.parquet(frag).coalesce(2)
+      .write.mode("overwrite")
+      .parquet(compact)
+    val after = new java.io.File(compact).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"compaction left $after files")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compact)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("writer-side schema evolution: appended column visible under " +
+    "mergeSchema, absent rows null") {
+    val out = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Tables.documents(spark, sfDir).limit(4)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(out)
+    Tables.documents(spark, sfDir).filter(col("doc_id") >= 4).limit(3)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    assert(merged.count() === 7)
+    assert(merged.filter(col("lang").isNull).count() === 4)
+    assert(merged.filter(col("lang").isNotNull).count() === 3)
+    // the un-merged read keeps working on the footer schema it samples
+    assert(spark.read.parquet(out).count() === 7)
+  }
+
   test("idempotent rebuild: overwrite replaces, ignore skips (DG:64-65 semantics)") {
     val out = Files.createTempDirectory("graft_sink2").toString + "/t"
     val d5 = Tables.documents(spark, sfDir).limit(5)
