@@ -51,6 +51,59 @@ object MiningQueries {
         "larger itemsets repeat the same bounded join on the survivor " +
         "pairs (apriori pruning keeps the frontier broadcastable)."),
 
+    // ---------------------------------- association rules (lift)
+    QueryDef(
+      "association_rules_lift",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val single = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+        val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+        val pairs = a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(single.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), "type_a")
+          .join(broadcast(single.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), "type_b")
+          .crossJoin(broadcast(nUsers))
+          .select(col("type_a"), col("type_b"), col("n_ab"),
+            // confidence a=>b and lift, both cross-multiplied integers
+            expr("(1000 * n_ab) div n_a").as("conf_ab_permille"),
+            expr("(1000 * n_ab) div n_b").as("conf_ba_permille"),
+            expr("(1000 * n_ab * n_total) div (n_a * n_b)").as("lift_e3"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |single AS (SELECT event_type, count(*)::BIGINT AS n
+        |           FROM ut GROUP BY event_type),
+        |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS n_total FROM ut),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*)::BIGINT AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |  ((1000 * p.n_ab) // sa.n)::BIGINT AS conf_ab_permille,
+        |  ((1000 * p.n_ab) // sb.n)::BIGINT AS conf_ba_permille,
+        |  ((1000 * p.n_ab * t.n_total) // (sa.n * sb.n))::BIGINT AS lift_e3
+        |FROM pairs p
+        |JOIN single sa ON sa.event_type = p.type_a
+        |JOIN single sb ON sb.event_type = p.type_b
+        |CROSS JOIN tot t""".stripMargin),
+      "Association rules over the co-occurrence pairs: confidence in " +
+        "both directions and lift = P(ab)/(P(a)P(b)), cross-multiplied " +
+        "to exact integers (lift_e3 > 1000 means positive association " +
+        "— same verdict chi2_lang_source tests, in effect-size form). " +
+        "Support counts ride the bounded pair join of " +
+        "cooccurrence_pairs; the singles table and the 1-row total are " +
+        "broadcast — no new shuffle beyond the pair count itself."),
+
     // ------------------------------------------ event transitions
     QueryDef(
       "event_transition_counts",

@@ -446,6 +446,24 @@ object Streams {
           }
         })
   }
+
+  /** Streaming twin of `quantile_values`: per-hour event-time windows
+    * with approx_percentile over the fixed-point value — the sketch agg
+    * is mergeable, so partial sketches combine across triggers and
+    * partitions inside the stateful window store (exact percentile
+    * would need every value retained per open window). Append mode:
+    * each window's quantiles finalize when the watermark passes. */
+  def windowedQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        expr("approx_percentile(CAST(floor(value * 100) AS BIGINT), " +
+          "array(0.5, 0.95), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"),
+        element_at(col("p"), 1).as("p50_e2"),
+        element_at(col("p"), 2).as("p95_e2"))
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "chi2_lang_source",       // broadcast of the 1-row n/dof totals
     "resource_allocation_linkpred", // bounded 300-vector kNN slice
     "label_propagation_communities", // bounded 300-vector kNN slice
-    "graph_degree_distribution")     // bounded 300-vector kNN slice
+    "graph_degree_distribution",     // bounded 300-vector kNN slice
+    "association_rules_lift")        // broadcast of the 1-row user total
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>

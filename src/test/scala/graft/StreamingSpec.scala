@@ -45,6 +45,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts(60), "view", 1L)))
   }
 
+  test("windowedQuantiles emits mergeable per-hour percentiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // hour 0: values 1..10 across two triggers (sketches must merge)
+    mem.addData((1 to 6).map(i =>
+      Ev(i.toLong, ts(i), 1, "click", i.toDouble, "{}")): _*)
+    mem.addData((7 to 10).map(i =>
+      Ev(i.toLong, ts(i), 1, "click", i.toDouble, "{}")): _*)
+    mem.addData(Ev(99, ts(600), 9, "view", 1.0, "{}")) // close watermark
+    val out = runBatches(Streams.windowedQuantiles(mem.toDF()), "wq")
+    val h0 = out.filter(col("window_start") === ts(0))
+      .select(col("n"), col("p50_e2"), col("p95_e2"))
+      .as[(Long, Long, Long)].head()
+    assert(h0._1 === 10L)
+    // approx_percentile with accuracy 10000 over 10 values is exact:
+    // p50 of 100..1000 (e2) = 500, p95 = 1000
+    assert(h0._2 === 500L)
+    assert(h0._3 === 1000L)
+  }
+
   test("sessionize groups bursts separated by >10min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
