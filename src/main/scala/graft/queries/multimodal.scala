@@ -33,6 +33,33 @@ object MultimodalQueries {
         "columns; the payload is opaque bytes, never parsed by the plan."),
 
     QueryDef(
+      "media_dedup_bytes",
+      (s, d) => {
+        val m = MediaSource.media(s, d).toDF()
+          .select(col("mediaId").as("media_id"),
+            md5(col("payload")).as("payload_md5"),
+            length(col("payload")).cast("bigint").as("byte_len"))
+        m.groupBy(col("payload_md5"), col("byte_len"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("keeper_id"))
+          .filter(col("n_copies") >= 1)
+      },
+      Some("""SELECT md5(text) AS payload_md5,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  count(*)::BIGINT AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin),
+      "Byte-level exact dedup over BINARY media payloads: md5 of the " +
+        "raw bytes (not any decoded form) + length as the group key, " +
+        "min-id keeper per content group — the first pass of any " +
+        "multimodal ingest, running BEFORE decode so duplicate images/" +
+        "audio never cost decoder time. The hash is computed in the " +
+        "scan projection, so only (16-byte digest, length) ever " +
+        "shuffles — payload bytes stay in place, which at 100 TB is " +
+        "the difference between shuffling terabytes and megabytes."),
+
+    QueryDef(
       "media_feature_extract",
       (s, d) => MediaSource.extractFeatures(MediaSource.media(s, d)).toDF()
         .select(col("mediaId").as("media_id"), col("kind"),

@@ -260,5 +260,49 @@ object StatsQueries {
         "small broadcast joins of the 5-row per-lang statistics; at " +
         "100 TB the exact median swaps to approx_percentile with the " +
         "filter unchanged (length_outlier_filter shows that path)."),
+
+    // ----------------------------------- deterministic bootstrap CI
+    QueryDef(
+      "bootstrap_ci_mean_length",
+      (s, d) => {
+        // 16 deterministic half-sample replicas: doc d enters replica b
+        // iff md5(d*31+b) is even — a subsampling bootstrap whose draws
+        // are pure expressions (no RNG state, engine-portable)
+        val reps = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .crossJoin(broadcast(
+            s.range(0, 16).select(col("id").as("b"))))
+          .filter(
+            pmod(conv(substring(md5(
+              (col("doc_id") * 31 + col("b")).cast("string")), 1, 8), 16, 10)
+              .cast("long"), lit(2)) === 0)
+        val means = reps.groupBy(col("lang"), col("b"))
+          .agg(expr("(1000 * sum(n_chars)) div count(*)").as("mean_e3"))
+        means.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_replicas"),
+          min(col("mean_e3")).as("mean_lo_e3"),
+          max(col("mean_e3")).as("mean_hi_e3"),
+          (max(col("mean_e3")) - min(col("mean_e3"))).as("spread_e3"))
+      },
+      Some("""WITH reps AS (SELECT d.lang, d.n_chars, b.b
+        |  FROM documents d, (SELECT range AS b FROM range(0, 16)) b
+        |  WHERE (('0x' || substr(md5((d.doc_id * 31 + b.b)::VARCHAR), 1, 8))
+        |         ::BIGINT % 2) = 0),
+        |means AS (SELECT lang, b,
+        |    ((1000 * sum(n_chars)) // count(*))::BIGINT AS mean_e3
+        |  FROM reps GROUP BY lang, b)
+        |SELECT lang, count(*)::BIGINT AS n_replicas,
+        |  min(mean_e3) AS mean_lo_e3, max(mean_e3) AS mean_hi_e3,
+        |  (max(mean_e3) - min(mean_e3))::BIGINT AS spread_e3
+        |FROM means GROUP BY lang""".stripMargin),
+      "Resampling-based uncertainty for a pipeline statistic: 16 " +
+        "deterministic half-sample replicas (membership = parity of an " +
+        "md5 over (doc, replica) — reproducible on any engine or " +
+        "cluster, unlike rand()-seeded draws), per-replica exact " +
+        "integer means, envelope reported as the CI proxy. The replica " +
+        "fan-out is a broadcast of 16 ids — the scan cost is 16x but " +
+        "embarrassingly parallel and partial-aggregated; at 100 TB " +
+        "replicas ride ONE scan as 16 conditional aggregates instead " +
+        "(sum(case when parity(b) ...)), same algebra."),
   )
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "resource_allocation_linkpred", // bounded 300-vector kNN slice
     "label_propagation_communities", // bounded 300-vector kNN slice
     "graph_degree_distribution",     // bounded 300-vector kNN slice
-    "association_rules_lift")        // broadcast of the 1-row user total
+    "association_rules_lift",        // broadcast of the 1-row user total
+    "bootstrap_ci_mean_length")      // broadcast of the 16 replica ids
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
