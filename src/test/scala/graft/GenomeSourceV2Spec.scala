@@ -67,6 +67,24 @@ class GenomeSourceV2Spec extends SparkSpec {
     assert(df.filter(col("genome_id").isNotNull).count() === 8)
   }
 
+  test("V2 sink round-trip: staged-commit JSONL out, V2 source back") {
+    val dir = Files.createTempDirectory("graft_v2_sink").toString + "/out"
+    val src = v2(res("genome-records.jsonl"))
+      .filter(col("genome_id").isNotNull)
+    src.repartition(3)
+      .write.format("graft.sources.v2.GenomeSink")
+      .mode("append").option("path", dir).save()
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".jsonl")).sorted
+    assert(files.length === 3, files.mkString(","))
+    assert(files.forall(_.startsWith("part-")), "staged files left behind")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_tmp-")), "uncommitted staging visible")
+    val back = v2(dir).filter(col("genome_id").isNotNull)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("malformed and short lines are skipped, not fatal") {
     // the fixture contains junk lines (FIXTURES.md §B); the connector
     // must come back with only well-formed objects
