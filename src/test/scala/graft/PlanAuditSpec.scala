@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "label_propagation_communities", // bounded 300-vector kNN slice
     "graph_degree_distribution",     // bounded 300-vector kNN slice
     "association_rules_lift",        // broadcast of the 1-row user total
-    "bootstrap_ci_mean_length")      // broadcast of the 16 replica ids
+    "bootstrap_ci_mean_length",      // broadcast of the 16 replica ids
+    "churn_labels",                  // broadcast of the 1-row horizon
+    "rfm_segmentation")              // broadcast of the 1-row horizon
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
