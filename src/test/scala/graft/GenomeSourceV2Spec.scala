@@ -85,6 +85,34 @@ class GenomeSourceV2Spec extends SparkSpec {
     assert(src.exceptAll(back).count() === 0)
   }
 
+  test("streaming read: file-set offsets give exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_v2_stream")
+    val ckpt = Files.createTempDirectory("graft_v2_ckpt").toString
+    Files.copy(Paths.get(res("genome-records.jsonl")),
+      dir.resolve("a.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_v2_out").toString
+    def drain(): Long = {
+      val q = spark.readStream.format("graft.sources.v2.GenomeSource")
+        .load(dir.toString)
+        .filter(col("genome_id").isNotNull)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+    assert(drain() === 4) // file a processed
+    // second run, same checkpoint, no new files: nothing re-read
+    assert(drain() === 4)
+    // a new shard lands; the restarted query reads ONLY the new file —
+    // cumulative output grows by exactly one file's rows, no re-reads
+    Files.copy(Paths.get(res("genome-records.jsonl")),
+      dir.resolve("b.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    assert(drain() === 8)
+  }
+
   test("malformed and short lines are skipped, not fatal") {
     // the fixture contains junk lines (FIXTURES.md §B); the connector
     // must come back with only well-formed objects
