@@ -102,7 +102,9 @@ class StreamingSpec extends SparkSpec {
       JobEvent(3, 1, "click"), JobEvent(4, 1, "click"), // 4th rejected (cap 3)
       JobEvent(5, 1, "purchase"),                        // one completes
       JobEvent(6, 1, "click"))                           // admitted again
-    val q = Streams.capacityGate(mem.toDS(), capacity = 3)
+    // repartition(8) scrambles arrival order across partitions — the
+    // event_id-sorted fold must still produce order-deterministic gates
+    val q = Streams.capacityGate(mem.toDS().repartition(8), capacity = 3)
       .writeStream.format("memory").queryName("gate")
       .outputMode(OutputMode.Update).start()
     q.processAllAvailable()
@@ -144,7 +146,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[JobEvent]
     mem.addData((1L to 7L).map(i => JobEvent(i, 42, "error")): _*)
     mem.addData(JobEvent(10, 42, "click")) // non-error: ignored
-    val q = Streams.retryGate(mem.toDS(), maxRetries = 5)
+    val q = Streams.retryGate(mem.toDS().repartition(8), maxRetries = 5)
       .writeStream.format("memory").queryName("retries")
       .outputMode(OutputMode.Append).start()
     q.processAllAvailable()
