@@ -1,3 +1,4 @@
+// (power-iteration PCA appended in round 5 — see pca_power_iteration)
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -248,5 +249,65 @@ object Vector2Queries {
         "all-pairs semantic dedup into a per-bucket job that scales to " +
         "100 TB; swap the assignment pass for kmeans_cluster_assign's " +
         "iterated centroids unchanged."),
+
+    // ------------------------------------ power-iteration PCA
+    QueryDef(
+      "pca_power_iteration",
+      (s, d) => {
+        // E as (vec_id, dim, x_e3) exact fixed point
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("x").cast("double") * 1000).cast("long").as("x3"))
+        // one power step: w = E^T (E v); infinity-norm scaling keeps all
+        // arithmetic in exact integers (L2 would need a sqrt)
+        def step(v: org.apache.spark.sql.DataFrame) = {
+          val u = e.join(v, "dim")
+            .groupBy(col("vec_id"))
+            .agg(sum(col("x3") * col("v6")).as("u"))
+          val w = e.join(u, "vec_id")
+            .groupBy(col("dim"))
+            .agg(sum(col("x3") * col("u")).as("w"))
+          val m = w.agg(max(abs(col("w"))).as("mx"))
+          // scale w into ~[-1e6, 1e6] WITHOUT forming 1e6*w (overflow at
+          // |w| ~ 9e15): divide by the pre-shrunk norm mx div 1e6
+          w.crossJoin(broadcast(m))
+            .select(col("dim"),
+              expr("w div greatest(mx div 1000000, 1L)").as("v6"))
+        }
+        val v0 = s.range(0, 64).select(col("id").as("dim"),
+          lit(1000000L).as("v6"))
+        step(step(v0)).select(col("dim"), col("v6").as("component_e6"))
+      },
+      Some("""WITH e AS (SELECT vec_id, i.i::BIGINT AS dim,
+        |    floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT AS x3
+        |  FROM embeddings, (SELECT range AS i FROM range(0, 64)) i),
+        |v0 AS (SELECT range::BIGINT AS dim, 1000000::BIGINT AS v6
+        |       FROM range(0, 64)),
+        |u1 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
+        |       FROM e JOIN v0 v USING (dim) GROUP BY e.vec_id),
+        |w1 AS (SELECT e.dim, sum(e.x3 * u1.u)::BIGINT AS w
+        |       FROM e JOIN u1 USING (vec_id) GROUP BY e.dim),
+        |v1 AS (SELECT dim, (w // greatest(
+        |         (SELECT max(abs(w)) FROM w1) // 1000000, 1))
+        |         ::BIGINT AS v6 FROM w1),
+        |u2 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
+        |       FROM e JOIN v1 v USING (dim) GROUP BY e.vec_id),
+        |w2 AS (SELECT e.dim, sum(e.x3 * u2.u)::BIGINT AS w
+        |       FROM e JOIN u2 USING (vec_id) GROUP BY e.dim)
+        |SELECT dim, (w // greatest(
+        |  (SELECT max(abs(w)) FROM w2) // 1000000, 1))
+        |  ::BIGINT AS component_e6
+        |FROM w2""".stripMargin),
+      "Top principal direction by two power iterations, Gram-matrix-" +
+        "free: each step is E^T(E v) — two equi-join aggregations over " +
+        "the (vec, dim, value) triples, never materializing the 64x64 " +
+        "Gram, which is the formulation that survives when dim is 4096 " +
+        "and the Gram no longer fits a broadcast. Infinity-norm " +
+        "scaling replaces L2 normalization so every number stays an " +
+        "exact int64 (|w| ~ 9e16 at sf0.1; rescaling divides by the " +
+        "pre-shrunk norm, never forming 1e6*w) — deterministic across engines, partitionings, and " +
+        "cluster sizes. Downstream: project embeddings onto the " +
+        "direction for whitening or 1-D curriculum ordering."),
   )
 }

@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "association_rules_lift",        // broadcast of the 1-row user total
     "bootstrap_ci_mean_length",      // broadcast of the 16 replica ids
     "churn_labels",                  // broadcast of the 1-row horizon
-    "rfm_segmentation")              // broadcast of the 1-row horizon
+    "rfm_segmentation",              // broadcast of the 1-row horizon
+    "pca_power_iteration")           // broadcast of the 1-row inf-norm
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
