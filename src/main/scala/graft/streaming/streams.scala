@@ -447,6 +447,44 @@ object Streams {
         })
   }
 
+  /** Streaming twin of `funnel_time_bound`: per-user first-touch state
+    * (first click time, first view-after-click time) carried in
+    * mapGroupsWithState; a purchase converts iff click < view < purchase
+    * and purchase - click <= deadline.  O(1) integer state per user, and
+    * the (ts, event_id)-sorted fold keeps conversions deterministic
+    * under any partitioning — the batch operator recomputes the same
+    * decisions from running-min windows. */
+  def funnelWithDeadline(events: Dataset[TypedEvent], deadlineUs: Long):
+      Dataset[FunnelConversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[TypedEvent],
+         state: GroupState[(Long, Long)]) => {
+          // (first click us, first view strictly after that click)
+          var (clickUs, viewUs) = state.getOption.getOrElse((Long.MaxValue, Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelConversion]()
+          evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" if e.ts_us < clickUs =>
+                clickUs = e.ts_us
+                if (viewUs <= clickUs) viewUs = Long.MaxValue
+              case "view" if e.ts_us > clickUs && e.ts_us < viewUs =>
+                viewUs = e.ts_us
+              case "purchase"
+                if clickUs != Long.MaxValue && viewUs != Long.MaxValue &&
+                  e.ts_us > viewUs && e.ts_us - clickUs <= deadlineUs =>
+                out += FunnelConversion(user, e.event_id,
+                  (e.ts_us - clickUs) / 1000000L)
+              case _ => ()
+            }
+          }
+          state.update((clickUs, viewUs))
+          out.iterator
+        })
+  }
+
   /** Streaming twin of `quantile_values`: per-hour event-time windows
     * with approx_percentile over the fixed-point value — the sketch agg
     * is mergeable, so partial sketches combine across triggers and
@@ -480,6 +518,10 @@ final case class ThrottleDecision(event_id: Long, user_id: Long,
     admitted: Boolean, tokens_milli: Long)
 final case class HeavyHitter(user_id: Long, item: String, count: Long,
     err: Long, n_seen: Long)
+final case class TypedEvent(event_id: Long, user_id: Long,
+    event_type: String, ts_us: Long)
+final case class FunnelConversion(user_id: Long, purchase_id: Long,
+    latency_secs: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

@@ -481,6 +481,43 @@ class StreamingSpec extends SparkSpec {
     assert(got(6L)._1)
   }
 
+  test("funnelWithDeadline: converts only ordered in-deadline journeys, " +
+    "state spans batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TypedEvent
+    val H = 3600000000L // 1h in us
+    val evs = Seq(
+      // user 1: click -> view -> purchase inside 1h: converts
+      TypedEvent(1, 1, "click", 0L),
+      TypedEvent(2, 1, "view", 10L * 60 * 1000000),
+      TypedEvent(3, 1, "purchase", 30L * 60 * 1000000),
+      // user 2: click -> view -> purchase but past the deadline
+      TypedEvent(4, 2, "click", 0L),
+      TypedEvent(5, 2, "view", 10L * 60 * 1000000),
+      TypedEvent(6, 2, "purchase", 2L * H),
+      // user 3: view precedes click, no view after click: no conversion
+      TypedEvent(7, 3, "view", 0L),
+      TypedEvent(8, 3, "click", 10L * 60 * 1000000),
+      TypedEvent(9, 3, "purchase", 20L * 60 * 1000000),
+      // user 4: journey spans the batch boundary
+      TypedEvent(10, 4, "click", 0L),
+      TypedEvent(11, 4, "view", 5L * 60 * 1000000),
+      TypedEvent(12, 4, "purchase", 50L * 60 * 1000000))
+    val mem = MemoryStream[TypedEvent]
+    mem.addData(evs.take(11): _*)
+    mem.addData(evs.drop(11): _*) // user 4's purchase arrives later
+    val q = Streams.funnelWithDeadline(mem.toDS().repartition(8), H)
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel")
+      .select(col("user_id"), col("purchase_id"), col("latency_secs"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 1800L), (4L, 12L, 3000L)))
+  }
+
   test("heavyHitters: Space-Saving invariants and exact replication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
