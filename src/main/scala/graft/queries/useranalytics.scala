@@ -188,5 +188,86 @@ object UserAnalyticsQueries {
         "per-step passes, deadline checked in the same projection. " +
         "Window is per-user, so the operator partitions cleanly at " +
         "any event volume."),
+
+    // --------------------------------------- seasonality profile
+    QueryDef(
+      "seasonality_profile",
+      (s, d) => {
+        val marked = Tables.events(s, d).select(
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"), // 0 = Sunday
+          hour(col("ts")).cast("long").as("hod"))
+        marked.groupBy(col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("dow"), col("hod"), col("n"),
+            expr("(100000 * n) div total").as("share_e5"))
+      },
+      Some("""WITH marked AS (SELECT dayofweek(ts)::BIGINT AS dow,
+        |        hour(ts)::BIGINT AS hod FROM events),
+        |g AS (SELECT dow, hod, count(*)::BIGINT AS n
+        |      FROM marked GROUP BY dow, hod)
+        |SELECT dow, hod, n,
+        |  ((100000 * n) // sum(n) OVER ())::BIGINT AS share_e5
+        |FROM g""".stripMargin),
+      "Seasonality profile: event mass by (day-of-week, hour-of-day) " +
+        "with exact integer shares — the calendar fingerprint that " +
+        "detects ingest gaps and drives window sizing (Spark's " +
+        "dayofweek is 1-based Sunday, DuckDB's 0-based; the engine " +
+        "normalizes to 0 = Sunday, both under the session's UTC " +
+        "clock). One partial-agg over at most 168 keys; the share " +
+        "window runs on those 168 rows, not events."),
+
+    // --------------------------------------- churn hazard table
+    QueryDef(
+      "churn_hazard_table",
+      (s, d) => {
+        val horizon = Tables.events(s, d)
+          .agg(max(unix_micros(col("ts"))).as("horizon_us"))
+        val silent = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("last_us"))
+          .crossJoin(broadcast(horizon))
+          .select(expr("(horizon_us - last_us) div 86400000000")
+            .as("days_silent"))
+        val byDay = silent.groupBy(col("days_silent"))
+          .agg(count(lit(1)).as("n_exit"))
+        // at risk at day t = users whose silence reached t (suffix sum)
+        byDay
+          .withColumn("n_at_risk", sum(col("n_exit")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("days_silent").desc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, org.apache.spark.sql.expressions.Window
+                .currentRow)))
+          .select(col("days_silent"), col("n_at_risk"), col("n_exit"),
+            expr("(1000 * n_exit) div n_at_risk").as("hazard_permille"))
+      },
+      Some("""WITH h AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS horizon_us
+        |        FROM events),
+        |silent AS (SELECT
+        |    ((h.horizon_us - max(epoch_us(ts::TIMESTAMP))) // 86400000000)
+        |      ::BIGINT AS days_silent
+        |  FROM events CROSS JOIN h GROUP BY user_id, h.horizon_us),
+        |byday AS (SELECT days_silent, count(*)::BIGINT AS n_exit
+        |          FROM silent GROUP BY days_silent)
+        |SELECT days_silent,
+        |  sum(n_exit) OVER (ORDER BY days_silent DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_at_risk,
+        |  n_exit,
+        |  ((1000 * n_exit) // sum(n_exit) OVER (ORDER BY days_silent DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS hazard_permille
+        |FROM byday""".stripMargin),
+      "Discrete-time churn hazard table: users grouped by final " +
+        "silence duration, at-risk counts via a suffix sum over the " +
+        "day axis, hazard = exits/at-risk per day — the life-table " +
+        "form of survival analysis whose Kaplan-Meier curve is the " +
+        "running product downstream (kept out of the engine contract " +
+        "because float cumulative products are order-sensitive; the " +
+        "hazard column is exact integer). Day-axis cardinality is " +
+        "bounded by the observation span, so the window is tiny at " +
+        "any user count."),
   )
 }

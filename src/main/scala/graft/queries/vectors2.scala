@@ -78,6 +78,59 @@ object Vector2Queries {
       |    FROM $points q CROSS JOIN $cents c)
       |  WHERE rn = 1""".stripMargin
 
+
+  /** (vec_id, dim, x3) fixed-point triples of the embedding matrix. */
+  private def embTriples(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000).cast("long").as("x3"))
+
+  /** Top principal direction (dim, v6) after two integer power steps —
+    * shared by pca_power_iteration and pca_projection_hist. */
+  private def pcaDirection(s: SparkSession, d: String): DataFrame = {
+    val e = embTriples(s, d)
+    def step(v: DataFrame) = {
+      val u = e.join(v, "dim")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("x3") * col("v6")).as("u"))
+      val w = e.join(u, "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum(col("x3") * col("u")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("mx"))
+      // scale w into ~[-1e6, 1e6] WITHOUT forming 1e6*w (overflow at
+      // |w| ~ 9e15): divide by the pre-shrunk norm mx div 1e6
+      w.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr("w div greatest(mx div 1000000, 1L)").as("v6"))
+    }
+    val v0 = s.range(0, 64).select(col("id").as("dim"),
+      lit(1000000L).as("v6"))
+    step(step(v0))
+  }
+
+  /** Oracle CTE chain ending in a `pc(dim, v6)` relation. */
+  private val pcaSql: String =
+    """e AS (SELECT vec_id, i.i::BIGINT AS dim,
+      |    floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT AS x3
+      |  FROM embeddings, (SELECT range AS i FROM range(0, 64)) i),
+      |v0 AS (SELECT range::BIGINT AS dim, 1000000::BIGINT AS v6
+      |       FROM range(0, 64)),
+      |u1 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
+      |       FROM e JOIN v0 v USING (dim) GROUP BY e.vec_id),
+      |w1 AS (SELECT e.dim, sum(e.x3 * u1.u)::BIGINT AS w
+      |       FROM e JOIN u1 USING (vec_id) GROUP BY e.dim),
+      |v1 AS (SELECT dim, (w // greatest(
+      |         (SELECT max(abs(w)) FROM w1) // 1000000, 1))
+      |         ::BIGINT AS v6 FROM w1),
+      |u2 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
+      |       FROM e JOIN v1 v USING (dim) GROUP BY e.vec_id),
+      |w2 AS (SELECT e.dim, sum(e.x3 * u2.u)::BIGINT AS w
+      |       FROM e JOIN u2 USING (vec_id) GROUP BY e.dim),
+      |pc AS (SELECT dim, (w // greatest(
+      |  (SELECT max(abs(w)) FROM w2) // 1000000, 1))
+      |  ::BIGINT AS v6 FROM w2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------- random-projection reduction
@@ -253,52 +306,10 @@ object Vector2Queries {
     // ------------------------------------ power-iteration PCA
     QueryDef(
       "pca_power_iteration",
-      (s, d) => {
-        // E as (vec_id, dim, x_e3) exact fixed point
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-          .select(col("vec_id"), col("dim").cast("long").as("dim"),
-            floor(col("x").cast("double") * 1000).cast("long").as("x3"))
-        // one power step: w = E^T (E v); infinity-norm scaling keeps all
-        // arithmetic in exact integers (L2 would need a sqrt)
-        def step(v: org.apache.spark.sql.DataFrame) = {
-          val u = e.join(v, "dim")
-            .groupBy(col("vec_id"))
-            .agg(sum(col("x3") * col("v6")).as("u"))
-          val w = e.join(u, "vec_id")
-            .groupBy(col("dim"))
-            .agg(sum(col("x3") * col("u")).as("w"))
-          val m = w.agg(max(abs(col("w"))).as("mx"))
-          // scale w into ~[-1e6, 1e6] WITHOUT forming 1e6*w (overflow at
-          // |w| ~ 9e15): divide by the pre-shrunk norm mx div 1e6
-          w.crossJoin(broadcast(m))
-            .select(col("dim"),
-              expr("w div greatest(mx div 1000000, 1L)").as("v6"))
-        }
-        val v0 = s.range(0, 64).select(col("id").as("dim"),
-          lit(1000000L).as("v6"))
-        step(step(v0)).select(col("dim"), col("v6").as("component_e6"))
-      },
-      Some("""WITH e AS (SELECT vec_id, i.i::BIGINT AS dim,
-        |    floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT AS x3
-        |  FROM embeddings, (SELECT range AS i FROM range(0, 64)) i),
-        |v0 AS (SELECT range::BIGINT AS dim, 1000000::BIGINT AS v6
-        |       FROM range(0, 64)),
-        |u1 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
-        |       FROM e JOIN v0 v USING (dim) GROUP BY e.vec_id),
-        |w1 AS (SELECT e.dim, sum(e.x3 * u1.u)::BIGINT AS w
-        |       FROM e JOIN u1 USING (vec_id) GROUP BY e.dim),
-        |v1 AS (SELECT dim, (w // greatest(
-        |         (SELECT max(abs(w)) FROM w1) // 1000000, 1))
-        |         ::BIGINT AS v6 FROM w1),
-        |u2 AS (SELECT e.vec_id, sum(e.x3 * v.v6)::BIGINT AS u
-        |       FROM e JOIN v1 v USING (dim) GROUP BY e.vec_id),
-        |w2 AS (SELECT e.dim, sum(e.x3 * u2.u)::BIGINT AS w
-        |       FROM e JOIN u2 USING (vec_id) GROUP BY e.dim)
-        |SELECT dim, (w // greatest(
-        |  (SELECT max(abs(w)) FROM w2) // 1000000, 1))
-        |  ::BIGINT AS component_e6
-        |FROM w2""".stripMargin),
+      (s, d) => pcaDirection(s, d).select(col("dim"),
+        col("v6").as("component_e6")),
+      Some(s"""WITH $pcaSql
+        |SELECT dim, v6 AS component_e6 FROM pc""".stripMargin),
       "Top principal direction by two power iterations, Gram-matrix-" +
         "free: each step is E^T(E v) — two equi-join aggregations over " +
         "the (vec, dim, value) triples, never materializing the 64x64 " +
@@ -306,8 +317,41 @@ object Vector2Queries {
         "and the Gram no longer fits a broadcast. Infinity-norm " +
         "scaling replaces L2 normalization so every number stays an " +
         "exact int64 (|w| ~ 9e16 at sf0.1; rescaling divides by the " +
-        "pre-shrunk norm, never forming 1e6*w) — deterministic across engines, partitionings, and " +
+        "pre-shrunk norm, never forming 1e6*w) — deterministic across " +
+        "engines, partitionings, and " +
         "cluster sizes. Downstream: project embeddings onto the " +
         "direction for whitening or 1-D curriculum ordering."),
+
+    // ---------------------------------- PCA projection histogram
+    QueryDef(
+      "pca_projection_hist",
+      (s, d) => {
+        val proj = embTriples(s, d)
+          .join(pcaDirection(s, d), "dim")
+          .groupBy(col("vec_id"))
+          .agg(sum(col("x3") * col("v6")).as("proj"))
+        val bounds = proj.agg(min(col("proj")).as("mn"),
+          max(col("proj")).as("mx"))
+        proj.crossJoin(broadcast(bounds))
+          .select(col("vec_id"),
+            expr("((proj - mn) * 10) div (mx - mn + 1)").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vecs"))
+      },
+      Some(s"""WITH $pcaSql,
+        |proj AS (SELECT e.vec_id, sum(e.x3 * pc.v6)::BIGINT AS proj
+        |         FROM e JOIN pc USING (dim) GROUP BY e.vec_id),
+        |b AS (SELECT min(proj) AS mn, max(proj) AS mx FROM proj)
+        |SELECT (((p.proj - b.mn) * 10) // (b.mx - b.mn + 1))::BIGINT
+        |  AS bucket, count(*)::BIGINT AS n_vecs
+        |FROM proj p CROSS JOIN b GROUP BY 1""".stripMargin),
+      "Distribution of the corpus along its own top principal " +
+        "direction: project every embedding onto the power-iteration " +
+        "PC (one equi-join agg over the shared triples — Catalyst " +
+        "reuses the direction subtree) and bin into 10 equal-width " +
+        "buckets from the data's own range. A bimodal histogram here " +
+        "is the classic signal of a mixed corpus (two sources/domains " +
+        "in one bucket of training data); all arithmetic inherits the " +
+        "integer determinism of the direction itself."),
   )
 }

@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "bootstrap_ci_mean_length",      // broadcast of the 16 replica ids
     "churn_labels",                  // broadcast of the 1-row horizon
     "rfm_segmentation",              // broadcast of the 1-row horizon
-    "pca_power_iteration")           // broadcast of the 1-row inf-norm
+    "pca_power_iteration",           // broadcast of the 1-row inf-norm
+    "pca_projection_hist",           // broadcast of the 1-row range bounds
+    "churn_hazard_table")            // broadcast of the 1-row horizon
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
