@@ -73,7 +73,9 @@ object Bench {
       "text_repetition_ratio", "first_hit", "retrieval_eval_detail",
       "chunk_text_overlap", "pack_sequences", "line_dedup_global",
       "contamination_ngram_overlap", "kmeans_cluster_assign", "pagerank_knn",
-      "inverted_index_postings", "idf_weighted_jaccard", "ewma_halflife")
+      "inverted_index_postings", "idf_weighted_jaccard", "ewma_halflife",
+      "connected_components_largestar", "pca_power_iteration",
+      "fuzzy_match_jw", "tpch_q1_pricing")
     println(jsonLine(results.filter(r => headline(r._1))))
     spark.stop()
   }
