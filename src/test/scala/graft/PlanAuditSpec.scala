@@ -98,6 +98,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  /** Shuffle budgets for the round-5 aggregation/window operators: the
+    * documented scale story of each is "N wide stages"; a refactor that
+    * adds an Exchange breaks the claim before it breaks a benchmark. */
+  private val exchangeBudgets = Map(
+    "grouped_ols_trend" -> 1,        // one groupBy(lang)
+    "pearson_corr_lang" -> 1,        // same single moment agg
+    "two_proportion_ztest" -> 1,     // one 4-counter global agg
+    "tpch_q1_pricing" -> 1,          // the canonical single-shuffle agg
+    "target_encode_loo" -> 1,        // one lang window
+    "feature_hash_vec" -> 1,         // one (doc, bin) agg
+    "kfold_assign" -> 1,             // one (lang, fold) agg
+    "ewma_halflife" -> 1,            // one user window
+    "flesch_reading_grade" -> 0,     // pure projection
+    "media_dedup_bytes" -> 1,        // one (digest, len) agg
+    "inverted_index_postings" -> 2,  // (doc, term) tf then term
+    "gini_length_concentration" -> 2, // per-source rank + agg
+    "first_touch_attribution" -> 1,  // one user window
+    "gap_time_histogram" -> 2,       // user window + 5-key agg
+    "seasonality_profile" -> 3)      // 168-key agg + 1-row share window
+
+  test("round-5 operators stay inside their documented shuffle budgets") {
+    val offenders = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
+      case (name, cap) =>
+        val plan = SparkEntry.registry.find(_.name == name).get
+          .fn(spark, sfDir).queryExecution.sparkPlan.toString
+        val n = "(?m)Exchange (hash|range|single)".r.findAllIn(plan).length
+        if (n > cap) Some(s"$name ($n shuffles, budget $cap)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
   /** Exchange-free queries execute eagerly (no AdaptiveSparkPlan
     * wrapper), so their executedPlan string carries the codegen stage
     * markers; AQE-wrapped queries only annotate them at runtime, which
