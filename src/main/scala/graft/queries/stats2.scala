@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Rank-based statistics: weighted median, Mann-Whitney U, and Spearman
+  * rank correlation — the nonparametric layer over corpus statistics,
+  * where distributional assumptions fail (document lengths are heavy-
+  * tailed, so mean/stddev tests mislead; the reference's evaluation
+  * reduces to rank lists for exactly this reason,
+  * rag_evaluation/RAG-eval-test_model.py:145-158).
+  *
+  * All ranks use the average-rank tie convention DOUBLED to stay in
+  * exact integers (the average of a consecutive integer run times 2 is
+  * an integer), so every statistic is order-independent and engine-
+  * portable without a single float until the final fixed IEEE tail.
+  */
+object Stats2Queries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------- weighted median
+    QueryDef(
+      "weighted_median_length",
+      (s, d) => {
+        val rows = Tables.documents(s, d).select(col("source"),
+          col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        val cum = rows
+          .withColumn("cumw", sum(col("w")).over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("n_chars"), col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("totw", sum(col("w")).over(
+            Window.partitionBy(col("source"))))
+        // qualifying rows form a suffix of the sort order, so min() over
+        // them is the boundary value — the weighted lower median
+        cum.filter(col("cumw") * 2 >= col("totw"))
+          .groupBy(col("source"))
+          .agg(min(col("n_chars")).as("weighted_median"),
+            max(col("totw")).as("total_weight"))
+      },
+      Some("""WITH rows_ AS (SELECT source, doc_id, n_chars,
+        |    len(string_split(text, ' '))::BIGINT AS w FROM documents),
+        |cum AS (SELECT source, n_chars,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY source) AS totw
+        |  FROM rows_)
+        |SELECT source, min(n_chars) AS weighted_median,
+        |  max(totw)::BIGINT AS total_weight
+        |FROM cum WHERE cumw * 2 >= totw GROUP BY source""".stripMargin),
+      "Token-weighted median document length per source: the median " +
+        "where each document votes with its token count — the length " +
+        "statistic that matches how a token-budgeted training run " +
+        "actually consumes the corpus. One windowed cumulative weight " +
+        "per source + a suffix-min; all integer. The unweighted " +
+        "median (quantile_by_lang) and this differ exactly when long " +
+        "docs dominate token mass — the gap is itself a skew signal."),
+
+    // -------------------------------------------- Mann-Whitney U
+    QueryDef(
+      "mann_whitney_u",
+      (s, d) => {
+        val vals = Tables.documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .select(col("lang"), col("n_chars").as("v"))
+        // average-rank x2 via min-rank + tie count (rank() is min-rank)
+        val ranked = vals
+          .withColumn("r", rank().over(Window.orderBy(col("v"))).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
+          .withColumn("ar2", col("r") * 2 + col("cnt") - 1)
+        val agg = ranked.groupBy().agg(
+          sum(when(col("lang") === "en", col("ar2"))).as("r1x2"),
+          count(when(col("lang") === "en", 1)).as("n1"),
+          count(when(col("lang") === "de", 1)).as("n2"))
+        agg.select(col("n1"), col("n2"),
+            (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
+          .select(col("n1"), col("n2"), col("u1_x2"),
+            (col("n1") * col("n2") * 2 - col("u1_x2")).as("u2_x2"),
+            expr("(1000 * (u1_x2 - (n1 * n2 * 2 - u1_x2))) div (2 * n1 * n2)")
+              .as("rank_biserial_e3"))
+      },
+      Some("""WITH vals AS (SELECT lang, n_chars AS v FROM documents
+        |        WHERE lang IN ('en', 'de')),
+        |ranked AS (SELECT lang,
+        |    rank() OVER (ORDER BY v)::BIGINT * 2
+        |      + count(*) OVER (PARTITION BY v) - 1 AS ar2
+        |  FROM vals),
+        |agg AS (SELECT
+        |    sum(CASE WHEN lang = 'en' THEN ar2 END)::BIGINT AS r1x2,
+        |    count(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS n1,
+        |    count(CASE WHEN lang = 'de' THEN 1 END)::BIGINT AS n2
+        |  FROM ranked),
+        |u AS (SELECT n1, n2, (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2
+        |      FROM agg)
+        |SELECT n1, n2, u1_x2, (n1 * n2 * 2 - u1_x2)::BIGINT AS u2_x2,
+        |  ((1000 * (u1_x2 - (n1 * n2 * 2 - u1_x2))) // (2 * n1 * n2))
+        |    ::BIGINT AS rank_biserial_e3
+        |FROM u""".stripMargin),
+      "Mann-Whitney U (two-sample rank test, en vs de lengths) with " +
+        "the rank-biserial effect size: doubled average ranks keep tie " +
+        "handling in exact integers, so U is reproducible to the last " +
+        "bit — the nonparametric alternative to two_proportion_ztest " +
+        "for ordinal comparisons. The global rank is over the compared " +
+        "subset only; at 100 TB replace it with a merged-histogram " +
+        "rank (counts per value bucket), which this formulation " +
+        "already supports since only rank sums enter U."),
+
+    // -------------------------------------------- Spearman rho
+    QueryDef(
+      "spearman_rho_lang",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y"))
+        def ar2(c: String) =
+          rank().over(Window.partitionBy(col("lang")).orderBy(col(c)))
+            .cast("long") * 2 +
+            count(lit(1)).over(Window.partitionBy(col("lang"), col(c))) - 1
+        val ranked = base
+          .withColumn("rx", ar2("x"))
+          .withColumn("ry", ar2("y"))
+        val m = ranked.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        m.select(col("lang"), col("n").as("n_docs"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("spearman_rho"))
+      },
+      Some("""WITH base AS (SELECT lang, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS x, n_chars AS y
+        |  FROM documents),
+        |ranked AS (SELECT lang,
+        |    rank() OVER (PARTITION BY lang ORDER BY x)::BIGINT * 2
+        |      + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+        |    rank() OVER (PARTITION BY lang ORDER BY y)::BIGINT * 2
+        |      + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+        |  FROM base),
+        |m AS (SELECT lang, count(*)::BIGINT AS n,
+        |    sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+        |    sum(rx*ry)::BIGINT AS sxy, sum(rx*rx)::BIGINT AS sxx,
+        |    sum(ry*ry)::BIGINT AS syy
+        |  FROM ranked GROUP BY lang)
+        |SELECT lang, n AS n_docs,
+        |  (n*sxy - sx*sy)::BIGINT::DOUBLE
+        |    / (sqrt((n*sxx - sx*sx)::BIGINT::DOUBLE)
+        |       * sqrt((n*syy - sy*sy)::BIGINT::DOUBLE)) AS spearman_rho
+        |FROM m""".stripMargin),
+      "Spearman rank correlation per language (token count vs char " +
+        "length): Pearson machinery applied to doubled average ranks — " +
+        "tie-exact integers end to end, with the same fixed 4-op IEEE " +
+        "tail as pearson_corr_lang. Monotone-but-nonlinear association " +
+        "that Pearson understates shows up here first; the per-lang " +
+        "rank windows partition cleanly, and the moment agg is the " +
+        "same single shuffle."),
+  )
+}

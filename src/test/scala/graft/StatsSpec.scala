@@ -91,6 +91,41 @@ class StatsSpec extends SparkSpec {
     assert(permilleSum > 1000 - 9 && permilleSum <= 1000)
   }
 
+  test("mann_whitney_u: U identity holds, effect bounded") {
+    val r = byName("mann_whitney_u").head()
+    val (n1, n2, u1, u2, rb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(u1 + u2 == 2 * n1 * n2) // U1 + U2 = n1*n2 (doubled form)
+    assert(u1 >= 0 && u2 >= 0)
+    assert(rb >= -1000 && rb <= 1000)
+  }
+
+  test("weighted_median_length matches a driver-side recompute") {
+    val got = byName("weighted_median_length").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      val tot = sorted.map(_._4).sum
+      var cum = 0L
+      val wm = sorted.find { r => cum += r._4; cum * 2 >= tot }.get._3
+      assert(got(src) == ((wm, tot)), s"source $src")
+    }
+  }
+
+  test("spearman_rho_lang bounded and strongly positive on this corpus") {
+    val rhos = byName("spearman_rho_lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+    assert(rhos.nonEmpty)
+    rhos.foreach { case (l, rho) =>
+      assert(rho >= -1.0 && rho <= 1.0, s"lang $l rho $rho")
+      assert(rho > 0.5, s"lang $l suspiciously low rho $rho")
+    }
+  }
+
   test("mad_outlier_flag: every flagged row satisfies 2*dev > 3*mad, and " +
     "no unflagged doc does") {
     val flagged = byName("mad_outlier_flag")
