@@ -104,6 +104,106 @@ object MiningQueries {
         "cooccurrence_pairs; the singles table and the 1-row total are " +
         "broadcast — no new shuffle beyond the pair count itself."),
 
+    // -------------------------------- Markov stationary distribution
+    QueryDef(
+      "markov_stationary_power",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+          .agg(count(lit(1)).as("n"))
+        // row-normalize to permille: P[src][dst] (integer, rows sum
+        // <= 1000 with truncation — deterministic on both engines)
+        val p = trans
+          .withColumn("rowsum", sum(col("n")).over(
+            Window.partitionBy(col("src"))))
+          .select(col("src"), col("dst"),
+            expr("(1000 * n) div rowsum").as("p3"))
+        // two power steps from uniform pi0 (e6 mass per state scaled by
+        // the state count); pi' = pi P keeps e6 scale via div 1000
+        def step(pi: org.apache.spark.sql.DataFrame) = p.as("p")
+          .join(pi.as("pi"), col("p.src") === col("pi.state"))
+          .groupBy(col("p.dst").as("state"))
+          .agg(expr("sum(pi6 * p3) div 1000").as("pi6"))
+        val states = trans.select(col("src").as("state")).distinct()
+        val pi0 = states.select(col("state"), lit(200000L).as("pi6"))
+        step(step(pi0))
+          .select(col("state"), col("pi6").as("stationary_e6"))
+      },
+      Some("""WITH trans AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |cnt AS (SELECT src, dst, count(*)::BIGINT AS n FROM trans
+        |        WHERE dst IS NOT NULL GROUP BY src, dst),
+        |p AS (SELECT src, dst,
+        |    ((1000 * n) // sum(n) OVER (PARTITION BY src))::BIGINT AS p3
+        |  FROM cnt),
+        |states AS (SELECT DISTINCT src AS state FROM cnt),
+        |pi0 AS (SELECT state, 200000::BIGINT AS pi6 FROM states),
+        |pi1 AS (SELECT p.dst AS state,
+        |    (sum(pi.pi6 * p.p3) // 1000)::BIGINT AS pi6
+        |  FROM p JOIN pi0 pi ON pi.state = p.src GROUP BY p.dst),
+        |pi2 AS (SELECT p.dst AS state,
+        |    (sum(pi.pi6 * p.p3) // 1000)::BIGINT AS pi6
+        |  FROM p JOIN pi1 pi ON pi.state = p.src GROUP BY p.dst)
+        |SELECT state, pi6 AS stationary_e6 FROM pi2""".stripMargin),
+      "Stationary distribution of the event-type Markov chain by two " +
+        "integer power steps (pi' = pi P, transition rows normalized " +
+        "to permille): where user behavior settles if the observed " +
+        "dynamics persist — the forecast side of " +
+        "event_transition_counts. The state space is the event-type " +
+        "vocabulary (5 here), so each step is a broadcast-scale join; " +
+        "the same shape runs page-transition chains with millions of " +
+        "states as a standard shuffle join, iterations as passes " +
+        "(exactly the pagerank_knn loop with a row-stochastic matrix)."),
+
+    // ---------------------------------------- burstiness (Fano)
+    QueryDef(
+      "burstiness_fano",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .withColumn("gap_min",
+            expr("(unix_micros(ts) - unix_micros(lag(ts, 1) OVER " +
+              "(PARTITION BY user_id ORDER BY ts, event_id))) div 60000000"))
+          .filter(col("gap_min").isNotNull)
+        gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("gap_min")).as("sg"),
+            sum(col("gap_min") * col("gap_min")).as("sgg"))
+          .filter(col("sg") > 0)
+          .select(col("user_id"), col("n").as("n_gaps"),
+            expr("(1000 * (n * sgg - sg * sg)) div (n * sg)")
+              .as("fano_e3"))
+      },
+      Some("""WITH gaps AS (SELECT user_id,
+        |    ((epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)::TIMESTAMP))
+        |     // 60000000) AS gap_min
+        |  FROM events),
+        |m AS (SELECT user_id, count(*)::BIGINT AS n,
+        |    sum(gap_min)::BIGINT AS sg,
+        |    sum(gap_min * gap_min)::BIGINT AS sgg
+        |  FROM gaps WHERE gap_min IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n AS n_gaps,
+        |  ((1000 * (n * sgg - sg * sg)) // (n * sg))::BIGINT AS fano_e3
+        |FROM m WHERE sg > 0""".stripMargin),
+      "Burstiness via the Fano factor of inter-event gaps (variance/" +
+        "mean, cross-multiplied to e3): fano ~ 1000 is Poisson " +
+        "arrivals, far above means bursty sessions, far below means " +
+        "metronomic polling — the reference's 15 s scheduler loop " +
+        "(create_all_models.py:76) would score near zero, organic " +
+        "usage high. Gaps quantized to minutes keep every cross term " +
+        "inside int64 at any realistic per-user event count; one lag " +
+        "window + one 3-counter agg, both on the user partitioning."),
+
     // ------------------------------------------ event transitions
     QueryDef(
       "event_transition_counts",
