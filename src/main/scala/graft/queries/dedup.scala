@@ -379,5 +379,78 @@ object DedupQueries {
         "vectors; cos >= 0.999 pairs. At 100 TB, bucket by LSH signature " +
         "first (see ann_lsh_bucketed) so only same-bucket pairs are " +
         "scored."),
+
+    // ------------------------------- minhash as a Jaccard estimator
+    QueryDef(
+      "minhash_jaccard_estimate",
+      (s, d) => {
+        // known ground-truth pairs: each injected duplicate against its
+        // source — the estimator's quality measured where the answer is
+        // known by construction, no LSH in the loop
+        val sh = shingles(Corpus.withDups(s, d)).persist()
+        val sigCols = count(lit(1)).as("nsh") +:
+          (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
+        val sig = sh.groupBy(col("doc_id"))
+          .agg(sigCols.head, sigCols.tail: _*)
+        val pairs = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+          .unionByName(Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(25)) === 0)
+            .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b")))
+        val matches = (0 until NumHashes)
+          .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val withSig = pairs
+          .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+          .withColumn("nmatch", matches)
+          .select(col("a"), col("b"),
+            expr("sa.nsh").as("na"), expr("sb.nsh").as("nb"),
+            expr(s"(nmatch * 1000) div $NumHashes").as("est_e3"))
+        val inter = pairs
+          .join(sh.as("ia"), col("a") === col("ia.doc_id"))
+          .join(sh.as("ib"),
+            col("b") === col("ib.doc_id") && col("ia.sh") === col("ib.sh"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
+        withSig.join(inter, Seq("a", "b"), "left")
+          .select(col("a"), col("b"), col("est_e3"),
+            expr("(coalesce(ninter, 0L) * 1000) div " +
+              "(na + nb - coalesce(ninter, 0L))").as("exact_e3"))
+      },
+      Some(s"""WITH $corpusSql,
+        |$shinglesSql,
+        |sig AS (SELECT doc_id, count(*) AS nsh,
+        |  ${(0 until NumHashes).map(k => s"min(${mhSql(k)}) AS h$k").mkString(", ")}
+        |  FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |            WHERE doc_id % 50 = 0
+        |          UNION ALL
+        |          SELECT doc_id, doc_id + 2000000 FROM documents
+        |            WHERE doc_id % 25 = 0),
+        |est AS (SELECT p.a, p.b, sa.nsh AS na, sb.nsh AS nb,
+        |    ((${(0 until NumHashes).map(k =>
+          s"CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END").mkString(" + ")})
+        |     * 1000 // ${NumHashes}) AS est_e3
+        |  FROM pairs p JOIN sig sa ON sa.doc_id = p.a
+        |  JOIN sig sb ON sb.doc_id = p.b),
+        |inter AS (SELECT p.a, p.b, count(*)::BIGINT AS ninter
+        |  FROM pairs p JOIN sh ia ON ia.doc_id = p.a
+        |  JOIN sh ib ON ib.doc_id = p.b AND ia.sh = ib.sh
+        |  GROUP BY p.a, p.b)
+        |SELECT e.a, e.b, e.est_e3::BIGINT AS est_e3,
+        |  ((coalesce(i.ninter, 0) * 1000) //
+        |   (e.na + e.nb - coalesce(i.ninter, 0)))::BIGINT AS exact_e3
+        |FROM est e LEFT JOIN inter i ON i.a = e.a AND i.b = e.b""".stripMargin),
+      "MinHash as a Jaccard ESTIMATOR, validated against exact overlap " +
+        "on the pairs whose truth is known by construction (injected " +
+        "near/exact duplicates): est = matching-signature fraction, " +
+        "exact = shingle-set Jaccard, side by side per pair. This is " +
+        "the calibration run a deployment does before trusting LSH " +
+        "thresholds at 100 TB — the 16-hash estimator's deviation on " +
+        "known dups bounds what the banding can miss (DedupSpec pins " +
+        "the aggregate deviation). Signature agg and exact intersect " +
+        "share the persisted shingle table; ground-truth pairs are a " +
+        "projection, not a join."),
   )
 }

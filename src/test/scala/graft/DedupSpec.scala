@@ -8,6 +8,23 @@ class DedupSpec extends SparkSpec {
   private def byName(name: String) =
     SparkEntry.registry.find(_.name == name).get.fn(spark, sfDir)
 
+  test("minhash estimator: exact dups score 1000, deviation bounded") {
+    val rows = byName("minhash_jaccard_estimate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // an exact copy shares every shingle: estimator and truth both 1000
+    rows.filter(r => r._2 == r._1 + 2000000L).foreach { r =>
+      assert(r._3 == 1000L && r._4 == 1000L, s"pair (${r._1},${r._2})")
+    }
+    // 16-hash estimator: per-pair deviation within ~5 sigma of the
+    // binomial sd at J~0.9 (sd ~ 75e-3), and small in aggregate
+    rows.foreach { r =>
+      assert(math.abs(r._3 - r._4) <= 400, s"pair (${r._1},${r._2})")
+    }
+    val meanAbs = rows.map(r => math.abs(r._3 - r._4)).sum / rows.length
+    assert(meanAbs <= 150, s"mean |est - exact| = $meanAbs")
+  }
+
   test("exact dedup finds every injected exact duplicate") {
     val dups = byName("dedup_exact").filter(col("n_copies") >= 2)
     // every doc_id % 25 == 0 original got an exact copy at +2,000,000
