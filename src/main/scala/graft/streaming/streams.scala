@@ -485,6 +485,30 @@ object Streams {
         })
   }
 
+  /** Streaming twin of `event_transition_counts` /
+    * `markov_stationary_power`'s input: per-user O(1) state holding only
+    * the LAST event type; each arrival emits one (src -> dst) transition
+    * row.  Downstream windowed counts aggregate these increments into
+    * the live transition matrix — transition extraction needs exactly
+    * one previous-value register per key, never a buffer, which is why
+    * it streams where the batch lead() window needs a sort. */
+  def markovOnline(events: Dataset[JobEvent]): Dataset[TransitionObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[JobEvent], state: GroupState[String]) => {
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[TransitionObs]()
+          evs.toIndexedSeq.sortBy(_.event_id).foreach { e =>
+            if (last != null) out += TransitionObs(user, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(last)
+          out.iterator
+        })
+  }
+
   /** Streaming twin of `quantile_values`: per-hour event-time windows
     * with approx_percentile over the fixed-point value — the sketch agg
     * is mergeable, so partial sketches combine across triggers and
@@ -520,6 +544,7 @@ final case class HeavyHitter(user_id: Long, item: String, count: Long,
     err: Long, n_seen: Long)
 final case class TypedEvent(event_id: Long, user_id: Long,
     event_type: String, ts_us: Long)
+final case class TransitionObs(user_id: Long, src: String, dst: String)
 final case class FunnelConversion(user_id: Long, purchase_id: Long,
     latency_secs: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)

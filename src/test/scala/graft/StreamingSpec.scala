@@ -518,6 +518,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1800L), (4L, 12L, 3000L)))
   }
 
+  test("markovOnline emits exactly the batch lead-window transitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.JobEvent
+    val evs = Seq(
+      JobEvent(1, 1, "click"), JobEvent(2, 1, "view"),
+      JobEvent(3, 1, "click"), JobEvent(4, 1, "purchase"),
+      JobEvent(5, 2, "signup"), JobEvent(6, 2, "click"))
+    val mem = MemoryStream[JobEvent]
+    mem.addData(evs.take(3): _*) // last-type state crosses the boundary
+    mem.addData(evs.drop(3): _*)
+    val q = Streams.markovOnline(mem.toDS().repartition(8))
+      .writeStream.format("memory").queryName("markov")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("markov")
+      .groupBy(col("user_id"), col("src"), col("dst"))
+      .count().as[(Long, String, String, Long)].collect().toSet
+    val want = Set(
+      (1L, "click", "view", 1L), (1L, "view", "click", 1L),
+      (1L, "click", "purchase", 1L), (2L, "signup", "click", 1L))
+    assert(got === want)
+  }
+
   test("heavyHitters: Space-Saving invariants and exact replication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
