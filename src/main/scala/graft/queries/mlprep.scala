@@ -194,6 +194,75 @@ object MlPrepQueries {
         "one more regexp_count('[.!?]+'). Pure per-row projection — " +
         "embarrassingly parallel, codegen'd, no shuffle."),
 
+    // ------------------------------------------ tokenizer fertility
+    QueryDef(
+      "tokenizer_fertility",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          regexp_count(col("text"), lit("[a-z0-9]{1,4}")).cast("long")
+            .as("subwords"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("total_words"),
+          sum(col("subwords")).as("total_subwords"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_subwords"),
+          expr("(1000 * total_subwords) div total_words")
+            .as("fertility_e3")),
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+        |  sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}')))::BIGINT
+        |    AS total_subwords,
+        |  ((1000 * sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))))
+        |   // sum(len(string_split(text, ' '))))::BIGINT AS fertility_e3
+        |FROM documents GROUP BY lang""".stripMargin),
+      "Tokenizer fertility per language: subword tokens per whitespace " +
+        "word under the greedy <=4-char chunker (the BPE-ish stand-in " +
+        "text_token_count already uses) — the metric that decides " +
+        "whether a tokenizer taxes one language more than another " +
+        "(fertility gaps translate directly into compute-per-content " +
+        "imbalance in a multilingual mix). Pure projection + one " +
+        "5-key agg; both regex engines count non-overlapping greedy " +
+        "matches identically on this alphabet."),
+
+    // --------------------------------------- token budget report
+    QueryDef(
+      "token_budget_by_split",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(100L))
+        Tables.documents(s, d)
+          .select(
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .withColumn("share_permille",
+            expr("(1000 * n_tokens) div sum(n_tokens) over ()"))
+      },
+      Some("""WITH b AS (SELECT
+        |    CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |               % 100) < 80 THEN 'train'
+        |         WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |               % 100) < 90 THEN 'val' ELSE 'test' END AS split,
+        |    len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents),
+        |g AS (SELECT split, count(*)::BIGINT AS n_docs,
+        |        sum(toks)::BIGINT AS n_tokens FROM b GROUP BY split)
+        |SELECT split, n_docs, n_tokens,
+        |  ((1000 * n_tokens) // sum(n_tokens) OVER ())::BIGINT
+        |    AS share_permille
+        |FROM g""".stripMargin),
+      "Token budget by split — the first report a pretraining run " +
+        "prints: documents and token mass per train/val/test bucket " +
+        "with exact permille shares, over the same md5 membership as " +
+        "split_train_val_test (recomputed, not stored, so the report " +
+        "can never disagree with the split). One agg over 3 keys; the " +
+        "share window runs on 3 rows."),
+
     // -------------------------------------- robust feature scaling
     QueryDef(
       "robust_scale_embedding",
