@@ -509,6 +509,36 @@ object Streams {
         })
   }
 
+  /** Streaming observability: a StreamingQueryListener that collects
+    * per-batch progress (rows, process rate, batch duration, watermark)
+    * into a bounded in-memory ring — the metrics surface an operator
+    * pipeline exports to its monitoring system (the reference greps
+    * PBS logs for progress, train_adapters/create_all_models.py:60-66;
+    * this is that signal as structured rows).  Bounded at `keep`
+    * entries so a long-running query cannot grow driver memory. */
+  final class ProgressRecorder(keep: Int = 256)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedDeque[BatchProgress]()
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      buf.addLast(BatchProgress(p.name, p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue()).getOrElse(-1L),
+        Option(p.eventTime.get("watermark")).getOrElse("")))
+      while (buf.size() > keep) buf.pollFirst()
+    }
+    def snapshot(): Seq[BatchProgress] = {
+      val it = buf.iterator()
+      val out = scala.collection.mutable.ArrayBuffer[BatchProgress]()
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    }
+  }
+
   /** Streaming twin of `quantile_values`: per-hour event-time windows
     * with approx_percentile over the fixed-point value — the sketch agg
     * is mergeable, so partial sketches combine across triggers and
@@ -545,6 +575,8 @@ final case class HeavyHitter(user_id: Long, item: String, count: Long,
 final case class TypedEvent(event_id: Long, user_id: Long,
     event_type: String, ts_us: Long)
 final case class TransitionObs(user_id: Long, src: String, dst: String)
+final case class BatchProgress(query_name: String, batch_id: Long,
+    num_input_rows: Long, trigger_ms: Long, watermark: String)
 final case class FunnelConversion(user_id: Long, purchase_id: Long,
     latency_secs: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -518,6 +518,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1800L), (4L, 12L, 3000L)))
   }
 
+  test("ProgressRecorder captures per-batch rows and durations, bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rec = new Streams.ProgressRecorder(keep = 4)
+    spark.streams.addListener(rec)
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(Ev(1, ts(0), 1, "click", 1.0, "{}"),
+        Ev(2, ts(1), 1, "view", 1.0, "{}"))
+      val q = Streams.tumblingCounts(mem.toDF())
+        .writeStream.format("memory").queryName("prog")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(2), 2, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously
+      var tries = 0
+      while (rec.snapshot().isEmpty && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val snap = rec.snapshot()
+      assert(snap.nonEmpty, "no progress recorded")
+      assert(snap.length <= 4)
+      assert(snap.map(_.num_input_rows).sum >= 3,
+        s"rows seen: ${snap.map(_.num_input_rows).toList}")
+      assert(snap.forall(_.trigger_ms >= 0))
+      assert(snap.map(_.batch_id).distinct.length == snap.length)
+    } finally spark.streams.removeListener(rec)
+  }
+
   test("markovOnline emits exactly the batch lead-window transitions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
