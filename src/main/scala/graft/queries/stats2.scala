@@ -108,6 +108,48 @@ object Stats2Queries {
         "rank (counts per value bucket), which this formulation " +
         "already supports since only rank sums enter U."),
 
+    // ------------------------------------ incremental stats merge
+    QueryDef(
+      "incremental_moments_merge",
+      (s, d) => {
+        // yesterday's summary (even doc_ids) + today's increment (odd):
+        // merged moments must equal a full rescan — the algebraic
+        // identity that lets daily stats update in O(increment)
+        def moments(pred: org.apache.spark.sql.Column) =
+          Tables.documents(s, d).filter(pred)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+              sum(col("n_chars") * col("n_chars")).as("s2"))
+        val old = moments(pmod(col("doc_id"), lit(2)) === 0)
+        val inc = moments(pmod(col("doc_id"), lit(2)) === 1)
+        old.unionByName(inc)
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+            sum(col("s2")).as("s2"))
+          .select(col("lang"), col("n"),
+            expr("(1000 * s1) div n").as("mean_e3"),
+            expr("(1000000 * (n * s2 - s1 * s1)) div (n * n)").as("var_e6"))
+      },
+      Some("""WITH m AS (SELECT lang, doc_id % 2 AS half,
+        |    count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+        |    sum(n_chars * n_chars)::BIGINT AS s2
+        |  FROM documents GROUP BY lang, doc_id % 2),
+        |merged AS (SELECT lang, sum(n)::BIGINT AS n, sum(s1)::BIGINT AS s1,
+        |        sum(s2)::BIGINT AS s2
+        |      FROM m GROUP BY lang)
+        |SELECT lang, n,
+        |  ((1000 * s1) // n)::BIGINT AS mean_e3,
+        |  ((1000000 * (n * s2 - s1 * s1)) // (n * n))::BIGINT AS var_e6
+        |FROM merged""".stripMargin),
+      "Incremental statistics maintenance: yesterday's per-group moment " +
+        "summary (n, sum, sum-of-squares) merges with today's increment " +
+        "by plain addition, and the merged mean/variance are exactly " +
+        "what a full rescan computes — the algebraic property (moments " +
+        "form a commutative monoid) that turns daily 100 TB stat " +
+        "refreshes into O(increment) jobs. StatsSpec pins merged == " +
+        "direct; the same identity is why every agg in this engine " +
+        "partial-aggregates map-side."),
+
     // -------------------------------------------- Spearman rho
     QueryDef(
       "spearman_rho_lang",

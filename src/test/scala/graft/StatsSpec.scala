@@ -91,6 +91,23 @@ class StatsSpec extends SparkSpec {
     assert(permilleSum > 1000 - 9 && permilleSum <= 1000)
   }
 
+  test("incremental_moments_merge equals the full-scan computation") {
+    val merged = byName("incremental_moments_merge").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val direct = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"), col("n"),
+        expr("(1000 * s1) div n").as("mean_e3"),
+        expr("(1000000 * (n * s2 - s1 * s1)) div (n * n)").as("var_e6"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(merged == direct)
+  }
+
   test("mann_whitney_u: U identity holds, effect bounded") {
     val r = byName("mann_whitney_u").head()
     val (n1, n2, u1, u2, rb) =
