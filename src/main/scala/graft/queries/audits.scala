@@ -99,6 +99,114 @@ object AuditQueries {
         "ops, no shuffle; the halves trick needs no window because " +
         "the split point is a function of the row itself."),
 
+    // ------------------------------------ decile boundary table
+    QueryDef(
+      "quantile_bin_boundaries",
+      (s, d) => {
+        val ps = (1 to 9).map(i =>
+          expr(s"percentile(n_chars, 0.$i)").as(s"p$i"))
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(ps.head, ps.tail: _*)
+          .select(col("lang") +: (1 to 9).map(i => col(s"p$i")): _*)
+      },
+      Some(s"""SELECT lang,
+        |  ${(1 to 9).map(i =>
+          s"quantile_cont(n_chars, 0.$i) AS p$i").mkString(",\n        |  ")}
+        |FROM documents GROUP BY lang""".stripMargin),
+      "Equal-frequency bin boundaries (deciles) per language — the " +
+        "lookup table that discretizes a continuous feature into " +
+        "rank-stable buckets for monotone models and drift monitors. " +
+        "Exact interpolated order statistics over integers " +
+        "(bit-identical doubles, as quantile_values proved); consumers " +
+        "join this 5-row table broadcast and bucket with a CASE — at " +
+        "100 TB the boundaries come from approx_percentile and the " +
+        "consumer side is unchanged."),
+
+    // ------------------------------------ hash collision audit
+    QueryDef(
+      "shingle_collision_audit",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val sh = t.select(explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> " +
+              "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+              "element_at(toks, i + 2)))")).as("shingle"))
+          .distinct()
+        sh.select(
+            count(lit(1)).as("n_distinct_strings"),
+            countDistinct(pmod(
+              conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+              lit(2147483647L))).as("n_distinct_hashes"))
+          .select(col("n_distinct_strings"), col("n_distinct_hashes"),
+            (col("n_distinct_strings") - col("n_distinct_hashes"))
+              .as("n_collisions"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT
+        |    toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS shingle
+        |  FROM t, (SELECT range AS i FROM range(1, 4096)) i
+        |  WHERE i.i <= len(toks) - 2)
+        |SELECT count(*)::BIGINT AS n_distinct_strings,
+        |  count(DISTINCT (('0x' || substr(md5(shingle), 1, 8))::BIGINT
+        |                  % 2147483647))::BIGINT AS n_distinct_hashes,
+        |  (count(*) - count(DISTINCT (('0x' || substr(md5(shingle), 1, 8))
+        |                  ::BIGINT % 2147483647)))::BIGINT AS n_collisions
+        |FROM sh""".stripMargin),
+      "Collision audit of the 31-bit hashed-shingle space the dedup " +
+        "family runs in (DedupQueries reduces every shingle to " +
+        "md5-prefix mod 2^31-1): distinct strings vs distinct hashes, " +
+        "difference = collisions. Both engines hash identically, so " +
+        "parity holds by construction — but the RATE is what bounds " +
+        "false near-dup merges, and birthday math says it grows with " +
+        "the square of vocabulary: this query is the periodic check " +
+        "that the hash width still fits the corpus (widen to 62-bit " +
+        "before ~2^15 shingles if zero collisions are required)."),
+
+    // ---------------------------- join cardinality prediction
+    QueryDef(
+      "join_cardinality_estimate",
+      (s, d) => {
+        val ha = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("ca"))
+        val hb = Tables.customer(s, d).groupBy(col("c_custkey").as("k"))
+          .agg(count(lit(1)).as("cb"))
+        val predicted = ha.join(hb, "k")
+          .agg(sum(col("ca") * col("cb")).as("predicted_rows"),
+            count(lit(1)).as("n_shared_keys"),
+            max(col("ca") * col("cb")).as("max_key_fanout"))
+        val actual = Tables.orders(s, d).join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("actual_rows"))
+        predicted.crossJoin(broadcast(actual))
+      },
+      Some("""WITH ha AS (SELECT o_custkey AS k, count(*)::BIGINT AS ca
+        |        FROM orders GROUP BY o_custkey),
+        |hb AS (SELECT c_custkey AS k, count(*)::BIGINT AS cb
+        |       FROM customer GROUP BY c_custkey),
+        |p AS (SELECT sum(ca * cb)::BIGINT AS predicted_rows,
+        |        count(*)::BIGINT AS n_shared_keys,
+        |        max(ca * cb)::BIGINT AS max_key_fanout
+        |      FROM ha JOIN hb USING (k)),
+        |a AS (SELECT count(*)::BIGINT AS actual_rows
+        |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT p.predicted_rows, p.n_shared_keys, p.max_key_fanout,
+        |       a.actual_rows
+        |FROM p CROSS JOIN a""".stripMargin),
+      "Join cardinality predicted from per-key histograms — " +
+        "sum(cnt_a * cnt_b) over shared keys IS the equi-join's exact " +
+        "output size, computed from two cheap aggs before paying for " +
+        "the join itself (the query also runs the join to show " +
+        "predicted == actual). max_key_fanout is the skew headline: " +
+        "one key owning a large product predicts the straggler task " +
+        "that shuffle_skew_profile would then localize. This is the " +
+        "pre-flight a 100 TB pipeline runs before an unfamiliar join; " +
+        "at scale the histograms come from sampled or sketched counts " +
+        "with the same algebra."),
+
     // --------------------------------------- split leakage gate
     QueryDef(
       "split_leakage_check",

@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "rfm_segmentation",              // broadcast of the 1-row horizon
     "pca_power_iteration",           // broadcast of the 1-row inf-norm
     "pca_projection_hist",           // broadcast of the 1-row range bounds
-    "churn_hazard_table")            // broadcast of the 1-row horizon
+    "churn_hazard_table",            // broadcast of the 1-row horizon
+    "join_cardinality_estimate")     // broadcast of the 1-row actual count
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
