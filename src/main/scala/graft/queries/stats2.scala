@@ -108,6 +108,26 @@ object Stats2Queries {
         "rank (counts per value bucket), which this formulation " +
         "already supports since only rank sums enter U."),
 
+    // ------------------------------- native bounded top-k aggregate
+    QueryDef(
+      "topk_lengths_agg",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKLongsAgg
+          .topkLongs(col("n_chars"), 5).as("top5_chars")),
+      Some("""SELECT lang,
+        |  (list(n_chars ORDER BY n_chars DESC, doc_id))[1:5] AS top5_chars
+        |FROM documents GROUP BY lang""".stripMargin),
+      "Grouped top-k through the native TopKLongsAgg " +
+        "TypedImperativeAggregate: a k-bounded min-heap per group, " +
+        "serialized between partial and final aggregation, so each " +
+        "map task ships at most k longs per group — no sort, no " +
+        "window buffering, the aggregate-function form of the " +
+        "two-phase WindowGroupLimit shape (topk_terms_per_lang shows " +
+        "the window form; this one composes into any agg list). " +
+        "Value-identical to the sorted-list oracle because ties are " +
+        "interchangeable values."),
+
     // ------------------------------------ incremental stats merge
     QueryDef(
       "incremental_moments_merge",
