@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteCosineHof)
+    ext.injectOptimizerRule(_ => RewriteBoundedTopK)
   }
 }

@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class TopKLongsAgg(
     child: Expression,
     k: Int,
+    largest: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]] {
@@ -48,8 +49,12 @@ case class TopKLongsAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_longs"
 
+  /** survivors kept behind a boundary heap: min-heap when hunting the
+    * largest k, max-heap when hunting the smallest k */
   override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Long] =
-    new java.util.PriorityQueue[java.lang.Long]() // min-heap of survivors
+    if (largest) new java.util.PriorityQueue[java.lang.Long]()
+    else new java.util.PriorityQueue[java.lang.Long](11,
+      java.util.Collections.reverseOrder[java.lang.Long]())
 
   override def update(
       heap: java.util.PriorityQueue[java.lang.Long],
@@ -69,7 +74,9 @@ case class TopKLongsAgg(
 
   private def push(heap: java.util.PriorityQueue[java.lang.Long], v: Long): Unit =
     if (heap.size < k) heap.add(v)
-    else if (heap.peek() < v) { heap.poll(); heap.add(v) }
+    else if ((largest && heap.peek() < v) || (!largest && heap.peek() > v)) {
+      heap.poll(); heap.add(v)
+    }
 
   override def eval(heap: java.util.PriorityQueue[java.lang.Long]): Any = {
     val arr = new Array[Long](heap.size)
@@ -77,10 +84,14 @@ case class TopKLongsAgg(
     val it = heap.iterator()
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     java.util.Arrays.sort(arr)
-    // descending output
+    // descending when hunting largest (sort desc + slice head), ascending
+    // when hunting smallest (sort asc + slice head)
     val out = new Array[Any](arr.length)
     i = 0
-    while (i < arr.length) { out(i) = arr(arr.length - 1 - i); i += 1 }
+    while (i < arr.length) {
+      out(i) = if (largest) arr(arr.length - 1 - i) else arr(i)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -59,4 +59,40 @@ class RewriteRuleSpec extends SparkSpec {
       assert(df.count() == 20)
     } finally spark.experimental.extraOptimizations = before
   }
+
+  test("bounded top-k idiom is rewritten to TopKLongsAgg, both directions") {
+    import graft.functions.{RewriteBoundedTopK, TopKLongsAgg}
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteBoundedTopK
+    try {
+      def idiom(asc: Boolean) = Tables.documents(spark, sfDir)
+        .groupBy(col("lang"))
+        .agg(slice(sort_array(collect_list(col("n_chars")), asc = asc),
+          1, 5).as("head5"))
+      for (asc <- Seq(true, false)) {
+        val df = idiom(asc)
+        val rewritten = df.queryExecution.optimizedPlan.expressions
+          .flatMap(_.collect { case t: TopKLongsAgg => t })
+        assert(rewritten.nonEmpty, s"asc=$asc not rewritten")
+        assert(rewritten.head.largest == !asc)
+        // value-identical to the unoptimized evaluation
+        val plain = {
+          spark.experimental.extraOptimizations = before
+          val r = idiom(asc).collect()
+            .map(r2 => r2.getString(0) -> r2.getSeq[Long](1)).toMap
+          spark.experimental.extraOptimizations = before :+ RewriteBoundedTopK
+          r
+        }
+        val viaRule = df.collect()
+          .map(r2 => r2.getString(0) -> r2.getSeq[Long](1)).toMap
+        assert(viaRule == plain, s"asc=$asc mismatch")
+      }
+      // slice not starting at 1 must NOT be rewritten
+      val off = Tables.documents(spark, sfDir).groupBy(col("lang"))
+        .agg(slice(sort_array(collect_list(col("n_chars"))), 2, 5).as("mid"))
+      assert(off.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case t: TopKLongsAgg => t }).isEmpty)
+      assert(off.count() == 5)
+    } finally spark.experimental.extraOptimizations = before
+  }
 }
