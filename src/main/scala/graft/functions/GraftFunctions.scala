@@ -49,11 +49,26 @@ object GraftFunctions {
   private val jaroWinklerInfo = new ExpressionInfo(
     classOf[JaroWinklerSimilarity].getCanonicalName, "jaro_winkler")
 
+  private val topkLongsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"topk_longs expects (col, k), got ${args.length} args")
+    val k = args(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_longs k must be an integer literal, got $other")
+    }
+    TopKLongsAgg(args.head, k).toAggregateExpression()
+  }
+
+  private val topkLongsInfo = new ExpressionInfo(
+    classOf[TopKLongsAgg].getCanonicalName, "topk_longs")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder),
-      (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder))
+      (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder),
+      (FunctionIdentifier("topk_longs"), topkLongsInfo, topkLongsBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,18 @@ class TopKAggSpec extends SparkSpec {
     assert(plan.contains("partial_topk_longs"), plan)
   }
 
+  test("callable from spark.sql after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_topk_v")
+    val viaSql = spark.sql(
+      "SELECT lang, topk_longs(n_chars, 5) AS t FROM docs_topk_v GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(topkLongs(col("n_chars"), 5).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("k beyond the group size returns the whole group, descending") {
     import spark.implicits._
     val tiny = Seq(("a", 3L), ("a", 9L), ("a", 1L), ("b", 5L))
