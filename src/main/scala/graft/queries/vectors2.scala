@@ -322,6 +322,40 @@ object Vector2Queries {
         "cluster sizes. Downstream: project embeddings onto the " +
         "direction for whitening or 1-D curriculum ordering."),
 
+    // ---------------------------------- embedding norm histogram
+    QueryDef(
+      "embedding_norm_histogram",
+      (s, d) => {
+        val n2 = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"),
+            floor(col("x").cast("double") * 1000).cast("long").as("x3"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("x3") * col("x3")).as("norm2_e6"))
+        val bounds = n2.agg(min(col("norm2_e6")).as("mn"),
+          max(col("norm2_e6")).as("mx"))
+        n2.crossJoin(broadcast(bounds))
+          .select(expr("((norm2_e6 - mn) * 10) div (mx - mn + 1)")
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      },
+      Some("""WITH n2 AS (SELECT vec_id,
+        |    sum(floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT
+        |        * floor(embedding[i.i + 1]::DOUBLE * 1000)::BIGINT)
+        |      ::BIGINT AS norm2_e6
+        |  FROM embeddings, (SELECT range AS i FROM range(0, 64)) i
+        |  GROUP BY vec_id),
+        |b AS (SELECT min(norm2_e6) AS mn, max(norm2_e6) AS mx FROM n2)
+        |SELECT (((n.norm2_e6 - b.mn) * 10) // (b.mx - b.mn + 1))::BIGINT
+        |  AS bucket, count(*)::BIGINT AS n_vecs
+        |FROM n2 n CROSS JOIN b GROUP BY 1""".stripMargin),
+      "Distribution of squared embedding norms in 10 equal-width " +
+        "buckets — the vector-QA check that catches unnormalized or " +
+        "degenerate embeddings before they poison cosine rankings " +
+        "(l2_normalize is the fix; this is the detector). Squared " +
+        "norms stay exact integers (no sqrt), the range bounds are a " +
+        "1-row broadcast, and the whole audit is one posexplode agg."),
+
     // ---------------------------------- PCA projection histogram
     QueryDef(
       "pca_projection_hist",

@@ -509,6 +509,31 @@ object Streams {
         })
   }
 
+  /** Budget-metered ingest gate: per source key, admit documents until a
+    * token budget is exhausted, then reject — "sample until budget" as
+    * streaming state (the mixture-weighted ingest of
+    * domain_mixture_rebalance, enforced online instead of re-weighted
+    * after the fact).  O(1) integer state per key; deterministic via the
+    * doc_id-sorted fold, so a replay admits exactly the same prefix. */
+  def budgetedIngestGate(docs: Dataset[IngestDoc], budgetTokens: Long):
+      Dataset[IngestDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, ds: Iterator[IngestDoc], state: GroupState[Long]) => {
+          var spent = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[IngestDecision]()
+          ds.toIndexedSeq.sortBy(_.doc_id).foreach { doc =>
+            val admit = spent + doc.n_tokens <= budgetTokens
+            if (admit) spent += doc.n_tokens
+            out += IngestDecision(doc.doc_id, src, admit, spent)
+          }
+          state.update(spent)
+          out.iterator
+        })
+  }
+
   /** Streaming observability: a StreamingQueryListener that collects
     * per-batch progress (rows, process rate, batch duration, watermark)
     * into a bounded in-memory ring — the metrics surface an operator
@@ -577,6 +602,9 @@ final case class TypedEvent(event_id: Long, user_id: Long,
 final case class TransitionObs(user_id: Long, src: String, dst: String)
 final case class BatchProgress(query_name: String, batch_id: Long,
     num_input_rows: Long, trigger_ms: Long, watermark: String)
+final case class IngestDoc(doc_id: Long, source: String, n_tokens: Long)
+final case class IngestDecision(doc_id: Long, source: String,
+    admitted: Boolean, budget_spent: Long)
 final case class FunnelConversion(user_id: Long, purchase_id: Long,
     latency_secs: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "pca_power_iteration",           // broadcast of the 1-row inf-norm
     "pca_projection_hist",           // broadcast of the 1-row range bounds
     "churn_hazard_table",            // broadcast of the 1-row horizon
-    "join_cardinality_estimate")     // broadcast of the 1-row actual count
+    "join_cardinality_estimate",     // broadcast of the 1-row actual count
+    "embedding_norm_histogram")      // broadcast of the 1-row range bounds
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>

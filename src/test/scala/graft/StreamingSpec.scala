@@ -549,6 +549,33 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(rec)
   }
 
+  test("budgetedIngestGate admits a deterministic prefix per source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestDoc
+    // source A: 4 docs of 400 tokens vs budget 1000 -> first 2 admitted;
+    // source B: stays under budget entirely
+    val docs = Seq(
+      IngestDoc(1, "A", 400), IngestDoc(2, "A", 400),
+      IngestDoc(3, "A", 400), IngestDoc(4, "A", 400),
+      IngestDoc(10, "B", 100), IngestDoc(11, "B", 100))
+    val mem = MemoryStream[IngestDoc]
+    mem.addData(docs.take(3): _*) // budget state crosses the boundary
+    mem.addData(docs.drop(3): _*)
+    val q = Streams.budgetedIngestGate(mem.toDS().repartition(8), 1000L)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest")
+      .select(col("doc_id"), col("admitted"), col("budget_spent"))
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((true, 400L)) && got(2L) == ((true, 800L)))
+    assert(got(3L) == ((false, 800L)) && got(4L) == ((false, 800L)))
+    assert(got(10L)._1 && got(11L)._1)
+  }
+
   test("markovOnline emits exactly the batch lead-window transitions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
