@@ -20,7 +20,7 @@ object GraphQueries {
     * construction as knn_graph; see its doc for the 100 TB path —
     * LSH/IVF bucketed candidate generation upstream of the same
     * top-k). */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+  def knnEdges(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"))
     base.as("x").join(broadcast(base.as("y")),
@@ -34,7 +34,7 @@ object GraphQueries {
       .select(col("src"), col("dst"))
   }
 
-  private val knnEdgesSql: String =
+  val knnEdgesSql: String =
     s"""base AS (SELECT vec_id, embedding FROM embeddings
       |             WHERE vec_id < 300),
       |scored AS (SELECT x.vec_id AS src, y.vec_id AS dst,

@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "pca_projection_hist",           // broadcast of the 1-row range bounds
     "churn_hazard_table",            // broadcast of the 1-row horizon
     "join_cardinality_estimate",     // broadcast of the 1-row actual count
-    "embedding_norm_histogram")      // broadcast of the 1-row range bounds
+    "embedding_norm_histogram",      // broadcast of the 1-row range bounds
+    "map_at_20",              // broadcast 20-vector rubric (rankedRelevant)
+    "collocation_pmi")        // broadcast of the two 1-row totals
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
