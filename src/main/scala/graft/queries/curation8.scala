@@ -166,12 +166,16 @@ object Curation8Queries {
             sum(col("v") * col("v")).as("sbb"),
             sum(col("pv") * col("v")).as("sab"))
           .filter(col("n") >= 10)
-          .select(col("user_id"), col("n"),
-            ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
-              (sqrt((col("n") * col("saa") - col("sa") * col("sa"))
-                .cast("double")) *
-                sqrt((col("n") * col("sbb") - col("sb") * col("sb"))
-                  .cast("double")))).as("r_lag1")),
+          .select(col("user_id"), col("n"), {
+            val cov = (col("n") * col("sab") - col("sa") * col("sb"))
+              .cast("double")
+            val va = (col("n") * col("saa") - col("sa") * col("sa"))
+              .cast("double")
+            val vb = (col("n") * col("sbb") - col("sb") * col("sb"))
+              .cast("double")
+            (cov / (sqrt(va) * sqrt(vb))).as("r_lag1")
+          })
+      },
       Some("""WITH lagged AS (
         |  SELECT user_id, v,
         |         lag(v) OVER (PARTITION BY user_id

@@ -50,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     "join_cardinality_estimate",     // broadcast of the 1-row actual count
     "embedding_norm_histogram",      // broadcast of the 1-row range bounds
     "map_at_20",              // broadcast 20-vector rubric (rankedRelevant)
-    "collocation_pmi")        // broadcast of the two 1-row totals
+    "collocation_pmi",        // broadcast of the two 1-row totals
+    "dsir_importance_proxy",  // broadcast of the 1-row ns/nt totals
+    "kcore_membership")       // bounded 300-vector kNN slice (see knn_graph)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
