@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     "map_at_20",              // broadcast 20-vector rubric (rankedRelevant)
     "collocation_pmi",        // broadcast of the two 1-row totals
     "dsir_importance_proxy",  // broadcast of the 1-row ns/nt totals
-    "kcore_membership")       // bounded 300-vector kNN slice (see knn_graph)
+    "kcore_membership",       // bounded 300-vector kNN slice (see knn_graph)
+    "mmr_rerank_top3",        // broadcast 5-query rubric, 10-cand pools
+    "unigram_sampling_weights", // broadcast of the 1-row normalizer
+    "heaps_vocab_growth")     // broadcast of the 10 cutoff rows
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
