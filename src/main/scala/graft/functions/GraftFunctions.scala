@@ -63,12 +63,28 @@ object GraftFunctions {
   private val topkLongsInfo = new ExpressionInfo(
     classOf[TopKLongsAgg].getCanonicalName, "topk_longs")
 
+  private val winnowFpsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1 || args.length == 3,
+      s"winnow_fps expects (text) or (text, k, w), got ${args.length} args")
+    def intArg(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_fps $what must be an integer literal, got $other")
+    }
+    if (args.length == 1) WinnowFps(args.head, 8, 4)
+    else WinnowFps(args.head, intArg(args(1), "k"), intArg(args(2), "w"))
+  }
+
+  private val winnowFpsInfo = new ExpressionInfo(
+    classOf[WinnowFps].getCanonicalName, "winnow_fps")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder),
       (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder),
-      (FunctionIdentifier("topk_longs"), topkLongsInfo, topkLongsBuilder))
+      (FunctionIdentifier("topk_longs"), topkLongsInfo, topkLongsBuilder),
+      (FunctionIdentifier("winnow_fps"), winnowFpsInfo, winnowFpsBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

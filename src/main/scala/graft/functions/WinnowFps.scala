@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: winnowing fingerprint set of a string
+  * (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — char k-gram 31-bit
+  * md5-derived hashes, window-w minimum selection, distinct minima
+  * returned as a SORTED array<bigint>.
+  *
+  * Semantics are bit-identical to the declarative form used by the
+  * `winnow_fingerprints` oracle (substring -> md5 -> '0x'||hex8 %
+  * (2^31-1) -> windowed min -> distinct): the kernel takes the md5
+  * digest's first 4 bytes as an unsigned 32-bit value, exactly the
+  * first-8-hex-chars reduction.
+  *
+  * Why native: the declarative pipeline explodes one row per character
+  * position (~600x row inflation per document) and runs a per-doc sort
+  * window before re-aggregating. This kernel computes the same set in
+  * one pass inside whole-stage codegen — no intermediate rows, no
+  * window exchange, no re-agg; at 100 TB the explode variant shuffles
+  * nothing either, but it burns CPU materializing and iterating the
+  * position rows, which this avoids entirely.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowKernel {
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Returns the sorted distinct window-min hash set; empty array when
+    * the text is shorter than k + w - 1 (no complete window). */
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = s.toString
+    val n = text.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hs(i) = v % P
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j <= n - w) {
+      var m = hs(j)
+      var t = 1
+      while (t < w) { if (hs(j + t) < m) m = hs(j + t); t += 1 }
+      set.add(m)
+      j += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper. */
+  def winnowFps(text: Column, k: Int = 8, w: Int = 4): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+}

@@ -35,27 +35,16 @@ object Curation7Queries {
     // ------------------------------------------------ winnowing
     QueryDef(
       "winnow_fingerprints",
-      (s, d) => {
-        val k = 8; val w = 4
-        val pos = Tables.documents(s, d)
-          .filter(length(col("text")) >= k + w - 1)
-          .select(col("doc_id"), col("text"),
-            (length(col("text")) - (k - 1)).as("npos"),
-            explode(sequence(lit(1), length(col("text")) - (k - 1)))
-              .as("pos"))
-        val hashed = pos.select(col("doc_id"), col("pos"), col("npos"),
-          expr(s"cast(conv(substring(md5(substring(text, pos, $k)), 1, 8), 16, 10) as bigint) % $P")
-            .as("h"))
-        hashed
-          .withColumn("wmin", min(col("h")).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-              .rowsBetween(0, w - 1)))
-          .filter(col("pos") <= col("npos") - (w - 1))
-          .groupBy(col("doc_id"))
-          .agg(countDistinct(col("wmin")).as("n_fps"),
-            min(col("wmin")).as("fp_min"),
-            max(col("wmin")).as("fp_max"))
-      },
+      (s, d) => Tables.documents(s, d)
+        .filter(length(col("text")) >= 8 + 4 - 1)
+        .select(col("doc_id"),
+          graft.functions.WinnowKernel.winnowFps(col("text")).as("fps"))
+        // the kernel returns the SORTED distinct fingerprint set, so
+        // count/min/max are row-local array ops — no window, no re-agg
+        .select(col("doc_id"),
+          size(col("fps")).cast("bigint").as("n_fps"),
+          element_at(col("fps"), 1).as("fp_min"),
+          element_at(col("fps"), -1).as("fp_max")),
       Some(s"""WITH pos AS (
         |  SELECT doc_id, text, (i.i + 1)::INT AS pos,
         |         length(text) - 7 AS npos
