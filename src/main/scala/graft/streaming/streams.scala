@@ -581,6 +581,48 @@ object Streams {
       .select(col("window.start").as("window_start"), col("n"),
         element_at(col("p"), 1).as("p50_e2"),
         element_at(col("p"), 2).as("p95_e2"))
+
+  /** Streaming k-anonymity suppression gate (twin of the batch
+    * `k_anonymity_violations` screen): documents buffer per
+    * quasi-identifier equivalence class until the class reaches k
+    * members, then the WHOLE class releases — including the buffered
+    * backlog — and every later arrival to that class flows through
+    * immediately. A class that never reaches k never emits: its docs
+    * stay suppressed, which is exactly the privacy contract.
+    *
+    * State per class: either the buffered doc ids (size < k) or a
+    * released marker with the cumulative count, so state is bounded by
+    * k per UNRELEASED class and O(1) per released class. Events fold
+    * in doc_id order for deterministic release batching under any
+    * partitioning (see [[capacityGate]]). */
+  def kAnonymityGate(docs: Dataset[ClassifiedDoc], k: Int):
+      Dataset[ReleaseDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.cls)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (cls: String, ds: Iterator[ClassifiedDoc],
+         state: GroupState[KAnonState]) => {
+          var st = state.getOption.getOrElse(KAnonState(Seq.empty, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[ReleaseDecision]()
+          ds.toIndexedSeq.sortBy(_.doc_id).foreach { doc =>
+            if (st.released > 0) {
+              st = st.copy(released = st.released + 1)
+              out += ReleaseDecision(doc.doc_id, cls, st.released)
+            } else if (st.buffered.length + 1 >= k) {
+              val classSize = st.buffered.length + 1L
+              (st.buffered :+ doc.doc_id).sorted.foreach { id =>
+                out += ReleaseDecision(id, cls, classSize)
+              }
+              st = KAnonState(Seq.empty, classSize)
+            } else {
+              st = st.copy(buffered = st.buffered :+ doc.doc_id)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
@@ -607,6 +649,10 @@ final case class IngestDecision(doc_id: Long, source: String,
     admitted: Boolean, budget_spent: Long)
 final case class FunnelConversion(user_id: Long, purchase_id: Long,
     latency_secs: Long)
+final case class ClassifiedDoc(doc_id: Long, cls: String)
+final case class KAnonState(buffered: Seq[Long], released: Long)
+final case class ReleaseDecision(doc_id: Long, cls: String,
+    released_with: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)

@@ -661,4 +661,47 @@ class StreamingSpec extends SparkSpec {
     val trueClicks = 6L
     assert(trueClicks <= c1 && c1 <= trueClicks + e1)
   }
+
+  test("kAnonymityGate buffers classes until k and releases the backlog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ClassifiedDoc
+    val mem = MemoryStream[ClassifiedDoc]
+    // batch 1: class A has 2 docs (< k=3, held); class B has 3 (released)
+    mem.addData(ClassifiedDoc(1, "A"), ClassifiedDoc(2, "A"),
+      ClassifiedDoc(10, "B"), ClassifiedDoc(11, "B"), ClassifiedDoc(12, "B"))
+    // batch 2: class A reaches k -> backlog releases; B flows through
+    mem.addData(ClassifiedDoc(3, "A"), ClassifiedDoc(13, "B"))
+    val q = Streams.kAnonymityGate(mem.toDS().repartition(8), 3)
+      .writeStream.format("memory").queryName("kanon")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kanon")
+      .select(col("doc_id"), col("cls"), col("released_with"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // every A doc (incl. the batch-1 backlog) released with class size 3
+    assert(got(1L) == (("A", 3L)) && got(2L) == (("A", 3L)) &&
+      got(3L) == (("A", 3L)))
+    // B released in batch 1 at size 3; the late arrival flows through
+    assert(got(10L) == (("B", 3L)) && got(12L) == (("B", 3L)))
+    assert(got(13L) == (("B", 4L)))
+    assert(got.size === 7)
+  }
+
+  test("kAnonymityGate never emits a class that stays under k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ClassifiedDoc
+    val mem = MemoryStream[ClassifiedDoc]
+    mem.addData(ClassifiedDoc(1, "rare"), ClassifiedDoc(2, "rare"))
+    mem.addData(ClassifiedDoc(3, "other"))
+    val q = Streams.kAnonymityGate(mem.toDS(), 5)
+      .writeStream.format("memory").queryName("kanon_sup")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("kanon_sup").count() === 0)
+  }
 }
