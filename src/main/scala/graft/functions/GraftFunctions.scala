@@ -78,13 +78,23 @@ object GraftFunctions {
   private val winnowFpsInfo = new ExpressionInfo(
     classOf[WinnowFps].getCanonicalName, "winnow_fps")
 
+  private val lcsTokensBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"lcs_tokens expects 2 arguments, got ${args.length}")
+    LcsTokens(args(0), args(1))
+  }
+
+  private val lcsTokensInfo = new ExpressionInfo(
+    classOf[LcsTokens].getCanonicalName, "lcs_tokens")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
       (FunctionIdentifier("chunk_spans"), chunkSpansInfo, chunkSpansBuilder),
       (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder),
       (FunctionIdentifier("topk_longs"), topkLongsInfo, topkLongsBuilder),
-      (FunctionIdentifier("winnow_fps"), winnowFpsInfo, winnowFpsBuilder))
+      (FunctionIdentifier("winnow_fps"), winnowFpsInfo, winnowFpsBuilder),
+      (FunctionIdentifier("lcs_tokens"), lcsTokensInfo, lcsTokensBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

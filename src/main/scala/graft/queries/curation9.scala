@@ -257,5 +257,62 @@ object Curation9Queries {
         "view). The expensive part is one min(doc_id)-per-token agg " +
         "(vocab-bounded state); the 10 cutoffs are a broadcast; no " +
         "per-cutoff rescan of the corpus."),
+
+    // ------------------------------------------------ ROUGE-L
+    QueryDef(
+      "rouge_l_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("pid"), col("text").as("ta"))
+        val b = docs
+          .select((col("doc_id") - 1).as("pid"), col("text").as("tb"))
+        a.join(b, Seq("pid"))
+          .select(col("pid"),
+            graft.functions.LcsKernel.lcsTokens(col("ta"), col("tb"))
+              .as("lcs"),
+            size(split(col("ta"), " ")).cast("bigint").as("la"),
+            size(split(col("tb"), " ")).cast("bigint").as("lb"))
+          .select(col("pid"), col("lcs"),
+            expr("(2 * lcs * 1000000) div (la + lb)").as("f1_e6"))
+      },
+      Some("""WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS pid,
+        |         string_split(a.text, ' ') AS ta,
+        |         string_split(b.text, ' ') AS tb,
+        |         len(string_split(a.text, ' '))::BIGINT AS la,
+        |         len(string_split(b.text, ' '))::BIGINT AS lb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 8),
+        |dp AS (
+        |  -- anti-diagonal wavefront: prev = diag k-1, cur = diag k,
+        |  -- each list ordered by ascending i, cell (i, k-i)
+        |  SELECT pid, la, lb, ta, tb, 1::BIGINT AS k,
+        |         CAST([0] AS BIGINT[]) AS prev,
+        |         CAST([0, 0] AS BIGINT[]) AS cur
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT pid, la, lb, ta, tb, k + 1, cur,
+        |    list_transform(
+        |      generate_series(greatest(0, k + 1 - lb), least(la, k + 1)),
+        |      i -> CASE
+        |        WHEN i = 0 OR k + 1 - i = 0 THEN 0::BIGINT
+        |        WHEN ta[i::INT] = tb[(k + 1 - i)::INT]
+        |          THEN prev[(i - greatest(0, k - 1 - lb))::INT] + 1
+        |        ELSE greatest(
+        |          cur[(i - greatest(0, k - lb))::INT],
+        |          cur[(i + 1 - greatest(0, k - lb))::INT]) END)
+        |  FROM dp WHERE k < la + lb)
+        |SELECT pid, cur[1] AS lcs,
+        |       (2 * cur[1] * 1000000) // (la + lb) AS f1_e6
+        |FROM dp WHERE k = la + lb""".stripMargin),
+      "ROUGE-L F1 (Lin 2004) between adjacent-doc pairs via the native " +
+        "lcs_tokens kernel; f1_e6 = (2*LCS*1e6) div (la+lb), pure " +
+        "integer. The oracle runs the SAME DP as a recursive-CTE " +
+        "anti-diagonal wavefront (two rolling diagonals as lists), so " +
+        "even this non-relational kernel is hash-compared, not just " +
+        "row-counted. At 100 TB ROUGE scores eval sets (bounded token " +
+        "counts); the O(n*m) kernel is row-local — no shuffle, no " +
+        "state."),
   )
 }
