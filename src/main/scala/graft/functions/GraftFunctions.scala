@@ -87,6 +87,24 @@ object GraftFunctions {
   private val lcsTokensInfo = new ExpressionInfo(
     classOf[LcsTokens].getCanonicalName, "lcs_tokens")
 
+  private val smithWatermanBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"smith_waterman expects 2 arguments, got ${args.length}")
+    SmithWatermanTokens(args(0), args(1))
+  }
+
+  private val smithWatermanInfo = new ExpressionInfo(
+    classOf[SmithWatermanTokens].getCanonicalName, "smith_waterman")
+
+  private val tokenCountBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"token_count expects 1 argument, got ${args.length}")
+    TokenCountWs(args.head)
+  }
+
+  private val tokenCountInfo = new ExpressionInfo(
+    classOf[TokenCountWs].getCanonicalName, "token_count")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
@@ -94,7 +112,10 @@ object GraftFunctions {
       (FunctionIdentifier("jaro_winkler"), jaroWinklerInfo, jaroWinklerBuilder),
       (FunctionIdentifier("topk_longs"), topkLongsInfo, topkLongsBuilder),
       (FunctionIdentifier("winnow_fps"), winnowFpsInfo, winnowFpsBuilder),
-      (FunctionIdentifier("lcs_tokens"), lcsTokensInfo, lcsTokensBuilder))
+      (FunctionIdentifier("lcs_tokens"), lcsTokensInfo, lcsTokensBuilder),
+      (FunctionIdentifier("smith_waterman"), smithWatermanInfo,
+        smithWatermanBuilder),
+      (FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -110,5 +131,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteCosineHof)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "kcore_membership",       // bounded 300-vector kNN slice (see knn_graph)
     "mmr_rerank_top3",        // broadcast 5-query rubric, 10-cand pools
     "unigram_sampling_weights", // broadcast of the 1-row normalizer
-    "heaps_vocab_growth")     // broadcast of the 10 cutoff rows
+    "heaps_vocab_growth",     // broadcast of the 10 cutoff rows
+    "histogram_drift_l1")     // broadcast of the 1-row histogram totals
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
