@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "mmr_rerank_top3",        // broadcast 5-query rubric, 10-cand pools
     "unigram_sampling_weights", // broadcast of the 1-row normalizer
     "heaps_vocab_growth",     // broadcast of the 10 cutoff rows
-    "histogram_drift_l1")     // broadcast of the 1-row histogram totals
+    "histogram_drift_l1",     // broadcast of the 1-row histogram totals
+    "cuped_adjustment")       // broadcast of the 1-row midpoint + moments
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
