@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "unigram_sampling_weights", // broadcast of the 1-row normalizer
     "heaps_vocab_growth",     // broadcast of the 10 cutoff rows
     "histogram_drift_l1",     // broadcast of the 1-row histogram totals
-    "cuped_adjustment")       // broadcast of the 1-row midpoint + moments
+    "cuped_adjustment",       // broadcast of the 1-row midpoint + moments
+    "neyman_allocation")      // broadcast of the 1-row total + leftover
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
