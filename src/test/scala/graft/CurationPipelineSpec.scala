@@ -15,13 +15,28 @@ class CurationPipelineSpec extends SparkSpec {
 
   test("stage counts are monotone and dedup removes the injected copies") {
     assert(result.ingested > result.afterDedup)
-    assert(result.afterDedup >= result.afterQuality)
-    assert(result.afterQuality >= result.written)
+    assert(result.afterDedup >= result.afterNearDup)
+    assert(result.afterNearDup >= result.afterQuality)
+    assert(result.afterQuality >= result.afterKAnon)
+    assert(result.afterKAnon >= result.written)
     // every injected exact duplicate (doc_id + 2000000) must be gone
     val back = spark.read.parquet(out)
     assert(back.filter(col("doc_id") >= 2000000L).count() === 0)
+    // the winnowing stage must also kill the 90%-prefix near-dups
+    // (+1000000 ids): containment from the short side is ~100%
+    assert(back.filter(col("doc_id") >= 1000000L).count() === 0)
+    assert(result.afterDedup > result.afterNearDup)
     // and no two rows share text
     assert(back.select(col("text")).distinct().count() === back.count())
+  }
+
+  test("k-anonymity: every released quasi-identifier class has >= 3 rows") {
+    val back = spark.read.parquet(out)
+    val small = back
+      .groupBy(col("lang"), expr("(n_chars div 100)").as("kbucket"))
+      .agg(count(lit(1)).as("kn"))
+      .filter(col("kn") < 3)
+    assert(small.count() === 0)
   }
 
   test("observe metrics match the files written") {
