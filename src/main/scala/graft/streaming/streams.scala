@@ -582,6 +582,50 @@ object Streams {
         element_at(col("p"), 1).as("p50_e2"),
         element_at(col("p"), 2).as("p95_e2"))
 
+  /** Streaming histogram-drift monitor (twin of the batch
+    * `histogram_drift_l1` gate): per event-time window, accumulate a
+    * doc-length histogram in keyed state and, when the watermark
+    * closes the window (EventTimeTimeout), emit the total-variation
+    * distance (permille, cross-multiplied integers) against a static
+    * reference histogram — the alarm a continuously-ingesting
+    * pipeline raises when a crawl's length profile shifts. State per
+    * OPEN window is one bucket->count map (bucket-bounded, not
+    * row-bounded) and is removed on emission. */
+  def histogramDrift(docs: Dataset[LenEvent], refHist: Map[Long, Long],
+      windowMinutes: Int): Dataset[DriftReport] = {
+    import docs.sparkSession.implicits._
+    val refTotal = refHist.values.sum
+    val winMs = windowMinutes * 60000L
+    docs
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.ts.getTime / winMs) * winMs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (winStart: Long, evs: Iterator[LenEvent],
+            state: GroupState[Map[Long, Long]]) => {
+          if (state.hasTimedOut) {
+            val hist = state.get
+            state.remove()
+            val n = hist.values.sum
+            val sad = (hist.keySet ++ refHist.keySet).toSeq.map { b =>
+              math.abs(hist.getOrElse(b, 0L) * refTotal -
+                refHist.getOrElse(b, 0L) * n)
+            }.sum
+            val tv = 1000L * sad / (2L * n * refTotal)
+            Iterator.single(DriftReport(winStart, n, tv))
+          } else {
+            var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+            evs.foreach { e =>
+              val b = e.n_chars / 50
+              hist = hist.updated(b, hist.getOrElse(b, 0L) + 1L)
+            }
+            state.update(hist)
+            state.setTimeoutTimestamp(winStart + winMs)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Streaming k-anonymity suppression gate (twin of the batch
     * `k_anonymity_violations` screen): documents buffer per
     * quasi-identifier equivalence class until the class reaches k
@@ -649,6 +693,10 @@ final case class IngestDecision(doc_id: Long, source: String,
     admitted: Boolean, budget_spent: Long)
 final case class FunnelConversion(user_id: Long, purchase_id: Long,
     latency_secs: Long)
+final case class LenEvent(doc_id: Long, ts: java.sql.Timestamp,
+    n_chars: Long)
+final case class DriftReport(window_start: Long, n_docs: Long,
+    tv_permille: Long)
 final case class ClassifiedDoc(doc_id: Long, cls: String)
 final case class KAnonState(buffered: Seq[Long], released: Long)
 final case class ReleaseDecision(doc_id: Long, cls: String,

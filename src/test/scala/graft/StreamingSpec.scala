@@ -662,6 +662,37 @@ class StreamingSpec extends SparkSpec {
     assert(trueClicks <= c1 && c1 <= trueClicks + e1)
   }
 
+  test("histogramDrift emits windowed TV distance matching a recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.LenEvent
+    val ref = Map(0L -> 2L, 1L -> 2L) // uniform over buckets 0 and 1
+    val mem = MemoryStream[LenEvent]
+    // window [0, 60min): 3 docs in bucket 0 (len<50), 1 in bucket 1
+    mem.addData(
+      LenEvent(1, ts(0), 10), LenEvent(2, ts(5), 20),
+      LenEvent(3, ts(10), 30), LenEvent(4, ts(20), 60))
+    // far-future event advances the watermark past window end + delay
+    mem.addData(LenEvent(90, ts(600), 10))
+    // one more batch so the timed-out state is visited
+    mem.addData(LenEvent(91, ts(620), 10))
+    val out = runBatches(
+      Streams.histogramDrift(mem.toDS().repartition(8), ref, 60).toDF(),
+      "histdrift")
+    val rows = out.as[graft.streaming.DriftReport].collect()
+      .map(r => r.window_start -> r).toMap
+    val w0 = (ts(0).getTime / 3600000L) * 3600000L
+    assert(rows.contains(w0), s"window $w0 not closed: ${rows.keys}")
+    val r0 = rows(w0)
+    assert(r0.n_docs === 4L)
+    // recompute: hist = {0:3, 1:1}, ref = {0:2, 1:2}, n=4, refN=4
+    // sad = |3*4-2*4| + |1*4-2*4| = 4 + 4 = 8; tv = 1000*8/(2*4*4) = 250
+    assert(r0.tv_permille === 250L)
+    // zero drift when the window matches the reference shape exactly
+    val sad0 = Seq(0L, 1L).map(b => math.abs(2 * 4 - 2 * 4)).sum
+    assert(sad0 === 0)
+  }
+
   test("kAnonymityGate buffers classes until k and releases the backlog") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
