@@ -22,7 +22,18 @@ class DeterminismSpec extends SparkSpec {
     "idf_weighted_jaccard",       // blocked pair generation + weights
     "timeline_overlap_merge",     // running-max island windows
     "connected_components_largestar", // iterated star contraction
-    "fuzzy_match_jw")             // native JW kernel over sorted blocks
+    "fuzzy_match_jw",             // native JW kernel over sorted blocks
+    // round-4 continuation families
+    "winnow_overlap_pairs",       // native kernel + fp index + containment
+    "map_at_20",                  // windowed cumulative + integer AP terms
+    "dsir_importance_proxy",      // 128-bit decimal ratio over broadcasts
+    "collocation_pmi",            // global top-k over integer scores
+    "mmr_rerank_top3",            // 3-round greedy argmax with tiebreaks
+    "cuped_adjustment",           // pooled IEEE tail over integer moments
+    "neyman_allocation",          // largest-remainder integer rounding
+    "ols_residual_outliers",      // per-row residual vs broadcast fit
+    "smith_waterman_pairs",       // row-local DP kernel
+    "histogram_drift_l1")         // cross-multiplied TV distance
 
   for (name <- sample) {
     test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
