@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
     "heaps_vocab_growth",     // broadcast of the 10 cutoff rows
     "histogram_drift_l1",     // broadcast of the 1-row histogram totals
     "cuped_adjustment",       // broadcast of the 1-row midpoint + moments
-    "neyman_allocation")      // broadcast of the 1-row total + leftover
+    "neyman_allocation",      // broadcast of the 1-row total + leftover
+    "ks_two_sample",          // broadcast of the 1-row sample totals
+    "conformal_threshold")    // broadcast of the 1-row threshold
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
