@@ -553,5 +553,96 @@ object AnnQueries {
         "(one narrow pass), probe only the query's 2 nearest lists. At " +
         "100 TB the assignment is a write-time partitioning column — " +
         "probing reads 2 partitions instead of the corpus."),
+
+    // ------------------------------------------- ANN recall evaluation
+    QueryDef(
+      "ann_recall_at_k",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        // exact top-3 per query by brute force
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val exact = broadcast(q)
+          .crossJoin(e.select(col("vec_id").as("cid"),
+            col("embedding").as("ce")))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            cosine(col("qe"), col("ce")).as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        // LSH top-3 per query (same construction as ann_lsh_topk)
+        val withB = e.select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+        val lsh = withB.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("bucket"))
+          .join(withB.withColumnRenamed("vec_id", "cid")
+            .withColumnRenamed("embedding", "ce"), Seq("bucket"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            cosine(col("qe"), col("ce")).as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        exact.join(lsh, Seq("qid", "cid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+          .join(exact.groupBy(col("qid")).agg(count(lit(1)).as("k")),
+            Seq("qid"), "right")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            expr("(coalesce(n_hits, 0) * 1000) div k")
+              .as("recall_permille"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |exact AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY q.qid ORDER BY
+        |        ${cosineSql("q.qe", "c.embedding")} DESC, c.vec_id) AS rank
+        |    FROM q CROSS JOIN embeddings c WHERE q.qid <> c.vec_id)
+        |  WHERE rank <= 3),
+        |comps AS (
+        |  SELECT vec_id, pl.j,
+        |    sum(floor(embedding[pl.d + 1]::DOUBLE * 1000000)::BIGINT * pl.w)
+        |      AS dotj
+        |  FROM embeddings CROSS JOIN $planesSql
+        |  GROUP BY vec_id, pl.j),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dotj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS bucket
+        |  FROM comps GROUP BY vec_id),
+        |withb AS (SELECT e.vec_id, e.embedding, b.bucket
+        |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+        |lsh AS (SELECT qid, cid FROM (
+        |    SELECT x.vec_id AS qid, c.vec_id AS cid, row_number() OVER (
+        |      PARTITION BY x.vec_id ORDER BY
+        |        ${cosineSql("x.embedding", "c.embedding")} DESC, c.vec_id)
+        |        AS rank
+        |    FROM withb x JOIN withb c
+        |      ON x.bucket = c.bucket AND x.vec_id <> c.vec_id
+        |    WHERE x.vec_id < 10)
+        |  WHERE rank <= 3),
+        |hits AS (SELECT exact.qid, count(*)::BIGINT AS n_hits
+        |  FROM exact JOIN lsh ON exact.qid = lsh.qid
+        |                     AND exact.cid = lsh.cid
+        |  GROUP BY exact.qid),
+        |ks AS (SELECT qid, count(*)::BIGINT AS k FROM exact GROUP BY qid)
+        |SELECT ks.qid, coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       (coalesce(n_hits, 0) * 1000) // k AS recall_permille
+        |FROM ks LEFT JOIN hits ON ks.qid = hits.qid""".stripMargin),
+      "ANN quality as a first-class query: recall@3 of the LSH path " +
+        "against the exact brute-force top-3, per query — the number a " +
+        "pipeline tracks when it trades scan cost for bucket probes " +
+        "(AnnRecallSpec pins the aggregate floor; this exposes the " +
+        "per-query detail on the oracle-checked surface). Both sides " +
+        "derive from the same deterministic constructions as " +
+        "cosine_topk / ann_lsh_topk, so the recall itself is exact and " +
+        "partition-independent."),
   )
 }

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "cuped_adjustment",       // broadcast of the 1-row midpoint + moments
     "neyman_allocation",      // broadcast of the 1-row total + leftover
     "ks_two_sample",          // broadcast of the 1-row sample totals
-    "conformal_threshold")    // broadcast of the 1-row threshold
+    "conformal_threshold",    // broadcast of the 1-row threshold
+    "ann_recall_at_k")        // broadcast 10-query rubric (exact side)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
