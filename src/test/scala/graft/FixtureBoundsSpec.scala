@@ -53,6 +53,15 @@ class FixtureBoundsSpec extends SparkSpec {
       assert(maxLen / 25 < 64, s"doc of $maxLen chars yields >= 64 stub frames")
     }
 
+    test(s"$sf: char-symbol counts stay under bpe_train_merges' " +
+      "range(0,8192) oracle cap") {
+      val (_, maxLen, _) = stats(dir)
+      // one symbol per char after charification; winnowing's 4096 cap
+      // on positions is implied by the same bound
+      assert(maxLen < 4096, s"doc of $maxLen chars breaches the " +
+        "winnow/bpe oracle position caps")
+    }
+
     test(s"$sf: document text is printable ASCII (byte == codepoint)") {
       val (_, _, ascii) = stats(dir)
       assert(ascii, "non-ASCII text breaks media_feature_extract oracle parity")

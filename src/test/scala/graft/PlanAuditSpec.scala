@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "neyman_allocation",      // broadcast of the 1-row total + leftover
     "ks_two_sample",          // broadcast of the 1-row sample totals
     "conformal_threshold",    // broadcast of the 1-row threshold
-    "ann_recall_at_k")        // broadcast 10-query rubric (exact side)
+    "ann_recall_at_k",        // broadcast 10-query rubric (exact side)
+    "bpe_train_merges")       // broadcast of each round 1-row winner
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
