@@ -62,7 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     "ks_two_sample",          // broadcast of the 1-row sample totals
     "conformal_threshold",    // broadcast of the 1-row threshold
     "ann_recall_at_k",        // broadcast 10-query rubric (exact side)
-    "bpe_train_merges")       // broadcast of each round 1-row winner
+    "bpe_train_merges",       // broadcast of each round 1-row winner
+    "bpe_compression_ratio",  // same per-round 1-row winner broadcasts
+    "embedding_whiten")       // broadcast of the 1-row moment table
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
