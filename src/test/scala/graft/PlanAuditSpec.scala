@@ -64,7 +64,12 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall_at_k",        // broadcast 10-query rubric (exact side)
     "bpe_train_merges",       // broadcast of each round 1-row winner
     "bpe_compression_ratio",  // same per-round 1-row winner broadcasts
-    "embedding_whiten")       // broadcast of the 1-row moment table
+    "embedding_whiten",       // broadcast of the 1-row moment table
+    "ndcg_at_10",             // broadcast 20-vector rubric (rankedRelevant)
+    "mrr_at_10",              // broadcast 20-vector rubric (rankedRelevant)
+    "hll_register_estimate",  // broadcast of the 1-row register summary
+    "ipf_raking",             // broadcast of the 1-row marginal targets
+    "quantile_sketch_merge")  // broadcast of the 1-row corpus count
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
