@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
     "mrr_at_10",              // broadcast 20-vector rubric (rankedRelevant)
     "hll_register_estimate",  // broadcast of the 1-row register summary
     "ipf_raking",             // broadcast of the 1-row marginal targets
-    "quantile_sketch_merge")  // broadcast of the 1-row corpus count
+    "quantile_sketch_merge",  // broadcast of the 1-row corpus count
+    "matryoshka_dim_eval",    // broadcast 10-query rubric x3 dims
+    "hits_hub_authority",     // broadcast of the 1-row max normalizers
+    "purged_time_split")      // broadcast of the 3-row fold table
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
