@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "quantile_sketch_merge",  // broadcast of the 1-row corpus count
     "matryoshka_dim_eval",    // broadcast 10-query rubric x3 dims
     "hits_hub_authority",     // broadcast of the 1-row max normalizers
-    "purged_time_split")      // broadcast of the 3-row fold table
+    "purged_time_split",      // broadcast of the 3-row fold table
+    "shard_assign_consistent") // broadcast 40-row vnode ring x2 layouts
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
