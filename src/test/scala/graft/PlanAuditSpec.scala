@@ -73,7 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     "matryoshka_dim_eval",    // broadcast 10-query rubric x3 dims
     "hits_hub_authority",     // broadcast of the 1-row max normalizers
     "purged_time_split",      // broadcast of the 3-row fold table
-    "shard_assign_consistent") // broadcast 40-row vnode ring x2 layouts
+    "shard_assign_consistent", // broadcast 40-row vnode ring x2 layouts
+    "hard_negative_mining",    // broadcast 20-vector rubric (rankedRelevant)
+    "dpr_inbatch_negatives",   // same rubric crossJoin inside firstHits
+    "triplet_margin_audit")    // same rubric + broadcast triplet fetch
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
