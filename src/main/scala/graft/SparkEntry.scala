@@ -28,7 +28,8 @@ object SparkEntry {
       Curation15Queries.defs ++ Curation16Queries.defs ++ Curation17Queries.defs ++
       Curation18Queries.defs ++ Curation19Queries.defs ++ Curation20Queries.defs ++
       Curation21Queries.defs ++ Curation22Queries.defs ++ Curation23Queries.defs ++
-      Curation24Queries.defs ++ Curation25Queries.defs ++ Curation26Queries.defs
+      Curation24Queries.defs ++ Curation25Queries.defs ++ Curation26Queries.defs ++
+      Curation27Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

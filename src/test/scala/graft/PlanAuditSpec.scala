@@ -76,7 +76,15 @@ class PlanAuditSpec extends SparkSpec {
     "shard_assign_consistent", // broadcast 40-row vnode ring x2 layouts
     "hard_negative_mining",    // broadcast 20-vector rubric (rankedRelevant)
     "dpr_inbatch_negatives",   // same rubric crossJoin inside firstHits
-    "triplet_margin_audit")    // same rubric + broadcast triplet fetch
+    "triplet_margin_audit",    // same rubric + broadcast triplet fetch
+    "holt_linear_forecast",    // broadcast 1-row day-span bounds (spine)
+    "kaplan_meier_retention",  // broadcast 1-row horizon + total rows
+    "cusum_changepoint_batch", // broadcast 1-row ref/slack/threshold params
+    "seasonal_naive_eval",     // broadcast 1-row day-span bounds (spine)
+    "node_jaccard_linkpred",   // knnEdges 300-vector broadcast substrate
+    "graph_reciprocity",       // knnEdges 300-vector broadcast substrate
+    "degree_assortativity",    // knnEdges 300-vector broadcast substrate
+    "local_bridge_edges")      // knnEdges 300-vector broadcast substrate
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
