@@ -84,7 +84,10 @@ class PlanAuditSpec extends SparkSpec {
     "node_jaccard_linkpred",   // knnEdges 300-vector broadcast substrate
     "graph_reciprocity",       // knnEdges 300-vector broadcast substrate
     "degree_assortativity",    // knnEdges 300-vector broadcast substrate
-    "local_bridge_edges")      // knnEdges 300-vector broadcast substrate
+    "local_bridge_edges",      // knnEdges 300-vector broadcast substrate
+    "stylometry_source_distance", // broadcast 20-word function-word band
+    "minhash_band_tuning",     // pure-arithmetic 4x19 literal grid
+    "dedup_threshold_sweep")   // 5-row threshold grid x bounded slice pairs
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
