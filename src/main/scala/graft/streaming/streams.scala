@@ -667,6 +667,37 @@ object Streams {
           out.iterator
         })
   }
+
+  /** Incremental Holt linear-trend model refresh: consumes closed-day
+    * count records per series and maintains the exact e6 integer
+    * recurrence of the batch query `holt_linear_forecast` (alpha = beta
+    * = 1/2, floorDiv halving) as per-key state — the nightly-forecast
+    * twin that never re-reads history.  Caller contract: day indexes
+    * arrive dense from 0 per series (each batch may carry any number of
+    * days; within-batch order is irrelevant, the fold sorts by di).
+    * Emits the refreshed state per series per batch; forecast fields
+    * are the model's own h=1 projection. */
+  def holtRefresh(days: Dataset[DailyCount]): Dataset[HoltState] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (et: String, rows: Iterator[DailyCount],
+            state: GroupState[(Long, Long, Long, Long)]) => {
+          var (l, b, n, c0) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          rows.toIndexedSeq.sortBy(_.di).foreach { r =>
+            if (n == 0L) { c0 = r.cnt; n = 1L }
+            else if (n == 1L) {
+              l = c0 * 1000000L; b = (r.cnt - c0) * 1000000L; n = 2L
+            } else {
+              val lNew = Math.floorDiv(r.cnt * 1000000L + l + b, 2L)
+              b = Math.floorDiv(lNew - l + b, 2L)
+              l = lNew; n += 1L
+            }
+          }
+          state.update((l, b, n, c0))
+          HoltState(et, n - 1L, l, b, l + b)
+        })
+  }
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
@@ -702,6 +733,9 @@ final case class KAnonState(buffered: Seq[Long], released: Long)
 final case class ReleaseDecision(doc_id: Long, cls: String,
     released_with: Long)
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+final case class DailyCount(event_type: String, di: Long, cnt: Long)
+final case class HoltState(event_type: String, through_di: Long,
+    level_e6: Long, trend_e6: Long, fc1_e6: Long)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_ms: Long, last_ms: Long)
 final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
