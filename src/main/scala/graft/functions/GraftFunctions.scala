@@ -124,13 +124,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: SQL function surface plus the
-  * HOF-cosine -> native-kernel rewrite (RewriteCosineHof). */
+/** `spark.sql.extensions` entry point: SQL function surface, the
+  * HOF-cosine -> native-kernel rewrite (RewriteCosineHof), and the
+  * as-of-join planner strategy (graft.plans.AsOfJoinStrategy). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteCosineHof)
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

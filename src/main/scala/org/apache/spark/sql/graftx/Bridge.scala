@@ -19,4 +19,28 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Add a planner strategy to a live session (imperative twin of
+    * SparkSessionExtensions.injectPlannerStrategy; public
+    * ExperimentalMethods surface, idempotent). */
+  def withStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ strategy
+  }
+
+  /** Wrap a (resolved) logical plan as a DataFrame. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, plan)
+  }
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 }
