@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     "stylometry_source_distance", // broadcast 20-word function-word band
     "minhash_band_tuning",     // pure-arithmetic 4x19 literal grid
     "dedup_threshold_sweep",   // 5-row threshold grid x bounded slice pairs
-    "did_you_mean_edit1")      // 5-probe broadcast x vocabulary (not corpus)
+    "did_you_mean_edit1",      // 5-probe broadcast x vocabulary (not corpus)
+    "freshness_lag_audit")     // broadcast 1-row horizon
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
