@@ -27,25 +27,25 @@ object Vector2Queries {
 
   /** floor(x * 1e6) quantization of an array<float> to array<long> —
     * exact in both engines (f32->f64 widening then floor). */
-  private def quant(v: Column): Column =
+  private[queries] def quant(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000000).cast("long"))
 
-  private val quantSql =
+  private[queries] val quantSql =
     "list_transform(%s, x -> floor(x::DOUBLE * 1000000)::BIGINT)"
 
   /** Integer squared L2 distance between two array<long>. */
-  private def sqDist(a: Column, b: Column): Column =
+  private[queries] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  private def sqDistSql(a: String, b: String): String =
+  private[queries] def sqDistSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(list_zip($a, $b), " +
       s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
 
   /** One Lloyd assignment step: nearest centroid by integer squared
     * distance, ties to the lowest centroid id. Centroid sets are k rows
     * — always broadcast; the points side never shuffles. */
-  private def assign(points: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def assign(points: DataFrame, cents: DataFrame): DataFrame =
     points.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qe"), col("cid"),
         sqDist(col("qe"), col("cvec")).as("dist"))
@@ -58,7 +58,7 @@ object Vector2Queries {
     * truncating integer division — Spark's `div` and DuckDB's `//`
     * both truncate toward zero (measured on negative sums; DuckDB's
     * FLOOR-like `//` behavior applies to FLOAT operands only). */
-  private def update(assigned: DataFrame): DataFrame =
+  private[queries] def update(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster"), posexplode(col("qe")).as(Seq("d", "v")))
       .groupBy(col("cluster"), col("d"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
@@ -69,7 +69,7 @@ object Vector2Queries {
         p => p.getField("cv")).as("cvec"))
       .select(col("cluster").as("cid"), col("cvec"))
 
-  private def assignSql(points: String, cents: String): String =
+  private[queries] def assignSql(points: String, cents: String): String =
     s"""SELECT vec_id, qe, cid AS cluster, dist FROM (
       |    SELECT q.vec_id, q.qe, c.cid,
       |      ${sqDistSql("q.qe", "c.cvec")} AS dist,

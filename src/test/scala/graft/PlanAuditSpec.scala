@@ -89,7 +89,11 @@ class PlanAuditSpec extends SparkSpec {
     "minhash_band_tuning",     // pure-arithmetic 4x19 literal grid
     "dedup_threshold_sweep",   // 5-row threshold grid x bounded slice pairs
     "did_you_mean_edit1",      // 5-probe broadcast x vocabulary (not corpus)
-    "freshness_lag_audit")     // broadcast 1-row horizon
+    "freshness_lag_audit",     // broadcast 1-row horizon
+    "quantization_error_audit", // broadcast 64-row per-dim bounds
+    "ann_probe_cost_curve",    // Lloyd substrate: broadcast k centroids
+    "kmeans_assignment_stability", // 2x Lloyd + 100-vector pair panel
+    "residual_vector_energy")  // Lloyd substrate: broadcast k centroids
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
