@@ -93,7 +93,9 @@ class PlanAuditSpec extends SparkSpec {
     "quantization_error_audit", // broadcast 64-row per-dim bounds
     "ann_probe_cost_curve",    // Lloyd substrate: broadcast k centroids
     "kmeans_assignment_stability", // 2x Lloyd + 100-vector pair panel
-    "residual_vector_energy")  // Lloyd substrate: broadcast k centroids
+    "residual_vector_energy",  // Lloyd substrate: broadcast k centroids
+    "dataset_card_summary",    // 1-row aggregate crosses (card assembly)
+    "mixture_token_budget_planner") // broadcast 1-row weight total/leftover
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
