@@ -22,7 +22,7 @@ object Curation26Queries {
   private def f2d(x: String) = s"((($x) - ((($x) % 2 + 2) % 2)) // 2)"
 
   /** Zero-filled per-(event_type, day-index) daily counts. */
-  private def typedDaily(s: SparkSession, d: String): DataFrame = {
+  private[queries] def typedDaily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type"), to_date(col("ts")).as("day"))
     val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -38,7 +38,7 @@ object Curation26Queries {
         coalesce(col("n"), lit(0L)).as("cnt"))
   }
 
-  private val typedDailySql =
+  private[queries] val typedDailySql =
     """days AS (SELECT event_type, ts::DATE AS day FROM events),
       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
       |spine AS (SELECT d0 + (i.i::INT) AS day, d0

@@ -95,7 +95,9 @@ class PlanAuditSpec extends SparkSpec {
     "kmeans_assignment_stability", // 2x Lloyd + 100-vector pair panel
     "residual_vector_energy",  // Lloyd substrate: broadcast k centroids
     "dataset_card_summary",    // 1-row aggregate crosses (card assembly)
-    "mixture_token_budget_planner") // broadcast 1-row weight total/leftover
+    "mixture_token_budget_planner", // broadcast 1-row weight total/leftover
+    "sequential_pattern_support",  // broadcast 1-row user count
+    "weekly_autocorr_strength")    // broadcast 1-row day-span bounds (spine)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
