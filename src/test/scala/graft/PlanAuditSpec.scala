@@ -97,7 +97,10 @@ class PlanAuditSpec extends SparkSpec {
     "dataset_card_summary",    // 1-row aggregate crosses (card assembly)
     "mixture_token_budget_planner", // broadcast 1-row weight total/leftover
     "sequential_pattern_support",  // broadcast 1-row user count
-    "weekly_autocorr_strength")    // broadcast 1-row day-span bounds (spine)
+    "weekly_autocorr_strength",    // broadcast 1-row day-span bounds (spine)
+    "power_user_curve",            // broadcast 1-row user total
+    "lorenz_user_concentration",   // broadcast 1-row event total
+    "anomaly_dow_baseline")        // spine bounds + broadcast 7-row medians
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
