@@ -100,7 +100,10 @@ class PlanAuditSpec extends SparkSpec {
     "weekly_autocorr_strength",    // broadcast 1-row day-span bounds (spine)
     "power_user_curve",            // broadcast 1-row user total
     "lorenz_user_concentration",   // broadcast 1-row event total
-    "anomaly_dow_baseline")        // spine bounds + broadcast 7-row medians
+    "anomaly_dow_baseline",        // spine bounds + broadcast 7-row medians
+    "srm_check",                   // broadcast 1-row split total
+    "diff_in_diff_purchases",      // broadcast 1-row t0 + 1-row arm cross
+    "ab_power_mde")                // broadcast 3-row horizon grid
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
