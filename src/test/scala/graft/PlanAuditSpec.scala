@@ -103,7 +103,9 @@ class PlanAuditSpec extends SparkSpec {
     "anomaly_dow_baseline",        // spine bounds + broadcast 7-row medians
     "srm_check",                   // broadcast 1-row split total
     "diff_in_diff_purchases",      // broadcast 1-row t0 + 1-row arm cross
-    "ab_power_mde")                // broadcast 3-row horizon grid
+    "ab_power_mde",                // broadcast 3-row horizon grid
+    "priority_sample_estimator",   // broadcast 1-row tau + 1-row truth
+    "range_partition_boundaries")  // broadcast 1-row corpus count
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
