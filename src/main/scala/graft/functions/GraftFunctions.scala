@@ -105,6 +105,33 @@ object GraftFunctions {
   private val tokenCountInfo = new ExpressionInfo(
     classOf[TokenCountWs].getCanonicalName, "token_count")
 
+  private val shingleHashesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"shingle_hashes expects 1 argument, got ${args.length}")
+    ShingleHashes(args.head)
+  }
+
+  private val shingleHashesInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getCanonicalName, "shingle_hashes")
+
+  private val minhashSigBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"minhash_sig expects 1 argument, got ${args.length}")
+    MinHashSig(args.head)
+  }
+
+  private val minhashSigInfo = new ExpressionInfo(
+    classOf[MinHashSig].getCanonicalName, "minhash_sig")
+
+  private val sortedIntersectBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"sorted_intersect expects 2 arguments, got ${args.length}")
+    SortedIntersect(args(0), args(1))
+  }
+
+  private val sortedIntersectInfo = new ExpressionInfo(
+    classOf[SortedIntersect].getCanonicalName, "sorted_intersect")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
@@ -115,7 +142,12 @@ object GraftFunctions {
       (FunctionIdentifier("lcs_tokens"), lcsTokensInfo, lcsTokensBuilder),
       (FunctionIdentifier("smith_waterman"), smithWatermanInfo,
         smithWatermanBuilder),
-      (FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder))
+      (FunctionIdentifier("token_count"), tokenCountInfo, tokenCountBuilder),
+      (FunctionIdentifier("shingle_hashes"), shingleHashesInfo,
+        shingleHashesBuilder),
+      (FunctionIdentifier("minhash_sig"), minhashSigInfo, minhashSigBuilder),
+      (FunctionIdentifier("sorted_intersect"), sortedIntersectInfo,
+        sortedIntersectBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

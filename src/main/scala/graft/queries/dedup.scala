@@ -44,15 +44,12 @@ object DedupQueries {
     * 16 integer ops per shingle instead of 16 md5 passes (at 100 TB the
     * md5 pass dominates signature cost; hash once, mix k times).
     * Operands < 2^31 so products fit in int64 exactly in both engines. */
-  private val P = 2147483647L // 2^31 - 1
-  private val hashAB: IndexedSeq[(Long, Long)] = {
-    var state = 1234567891011L
-    def next(): Long = {
-      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
-      math.floorMod(state, P - 1) + 1
-    }
-    IndexedSeq.fill(NumHashes)((next(), next()))
-  }
+  private val P = graft.functions.MinHashKernel.P // 2^31 - 1
+  // Shared with the native kernels (ShingleHashes/MinHashSig), so the
+  // declarative estimator queries, the oracle SQL, and the codegen'd
+  // signature pass all mix with identical constants.
+  private val hashAB: IndexedSeq[(Long, Long)] =
+    graft.functions.MinHashKernel.AB
 
   /** Word 3-gram shingle HASH set per doc (distinct).
     *
@@ -110,6 +107,111 @@ object DedupQueries {
     s"((sh * $a + $b) % $P)"
   }
 
+  /** MinHash(16)+LSH(4x4) near-dup pair decisions (a < b, jaccard_e3)
+    * over [[Corpus.withDups]] — the shared substrate of
+    * dedup_minhash_lsh (which returns it verbatim) and dedup_pr_eval
+    * (which scores it against the injected ground truth). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHashKernel.{minhashSig, shingleHashes, sortedIntersect}
+    // Scan-local signatures: the native kernels compute each document's
+    // distinct shingle-hash set and its 16-slot signature inside
+    // whole-stage codegen — no shingle explode, no distinct shuffle, no
+    // signature agg.  The first shuffle this pipeline performs at ANY
+    // scale is the band bucket join itself.  The signature table is
+    // referenced by the band build and both sides of the verify, so
+    // persist it once (at scale: materialize it, exactly like the
+    // reference persists its vector store, RAG-eval-test_model.py:242);
+    // values stay bit-identical to the declarative/oracle form
+    // (MinHashKernel mixes the same hashAB constants over the same
+    // md5 grid).
+    val sig = Corpus.withDups(s, d)
+      .select(col("doc_id"), shingleHashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"),
+        size(col("shs")).cast("long").as("nsh"),
+        minhashSig(col("shs")).as("mh"))
+      .persist()
+    // 4 bands of 4 hashes -> (band_id, band_val) bucket keys
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", (0 until BandSize).map(r =>
+          element_at(col("mh"), b * BandSize + r + 1)): _*)
+          .as("band_val"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+    // Bucket-size cap: a bucket of n docs emits C(n,2) candidate
+    // pairs, so one degenerate bucket (boilerplate, mass-duplicated
+    // content) can dominate the whole verify stage — measured in
+    // SCALE.md's x100 probe, where 100-copy groups made the verify
+    // ~50x the x10 volume. Buckets over the cap are dropped on BOTH
+    // engines (same filter in the oracle CTE), so parity holds; on
+    // healthy corpora no bucket approaches the cap and this is a
+    // no-op. Production tuning: cap ~ a few hundred, after exact
+    // dedup has collapsed identical content.
+    val okBuckets = bands.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucket)
+      .select(col("band_id"), col("band_val"))
+    val capped = bands.join(okBuckets, Seq("band_id", "band_val"))
+    val cands = capped.as("x").join(capped.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // Jaccard verify by linear merge over the sorted hash sets — the
+    // two joins carry one array per doc instead of one row per shingle,
+    // and the per-pair intersection is a single codegen'd kernel call
+    // (the old form joined the exploded shingle table twice and
+    // re-aggregated the match count).
+    cands
+      .join(sig.select(col("doc_id").as("a"), col("shs").as("sa"),
+        col("nsh").as("na")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("shs").as("sb"),
+        col("nsh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sortedIntersect(col("sa"), col("sb")).as("ninter"),
+        col("na"), col("nb"))
+      // jaccard >= 1/2  <=>  3*inter >= |A|+|B|  (integer, exact)
+      .filter(col("ninter") * 3 >= col("na") + col("nb"))
+      .select(col("a"), col("b"),
+        expr("(ninter * 1000) div (na + nb - ninter)")
+          .as("jaccard_e3"))
+  }
+
+  /** The complete DuckDB twin of [[minhashPairs]] (a standalone query;
+    * dedup_pr_eval embeds it as a nested-WITH CTE body). */
+  private val minhashLshSql: String = s"""WITH $corpusSql,
+    |$shinglesSql,
+    |sig AS (SELECT doc_id, count(*) AS n_shingles,
+    |  ${(0 until NumHashes).map(k => s"min(${mhSql(k)}) AS h$k").mkString(", ")}
+    |  FROM sh GROUP BY doc_id),
+    |bands AS (${(0 until NumHashes / BandSize).map { b =>
+      s"SELECT doc_id, $b AS band_id, concat_ws(','," +
+        (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(",") +
+        ") AS band_val FROM sig"
+    }.mkString("\n  UNION ALL ")}),
+    |ok AS (SELECT band_id, band_val FROM bands
+    |  GROUP BY band_id, band_val HAVING count(*) <= $MaxBucket),
+    |capped AS (SELECT bands.* FROM bands
+    |  JOIN ok ON ok.band_id = bands.band_id
+    |         AND ok.band_val = bands.band_val),
+    |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    |  FROM capped x JOIN capped y ON x.band_id = y.band_id
+    |   AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+    |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    |inter AS (SELECT a, b, count(*) AS ninter
+    |  FROM cands JOIN sh sa ON sa.doc_id = a
+    |  JOIN sh sb ON sb.doc_id = b AND sb.sh = sa.sh
+    |  GROUP BY a, b)
+    |SELECT a, b, ((ninter * 1000) // (na.nsh + nb.nsh - ninter))::BIGINT
+    |         AS jaccard_e3
+    |FROM inter JOIN sizes na ON na.doc_id = a
+    |JOIN sizes nb ON nb.doc_id = b
+    |WHERE ninter * 3 >= na.nsh + nb.nsh""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------ exact
     QueryDef(
@@ -128,97 +230,17 @@ object DedupQueries {
     // ----------------------------------------------------- minhash + lsh
     QueryDef(
       "dedup_minhash_lsh",
-      (s, d) => {
-        // The shingle table is referenced by the signature agg, both
-        // sides of the band self-join, and both sides of the jaccard
-        // verify — persist it once or the whole explode+hash pipeline
-        // re-runs per reference (at scale: materialize the signature
-        // table, exactly like the reference persists its vector store,
-        // RAG-eval-test_model.py:242).
-        val sh = shingles(Corpus.withDups(s, d)).persist()
-        val sigCols = count(lit(1)).as("nsh") +:
-          (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
-        val sig = sh.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail: _*).persist()
-        // 4 bands of 4 hashes -> (band_id, band_val) bucket keys
-        val bandCols = (0 until NumHashes / BandSize).map { b =>
-          struct(lit(b).as("band_id"),
-            concat_ws(",", (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
-              .as("band_val"))
-        }
-        val bands = sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
-        // Bucket-size cap: a bucket of n docs emits C(n,2) candidate
-        // pairs, so one degenerate bucket (boilerplate, mass-duplicated
-        // content) can dominate the whole verify stage — measured in
-        // SCALE.md's x100 probe, where 100-copy groups made the verify
-        // ~50x the x10 volume. Buckets over the cap are dropped on BOTH
-        // engines (same filter in the oracle CTE), so parity holds; on
-        // healthy corpora no bucket approaches the cap and this is a
-        // no-op. Production tuning: cap ~ a few hundred, after exact
-        // dedup has collapsed identical content.
-        val okBuckets = bands.groupBy(col("band_id"), col("band_val"))
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") <= MaxBucket)
-          .select(col("band_id"), col("band_val"))
-        val capped = bands.join(okBuckets, Seq("band_id", "band_val"))
-        val cands = capped.as("x").join(capped.as("y"),
-            col("x.band_id") === col("y.band_id") &&
-              col("x.band_val") === col("y.band_val") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        val inter = cands
-          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("b") === col("sb.doc_id") &&
-              col("sa.sh") === col("sb.sh"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
-        val sizes = sig.select(col("doc_id"), col("nsh"))
-        inter
-          .join(sizes.as("na"), col("a") === col("na.doc_id"))
-          .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
-          // jaccard >= 1/2  <=>  3*inter >= |A|+|B|  (integer, exact)
-          .filter(col("ninter") * 3 >= col("na.nsh") + col("nb.nsh"))
-          .select(col("a"), col("b"),
-            expr("(ninter * 1000) div (na.nsh + nb.nsh - ninter)")
-              .as("jaccard_e3"))
-      },
-      Some(s"""WITH $corpusSql,
-        |$shinglesSql,
-        |sig AS (SELECT doc_id, count(*) AS n_shingles,
-        |  ${(0 until NumHashes).map(k => s"min(${mhSql(k)}) AS h$k").mkString(", ")}
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (${(0 until NumHashes / BandSize).map { b =>
-          s"SELECT doc_id, $b AS band_id, concat_ws(','," +
-            (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(",") +
-            ") AS band_val FROM sig"
-        }.mkString("\n  UNION ALL ")}),
-        |ok AS (SELECT band_id, band_val FROM bands
-        |  GROUP BY band_id, band_val HAVING count(*) <= $MaxBucket),
-        |capped AS (SELECT bands.* FROM bands
-        |  JOIN ok ON ok.band_id = bands.band_id
-        |         AND ok.band_val = bands.band_val),
-        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM capped x JOIN capped y ON x.band_id = y.band_id
-        |   AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a, b, count(*) AS ninter
-        |  FROM cands JOIN sh sa ON sa.doc_id = a
-        |  JOIN sh sb ON sb.doc_id = b AND sb.sh = sa.sh
-        |  GROUP BY a, b)
-        |SELECT a, b, ((ninter * 1000) // (na.nsh + nb.nsh - ninter))::BIGINT
-        |         AS jaccard_e3
-        |FROM inter JOIN sizes na ON na.doc_id = a
-        |JOIN sizes nb ON nb.doc_id = b
-        |WHERE ninter * 3 >= na.nsh + nb.nsh""".stripMargin),
+      (s, d) => minhashPairs(s, d),
+      Some(minhashLshSql),
       "MinHash(16)+LSH(4x4) near-dup: shingle -> signature -> band " +
         "buckets (size-capped at 64, mirrored in the oracle) -> " +
         "same-bucket candidates only -> jaccard verify over the hashed " +
-        "shingle space (see shingles). Never materializes the O(n^2) " +
-        "pair space; candidate volume is controlled by band width AND " +
-        "the bucket cap — the scale path for near-dedup at 100 TB."),
+        "shingle space. Signatures and the verify intersection run in " +
+        "native scan-local kernels (MinHashKernel): the first shuffle " +
+        "at any scale is the band bucket join. Never materializes the " +
+        "O(n^2) pair space; candidate volume is controlled by band " +
+        "width AND the bucket cap — the scale path for near-dedup at " +
+        "100 TB."),
 
     // ----------------------------------------------------------- simhash
     QueryDef(
@@ -452,5 +474,82 @@ object DedupQueries {
         "the aggregate deviation). Signature agg and exact intersect " +
         "share the persisted shingle table; ground-truth pairs are a " +
         "projection, not a join."),
+
+    // ------------------------------- dedup canary recall evaluation
+    QueryDef(
+      "dedup_recall_eval",
+      (s, d) => {
+        val pred = minhashPairs(s, d).select(col("a"), col("b"))
+        // Seeded canaries by construction: withDups derives every
+        // injected copy from base doc_id by +1e6/+2e6 shifts, so
+        // same-origin (doc_id mod 1e6) pairs are known-true duplicates
+        // — 'exact' when the gap is the +2e6 verbatim copy, 'near'
+        // for the 90%-prefix pairs (base~near and near~exact).
+        val ids = Corpus.withDups(s, d)
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(1000000L)).as("origin"))
+        val truth = ids.as("x").join(ids.as("y"),
+            col("x.origin") === col("y.origin") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .withColumn("kind",
+            when(col("b") - col("a") === 2000000L, lit("exact"))
+              .otherwise(lit("near")))
+        val caught = truth.join(pred.withColumn("hit", lit(1L)),
+          Seq("a", "b"), "left")
+        val t = caught.agg(
+          count(lit(1)).as("n_injected"),
+          count(col("hit")).as("n_caught"),
+          count(when(col("kind") === "exact", lit(1))).as("n_exact"),
+          count(when(col("kind") === "exact", col("hit")))
+            .as("exact_caught"),
+          count(when(col("kind") === "near", lit(1))).as("n_near"),
+          count(when(col("kind") === "near", col("hit")))
+            .as("near_caught"))
+        val np = pred.agg(count(lit(1)).as("n_pred"))
+        t.crossJoin(broadcast(np))
+          .select(col("n_injected"), col("n_caught"),
+            expr("(1000 * n_caught) div n_injected").as("recall_permille"),
+            col("n_exact"), col("exact_caught"),
+            col("n_near"), col("near_caught"),
+            (col("n_pred") - col("n_caught")).as("n_organic"))
+      },
+      Some(s"""WITH pred AS ($minhashLshSql),
+        |ids AS (SELECT doc_id, doc_id % 1000000 AS origin
+        |  FROM (${Corpus.cte})),
+        |truth AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |    (CASE WHEN y.doc_id - x.doc_id = 2000000 THEN 'exact'
+        |          ELSE 'near' END) AS kind
+        |  FROM ids x
+        |  JOIN ids y ON x.origin = y.origin AND x.doc_id < y.doc_id),
+        |caught AS (SELECT t.kind, p.a AS hit FROM truth t
+        |  LEFT JOIN pred p ON p.a = t.a AND p.b = t.b),
+        |agg AS (SELECT count(*)::BIGINT AS n_injected,
+        |    count(hit)::BIGINT AS n_caught,
+        |    count(CASE WHEN kind = 'exact' THEN 1 END)::BIGINT AS n_exact,
+        |    count(CASE WHEN kind = 'exact' THEN hit END)::BIGINT
+        |      AS exact_caught,
+        |    count(CASE WHEN kind = 'near' THEN 1 END)::BIGINT AS n_near,
+        |    count(CASE WHEN kind = 'near' THEN hit END)::BIGINT
+        |      AS near_caught
+        |  FROM caught),
+        |np AS (SELECT count(*)::BIGINT AS n_pred FROM pred)
+        |SELECT n_injected, n_caught,
+        |  ((1000 * n_caught) // n_injected)::BIGINT AS recall_permille,
+        |  n_exact, exact_caught, n_near, near_caught,
+        |  (n_pred - n_caught)::BIGINT AS n_organic
+        |FROM agg, np""".stripMargin),
+      "Recall of the MinHash-LSH pair decisions on seeded canary " +
+        "duplicates (same-origin pairs, known by construction), split " +
+        "by class: exact copies are structurally unmissable (identical " +
+        "signatures share every bucket), 90%-prefix near-dups are " +
+        "caught with probability 1-(1-s^4)^4 per pair — sub-1000 near " +
+        "recall is the banding design speaking (minhash_band_tuning's " +
+        "curve made empirical). Predicted pairs beyond the canaries " +
+        "are reported as n_organic, NOT false positives: every " +
+        "prediction already passed the exact-Jaccard >= 1/2 verify, " +
+        "and the fixture corpus genuinely contains organic near-dups. " +
+        "At 100 TB this is the seeded-canary audit a dedup config " +
+        "ships behind."),
   )
 }

@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkSpec {
     "diff_in_diff_purchases",      // broadcast 1-row t0 + 1-row arm cross
     "ab_power_mde",                // broadcast 3-row horizon grid
     "priority_sample_estimator",   // broadcast 1-row tau + 1-row truth
-    "range_partition_boundaries")  // broadcast 1-row corpus count
+    "range_partition_boundaries",  // broadcast 1-row corpus count
+    "t_closeness_audit",           // broadcast 1-row global total
+    "dedup_recall_eval",           // broadcast 1-row prediction count
+    "source_ablation_impact",      // broadcast 1-row corpus totals
+    "silhouette_by_label")         // bounded 200-vector slice
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
