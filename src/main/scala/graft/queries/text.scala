@@ -19,15 +19,16 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** Deterministic per-language marker lexicon over the fixture vocab. */
-  private val lexicon: Seq[(String, String)] = Seq(
+  /** Deterministic per-language marker lexicon over the fixture vocab
+    * (shared with langid_confusion_matrix in Curation41Queries). */
+  private[queries] val lexicon: Seq[(String, String)] = Seq(
     "en" -> "table", "en" -> "row", "en" -> "value",
     "de" -> "join", "de" -> "shuffle", "de" -> "batch",
     "fr" -> "column", "fr" -> "window", "fr" -> "scan",
     "es" -> "spark", "es" -> "data", "es" -> "order",
     "zh" -> "hash", "zh" -> "key", "zh" -> "agg")
 
-  private val lexiconSql: String =
+  private[queries] val lexiconSql: String =
     lexicon.map { case (l, w) => s"('$l','$w')" }
       .mkString("(VALUES ", ",", ") lex(cand, marker)")
 

@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
     "t_closeness_audit",           // broadcast 1-row global total
     "dedup_recall_eval",           // broadcast 1-row prediction count
     "source_ablation_impact",      // broadcast 1-row corpus totals
-    "silhouette_by_label")         // bounded 200-vector slice
+    "silhouette_by_label",         // bounded 200-vector slice
+    "pq_adc_topk")                 // broadcast k=8 codebook + 32-cell tables
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
