@@ -110,7 +110,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_recall_eval",           // broadcast 1-row prediction count
     "source_ablation_impact",      // broadcast 1-row corpus totals
     "silhouette_by_label",         // bounded 200-vector slice
-    "pq_adc_topk")                 // broadcast k=8 codebook + 32-cell tables
+    "pq_adc_topk",                 // broadcast k=8 codebook + 32-cell tables
+    "reciprocal_nn_pairs",         // bounded 300-vector kNN slice
+    "session_type_cooccurrence")   // broadcast 1-row session total
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
