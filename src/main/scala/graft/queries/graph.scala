@@ -44,6 +44,48 @@ object GraphQueries {
       |    PARTITION BY src ORDER BY cos DESC, dst) AS nn_rank
       |  FROM scored) WHERE nn_rank <= 3)""".stripMargin
 
+  /** Synchronous min-label propagation over the undirected kNN graph
+    * (2 supersteps) — shared by label_propagation_communities (emits it)
+    * and community_modularity (scores it). */
+  def lpCommunities(s: SparkSession, d: String): DataFrame = {
+    val und = knnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.unionByName(
+      und.select(col("b").as("a"), col("a").as("b")))
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"))
+    // synchronous min-label propagation: lbl <- min(lbl, neighbors')
+    def step(lbl: DataFrame) = {
+      val nb = adj.join(lbl, adj("b") === lbl("vec_id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nbmin"))
+      lbl.join(nb, lbl("vec_id") === nb("a"), "left")
+        .select(lbl("vec_id"),
+          least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
+    }
+    val lbl0 = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
+    step(step(lbl0)).select(col("vec_id"), col("lbl").as("community"))
+  }
+
+  /** DuckDB CTE chain for [[lpCommunities]] — terminal CTE `comm`
+    * (vec_id, community); requires `edges` from [[knnEdgesSql]]. */
+  val lpCommunitiesSqlCtes: String =
+    """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM edges),
+      |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+      |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
+      |l0 AS (SELECT vec_id, vec_id AS lbl FROM nodes),
+      |n1 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
+      |       JOIN l0 l ON l.vec_id = adj.b GROUP BY adj.a),
+      |l1 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
+      |       FROM l0 l LEFT JOIN n1 n ON n.a = l.vec_id),
+      |n2 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
+      |       JOIN l1 l ON l.vec_id = adj.b GROUP BY adj.a),
+      |l2 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
+      |       FROM l1 l LEFT JOIN n2 n ON n.a = l.vec_id),
+      |comm AS (SELECT vec_id, lbl AS community FROM l2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "pagerank_knn",
@@ -220,41 +262,10 @@ object GraphQueries {
     // ---------------------------------------- label propagation
     QueryDef(
       "label_propagation_communities",
-      (s, d) => {
-        val und = knnEdges(s, d)
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-        val adj = und.unionByName(
-          und.select(col("b").as("a"), col("a").as("b")))
-        val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          .select(col("vec_id"))
-        // synchronous min-label propagation: lbl <- min(lbl, neighbors')
-        def step(lbl: org.apache.spark.sql.DataFrame) = {
-          val nb = adj.join(lbl, adj("b") === lbl("vec_id"))
-            .groupBy(col("a")).agg(min(col("lbl")).as("nbmin"))
-          lbl.join(nb, lbl("vec_id") === nb("a"), "left")
-            .select(lbl("vec_id"),
-              least(col("lbl"), coalesce(col("nbmin"), col("lbl"))).as("lbl"))
-        }
-        val lbl0 = nodes.select(col("vec_id"), col("vec_id").as("lbl"))
-        step(step(lbl0)).select(col("vec_id"), col("lbl").as("community"))
-      },
+      (s, d) => lpCommunities(s, d),
       Some(s"""WITH $knnEdgesSql,
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM edges),
-        |adj AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
-        |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
-        |l0 AS (SELECT vec_id, vec_id AS lbl FROM nodes),
-        |n1 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
-        |       JOIN l0 l ON l.vec_id = adj.b GROUP BY adj.a),
-        |l1 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
-        |       FROM l0 l LEFT JOIN n1 n ON n.a = l.vec_id),
-        |n2 AS (SELECT adj.a, min(l.lbl) AS nbmin FROM adj
-        |       JOIN l1 l ON l.vec_id = adj.b GROUP BY adj.a),
-        |l2 AS (SELECT l.vec_id, least(l.lbl, coalesce(n.nbmin, l.lbl)) AS lbl
-        |       FROM l1 l LEFT JOIN n2 n ON n.a = l.vec_id)
-        |SELECT vec_id, lbl AS community FROM l2""".stripMargin),
+        |$lpCommunitiesSqlCtes
+        |SELECT vec_id, community FROM comm""".stripMargin),
       "Community detection by synchronous min-label propagation (2 " +
         "supersteps) over the kNN graph — deterministic (min is order-" +
         "free, unlike frequency-vote LPA whose ties depend on visit " +

@@ -112,7 +112,11 @@ class PlanAuditSpec extends SparkSpec {
     "silhouette_by_label",         // bounded 200-vector slice
     "pq_adc_topk",                 // broadcast k=8 codebook + 32-cell tables
     "reciprocal_nn_pairs",         // bounded 300-vector kNN slice
-    "session_type_cooccurrence")   // broadcast 1-row session total
+    "session_type_cooccurrence",   // broadcast 1-row session total
+    "community_modularity",        // bounded kNN slice + 1-row edge count
+    "ranker_agreement_tau",        // bounded 60-vector candidate panel
+    "shingle_bit_balance",         // broadcast 1-row hash total
+    "rbo_topterm_drift")           // 10-row depth grid x 20-row lists
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
