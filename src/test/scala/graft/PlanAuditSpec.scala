@@ -116,7 +116,9 @@ class PlanAuditSpec extends SparkSpec {
     "community_modularity",        // bounded kNN slice + 1-row edge count
     "ranker_agreement_tau",        // bounded 60-vector candidate panel
     "shingle_bit_balance",         // broadcast 1-row hash total
-    "rbo_topterm_drift")           // 10-row depth grid x 20-row lists
+    "rbo_topterm_drift",           // 10-row depth grid x 20-row lists
+    "embedding_anisotropy",        // broadcast 1-row corpus count
+    "knn_label_accuracy")          // bounded 300-vector kNN slice
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
