@@ -132,6 +132,15 @@ object GraftFunctions {
   private val sortedIntersectInfo = new ExpressionInfo(
     classOf[SortedIntersect].getCanonicalName, "sorted_intersect")
 
+  private val simhash60Builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      s"simhash60 expects 1 argument, got ${args.length}")
+    SimHash60(args.head)
+  }
+
+  private val simhash60Info = new ExpressionInfo(
+    classOf[SimHash60].getCanonicalName, "simhash60")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
@@ -147,7 +156,8 @@ object GraftFunctions {
         shingleHashesBuilder),
       (FunctionIdentifier("minhash_sig"), minhashSigInfo, minhashSigBuilder),
       (FunctionIdentifier("sorted_intersect"), sortedIntersectInfo,
-        sortedIntersectBuilder))
+        sortedIntersectBuilder),
+      (FunctionIdentifier("simhash60"), simhash60Info, simhash60Builder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -246,23 +246,17 @@ object DedupQueries {
     QueryDef(
       "dedup_simhash",
       (s, d) => {
-        val toks = Corpus.withDups(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          // 15 hex chars = 60 bits: the widest md5 prefix that stays in
-          // signed int64 range in BOTH engines (16 chars can exceed
-          // 2^63-1 and overflow DuckDB's ::BIGINT cast).
-          .withColumn("h",
-            conv(substring(md5(col("tok")), 1, SimhashBits / 4), 16, 10)
-              .cast("long"))
-        val bitCols = (0 until SimhashBits).map(j =>
-          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)).as(s"b$j"))
-        val bitSums = toks.groupBy(col("doc_id"))
-          .agg(bitCols.head, bitCols.tail: _*)
-        val sim = bitSums.select(col("doc_id"),
-          (0 until SimhashBits).map(j =>
-            when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash")).persist()
+        // Scan-local signatures: the native SimHash60 kernel computes
+        // each document's 60-bit signature (15 md5 hex chars per token
+        // — the widest prefix that stays in signed int64 range in both
+        // engines — with +1/-1 per-bit votes over the token multiset)
+        // inside whole-stage codegen.  The declarative twin is the
+        // oracle SQL below; the old explode + 60-column vote agg is
+        // gone, so the first shuffle at any scale is the band join.
+        val sim = Corpus.withDups(s, d)
+          .select(col("doc_id"),
+            graft.functions.SimHashKernel.simhash60(col("text"))
+              .as("simhash")).persist()
         // Candidate blocking instead of the O(n^2) pair join: split the
         // 60 bits into 4 bands of 15.  hamming <= 3 flips bits in at
         // most 3 bands, so every qualifying pair shares at least one
