@@ -21,44 +21,56 @@ object Bench {
     // JVM/codegen warmup outside the timed loop
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Two timed runs, report the min: this host takes multi-minute
       // stalls that land on whichever query is executing (BASELINE.md);
       // a stall must hit BOTH runs of the same query to survive into
       // the number, while steady-state cost is unaffected.
-      def once(): Double = {
+      // A failed run returns None — failures must NOT fold their fast-fail
+      // elapsed time into the total (round 4: 98 fixture-broken queries
+      // appeared as phantom ~0.05 s entries, silently over-claiming
+      // coverage). They go to an explicit "errors" list instead.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         // Queries that persist() shared subtrees (dedup family) must not
         // leave blocks behind: accumulated storage across the registry
         // starves execution memory for everything after them (GC/eviction
         // thrash was worth >5x on the full-run total at local[4]/8g).
         spark.catalog.clearCache()
-        t
+        if (ok) Some(t) else None
       }
-      var sec = math.min(once(), once())
+      val two = Seq(once(), once()).flatten
+      var sec = if (two.isEmpty) None else Some(two.min)
       // No query in the registry exceeds ~6 s steady-state at local[4]
       // on sf0.1; a min-of-2 above 10 s means a host stall landed on
       // BOTH runs (observed in round 2: 117 s reported for a 3 s query).
       // One more run is cheap insurance against that double hit.
-      if (sec > 10.0) sec = math.min(sec, once())
+      if (sec.exists(_ > 10.0)) sec = (sec.toSeq ++ once().toSeq).minOption
       name -> sec
     }
+    val results = attempts.collect { case (n, Some(s)) => n -> s }
+    val errors = attempts.collect { case (n, None) => n }
     // The driver records only the last ~2000 chars of stdout; a JSON line
-    // carrying all 130+ per-query timings is ~3.5 KB and gets cut mid-line
+    // carrying all 300+ per-query timings is ~8 KB and gets cut mid-line
     // (BENCH_r01..r03 all show parsed:null for exactly this reason).  So:
-    //   - the FULL per-query map goes to a file + stderr for humans,
-    //   - stdout gets ONE compact line: total over ALL queries, plus a
-    //     fixed headline subset that always fits inside the tail window.
+    //   - the FULL per-query map goes to a file ONLY (BENCH_full.json),
+    //   - stdout gets EXACTLY ONE compact line: total + error list over ALL
+    //     queries, plus a fixed headline subset of timings that always fits
+    //     inside the tail window.  n_queries counts genuinely-executed
+    //     queries; failures are named in "errors", never folded into the
+    //     total.  (Nothing else is printed to stdout so the driver's parser
+    //     sees a single well-formed JSON line.)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      val errs = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
-    System.err.println(full)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (full + "\n").getBytes("UTF-8"))

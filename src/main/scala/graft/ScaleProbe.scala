@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * the absolute number — backs the SCALE.md claims.
   *
   * Usage: ScaleProbe <sfDir> <scratchDir> <factor> <reps> <query ...>
-  * Only document/embedding-backed queries are valid targets (the events
-  * fixture's TIMESTAMP(NANOS) encoding cannot be round-tripped through a
-  * plain parquet rewrite — see Tables.events).
+  * documents/embeddings/events-backed queries are all valid targets:
+  * copies offset doc/vec/event/user ids so cardinalities scale with the
+  * data (the micros-timestamp events fixture round-trips through a plain
+  * parquet rewrite; the old nanos fixture did not).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -45,6 +46,16 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    // Events: offset event ids (uniqueness) AND user ids (so the keyed-
+    // state / sessionization key space scales with the data instead of
+    // packing N times the events onto the same 150 users).
+    val ev = Tables.events(spark, base)
+    (0 until factor).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/events.parquet")
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     Seq(base -> "1x", scratch -> s"${factor}x").foreach { case (dir, tag) =>

@@ -26,15 +26,30 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to TimestampType
-    * micros — the fixture's values are micro-precision, so the `div 1000`
-    * is lossless and matches DuckDB's own ns->us view of the same data. */
+  /** The events fixture's `ts` column has changed physical type across
+    * driver versions, so dispatch on the scanned schema rather than assume:
+    *
+    *  - TIMESTAMP(NANOS) parquet (old fixtures): Spark rejects it
+    *    (PARQUET_TYPE_ILLEGAL) unless read as long via
+    *    `spark.sql.legacy.parquet.nanosAsLong`; the values are
+    *    micro-precision so `ts div 1000` + timestamp_micros is lossless.
+    *  - timestamp[us] parquet (current fixtures): Spark reads TIMESTAMP_NTZ
+    *    (no tz in the file). Cast to TimestampType — all graft sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast is value-identical and
+    *    downstream window/as-of code keeps a single timestamp type.
+    *
+    * Either way callers see `ts: TimestampType` in UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case _ => // TIMESTAMP_NTZ (or date-like): normalize to TimestampType
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

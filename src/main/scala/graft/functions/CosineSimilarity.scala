@@ -46,10 +46,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
-  /** Zero-norm vectors yield NaN (0/0) from this kernel; the HOF
-    * formulation under ANSI mode raises DIVIDE_BY_ZERO on the same
-    * input. Non-zero vectors are the engine-portable precondition —
-    * callers filtering on a score threshold drop NaN rows anyway. */
+  /** Zero-norm vectors yield NULL (cosine is undefined): matches the
+    * HOF formulation's x/0 -> NULL division semantics, so the
+    * RewriteCosineHof bit-parity claim holds on the full input domain —
+    * degenerate vectors included — not just well-formed embeddings. */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -63,7 +63,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ab += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    if (aa == 0.0 || bb == 0.0) null
+    else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -86,7 +87,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $y = (double) $b.getFloat($i);
          |    $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
          |  }
-         |  ${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+         |  if ($aa == 0.0 || $bb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+         |  }
          |}
        """.stripMargin
     })

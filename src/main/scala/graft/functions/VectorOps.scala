@@ -45,9 +45,13 @@ object VectorOps {
     CosineSimilarity.cosineNative(a, b)
 
   /** HOF formulation of [[cosine]], kept as the public-API-only
-    * fallback and for the parity test against the native kernel. */
+    * fallback and for the parity test against the native kernel.
+    * nullif guards the zero-norm case: x/NULL -> NULL instead of an
+    * ANSI DIVIDE_BY_ZERO, matching the native kernel's NULL on
+    * degenerate vectors (values on non-zero norms are untouched, so
+    * the bit-parity claim is preserved). */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    dot(a, b) / nullif(sqrt(norm2(a)) * sqrt(norm2(b)), lit(0.0))
 
   /** Mean over components (the reference's mean-pool,
     * RAG-eval-test_model.py:81-83). */

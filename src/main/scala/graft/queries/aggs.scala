@@ -680,5 +680,73 @@ object EventQueries {
         "predicate filters inside the matched group — at 100 TB the " +
         "bucket-quantized form (range_join_bucketed) replaces the " +
         "in-group filter when per-key event counts are large."),
+
+    // --------------------------------------------------------------- T6
+    QueryDef(
+      "capacity_gate_state",
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .as[graft.streaming.JobEvent]
+        graft.streaming.Streams.capacityGate(ev, 3).toDF()
+          .select(col("user_id"), col("in_flight").cast("bigint"),
+            col("admitted").cast("bigint"), col("rejected").cast("bigint"))
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_type IN ('signup','click','purchase','error')),
+        |rec AS (
+        |  SELECT user_id, 0::BIGINT AS rn, 0::BIGINT AS in_flight,
+        |         0::BIGINT AS admitted, 0::BIGINT AS rejected
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1,
+        |    CASE WHEN e.event_type IN ('signup','click')
+        |         THEN CASE WHEN r.in_flight < 3
+        |              THEN r.in_flight + 1 ELSE r.in_flight END
+        |         ELSE CASE WHEN r.in_flight > 0
+        |              THEN r.in_flight - 1 ELSE r.in_flight END END,
+        |    r.admitted + CASE WHEN e.event_type IN ('signup','click')
+        |                        AND r.in_flight < 3 THEN 1 ELSE 0 END,
+        |    r.rejected + CASE WHEN e.event_type IN ('signup','click')
+        |                        AND r.in_flight >= 3 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, in_flight, admitted, rejected FROM rec
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1"""
+        .stripMargin),
+      "Batch twin of Streams.capacityGate (mapGroupsWithState runs in " +
+        "batch mode with empty initial state): per-user admission gate " +
+        "with capacity 3, folded in event_id order — signup/click admit " +
+        "while under capacity, purchase/error release. The sequential " +
+        "clamp [0, cap] has no window-function form, so the oracle " +
+        "replays the fold as a recursive CTE; one shuffle on user_id, " +
+        "O(1) state per key."),
+
+    // --------------------------------------------------------------- T7
+    QueryDef(
+      "retry_gate_ladder",
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .as[graft.streaming.JobEvent]
+        graft.streaming.Streams.retryGate(ev, 5).toDF()
+          .select(col("user_id"), col("event_id"),
+            col("failures").cast("bigint"),
+            col("willRetry").as("will_retry"))
+      },
+      Some("""SELECT user_id, event_id, rn AS failures, rn <= 5 AS will_retry
+        |FROM (SELECT user_id, event_id,
+        |        (row_number() OVER (PARTITION BY user_id
+        |           ORDER BY event_id))::BIGINT AS rn
+        |      FROM events WHERE event_type = 'error')""".stripMargin),
+      "Batch twin of Streams.retryGate (flatMapGroupsWithState in batch " +
+        "mode): per-user failure ladder over error events in event_id " +
+        "order — one decision per failure, retried while failures <= 5, " +
+        "dead-lettered after. Equivalent to a per-user row_number over " +
+        "errors, which is exactly the oracle."),
   )
 }

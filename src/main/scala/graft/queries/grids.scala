@@ -113,6 +113,22 @@ object OrderQueries {
         "Global window = single-partition sort: fine for naming ~1e3 outputs, " +
         "use zipWithIndex/partition offsets if the indexed set itself is huge."),
 
+    // ------------------------------------------------------- O2 at scale
+    QueryDef(
+      "zip_with_index_scalable",
+      (s, d) => graft.operators.ScalableIndex
+        .withDenseIndex(docs(s, d).select(col("doc_id")), "doc_id", 8)
+        .select(col("doc_id"), col("idx")),
+      Some("""SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) AS idx
+        |FROM documents""".stripMargin),
+      "The 100 TB form of zip_with_index: dense 0-based global index via " +
+        "range-partition by the order key + sortWithinPartitions + " +
+        "RDD.zipWithIndex partition offsets — total order preserved, " +
+        "indices dense, and NO single-partition global window (each task " +
+        "holds only its own range partition; the only extra cost is " +
+        "zipWithIndex's one count job over partitions). Oracle-gated to " +
+        "be value-identical to the windowed form."),
+
     // ---------------------------------------------------------------- O3
     QueryDef(
       "order_by_length",

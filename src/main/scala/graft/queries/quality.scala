@@ -96,9 +96,12 @@ object QualityQueries {
           .select(col("tok"),
             size(col("postings")).cast("long").as("df"),
             element_at(col("postings"), 1).as("first_doc"),
-            expr("""transform(
+            // CSV-stringified gaps: scalar-sortable rows for the oracle
+            // hash-compare (pandas can't sort ndarray cells).
+            expr("""array_join(transform(
                 sequence(2, size(postings)),
-                i -> element_at(postings, i) - element_at(postings, i - 1))""")
+                i -> cast(element_at(postings, i) - element_at(postings, i - 1)
+                          AS string)), ',')""")
               .as("gaps"),
             expr("""aggregate(
                 transform(sequence(2, size(postings)),
@@ -115,7 +118,7 @@ object QualityQueries {
         |g AS (SELECT tok, i.i AS idx, postings[i.i] - postings[i.i - 1] AS gap
         |      FROM p, (SELECT range AS i FROM range(2, 8192)) i
         |      WHERE i.i <= len(postings)),
-        |a AS (SELECT tok, list(gap ORDER BY idx) AS gaps,
+        |a AS (SELECT tok, array_to_string(list(gap ORDER BY idx), ',') AS gaps,
         |        max(gap)::BIGINT AS max_gap
         |      FROM g GROUP BY tok)
         |SELECT p.tok, len(p.postings)::BIGINT AS df,

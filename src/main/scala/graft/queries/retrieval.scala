@@ -76,8 +76,13 @@ object RetrievalQueries {
             count(lit(1)).as("df"),
             sum(col("tf")).as("tf_total"),
             slice(sort_array(collect_list(col("doc_id"))), 1, 8)
-              .as("postings_head"))
+              .as("postings_arr"))
           .filter(col("df") >= 2)
+          // CSV-stringified head: scalar-sortable rows for the oracle
+          // hash-compare (pandas can't sort ndarray cells).
+          .select(col("tok"), col("df"), col("tf_total"),
+            expr("array_join(transform(postings_arr, x -> cast(x AS string)), ',')")
+              .as("postings_head"))
       },
       Some("""WITH toks AS (
         |  SELECT doc_id, t.tok FROM (
@@ -87,7 +92,7 @@ object RetrievalQueries {
         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
         |       FROM toks GROUP BY doc_id, tok)
         |SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
-        |  (list(doc_id ORDER BY doc_id))[1:8] AS postings_head
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings_head
         |FROM tf GROUP BY tok HAVING count(*) >= 2""".stripMargin),
       "Inverted-index build: term -> document frequency, total term " +
         "frequency, and the head of the sorted posting list. Two " +

@@ -114,9 +114,15 @@ object Stats2Queries {
       (s, d) => Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(graft.functions.TopKLongsAgg
-          .topkLongs(col("n_chars"), 5).as("top5_chars")),
+          .topkLongs(col("n_chars"), 5).as("top5_arr"))
+        // CSV-stringified top-k: scalar-sortable rows for the oracle
+        // hash-compare (pandas can't sort ndarray cells).
+        .select(col("lang"),
+          expr("array_join(transform(top5_arr, x -> cast(x AS string)), ',')")
+            .as("top5_chars")),
       Some("""SELECT lang,
-        |  (list(n_chars ORDER BY n_chars DESC, doc_id))[1:5] AS top5_chars
+        |  array_to_string((list(n_chars ORDER BY n_chars DESC, doc_id))[1:5], ',')
+        |    AS top5_chars
         |FROM documents GROUP BY lang""".stripMargin),
       "Grouped top-k through the native TopKLongsAgg " +
         "TypedImperativeAggregate: a k-bounded min-heap per group, " +

@@ -46,17 +46,20 @@ class CosineNativeSpec extends SparkSpec {
     assert(interp.nullable)
   }
 
-  test("zero vector yields NaN from the native kernel (documented)") {
-    // The HOF formulation under ANSI mode (Spark 4 default) raises
-    // DIVIDE_BY_ZERO here instead — zero-norm inputs are outside the
-    // engine-portable precondition; the native kernel's NaN is the
-    // documented behavior for them.
+  test("zero vector yields NULL from both native and HOF paths") {
+    // Cosine is undefined on a zero-norm vector: the native kernel
+    // null-guards the norms and the HOF formulation nullif-guards the
+    // denominator, so both agree on NULL across the full input domain
+    // (no ANSI DIVIDE_BY_ZERO, no NaN leaking into score thresholds).
     import spark.implicits._
-    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
-    val row = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).head()
-    assert(row.getDouble(0).isNaN)
-    intercept[Throwable] {
-      df.select(VectorOps.cosineHof(col("a"), col("b")).as("h")).head()
-    }
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)), // zero left
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)), // zero right
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f))  // both zero
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.cosineHof(col("a"), col("b")).as("h")).collect()
+    rows.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 }

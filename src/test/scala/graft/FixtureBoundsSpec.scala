@@ -67,6 +67,15 @@ class FixtureBoundsSpec extends SparkSpec {
       assert(ascii, "non-ASCII text breaks media_feature_extract oracle parity")
     }
 
+    test(s"$sf: documents are >= 3 chars (media stub f0..f2 vs substr)") {
+      // MediaCodec.decodeStub wraps the index (cps(i % len)) while the
+      // oracle's substr(text, i, 1) returns '' past the end — identical
+      // only while every document has at least 3 codepoints.
+      val minLen = Tables.documents(spark, dir)
+        .agg(min(length(col("text")))).head().getInt(0)
+      assert(minLen >= 3, s"doc of $minLen chars diverges stub vs substr")
+    }
+
     test(s"$sf: line and bigram counts stay under the round-4 oracle caps") {
       val (maxTok, _, _) = stats(dir)
       // c4_line_filter: (maxTok-1) div 10 + 1 lines vs range(0, 16);

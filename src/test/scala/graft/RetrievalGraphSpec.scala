@@ -27,7 +27,8 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(idx.nonEmpty)
     idx.foreach { r =>
       val df = r.getLong(1)
-      val head = r.getSeq[Long](3)
+      // postings_head is CSV-stringified for driver-side sortability
+      val head = r.getString(3).split(',').toSeq.map(_.toLong)
       assert(df >= 2)
       assert(head.length == math.min(df, 8L).toInt)
       assert(head == head.sorted)

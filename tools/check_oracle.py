@@ -55,6 +55,15 @@ def main():
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}")
             n_bad += 1
             continue
+        # The driver's comparer sorts with pandas sort_values, which
+        # raises on ndarray/list cells — flag array-typed outputs loudly
+        # even though our normalizer can handle them.
+        arr_cols = [c for c in got.columns
+                    if got[c].map(lambda v: isinstance(v, (list, tuple))
+                                  or type(v).__name__ == "ndarray").any()]
+        if arr_cols:
+            print(f"WARN {name}: array-typed output columns {arr_cols} "
+                  "would break the driver's pandas sort — stringify them")
         gc, gr = frame_rows(got)
         ec, er = frame_rows(exp)
         if gc != ec:
