@@ -426,6 +426,43 @@ object WindowQueries {
         | AS bucket FROM documents""".stripMargin),
       "group_by_length batch buckets (RAG-eval-create_model.py:142)."),
 
+    // ------------------------------------------------------- W3 at scale
+    QueryDef(
+      "ntile_length_buckets_scalable",
+      (s, d) => {
+        // The 100 TB form of ntile_length_buckets: dense global rank via
+        // range-partition + zipWithIndex offsets (no single-partition
+        // window sort), then ntile's exact bucket arithmetic on the rank.
+        // The (length, doc_id) order collapses into one unique long sort
+        // key (doc_id < 1e7 in every fixture; FixtureBoundsSpec pins the
+        // length cap), so ScalableIndex's single-column contract holds.
+        val keyed = Tables.documents(s, d).select(
+          col("doc_id"),
+          (length(col("text")).cast("long") * 10000000L + col("doc_id"))
+            .as("sortkey"))
+        val indexed = graft.operators.ScalableIndex
+          .withDenseIndex(keyed, "sortkey", 8)
+        // ntile(k) over n rows: first (n mod k) buckets hold n/k + 1 rows
+        val n = indexed.count()
+        val k = 8L
+        val q = n / k
+        val r = n % k
+        val bucket =
+          if (q == 0L) "idx + 1" // fewer rows than buckets: one row each
+          else s"if(idx < ${r * (q + 1)}L, idx div ${q + 1}L, " +
+            s"$r + (idx - ${r * (q + 1)}L) div ${q}L) + 1"
+        indexed.selectExpr("doc_id", s"cast($bucket AS bigint) AS bucket")
+      },
+      Some("""SELECT doc_id, ntile(8) OVER (ORDER BY length(text), doc_id)
+        | AS bucket FROM documents""".stripMargin),
+      "Scale form of ntile_length_buckets: the global window sort is " +
+        "replaced by ScalableIndex (range partition on the fused " +
+        "(length, doc_id) sort key + per-partition offsets) and ntile's " +
+        "first-r-buckets-get-one-extra arithmetic applied to the dense " +
+        "rank — bit-identical buckets, no task ever holds more than its " +
+        "range partition. The count() driver lookup is one metadata-" +
+        "served job (parquet aggregate pushdown), not a data collect."),
+
     // ---------------------------------------------------------------- W4
     QueryDef(
       "running_delta",
