@@ -174,10 +174,10 @@ object Curation47Queries {
              (col("p_brand") === "Brand#34" &&
               col("p_size").between(1, 15) &&
               col("l_quantity").between(20, 30))))
-          .agg(sum(col("rev_e4")).as("revenue_e4"),
+          .agg(coalesce(sum(col("rev_e4")), lit(0L)).as("revenue_e4"),
             count(lit(1)).as("n_items"))
       },
-      Some(s"""SELECT sum($rev4Sql)::BIGINT AS revenue_e4,
+      Some(s"""SELECT coalesce(sum($rev4Sql), 0)::BIGINT AS revenue_e4,
         |  count(*)::BIGINT AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5

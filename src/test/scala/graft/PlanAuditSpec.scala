@@ -188,7 +188,12 @@ class PlanAuditSpec extends SparkSpec {
     "gini_length_concentration" -> 2, // per-source rank + agg
     "first_touch_attribution" -> 1,  // one user window
     "gap_time_histogram" -> 2,       // user window + 5-key agg
-    "seasonality_profile" -> 3)      // 168-key agg + 1-row share window
+    "seasonality_profile" -> 3,      // 168-key agg + 1-row share window
+    "tpch_q6_forecast_revenue" -> 1, // scan-only predicate agg
+    "tpch_q12_priority_by_flag" -> 1, // broadcast orders + one agg
+    "tpch_q14_promo_revenue" -> 1,   // broadcast part + one global agg
+    "tpch_q18_large_orders" -> 1,    // orderkey self-agg; joins broadcast
+    "tpch_q19_bracket_revenue" -> 1) // broadcast part w/ residual + agg
 
   test("round-5 operators stay inside their documented shuffle budgets") {
     val offenders = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
