@@ -192,5 +192,60 @@ object Curation47Queries {
         "applied per match) — no fact shuffle, no cartesian, the " +
         "classic test that an optimizer keeps disjunctive mixed-side " +
         "predicates as join residuals instead of degrading to NLJ."),
+
+    // --------------------------------- bucketed co-located join
+    QueryDef(
+      "bucketed_colocated_join",
+      (s, d) => {
+        // Managed-table hygiene: a warehouse dir left by a PREVIOUS
+        // session (fresh in-memory catalog, stale location) blocks
+        // saveAsTable even in overwrite mode — drop both halves.
+        def reset(name: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+        }
+        reset("graft_li_by_orderkey")
+        reset("graft_ord_by_orderkey")
+        // Write both join sides bucketed (+ sorted) by the join key, then
+        // join through the catalog: the bucketed scans report
+        // HashPartitioning(orderkey, 8), so the SortMergeJoin needs NO
+        // exchange and no per-task sort — the join is pre-shuffled at
+        // WRITE time.  This is the layout a 100 TB fact table keeps on
+        // disk so every downstream orderkey join (and this one) is
+        // narrow; BucketedJoinSpec asserts the zero-exchange plan with
+        // broadcast disabled.
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_by_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_ord_by_orderkey")
+        s.table("graft_li_by_orderkey")
+          .join(s.table("graft_ord_by_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("revenue_e4"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT o_orderpriority,
+        |  sum($rev4Sql)::BIGINT AS revenue_e4,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin),
+      "Bucketed-table co-located join: both sides persisted bucketBy(8, " +
+        "orderkey) + sortBy, so the SortMergeJoin consumes the on-disk " +
+        "bucket layout — zero exchange, zero sort on the join itself " +
+        "(the only shuffle is the 5-key priority agg).  Values are " +
+        "identical to joining the raw parquet (the oracle), which is " +
+        "the point: layout is a physical choice, not a semantic one."),
   )
 }
