@@ -56,6 +56,38 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    // TPC-H star: replicate facts with offset keys (orderkey ties
+    // lineitem<->orders copies together; custkey/partkey offset so the
+    // dimension key spaces scale too); nation/region/supplier are
+    // genuinely fixed-size dims and copy through unchanged.
+    val off = 100000000L
+    val li = Tables.lineitem(spark, base)
+    (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
+    val ord = Tables.orders(spark, base)
+    (0 until factor).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+    val cust = Tables.customer(spark, base)
+    (0 until factor).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
+    val part = Tables.part(spark, base)
+    (0 until factor).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * off))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/part.parquet")
+    Seq("supplier", "nation", "region").foreach { t =>
+      Tables.table(spark, base, t)
+        .write.mode("overwrite").parquet(s"$scratch/$t.parquet")
+    }
 
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     Seq(base -> "1x", scratch -> s"${factor}x").foreach { case (dir, tag) =>
