@@ -36,18 +36,20 @@ object Curation8Queries {
             explode(split(col("text"), " ")).as("tok"))
           .withColumn("bkt",
             expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $Buckets"))
-        val srcCnt = toks.groupBy(col("bkt"))
-          .agg(count(lit(1)).as("cs"))
-        val tgtCnt = toks.filter(col("lang") === "en").groupBy(col("bkt"))
-          .agg(count(lit(1)).as("ct"))
-        val totals = toks.agg(
-          count(lit(1)).as("ns"),
-          count(when(col("lang") === "en", 1)).as("nt"))
+        // One pass computes BOTH per-bucket counts (conditional count =
+        // the old left-join + coalesce(ct, 0)), and the corpus totals
+        // fold from the bucket table itself — so the expensive
+        // tokenize+md5 subtree evaluates twice (counts, scoring join)
+        // instead of four times. Values are identical.
+        val cnt = toks.groupBy(col("bkt")).agg(
+          count(lit(1)).as("cs"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+        val totals = cnt.agg(
+          sum(col("cs")).as("ns"), sum(col("ct")).as("nt"))
         toks
-          .join(broadcast(srcCnt), Seq("bkt"))
-          .join(broadcast(tgtCnt), Seq("bkt"), "left")
+          .join(broadcast(cnt), Seq("bkt"))
           .groupBy(col("doc_id"))
-          .agg(sum(coalesce(col("ct"), lit(0L))).as("a"),
+          .agg(sum(col("ct")).as("a"),
             sum(col("cs")).as("b"))
           .crossJoin(broadcast(totals))
           .select(col("doc_id"),

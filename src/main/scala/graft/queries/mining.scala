@@ -118,18 +118,24 @@ object MiningQueries {
           .agg(count(lit(1)).as("n"))
         // row-normalize to permille: P[src][dst] (integer, rows sum
         // <= 1000 with truncation — deterministic on both engines)
+        // The matrix is tiny (|event types|^2 cells) but its lineage —
+        // user window + global agg over every event — is not: persist
+        // it so the two power steps and the state spine reuse ONE
+        // evaluation instead of re-running the window per reference
+        // (Bench clears the cache after each query).
         val p = trans
           .withColumn("rowsum", sum(col("n")).over(
             Window.partitionBy(col("src"))))
           .select(col("src"), col("dst"),
             expr("(1000 * n) div rowsum").as("p3"))
+          .persist()
         // two power steps from uniform pi0 (e6 mass per state scaled by
         // the state count); pi' = pi P keeps e6 scale via div 1000
         def step(pi: org.apache.spark.sql.DataFrame) = p.as("p")
           .join(pi.as("pi"), col("p.src") === col("pi.state"))
           .groupBy(col("p.dst").as("state"))
           .agg(expr("sum(pi6 * p3) div 1000").as("pi6"))
-        val states = trans.select(col("src").as("state")).distinct()
+        val states = p.select(col("src").as("state")).distinct()
         val pi0 = states.select(col("state"), lit(200000L).as("pi6"))
         step(step(pi0))
           .select(col("state"), col("pi6").as("stationary_e6"))
