@@ -318,6 +318,34 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Column pruning must reach the parquet scan: a narrow projection
+    * that drags full rows through the reader is wrong at any scale and
+    * fatal at 100 TB. Asserted as exact ReadSchema column sets. */
+  private val readSchemas = Map(
+    "tpch_q6_forecast_revenue" ->
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+    "tpch_q14_promo_revenue" ->
+      Set("l_partkey", "l_extendedprice", "l_discount", "l_shipdate",
+        "p_partkey", "p_type"),
+    "filter_min_length" -> Set("doc_id", "text"),
+    "text_token_count" -> Set("doc_id", "text"),
+    "l2_normalize" -> Set("vec_id", "embedding"),
+    "count_by_group" -> Set("event_type", "user_id")) // countDistinct(user)
+
+  test("narrow projections prune the parquet ReadSchema to exactly " +
+    "the needed columns") {
+    val re = "ReadSchema: struct<([^>]*)>".r
+    val offenders = readSchemas.toSeq.sortBy(_._1).flatMap {
+      case (name, want) =>
+        val plan = SparkEntry.registry.find(_.name == name).get
+          .fn(spark, sfDir).queryExecution.sparkPlan.toString
+        val got = re.findAllMatchIn(plan).flatMap(_.group(1).split(",")
+          .map(_.trim.takeWhile(_ != ':')).filter(_.nonEmpty)).toSet
+        if (got != want) Some(s"$name: read $got, wanted $want") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
