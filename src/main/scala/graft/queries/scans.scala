@@ -161,6 +161,64 @@ object ScanQueries {
         |FROM events WHERE event_type = 'purchase'""".stripMargin),
       "Per-run JSON result files keyed {out}_{...}.json " +
         "(test_all_models_llm_eval_sophia.py:50-51)."),
+
+    // --------------------------------------------------------------- S11
+    QueryDef(
+      "scan_orc_roundtrip",
+      (s, d) => {
+        // Columnar-format interop: the same frame written as ORC and
+        // read back must aggregate identically to the parquet original
+        // (the oracle reads the parquet). Exercises Spark's second
+        // first-class columnar reader end to end — type mapping,
+        // predicate pushdown, vectorized decode.
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .filter(col("n_chars") > 0)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n,
+        | sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE n_chars > 0 GROUP BY lang""".stripMargin),
+      "ORC write + read round-trip aggregated per language: format " +
+        "interop is a data-plane guarantee (a 100 TB lake rarely has " +
+        "one format), and the agg-after-reread proves values survive " +
+        "the ORC type mapping bit-for-bit."),
+
+    // --------------------------------------------------------------- S12
+    QueryDef(
+      "sink_csv_roundtrip",
+      (s, d) => {
+        // CSV is the hostile format: free text with commas, quotes and
+        // newlines must survive write->read exactly (quote/escape mode,
+        // multiLine read). Byte-identical text is asserted by summing
+        // text lengths per language after the round-trip.
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_docs"
+        docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").option("header", "true")
+          .option("escape", "\"").csv(path)
+        s.read.option("header", "true").option("escape", "\"")
+          .option("multiLine", "true")
+          .schema("doc_id BIGINT, lang STRING, text STRING")
+          .csv(path)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("text_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+              .cast("long")).as("hash_sum"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n,
+        | sum(length(text))::BIGINT AS text_chars,
+        | sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS hash_sum
+        |FROM documents GROUP BY lang""".stripMargin),
+      "CSV write + multiLine read round-trip with a per-language " +
+        "md5-prefix hash SUM over the text payload: quoting/escaping " +
+        "must preserve every byte (the oracle hashes the ORIGINAL " +
+        "parquet text, so any mangling breaks the compare). The " +
+        "order-independent hash sum keeps the check " +
+        "partition-layout-proof."),
   )
 }
 
