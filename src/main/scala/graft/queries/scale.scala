@@ -79,5 +79,33 @@ object ScaleQueries {
       "Predicate reaches the parquet scan (PushedFilters on l_shipdate, " +
         "row-group skipping); with a date-partitioned 100 TB layout the " +
         "same predicate prunes whole partitions before any I/O."),
+
+    // ------------------------------------ directory-partition pruning
+    QueryDef(
+      "partitioned_write_prune",
+      (s, d) => {
+        // The directory-layout half of the pruning story (the row above
+        // is the row-group half): write documents hive-partitioned by
+        // lang, read back with a lang predicate — the scan lists ONLY
+        // the matching directory (PartitionFilters, asserted by
+        // PartitionPruneSpec), so the other partitions cost zero I/O
+        // AND zero listing at 100 TB.
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_docs_by_lang"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+        s.read.parquet(path)
+          .filter(col("lang") === "en")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        |FROM documents WHERE lang = 'en'""".stripMargin),
+      "Hive-style partitioned write + partition-pruned read: the lang " +
+        "predicate becomes a PartitionFilter (directory pruning at " +
+        "file-listing time), not a data filter — the layout choice " +
+        "that turns a full-corpus scan into a single-partition read. " +
+        "Values oracle-checked against the unpartitioned original."),
   )
 }

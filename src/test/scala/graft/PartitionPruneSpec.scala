@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The directory-pruning claim behind `partitioned_write_prune`: a
+  * predicate on the partition column must become a PartitionFilter
+  * (pruned at file-listing time) rather than a row filter. */
+class PartitionPruneSpec extends SparkSpec {
+
+  test("lang predicate prunes to a single hive partition in the plan") {
+    // materialize the partitioned layout via the registry query
+    SparkEntry.registry.find(_.name == "partitioned_write_prune").get
+      .fn(spark, sfDir).queryExecution.toRdd.count()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_docs_by_lang"
+    val scan = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*lang#\\d+ = en".r.findFirstIn(plan).isDefined,
+      s"lang predicate did not become a partition filter:\n$plan")
+    assert(plan.contains("DataFilters: []"),
+      s"partition predicate leaked into data filters:\n$plan")
+    // and the pruned read sees exactly the en rows of the original
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(scan.count() === expected)
+  }
+}
