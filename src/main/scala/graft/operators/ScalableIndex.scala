@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
@@ -23,10 +23,21 @@ import org.apache.spark.sql.types.LongType
 object ScalableIndex {
 
   def withDenseIndex(df: DataFrame, orderCol: String, numParts: Int,
-      idxCol: String = "idx"): DataFrame = {
+      idxCol: String = "idx"): DataFrame =
+    withDenseIndex(df, Seq(col(orderCol)), numParts, idxCol)
+
+  /** Multi-column form: `orderCols` may mix ascending and `.desc` sort
+    * directions (both `repartitionByRange` and `sortWithinPartitions`
+    * honor them, so partition i still strictly precedes partition i+1
+    * in the requested order). The column set must be a TOTAL order
+    * (append a unique tiebreaker) or the index assignment within ties
+    * is partition-placement-dependent.
+    */
+  def withDenseIndex(df: DataFrame, orderCols: Seq[Column], numParts: Int,
+      idxCol: String): DataFrame = {
     val sorted = df
-      .repartitionByRange(numParts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(numParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(idxCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)

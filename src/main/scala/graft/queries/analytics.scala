@@ -98,12 +98,16 @@ object AnalyticsQueries {
             .orderBy(col("n_chars"), col("doc_id"))).cast("bigint"))
           .withColumn("m", count(lit(1))
             .over(Window.partitionBy(col("source"))))
-        val globalSorted = docs
-          .select(col("n_chars").as("g_chars"), col("doc_id").as("g_id"))
-          .withColumn("k", row_number().over(Window.orderBy(col("g_chars"),
-            col("g_id"))).cast("bigint"))
-          .select(col("k"), col("g_chars"))
-        val n = docs.count()
+        // global order statistics via ScalableIndex (range partition +
+        // per-partition offsets) — the corpus-wide sort never collapses
+        // to one task; k is the 1-based dense rank in (n_chars, doc_id)
+        // order
+        val globalSorted = graft.operators.ScalableIndex
+          .withDenseIndex(
+            docs.select(col("n_chars").as("g_chars"), col("doc_id").as("g_id")),
+            Seq(col("g_chars"), col("g_id")), 8, "idx")
+          .select((col("idx") + 1).as("k"), col("g_chars"))
+        val n = Tables.documents(s, d).count()
         bySrc
           .withColumn("k", expr(s"(r - 1) * CAST(${n - 1} AS BIGINT)" +
             " div greatest(m - 1, 1) + 1"))
@@ -132,10 +136,12 @@ object AnalyticsQueries {
         "so every source ends up with an identical score distribution — " +
         "the cross-domain calibration step before mixture sampling. " +
         "Integer rank arithmetic only, so the mapping is exact in both " +
-        "engines. The global ranking is a single-partition window here " +
-        "(fine for the per-source summary it feeds); at 100 TB replace " +
-        "it with approx quantiles at fixed grid points and join on the " +
-        "bucket index instead of the exact order statistic."),
+        "engines. The global ranking executes as ScalableIndex (range " +
+        "partition + per-partition offsets): exact order statistics " +
+        "with no single-partition stage, and the per-source ranks stay " +
+        "a partitioned window — the whole plan survives a 100x corpus. " +
+        "The count() feeding the quantile arithmetic is a metadata-" +
+        "served parquet count, not a data pass."),
 
     // --------------------------------------- TPC-H Q1 (fixed point)
     QueryDef(

@@ -22,13 +22,14 @@ object Curation14Queries {
         val counts = lens.groupBy(col("v")).agg(
           count(when(col("lang") === "en", 1)).as("ce"),
           count(when(col("lang") === "de", 1)).as("cd"))
-        val cum = counts
-          .withColumn("fe", sum(col("ce")).over(
-            Window.orderBy(col("v"))
-              .rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("fd", sum(col("cd")).over(
-            Window.orderBy(col("v"))
-              .rowsBetween(Window.unboundedPreceding, 0)))
+        // Cumulative CDFs over the value support via ScalablePrefix
+        // (range partition + per-partition offsets), not an unpartitioned
+        // window: the support is already compacted by the groupBy, and
+        // the running sums never collapse it onto one task.
+        val cum = graft.operators.ScalablePrefix
+          .withRunningSums(counts, Seq(col("v")), Seq("ce", "cd"), 8)
+          .withColumnRenamed("cum_ce", "fe")
+          .withColumnRenamed("cum_cd", "fd")
         val totals = lens.agg(
           count(when(col("lang") === "en", 1)).as("n"),
           count(when(col("lang") === "de", 1)).as("m"))
@@ -62,9 +63,9 @@ object Curation14Queries {
         "and 'de' length distributions: D = max |F_en - F_de| over the " +
         "pooled support, cross-multiplied to |F_e*m - F_d*n| so the " +
         "CDF compare is pure integer — no float CDF ever exists. One " +
-        "value-keyed agg + one ordered cumulative window; support " +
-        "cardinality (distinct lengths) bounds the window, not corpus " +
-        "rows. The distribution-equality test behind every " +
+        "value-keyed agg, then ScalablePrefix running counts over the " +
+        "compacted support (range partition + offsets — no " +
+        "unpartitioned window anywhere in the plan). The distribution-equality test behind every " +
         "domain-shift gate that TV-histogram screening (histogram_" +
         "drift_l1) approximates with buckets."),
 

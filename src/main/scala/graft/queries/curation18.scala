@@ -124,10 +124,14 @@ object Curation18Queries {
           .groupBy(col("score_e3"))
           .agg(sum(col("pos")).as("npos"),
             sum(lit(1L) - col("pos")).as("nneg"))
-        val w = Window.orderBy(col("score_e3"))
-          .rowsBetween(Window.unboundedPreceding, -1)
+        // exclusive cumulative negatives below each score: ScalablePrefix
+        // inclusive running sum minus the row's own count — executed over
+        // the compacted score histogram with range partitions, never an
+        // unpartitioned window
         byScore
-          .withColumn("cumneg", coalesce(sum(col("nneg")).over(w), lit(0L)))
+          .transform(df => graft.operators.ScalablePrefix
+            .withRunningSums(df, Seq(col("score_e3")), Seq("nneg"), 8))
+          .withColumn("cumneg", col("cum_nneg") - col("nneg"))
           .agg(
             sum(col("npos")).as("n_pos"),
             sum(col("nneg")).as("n_neg"),
@@ -157,10 +161,11 @@ object Curation18Queries {
         "positives earn 2*(negatives strictly below) + (negatives tied), " +
         "summed and normalized by 2*n1*n0 — all integer, so the AUC is " +
         "order-independent and engine-exact. Aggregating to distinct " +
-        "scores first makes the window input |scores| not |rows|, and " +
-        "the single global window runs over that compacted stream — " +
-        "at 100 TB the score histogram (bounded domain) is the " +
-        "scalable substrate, not a global sort of raw rows."),
+        "scores first makes the prefix input |scores| not |rows|, and " +
+        "the running negative count is ScalablePrefix over that " +
+        "compacted histogram (range partition + offsets) — the " +
+        "executed plan has no unpartitioned window and no global sort " +
+        "of raw rows at any scale."),
 
     // ------------------------------------------- calibration table
     QueryDef(

@@ -56,12 +56,17 @@ object Curation36Queries {
       (s, d) => {
         val perUser = Tables.events(s, d)
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        val ranked = perUser
-          .withColumn("dec", expr(
-            "((row_number() over (order by n_events desc, user_id) - 1)" +
-              " * 10) div (count(1) over ())") + 1)
         val tot = perUser.agg(sum(col("n_events")).as("ev_total"),
           count(lit(1)).as("u_total"))
+        // global volume rank via ScalableIndex (range partition on the
+        // (n_events desc, user_id) order + per-partition offsets), not an
+        // unpartitioned row_number window: the rank input is the per-user
+        // aggregate, unbounded at 100 TB. idx is the 0-based row_number-1.
+        val ranked = graft.operators.ScalableIndex
+          .withDenseIndex(perUser,
+            Seq(col("n_events").desc, col("user_id")), 8, "idx")
+          .crossJoin(broadcast(tot.select(col("u_total"))))
+          .withColumn("dec", expr("(idx * 10) div u_total + 1"))
         ranked.groupBy(col("dec"))
           .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("ev"))
           .crossJoin(broadcast(tot))

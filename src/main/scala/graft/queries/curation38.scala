@@ -62,7 +62,13 @@ object Curation38Queries {
           // division per row; ORDER on doubles is engine-stable
           .withColumn("q", col("w").cast("double") /
             (col("u48").cast("double") / lit(2.81474976710656e14)))
-        val ranked = docs.withColumn("rk", row_number().over(
+        // Only the top 51 priorities matter, so plan a distributed top-k
+        // (orderBy+limit => TakeOrderedAndProject: per-partition bounded
+        // heaps + driver merge of 51*parts rows) instead of a global
+        // row_number sort. The row_number below runs over the 51
+        // surviving rows — bounded input, not the corpus.
+        val top = docs.orderBy(col("q").desc, col("doc_id")).limit(51)
+        val ranked = top.withColumn("rk", row_number().over(
           Window.orderBy(col("q").desc, col("doc_id"))).cast("long"))
         val tau = ranked.filter(col("rk") === 51)
           .select(floor(col("q") * 1e6).cast("long").as("tau_e6"))
@@ -113,10 +119,14 @@ object Curation38Queries {
       "range_partition_boundaries",
       (s, d) => {
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-        val ranked = Tables.documents(s, d)
-          .select(col("n_chars"), col("doc_id"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        // global equi-depth rank via ScalableIndex — range partition +
+        // per-partition offsets, no unpartitioned row_number window over
+        // the corpus
+        val ranked = graft.operators.ScalableIndex
+          .withDenseIndex(
+            Tables.documents(s, d).select(col("n_chars"), col("doc_id")),
+            Seq(col("n_chars"), col("doc_id")), 8, "idx")
+          .withColumn("rk", col("idx") + 1)
         ranked.crossJoin(broadcast(n))
           .withColumn("pid", expr("((rk - 1) * 16) div n"))
           .groupBy(col("pid"))

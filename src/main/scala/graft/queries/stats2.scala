@@ -66,15 +66,21 @@ object Stats2Queries {
         val vals = Tables.documents(s, d)
           .filter(col("lang").isin("en", "de"))
           .select(col("lang"), col("n_chars").as("v"))
-        // average-rank x2 via min-rank + tie count (rank() is min-rank)
-        val ranked = vals
-          .withColumn("r", rank().over(Window.orderBy(col("v"))).cast("long"))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
-          .withColumn("ar2", col("r") * 2 + col("cnt") - 1)
-        val agg = ranked.groupBy().agg(
-          sum(when(col("lang") === "en", col("ar2"))).as("r1x2"),
-          count(when(col("lang") === "en", 1)).as("n1"),
-          count(when(col("lang") === "de", 1)).as("n2"))
+        // Rank sums only ever consume the VALUE HISTOGRAM, so compact to
+        // distinct v first (one shuffle, partial-aggregated), then take
+        // running totals with ScalablePrefix — the merged-histogram rank.
+        // Min-rank of v = cum_cnt(<v) + 1, so the doubled average rank is
+        // ar2 = 2*min_rank + cnt - 1 = 2*cum_cnt(<=v) - cnt + 1; no row
+        // of the corpus ever passes through an unpartitioned window.
+        val hist = vals.groupBy(col("v")).agg(
+          count(when(col("lang") === "en", 1)).as("ce"),
+          count(lit(1)).as("cnt"))
+        val cum = graft.operators.ScalablePrefix
+          .withRunningSums(hist, Seq(col("v")), Seq("cnt"), 8)
+        val agg = cum.groupBy().agg(
+          sum(col("ce") * (col("cum_cnt") * 2 - col("cnt") + 1)).as("r1x2"),
+          sum(col("ce")).as("n1"),
+          sum(col("cnt") - col("ce")).as("n2"))
         agg.select(col("n1"), col("n2"),
             (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
           .select(col("n1"), col("n2"), col("u1_x2"),
@@ -103,10 +109,11 @@ object Stats2Queries {
         "the rank-biserial effect size: doubled average ranks keep tie " +
         "handling in exact integers, so U is reproducible to the last " +
         "bit — the nonparametric alternative to two_proportion_ztest " +
-        "for ordinal comparisons. The global rank is over the compared " +
-        "subset only; at 100 TB replace it with a merged-histogram " +
-        "rank (counts per value bucket), which this formulation " +
-        "already supports since only rank sums enter U."),
+        "for ordinal comparisons. Executed as the merged-histogram " +
+        "rank: compact to distinct values (partial-aggregated), then " +
+        "ScalablePrefix running counts over the value order — no " +
+        "unpartitioned window, no task ever holds more than its range " +
+        "partition of the (bounded) value support."),
 
     // ------------------------------- native bounded top-k aggregate
     QueryDef(
