@@ -15,6 +15,9 @@ object Profile {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // old events fixtures carry TIMESTAMP(NANOS) parquet; session-wide so no
+      // reader ever mutates a live session conf (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

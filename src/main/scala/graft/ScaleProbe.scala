@@ -27,6 +27,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // old events fixtures carry TIMESTAMP(NANOS) parquet; session-wide so no
+      // reader ever mutates a live session conf (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,9 +66,12 @@ object ScaleProbe {
     val off = 100000000L
     val li = Tables.lineitem(spark, base)
     (0 until factor).map { i =>
+      // l_suppkey stays in the FIXED supplier key space: supplier copies
+      // through unchanged below, so offsetting it would silently empty
+      // every l_suppkey = s_suppkey join for copies i>0 and report an
+      // "Nx" probe whose join output was still 1x.
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
         .withColumn("l_partkey", col("l_partkey") + lit(i * off))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * off))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
     val ord = Tables.orders(spark, base)

@@ -14,6 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // old events fixtures carry TIMESTAMP(NANOS) parquet; session-wide so no
+      // reader ever mutates a live session conf (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // run the whole gate under the deploy-time extension (SQL function
       // registration + RewriteCosineHof) — proves the injected rule is

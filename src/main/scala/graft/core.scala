@@ -31,8 +31,12 @@ object Tables {
     *
     *  - TIMESTAMP(NANOS) parquet (old fixtures): Spark rejects it
     *    (PARQUET_TYPE_ILLEGAL) unless read as long via
-    *    `spark.sql.legacy.parquet.nanosAsLong`; the values are
-    *    micro-precision so `ts div 1000` + timestamp_micros is lossless.
+    *    `spark.sql.legacy.parquet.nanosAsLong` — set at SESSION BUILD
+    *    time by every graft entrypoint (Verify/Bench/Profile/Explain/
+    *    ScaleProbe/SparkSpec), never flipped here: a reader mutating a
+    *    live session conf could be observed half-configured by a
+    *    concurrent reader. The values are micro-precision so
+    *    `ts div 1000` + timestamp_micros is lossless.
     *  - timestamp[us] parquet (current fixtures): Spark reads TIMESTAMP_NTZ
     *    (no tz in the file). Cast to TimestampType — all graft sessions pin
     *    `spark.sql.session.timeZone=UTC`, so the cast is value-identical and
@@ -40,7 +44,6 @@ object Tables {
     *
     * Either way callers see `ts: TimestampType` in UTC. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

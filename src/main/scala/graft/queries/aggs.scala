@@ -440,10 +440,14 @@ object WindowQueries {
           col("doc_id"),
           (length(col("text")).cast("long") * 10000000L + col("doc_id"))
             .as("sortkey"))
+        // n comes from the base table BEFORE the indexed frame exists: a
+        // parquet count is one metadata-served job, whereas counting the
+        // zipWithIndex-backed frame would replay the whole range
+        // partition + sort once for the count and again for the result
+        val n = Tables.documents(s, d).count()
         val indexed = graft.operators.ScalableIndex
           .withDenseIndex(keyed, "sortkey", 8)
         // ntile(k) over n rows: first (n mod k) buckets hold n/k + 1 rows
-        val n = indexed.count()
         val k = 8L
         val q = n / k
         val r = n % k
@@ -723,7 +727,13 @@ object EventQueries {
       "capacity_gate_state",
       (s, d) => {
         import s.implicits._
+        // restrict to the gate-relevant event types BEFORE keying, so the
+        // Spark side sees exactly the oracle CTE's user set by
+        // construction (a user with only other-typed events must not
+        // surface as an all-zero state row)
         val ev = events(s, d)
+          .filter(col("event_type")
+            .isin("signup", "click", "purchase", "error"))
           .select(col("event_id"), col("user_id"), col("event_type"))
           .as[graft.streaming.JobEvent]
         graft.streaming.Streams.capacityGate(ev, 3).toDF()

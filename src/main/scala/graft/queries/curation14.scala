@@ -81,9 +81,12 @@ object Curation14Queries {
               " div size(split(text, ' ')))").as("nonconf"),
             (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
               16, 10).cast("long"), lit(100L)) < 50).as("is_cal"))
-        val cal = scored.filter(col("is_cal"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("nonconf"), col("doc_id"))))
+        // calibration order statistic via ScalableIndex — the rank input
+        // is half the corpus, so no unpartitioned row_number window
+        val cal = graft.operators.ScalableIndex.withDenseIndex(
+          scored.filter(col("is_cal")),
+          Seq(col("nonconf"), col("doc_id")), 8, "idx")
+          .withColumn("rk", col("idx") + 1L)
         val nCal = cal.agg(count(lit(1)).as("ncal"))
         // split-conformal 90% threshold: the ceil(0.9*(n+1))-th order
         // statistic of calibration nonconformity (integer arithmetic)

@@ -171,9 +171,21 @@ object Curation18Queries {
     QueryDef(
       "calibration_bins",
       (s, d) => {
-        val w = Window.orderBy(col("score_e3"), col("vec_id"))
-        scored(s, d)
-          .withColumn("bin", ntile(10).over(w).cast("long"))
+        // exact ntile(10) decile arithmetic on the ScalableIndex dense
+        // rank (range partition + offsets) — no unpartitioned window
+        // over the scored rows; scored is 1:1 with embeddings, so n is
+        // a metadata-served parquet count
+        val n = Tables.embeddings(s, d).count()
+        val k = 10L
+        val q = n / k
+        val r = n % k
+        val bucket =
+          if (q == 0L) "idx + 1"
+          else s"if(idx < ${r * (q + 1)}L, idx div ${q + 1}L, " +
+            s"$r + (idx - ${r * (q + 1)}L) div ${q}L) + 1"
+        graft.operators.ScalableIndex.withDenseIndex(scored(s, d),
+            Seq(col("score_e3"), col("vec_id")), 8, "idx")
+          .withColumn("bin", expr(s"cast($bucket AS bigint)"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"),
             sum(col("pos")).as("n_pos"),
@@ -193,8 +205,8 @@ object Curation18Queries {
         "bin the mean score vs. the observed positive rate (e3). A " +
         "calibrated quality filter has pos_rate tracking mean_score — " +
         "the gate check before a threshold from conformal_threshold is " +
-        "trusted. At 100 TB replace ntile's global sort with fixed " +
-        "score-range bins (the score domain is known) to keep the " +
-        "binning shuffle-free."),
+        "trusted. Executed as exact ntile arithmetic on the " +
+        "ScalableIndex dense rank: range partition + per-partition " +
+        "offsets, so the decile sort never collapses to one task."),
   )
 }

@@ -89,12 +89,23 @@ object Curation20Queries {
     QueryDef(
       "curriculum_order",
       (s, d) => {
-        val tierW = Window.orderBy(col("n_chars"), col("doc_id"))
+        // exact ntile(3) tier arithmetic on the ScalableIndex dense rank
+        // (no unpartitioned window over the corpus); the per-tier step
+        // window stays partitioned
+        val n = Tables.documents(s, d).count()
+        val k = 3L
+        val q = n / k
+        val r = n % k
+        val bucket =
+          if (q == 0L) "idx + 1"
+          else s"if(idx < ${r * (q + 1)}L, idx div ${q + 1}L, " +
+            s"$r + (idx - ${r * (q + 1)}L) div ${q}L) + 1"
         val stepW = Window.partitionBy(col("tier"))
           .orderBy(col("n_chars"), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"))
-          .withColumn("tier", ntile(3).over(tierW).cast("long"))
+        graft.operators.ScalableIndex.withDenseIndex(
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            Seq(col("n_chars"), col("doc_id")), 8, "idx")
+          .withColumn("tier", expr(s"cast($bucket AS bigint)"))
           .withColumn("step", row_number().over(stepW).cast("long"))
           .withColumn("global_step",
             (col("step") - 1L) * 3L + col("tier"))

@@ -197,10 +197,12 @@ object Curation21Queries {
           .select(col("p"), col("target"),
             (col("bucket") * width +
               expr(s"((target - cum_prev) * $width) div cnt")).as("est"))
-        val exact = Tables.documents(s, d)
-          .select(col("n_chars"),
-            row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
-              .cast("long").as("rk"))
+        // exact-rank side via ScalableIndex (range partition + offsets),
+        // not a global row_number window over the corpus
+        val exact = graft.operators.ScalableIndex.withDenseIndex(
+          Tables.documents(s, d).select(col("n_chars"), col("doc_id")),
+          Seq(col("n_chars"), col("doc_id")), 8, "idx")
+          .select(col("n_chars"), (col("idx") + 1L).as("rk"))
         est.join(exact, col("rk") === col("target"))
           .select(col("p"), col("target"), col("n_chars").as("exact"),
             col("est"), (col("est") - col("n_chars")).as("err"),

@@ -142,10 +142,13 @@ object Curation23Queries {
     QueryDef(
       "zone_map_skipping",
       (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        // clustered-layout rank via ScalableIndex (range partition +
+        // offsets) — the layout simulation's global sort never lands on
+        // one task
+        val base = graft.operators.ScalableIndex.withDenseIndex(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars"), col("doc_id")), 8, "idx")
+          .withColumn("rk", col("idx") + 1L)
         val layouts =
           base.select(lit("natural").as("layout"),
             expr("doc_id div 64").as("block"), col("n_chars"))

@@ -32,10 +32,13 @@ object Curation34Queries {
         val dup = docs.select(md5(col("text")).as("h"))
           .groupBy(col("h")).agg(count(lit(1)).as("c"))
           .agg(sum(col("c") - 1).as("n_exact_dups"))
-        val med = docs.select(col("n_chars"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("n_chars"), monotonically_increasing_id()))
-            .cast("long"))
+        // exact median rank via ScalableIndex on (n_chars, doc_id) — a
+        // deterministic total order (the old monotonically_increasing_id
+        // tiebreak was placement-dependent) and no unpartitioned window
+        val med = graft.operators.ScalableIndex.withDenseIndex(
+          docs.select(col("n_chars"), col("doc_id")),
+          Seq(col("n_chars"), col("doc_id")), 8, "idx")
+          .withColumn("rk", col("idx") + 1L)
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
           .filter(col("rk") === expr("(nn + 1) div 2"))
           .select(col("n_chars").as("median_chars"))

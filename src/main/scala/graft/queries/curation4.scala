@@ -90,16 +90,23 @@ object Curation4Queries {
           .withColumn("quality_e3", expr(
             "(wlen_sum * 1000) div CAST(size(split(text, ' ')) AS BIGINT)"))
           .select(col("doc_id"), col("n_chars"), col("quality_e3"))
-        val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
-        val byQ = Window.orderBy(col("quality_e3").desc, col("doc_id"))
-        base
-          .withColumn("rank_len", row_number().over(byLen).cast("bigint"))
-          .withColumn("rank_q", row_number().over(byQ).cast("bigint"))
+        // each signal's full-corpus rank via ScalableIndex (range
+        // partition + offsets, no single-partition window), fused by a
+        // doc_id equi-join; the final top-20 is a distributed
+        // TakeOrderedAndProject, not a global row_number sort
+        val byLen = graft.operators.ScalableIndex.withDenseIndex(
+          base.select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), 8, "idx")
+          .select(col("doc_id"), (col("idx") + 1L).as("rank_len"))
+        val byQ = graft.operators.ScalableIndex.withDenseIndex(
+          base.select(col("doc_id"), col("quality_e3")),
+          Seq(col("quality_e3").desc, col("doc_id")), 8, "idx")
+          .select(col("doc_id"), (col("idx") + 1L).as("rank_q"))
+        byLen.join(byQ, Seq("doc_id"))
           .withColumn("rrf_e6", expr(
             "(1000000 div (60 + rank_len)) + (1000000 div (60 + rank_q))"))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
-          .filter(col("rn") <= 20)
+          .orderBy(col("rrf_e6").desc, col("doc_id"))
+          .limit(20)
           .select(col("doc_id"), col("rank_len"), col("rank_q"), col("rrf_e6"))
       },
       Some(s"""WITH base AS (SELECT doc_id, n_chars,

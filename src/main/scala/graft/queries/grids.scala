@@ -132,15 +132,17 @@ object OrderQueries {
     // ---------------------------------------------------------------- O3
     QueryDef(
       "order_by_length",
-      (s, d) => docs(s, d).select(
-        col("doc_id"),
-        row_number().over(
-          Window.orderBy(length(col("text")), col("doc_id"))).cast("bigint")
-          .as("batch_pos")),
+      (s, d) => graft.operators.ScalableIndex.withDenseIndex(
+        docs(s, d).select(col("doc_id"), length(col("text")).as("len_")),
+        Seq(col("len_"), col("doc_id")), 8, "idx")
+        .select(col("doc_id"), (col("idx") + 1L).as("batch_pos")),
       Some("""SELECT doc_id, row_number() OVER (ORDER BY length(text), doc_id)
         | AS batch_pos FROM documents""".stripMargin),
       "group_by_length batching = sort by text length " +
-        "(RAG-eval-create_model.py:142)."),
+        "(RAG-eval-create_model.py:142). Executed as ScalableIndex " +
+        "(range partition on (length, doc_id) + per-partition offsets) " +
+        "— same dense positions as the windowed row_number, no " +
+        "single-partition sort."),
 
     // ---------------------------------------------------------------- O4
     QueryDef(

@@ -346,6 +346,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  /** Unpartitioned WindowExec moves ALL input rows to one task — the
+    * named 100 TB scale-killer. It is tolerable only when the window's
+    * input is provably compacted first: an aggregation (input is the
+    * group domain, not rows), a limit / distributed top-k
+    * (TakeOrderedAndProject), or a rank-pushdown WindowGroupLimit
+    * (bounded rows per group survive). Row-level global windows must
+    * use ScalableIndex / ScalablePrefix instead (range partition +
+    * per-partition offsets), or be named here with a reason.
+    */
+  private val globalWindowAllowed = Map(
+    // reference-fidelity ops whose scalable twin ships alongside and is
+    // oracle-proven bit-identical (ScalableIndexSpec): the windowed form
+    // IS the §2 reference semantics being demonstrated
+    "zip_with_index" -> "S-twin zip_with_index_scalable",
+    "ntile_length_buckets" -> "S-twin ntile_length_buckets_scalable",
+    "sink_per_record_files" -> ("per-record filenames need the dense id; " +
+      "bounded by the sink's per-task output contract"))
+
+  test("no unpartitioned WindowExec over un-compacted input anywhere " +
+    "in the registry") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
+    def compacted(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec => true
+      case _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      // literal parameter grids: bounded at plan time, not data-sized
+      case r: RangeExec => r.numElements.isValidLong &&
+        r.numElements.toLong <= 10000L
+      case t: LocalTableScanExec => t.rows.size <= 10000
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !compacted(w.child) => w
+      }
+      if (bad.nonEmpty && !globalWindowAllowed.contains(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"row-level single-partition window in: ${offenders.mkString(", ")}")
+  }
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
