@@ -31,6 +31,37 @@ object DedupQueries {
   private val BandSize = 4 // 4 bands x 4 hashes
   private val MaxBucket = 64 // LSH bucket-size cap (see dedup_minhash_lsh)
 
+  // Embedding-dedup LSH geometry: 24 integer hyperplanes -> 2^24 bucket
+  // domain, so the expected bucket size stays O(N / 16.7M) — at any
+  // fixture SF and far beyond, same-bucket pair work is driven by true
+  // near-duplicate mass, not by corpus growth (with 256 buckets, cap
+  // pruning would bite at sf0.1 already). Plane weights come from the
+  // same xorshift64 generator as AnnQueries.planes (different seed) and
+  // are inlined as literals in BOTH engines.
+  private val NumDedupPlanes = 24
+  private val EmbDim = 64
+  private val dplanes: IndexedSeq[IndexedSeq[Long]] = {
+    var state = 2463534242L
+    def next(): Long = { // xorshift64
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      state
+    }
+    IndexedSeq.fill(NumDedupPlanes)(IndexedSeq.fill(EmbDim)(next() % 1001))
+  }
+  private val dplanesSql: String =
+    (for (j <- 0 until NumDedupPlanes; dd <- 0 until EmbDim)
+      yield s"($j,$dd,${dplanes(j)(dd)})")
+      .mkString("(VALUES ", ",", ") pl(j, d, w)")
+  private def dDot(embCol: Column, j: Int): Column =
+    aggregate(
+      zip_with(embCol, array(dplanes(j).map(x => lit(x)): _*),
+        (x, w) => floor(x.cast("double") * 1000000).cast("long") * w),
+      lit(0L), (acc, x) => acc + x)
+  private def dBucket(embCol: Column): Column =
+    (0 until NumDedupPlanes).map(j =>
+      when(dDot(embCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   // SimHash geometry: 60 bits (15 hex chars of md5 — the widest prefix
   // that fits signed int64 in both engines), 4 bands x 15 bits, accept
   // hamming <= 3 (bands - 1, the pigeonhole-exhaustive maximum).
@@ -369,32 +400,65 @@ object DedupQueries {
     QueryDef(
       "dedup_embedding_cosine",
       (s, d) => {
-        val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        // Bucketed near-dup over the FULL embeddings table + injected
+        // exact-copy vectors. Each vector gets a 24-hyperplane LSH
+        // signature (integer dots — exact, partition-independent);
+        // cosine is scored ONLY within a bucket, so the first shuffle
+        // at any scale is the bucket equi-join and no all-pairs product
+        // exists in the plan. Exact copies collide by construction;
+        // cos >= 0.999 non-copies agree on every hyperplane sign except
+        // measure-zero boundary cases. The bucket-size cap mirrors
+        // dedup_minhash_lsh's C(n,2) guard on BOTH engines (with a 2^24
+        // bucket domain it is a no-op on healthy corpora).
+        val base = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
         val copies = base.filter(pmod(col("vec_id"), lit(25)) === 0)
           .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
         val c = base.unionByName(copies)
-        c.as("x").join(c.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .withColumn("bucket", dBucket(col("embedding")))
+        val ok = c.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= MaxBucket).select(col("bucket"))
+        val cb = c.join(ok, Seq("bucket"))
+        cb.as("x").join(cb.as("y"),
+            col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
             cosine(col("x.embedding"), col("y.embedding")).as("cos"))
           .filter(col("cos") >= 0.999)
           .select(col("a"), col("b"),
             floor(col("cos") * 1000000).cast("bigint").as("cos_e6"))
       },
-      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
-        |              WHERE vec_id < 200),
+      Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |c AS (SELECT vec_id, embedding FROM base
         |      UNION ALL
         |      SELECT vec_id + 10000, embedding FROM base WHERE vec_id % 25 = 0),
-        |scored AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |comps AS (SELECT vec_id, pl.j,
+        |    sum(floor(embedding[pl.d + 1]::DOUBLE * 1000000)::BIGINT * pl.w)
+        |      AS dotj
+        |  FROM c CROSS JOIN $dplanesSql
+        |  GROUP BY vec_id, pl.j),
+        |buckets AS (SELECT vec_id,
+        |    sum(CASE WHEN dotj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS bucket
+        |  FROM comps GROUP BY vec_id),
+        |ok AS (SELECT bucket FROM buckets
+        |       GROUP BY bucket HAVING count(*) <= $MaxBucket),
+        |cb AS (SELECT c.vec_id, c.embedding, b.bucket
+        |  FROM c JOIN buckets b ON c.vec_id = b.vec_id
+        |  JOIN ok ON ok.bucket = b.bucket),
+        |scored AS (SELECT x.vec_id AS a, y.vec_id AS b, x.bucket,
         |    ${cosineSql("x.embedding", "y.embedding")} AS cos
-        |  FROM c x JOIN c y ON x.vec_id < y.vec_id)
+        |  FROM cb x JOIN cb y
+        |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         |SELECT a, b, floor(cos * 1000000)::BIGINT AS cos_e6
         |FROM scored WHERE cos >= 0.999""".stripMargin),
       "Embedding-cosine near-dup over corpus + injected exact-copy " +
-        "vectors; cos >= 0.999 pairs. At 100 TB, bucket by LSH signature " +
-        "first (see ann_lsh_bucketed) so only same-bucket pairs are " +
-        "scored."),
+        "vectors; cos >= 0.999 pairs. EXECUTED through the bucketed " +
+        "path: 24-hyperplane integer LSH signature, bucket-size cap, " +
+        "bucket equi-join, fused cosine verify — the first shuffle is " +
+        "the bucket join and the pair space is bucket-local, so the " +
+        "plan is the 100 TB plan (2^24 bucket domain keeps expected " +
+        "bucket size O(N/16.7M))."),
 
     // ------------------------------- minhash as a Jaccard estimator
     QueryDef(

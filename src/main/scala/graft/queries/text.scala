@@ -405,7 +405,7 @@ object AnnQueries {
       lit(0L), (acc, x) => acc + x)
   }
 
-  private def bucketCol(embCol: Column): Column =
+  private[queries] def bucketCol(embCol: Column): Column =
     (0 until NumPlanes).map(j =>
       when(intDot(embCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

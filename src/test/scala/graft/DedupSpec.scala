@@ -93,9 +93,19 @@ class DedupSpec extends SparkSpec {
   test("embedding cosine near-dup finds every injected copy pair") {
     val pairs = byName("dedup_embedding_cosine")
     val copies = pairs.filter(col("b") - col("a") === 10000L)
+    // full-table corpus now: every injected copy must collide with its
+    // source in the same LSH bucket (identical embedding -> identical
+    // signature) and survive the cosine verify
     val expected = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < 200)
       .filter(pmod(col("vec_id"), lit(25)) === 0).count()
     assert(copies.count() === expected)
+  }
+
+  test("embedding cosine near-dup plans a bucket equi-join, " +
+    "never an all-pairs product") {
+    val plan = SparkEntry.registry.find(_.name == "dedup_embedding_cosine")
+      .get.fn(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }

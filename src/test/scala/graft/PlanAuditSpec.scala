@@ -19,7 +19,6 @@ class PlanAuditSpec extends SparkSpec {
     "except_pending", "intersect_ready", "pivot_scores",
     "cosine_topk",           // broadcast 10-vector rubric x corpus
     "avg_search_rank", "avg_first_hit_rank", "retrieval_eval_detail",
-    "dedup_embedding_cosine", // bounded 208-vector slice, documented
     "miss_sentinel",          // 4-term broadcast containment join
     "ann_ivf_topk",           // centroid table x probe rubric
     "knn_graph",              // bounded 300-vector slice, broadcast side
