@@ -54,7 +54,66 @@ object VectorQueries {
       "RecursiveCharacterTextSplitter(256, overlap 100) " +
         "(RAG-eval-test_model.py:239-240) as a declarative " +
         "explode(sequence) + substring — stride-156 windows, no UDTF; " +
-        "codegen'd end to end."),
+        "codegen'd end to end. chunk_text_recursive carries the " +
+        "separator-faithful boundaries."),
+
+    // ------------------------------------------------------ V1 (faithful)
+    QueryDef(
+      "chunk_text_recursive",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.RecursiveChunks
+            .recursiveChunks(col("text"), 256, 100))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("bigint").as("chunk_len"),
+          col("chunk")),
+      Some("""WITH RECURSIVE
+        |wl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w,
+        |          unnest(range(1, len(ws) + 1)) AS i FROM wl),
+        |pre AS (SELECT doc_id, i,
+        |    length(w) + CASE WHEN i > 1 THEN 1 ELSE 0 END AS L FROM words),
+        |cum AS (SELECT doc_id, i, L,
+        |    (sum(L) OVER (PARTITION BY doc_id ORDER BY i))::BIGINT AS cum,
+        |    (sum(L) OVER (PARTITION BY doc_id ORDER BY i) - L)::BIGINT
+        |      AS cumprev
+        |  FROM pre),
+        |nn AS (SELECT doc_id, max(i) AS n FROM cum GROUP BY doc_id),
+        |tr1 AS (SELECT s.doc_id, s.i AS s, min(o.i) AS o
+        |  FROM cum s JOIN cum o ON o.doc_id = s.doc_id
+        |   AND o.i > s.i AND o.i <= s.i + 257 AND o.cum - s.cumprev > 256
+        |  GROUP BY s.doc_id, s.i),
+        |tr AS (SELECT t.doc_id, t.s, t.o, min(x.i) AS s2
+        |  FROM tr1 t
+        |  JOIN cum co ON co.doc_id = t.doc_id AND co.i = t.o
+        |  JOIN cum x ON x.doc_id = t.doc_id AND x.i > t.s AND x.i <= t.o
+        |   AND co.cumprev - x.cumprev <= 100 AND co.cum - x.cumprev <= 256
+        |  GROUP BY t.doc_id, t.s, t.o),
+        |rec AS (
+        |  SELECT doc_id, 1 AS idx, 1 AS s FROM nn
+        |  UNION ALL
+        |  SELECT r.doc_id, r.idx + 1, t.s2 FROM rec r
+        |  JOIN tr t ON t.doc_id = r.doc_id AND t.s = r.s),
+        |chunks AS (SELECT r.doc_id, r.idx - 1 AS chunk_idx, r.s,
+        |    coalesce(t.o - 1, nn.n) AS e
+        |  FROM rec r
+        |  LEFT JOIN tr t ON t.doc_id = r.doc_id AND t.s = r.s
+        |  JOIN nn ON nn.doc_id = r.doc_id)
+        |SELECT c.doc_id, c.chunk_idx::BIGINT AS chunk_idx,
+        |  length(trim(array_to_string(wl.ws[c.s:c.e], ' ')))::BIGINT
+        |    AS chunk_len,
+        |  trim(array_to_string(wl.ws[c.s:c.e], ' ')) AS chunk
+        |FROM chunks c JOIN wl ON wl.doc_id = c.doc_id""".stripMargin),
+      "Separator-faithful RecursiveCharacterTextSplitter(256, 100) " +
+        "(rag_evaluation/RAG-eval-test_model.py:239-240): paragraph -> " +
+        "line -> word -> char fallback, keep-separator fragments, " +
+        "greedy merge-until-256 with 100-char overlap carry — a native " +
+        "Generator (RecursiveChunks), one row per chunk, narrow and " +
+        "partition-parallel. The oracle mirrors the merge as a " +
+        "prefix-sum transition table + recursive chain over word " +
+        "fragments (exact on the fixture, whose text is single-line; " +
+        "RecursiveChunkerSpec pins the multi-separator fallback " +
+        "semantics on golden cases)."),
 
     // ---------------------------------------------------------------- V2
     QueryDef(
