@@ -20,7 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver probe reads the LAST ~2000 chars of
+    // output, so any post-result warning flood (WindowExec, shuffle
+    // spill, shutdown) can push the single JSON line out of the parse
+    // window — r3..r5 all show parsed:null from exactly this.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup outside the timed loop
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
@@ -74,10 +78,22 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // The full per-query map goes to BENCH_full.json AND to a per-round
+    // copy (BENCH_full_rNN.json, NN inferred from the driver's
+    // BENCH_rNN artifacts in cwd): per-round files make regressions
+    // diffable across rounds instead of only totals surviving.
+    val roundTag: Option[String] = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .map(_.getName).collect { case re(n) => n.toInt }
+      seen.maxOption.map(m => f"${m + 1}%02d")
+    }
+    (Seq("BENCH_full.json") ++
+      roundTag.map(t => s"BENCH_full_r$t.json")).foreach { path =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     val headline = Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_exact", "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk",
@@ -91,7 +107,9 @@ object Bench {
       "inverted_index_postings", "idf_weighted_jaccard", "ewma_halflife",
       "connected_components_largestar", "pca_power_iteration",
       "fuzzy_match_jw", "tpch_q1_pricing")
-    println(jsonLine(results.filter(r => headline(r._1))))
+    // stop FIRST, print LAST: nothing may write after the JSON line or
+    // the driver's tail window can lose it
     spark.stop()
+    println(jsonLine(results.filter(r => headline(r._1))))
   }
 }
