@@ -110,6 +110,38 @@ object Streams {
         })
   }
 
+  /** [[capacityGate]] on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + `ValueState`): the
+    * same deterministic event_id-sorted fold, but state lives in a
+    * named, schema'd, TTL-capable store (RocksDB-backed in streaming —
+    * the provider the v2 operator requires) instead of an opaque
+    * GroupState blob. TwsParitySpec pins decision-for-decision parity
+    * with the mapGroupsWithState form on multi-partition streams. */
+  def capacityGateTws(events: Dataset[JobEvent],
+      capacity: Int): Dataset[GateDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new CapacityGateProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** [[retryGate]] on the arbitrary-state v2 API; append-mode ladder,
+    * one decision per observed failure, counter in a ValueState[Int]. */
+  def retryGateTws(events: Dataset[JobEvent],
+      maxRetries: Int): Dataset[RetryDecision] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RetryGateProcessor(maxRetries),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the `sliding_distinct_users` batch operator:
     * distinct-user cardinality per 3 h window sliding by 1 h. Exact
     * streaming count-distinct would buffer every user id per open window;
@@ -742,3 +774,64 @@ final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
     rejected: Int)
 final case class RetryDecision(user_id: Long, event_id: Long, failures: Int,
     willRetry: Boolean)
+
+/** Arbitrary-state v2 processor behind [[Streams.capacityGateTws]]:
+  * the in-flight count lives in a named ValueState[Int] ("inFlight") —
+  * schema-tracked, independently evolvable, TTL-capable — and the fold
+  * is byte-identical to [[Streams.capacityGate]]'s (sort by event_id,
+  * signup/click admit under capacity, purchase/error release). */
+final class CapacityGateProcessor(capacity: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, JobEvent, GateDecision] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var inFlight: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    inFlight = getHandle.getValueState[Int]("inFlight",
+      org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, evs: Iterator[JobEvent],
+      timers: TimerValues): Iterator[GateDecision] = {
+    var cur = if (inFlight.exists()) inFlight.get() else 0
+    var admitted = 0
+    var rejected = 0
+    evs.toIndexedSeq.sortBy(_.event_id).foreach { e =>
+      val starts = e.event_type == "signup" || e.event_type == "click"
+      val ends = e.event_type == "purchase" || e.event_type == "error"
+      if (starts) {
+        if (cur < capacity) { cur += 1; admitted += 1 }
+        else rejected += 1
+      } else if (ends && cur > 0) cur -= 1
+    }
+    inFlight.update(cur)
+    Iterator.single(GateDecision(user, cur, admitted, rejected))
+  }
+}
+
+/** Arbitrary-state v2 processor behind [[Streams.retryGateTws]]: the
+  * failure counter in a named ValueState[Int], one emitted decision per
+  * observed failure, event_id-sorted for partitioning determinism. */
+final class RetryGateProcessor(maxRetries: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, JobEvent, RetryDecision] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var failuresState: ValueState[Int] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    failuresState = getHandle.getValueState[Int]("failures",
+      org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, evs: Iterator[JobEvent],
+      timers: TimerValues): Iterator[RetryDecision] = {
+    var failures = if (failuresState.exists()) failuresState.get() else 0
+    val out = evs.toIndexedSeq.sortBy(_.event_id).map { e =>
+      failures += 1
+      RetryDecision(user, e.event_id, failures,
+        willRetry = failures <= maxRetries)
+    }
+    failuresState.update(failures)
+    out.iterator
+  }
+}
