@@ -35,41 +35,73 @@ import org.apache.spark.sql.types.LongType
   */
 object ScalablePrefix {
 
+  /** Inclusive running sums — see [[withRunningAggs]]. */
   def withRunningSums(df: DataFrame, orderCols: Seq[Column],
       sumCols: Seq[String], numParts: Int,
-      prefix: String = "cum_"): DataFrame = {
+      prefix: String = "cum_"): DataFrame =
+    withRunningAggs(df, orderCols, sumCols.map(_ -> "sum"), numParts,
+      exclusive = false, prefix)
+
+  /** Running aggregates over a total order without an unpartitioned
+    * window. Each `(col, op)` with op in {"sum", "max", "min"} yields a
+    * `prefix+col` column holding the running value in `orderCols`
+    * order; `exclusive = true` aggregates strictly-preceding rows only
+    * (the `rowsBetween(unboundedPreceding, -1)` frame), yielding NULL
+    * on the first row — exactly the windowed semantics.
+    */
+  def withRunningAggs(df: DataFrame, orderCols: Seq[Column],
+      aggs: Seq[(String, String)], numParts: Int,
+      exclusive: Boolean = false, prefix: String = "cum_"): DataFrame = {
     val sorted = df
       .repartitionByRange(numParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val idxs = sumCols.map(sorted.schema.fieldIndex).toArray
+    val idxs = aggs.map { case (c, _) => sorted.schema.fieldIndex(c) }.toArray
+    val ops: Array[(Long, Long) => Long] = aggs.map {
+      case (_, "sum") => (a: Long, b: Long) => a + b
+      case (_, "max") => (a: Long, b: Long) => math.max(a, b)
+      case (_, "min") => (a: Long, b: Long) => math.min(a, b)
+      case (_, op) => throw new IllegalArgumentException(s"op $op")
+    }.toArray
+    val nA = idxs.length
+    // accumulator = (seen-any flag per column via count, values)
+    final case class Acc(n: Long, vs: Array[Long])
+    def empty = Acc(0L, new Array[Long](nA))
+    def mergeRow(a: Acc, r: Row): Acc = {
+      val vs =
+        if (a.n == 0L) Array.tabulate(nA)(j => r.getLong(idxs(j)))
+        else Array.tabulate(nA)(j => ops(j)(a.vs(j), r.getLong(idxs(j))))
+      Acc(a.n + 1, vs)
+    }
+    def mergeAcc(a: Acc, b: Acc): Acc =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else Acc(a.n + b.n, Array.tabulate(nA)(j => ops(j)(a.vs(j), b.vs(j))))
     val rdd = sorted.rdd
-    // pass 1: per-partition column totals -> driver prefix sums
+    // pass 1: per-partition totals -> driver prefix merge
     val perPart = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val tot = new Array[Long](idxs.length)
-      it.foreach { r =>
-        var j = 0
-        while (j < idxs.length) { tot(j) += r.getLong(idxs(j)); j += 1 }
-      }
-      Iterator.single(pid -> tot)
+      Iterator.single(pid -> it.foldLeft(empty)(mergeRow))
     }.collect()
-    val offsets = Array.fill(rdd.getNumPartitions)(new Array[Long](idxs.length))
-    val run = new Array[Long](idxs.length)
+    val offsets = new Array[Acc](rdd.getNumPartitions)
+    var run = empty
     perPart.sortBy(_._1).foreach { case (pid, tot) =>
-      offsets(pid) = run.clone()
-      var j = 0
-      while (j < idxs.length) { run(j) += tot(j); j += 1 }
+      offsets(pid) = run
+      run = mergeAcc(run, tot)
     }
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val outSchema = sumCols.foldLeft(sorted.schema) { (s, n) =>
-      s.add(prefix + n, LongType, nullable = false)
+    val outSchema = aggs.foldLeft(sorted.schema) { case (s, (c, _)) =>
+      s.add(prefix + c, LongType, nullable = exclusive)
     }
-    // pass 2: shuffle-file re-read; emit offset + within-partition prefix
+    // pass 2: shuffle-file re-read; emit offset-merged running values
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val acc = bc.value(pid).clone()
+      var acc = bc.value(pid)
       it.map { r =>
-        var j = 0
-        while (j < idxs.length) { acc(j) += r.getLong(idxs(j)); j += 1 }
-        Row.fromSeq(r.toSeq ++ acc.clone())
+        val pre = acc
+        acc = mergeRow(acc, r)
+        val emit = if (exclusive) pre else acc
+        val tail: Seq[Any] =
+          if (emit.n == 0L) Seq.fill[Any](nA)(null)
+          else emit.vs.toSeq
+        Row.fromSeq(r.toSeq ++ tail)
       }
     }
     df.sparkSession.createDataFrame(out, outSchema)

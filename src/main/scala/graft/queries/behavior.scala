@@ -160,9 +160,19 @@ object BehaviorQueries {
           sum(floor(col("value") * 100).cast("long")).as("score_e2"),
           max(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("converted"))
-        val ranked = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("score_e2").desc,
-            col("user_id"))).cast("long"))
+        // user count is unbounded at 100 TB: exact ntile(10) arithmetic
+        // on the ScalableIndex dense rank, not a global ntile window
+        val n = Tables.events(s, d).select(col("user_id")).distinct().count()
+        val k = 10L
+        val q = n / k
+        val r = n % k
+        val bucket =
+          if (q == 0L) "idx + 1"
+          else s"if(idx < ${r * (q + 1)}L, idx div ${q + 1}L, " +
+            s"$r + (idx - ${r * (q + 1)}L) div ${q}L) + 1"
+        val ranked = graft.operators.ScalableIndex.withDenseIndex(users,
+            Seq(col("score_e2").desc, col("user_id")), 8, "idx")
+          .withColumn("decile", expr(s"cast($bucket AS bigint)"))
         val per = ranked.groupBy(col("decile")).agg(
           count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
         val w = Window.orderBy(col("decile"))
@@ -214,17 +224,20 @@ object BehaviorQueries {
         val freq = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        val ranked = freq.withColumn("rank",
-          row_number().over(Window.orderBy(col("freq").desc, col("tok")))
-            .cast("long"))
-        ranked
-          .withColumn("cum_freq", sum(col("freq")).over(
-            Window.orderBy(col("rank"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("total", sum(col("freq")).over(Window.partitionBy()))
-          .select(col("rank"), col("tok"), col("freq"),
+        // Vocabulary grows with the corpus (Heaps), so the rank AND the
+        // cumulative mass both come from ONE ScalablePrefix pass over
+        // (freq desc, tok): running count = dense 1-based rank, running
+        // freq sum = coverage. The corpus total broadcasts from a plain
+        // aggregate — no unpartitioned window anywhere.
+        val tot = freq.agg(sum(col("freq")).as("total"))
+        graft.operators.ScalablePrefix.withRunningAggs(
+            freq.withColumn("one", lit(1L)),
+            Seq(col("freq").desc, col("tok")),
+            Seq("one" -> "sum", "freq" -> "sum"), 8)
+          .crossJoin(broadcast(tot))
+          .select(col("cum_one").as("rank"), col("tok"), col("freq"),
             expr("(1000 * cum_freq) div total").as("cum_permille"),
-            (col("rank") * col("freq")).as("rank_x_freq"))
+            (col("cum_one") * col("freq")).as("rank_x_freq"))
       },
       Some("""WITH freq AS (SELECT tok, count(*)::BIGINT AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -364,12 +364,15 @@ object Curation4Queries {
           .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n_docs"))
         // Distinct metric pairs sorted (x desc, y desc): a pair is on the
         // skyline iff its y strictly exceeds every preceding y — any
-        // dominator sorts strictly earlier and carries y' >= y.
-        pairs
-          .withColumn("prevmax", max(col("quality_e3")).over(
-            Window.orderBy(col("n_chars").desc, col("quality_e3").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)))
-          .filter(col("prevmax").isNull || col("quality_e3") > col("prevmax"))
+        // dominator sorts strictly earlier and carries y' >= y. The
+        // strictly-preceding running max executes as ScalablePrefix
+        // (range partition + offset merge, exclusive frame) — the pair
+        // lattice is value-domain-sized but never single-partitions.
+        graft.operators.ScalablePrefix.withRunningAggs(pairs,
+            Seq(col("n_chars").desc, col("quality_e3").desc),
+            Seq("quality_e3" -> "max"), 8, exclusive = true)
+          .filter(col("cum_quality_e3").isNull ||
+            col("quality_e3") > col("cum_quality_e3"))
           .select(col("n_chars"), col("quality_e3"), col("min_doc"), col("n_docs"))
       },
       Some(s"""WITH base AS (SELECT doc_id, n_chars,

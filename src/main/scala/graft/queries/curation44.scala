@@ -175,12 +175,15 @@ object Curation44Queries {
               .as("rev_e4"))
           .groupBy(col("l_partkey"))
           .agg(sum(col("rev_e4")).as("revenue_e4"))
-        val w = Window.orderBy(col("revenue_e4").desc, col("l_partkey"))
-        rev
-          .withColumn("cum_e4", sum(col("revenue_e4")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("tot_e4", sum(col("revenue_e4")).over(
-            Window.partitionBy()))
+        // |parts| grows with the catalog: the cumulative pass executes
+        // as ScalablePrefix (range partition + offsets) and the total
+        // broadcasts from a plain aggregate — no single-partition window
+        val tot = rev.agg(sum(col("revenue_e4")).as("tot_e4"))
+        graft.operators.ScalablePrefix.withRunningSums(rev,
+            Seq(col("revenue_e4").desc, col("l_partkey")),
+            Seq("revenue_e4"), 8)
+          .withColumnRenamed("cum_revenue_e4", "cum_e4")
+          .crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("revenue_e4"),
             expr("(1000 * cum_e4) div tot_e4").as("cum_share_permille"),
             when(expr("100 * cum_e4 <= 80 * tot_e4"), lit("A"))
@@ -209,10 +212,9 @@ object Curation44Queries {
         "CROSS-MULTIPLIED integer comparisons — the Pareto " +
         "segmentation every supply-chain rollup starts from " +
         "(lorenz_user_concentration's cousin on the parts ledger).  " +
-        "The per-part agg is distributed; the cumulative pass is a " +
-        "single ordered window over |parts| rows — at 100 TB that " +
-        "table is millions, not billions, and the two-phase " +
-        "range-partitioned cumsum (range_partition_boundaries) is the " +
-        "documented scale path."),
+        "The per-part agg is distributed; the cumulative pass EXECUTES " +
+        "as the two-phase range-partitioned cumsum (ScalablePrefix), " +
+        "so the |parts| table — millions at 100 TB — never lands on " +
+        "one task."),
   )
 }

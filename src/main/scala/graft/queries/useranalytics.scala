@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -97,13 +98,26 @@ object UserAnalyticsQueries {
           .crossJoin(broadcast(horizon))
           .withColumn("recency_days",
             expr("(horizon_us - last_us) div 86400000000"))
-        val scored = rfm
-          .withColumn("r", ntile(5).over(
-            Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
-          .withColumn("f", ntile(5).over(
-            Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-          .withColumn("m", ntile(5).over(
-            Window.orderBy(col("monetary_e2").desc, col("user_id"))).cast("long"))
+        // user count is unbounded at 100 TB: each quintile is exact
+        // ntile(5) arithmetic on a ScalableIndex dense rank (three
+        // chained range-partitioned passes, one per axis — no global
+        // ntile window ever materializes the user table on one task)
+        val n = Tables.events(s, d).select(col("user_id")).distinct().count()
+        val q = n / 5
+        val rr = n % 5
+        val bucket =
+          if (q == 0L) "idx + 1"
+          else s"if(idx < ${rr * (q + 1)}L, idx div ${q + 1}L, " +
+            s"$rr + (idx - ${rr * (q + 1)}L) div ${q}L) + 1"
+        def tile(df: org.apache.spark.sql.DataFrame, order: Seq[Column],
+            name: String) =
+          graft.operators.ScalableIndex.withDenseIndex(df, order, 8, "idx")
+            .withColumn(name, expr(s"cast($bucket AS bigint)"))
+            .drop("idx")
+        val scored = tile(tile(tile(rfm,
+            Seq(col("recency_days"), col("user_id")), "r"),
+            Seq(col("frequency").desc, col("user_id")), "f"),
+            Seq(col("monetary_e2").desc, col("user_id")), "m")
         scored.select(col("user_id"), col("recency_days"),
           col("frequency"), col("monetary_e2"),
           (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
