@@ -40,7 +40,7 @@ object DedupQueries {
   // are inlined as literals in BOTH engines.
   private val NumDedupPlanes = 24
   private val EmbDim = 64
-  private val dplanes: IndexedSeq[IndexedSeq[Long]] = {
+  private[graft] val dplanes: IndexedSeq[IndexedSeq[Long]] = {
     var state = 2463534242L
     def next(): Long = { // xorshift64
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17
@@ -57,10 +57,14 @@ object DedupQueries {
       zip_with(embCol, array(dplanes(j).map(x => lit(x)): _*),
         (x, w) => floor(x.cast("double") * 1000000).cast("long") * w),
       lit(0L), (acc, x) => acc + x)
-  private def dBucket(embCol: Column): Column =
+  /** Declarative HOF form — the oracle-shaped reference; the query runs
+    * the codegen'd native kernel, HyperplaneBucketSpec pins bit parity. */
+  private[graft] def dBucketHof(embCol: Column): Column =
     (0 until NumDedupPlanes).map(j =>
       when(dDot(embCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+  private def dBucket(embCol: Column): Column =
+    graft.functions.HyperplaneBucket.hyperplaneBucket(embCol, dplanes)
 
   // SimHash geometry: 60 bits (15 hex chars of md5 — the widest prefix
   // that fits signed int64 in both engines), 4 bands x 15 bits, accept
