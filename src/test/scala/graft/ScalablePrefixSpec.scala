@@ -46,6 +46,30 @@ class ScalablePrefixSpec extends SparkSpec {
     assert(windowed.exceptAll(scalable).count() === 0)
   }
 
+  test("exclusive running max/min match the strictly-preceding window " +
+    "frame, including the leading NULL") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val frame = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val windowed = rows
+      .withColumn("pmax", max(col("n_chars")).over(frame))
+      .withColumn("pmin", min(col("n_chars")).over(frame))
+      .select("doc_id", "pmax", "pmin")
+    for (p <- Seq(1, 4)) {
+      val scalable = graft.operators.ScalablePrefix.withRunningAggs(rows,
+        Seq(col("n_chars").desc, col("doc_id")),
+        Seq("n_chars" -> "max", "n_chars" -> "min"), p, exclusive = true)
+      // duplicate source column: second output name collides, so rename
+      // via position — schema is [doc_id, n_chars, cum_n_chars, cum_n_chars]
+      val cols = scalable.columns
+      val out = scalable.toDF(cols.dropRight(2) ++ Seq("pmax", "pmin"): _*)
+        .select("doc_id", "pmax", "pmin")
+      assert(out.exceptAll(windowed).count() === 0, s"parts=$p")
+      assert(windowed.exceptAll(out).count() === 0, s"parts=$p")
+    }
+  }
+
   test("multi-column dense index matches windowed row_number with desc keys") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"))
