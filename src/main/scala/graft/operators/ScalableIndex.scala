@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.LongType
 
 /** Dense global 0-based indexing WITHOUT a single-partition sort — the
@@ -17,8 +20,12 @@ import org.apache.spark.sql.types.LongType
   * partition — the same technique Spark itself uses for
   * `DataFrame.withSequenceColumn`/monotonically-increasing ids, but dense.
   *
-  * ScalableIndexSpec proves exact parity with the windowed query on the
-  * fixture.
+  * The append pass runs on the INTERNAL row representation
+  * (queryExecution.toRdd + Bridge.internalDataFrame): no external-Row
+  * allocation and no CatalystTypeConverters field pass in either
+  * direction — each output row is one UnsafeRow buffer copy joined to
+  * the index. ScalableIndexSpec proves exact parity with the windowed
+  * query on the fixture.
   */
 object ScalableIndex {
 
@@ -39,9 +46,11 @@ object ScalableIndex {
       .repartitionByRange(numParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(idxCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex().map { case (r, i) =>
+      // toRdd rows are buffer-reused per partition: snapshot before the
+      // downstream operator buffers them
+      new JoinedRow(r.copy(), InternalRow(i)): InternalRow
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    Bridge.internalDataFrame(df.sparkSession, rdd, schema)
   }
 }

@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.LongType
 
 /** Distributed running totals — the 100 TB form of
@@ -63,10 +66,10 @@ object ScalablePrefix {
       case (_, op) => throw new IllegalArgumentException(s"op $op")
     }.toArray
     val nA = idxs.length
-    // accumulator = (seen-any flag per column via count, values)
+    // accumulator = (rows merged so far, values); n == 0 emits NULL
     final case class Acc(n: Long, vs: Array[Long])
     def empty = Acc(0L, new Array[Long](nA))
-    def mergeRow(a: Acc, r: Row): Acc = {
+    def mergeRow(a: Acc, r: InternalRow): Acc = {
       val vs =
         if (a.n == 0L) Array.tabulate(nA)(j => r.getLong(idxs(j)))
         else Array.tabulate(nA)(j => ops(j)(a.vs(j), r.getLong(idxs(j))))
@@ -76,8 +79,11 @@ object ScalablePrefix {
       if (a.n == 0L) b
       else if (b.n == 0L) a
       else Acc(a.n + b.n, Array.tabulate(nA)(j => ops(j)(a.vs(j), b.vs(j))))
-    val rdd = sorted.rdd
-    // pass 1: per-partition totals -> driver prefix merge
+    // internal representation throughout: pass 1 only reads long fields
+    // (no conversion at all), pass 2 emits one UnsafeRow buffer copy
+    // joined to the running values — both jobs share the lazy toRdd, so
+    // the range shuffle is written once and re-read
+    val rdd = sorted.queryExecution.toRdd
     val perPart = rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator.single(pid -> it.foldLeft(empty)(mergeRow))
     }.collect()
@@ -91,19 +97,20 @@ object ScalablePrefix {
     val outSchema = aggs.foldLeft(sorted.schema) { case (s, (c, _)) =>
       s.add(prefix + c, LongType, nullable = exclusive)
     }
-    // pass 2: shuffle-file re-read; emit offset-merged running values
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
       it.map { r =>
         val pre = acc
         acc = mergeRow(acc, r)
         val emit = if (exclusive) pre else acc
-        val tail: Seq[Any] =
-          if (emit.n == 0L) Seq.fill[Any](nA)(null)
-          else emit.vs.toSeq
-        Row.fromSeq(r.toSeq ++ tail)
+        val tail = new Array[Any](nA)
+        if (emit.n != 0L) {
+          var j = 0
+          while (j < nA) { tail(j) = emit.vs(j); j += 1 }
+        }
+        new JoinedRow(r.copy(), new GenericInternalRow(tail)): InternalRow
       }
     }
-    df.sparkSession.createDataFrame(out, outSchema)
+    Bridge.internalDataFrame(df.sparkSession, out, outSchema)
   }
 }

@@ -43,4 +43,19 @@ object Bridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** DataFrame from an RDD of InternalRow WITHOUT the external-Row
+    * round-trip: createDataFrame(RDD[Row]) pays a per-row, per-field
+    * CatalystTypeConverters pass in AND out; this is the zero-copy
+    * internal path (LogicalRDD) the engine's partition-offset operators
+    * (ScalableIndex / ScalablePrefix) use to keep their two narrow
+    * passes allocation-light. Rows must be immutable snapshots (copy()
+    * buffer-backed rows before handing them over). */
+  def internalDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(rdd, schema, isStreaming = false)
+  }
 }
