@@ -33,7 +33,17 @@ class DeterminismSpec extends SparkSpec {
     "neyman_allocation",          // largest-remainder integer rounding
     "ols_residual_outliers",      // per-row residual vs broadcast fit
     "smith_waterman_pairs",       // row-local DP kernel
-    "histogram_drift_l1")         // cross-multiplied TV distance
+    "histogram_drift_l1",         // cross-multiplied TV distance
+    // round-6 scalable-form families (ScalableIndex / ScalablePrefix:
+    // partition-offset ranks and running aggregates must be exact under
+    // any feeder partitioning)
+    "mann_whitney_u",             // merged-histogram rank prefix
+    "rfm_segmentation",           // 3 chained dense-index quintiles
+    "zipf_coverage_curve",        // one-pass rank + coverage prefix
+    "skyline_pareto",             // exclusive running max
+    "abc_part_classification",    // range-partitioned revenue cumsum
+    "dedup_embedding_cosine",     // LSH bucket join + native kernels
+    "chunk_text_recursive")       // per-row recursive Generator
 
   for (name <- sample) {
     test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
