@@ -120,7 +120,8 @@ class PlanAuditSpec extends SparkSpec {
     "knn_label_accuracy",          // bounded 300-vector kNN slice
     "zipf_coverage_curve",         // broadcast of the 1-row corpus total
     "abc_part_classification",     // broadcast of the 1-row revenue total
-    "ivf_pq_topk")                 // broadcast ~16-row coarse centroid set
+    "ivf_pq_topk",                 // broadcast ~16-row coarse centroid set
+    "perceptron_quality_epochs")   // broadcast 1-row inter-epoch weights
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
