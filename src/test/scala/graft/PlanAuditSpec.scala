@@ -142,9 +142,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("asof join plans at most two exchanges (pre-agg + window)") {
+    // executedPlan (see shuffle-budget audit): exchanges only exist
+    // after EnsureRequirements, so sparkPlan always counted zero
     val plan = SparkEntry.registry.find(_.name == "asof_join_latest_ref").get
-      .fn(spark, sfDir).queryExecution.sparkPlan.toString
-    val exchanges = "(?m)^\\s*[+:]?-? ?Exchange".r
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range|Single)".r
       .findAllIn(plan).length
     assert(exchanges <= 2, s"asof join grew to $exchanges exchanges:\n$plan")
   }
