@@ -122,7 +122,10 @@ class PlanAuditSpec extends SparkSpec {
     "abc_part_classification",     // broadcast of the 1-row revenue total
     "ivf_pq_topk",                 // broadcast ~16-row coarse centroid set
     "perceptron_quality_epochs",   // broadcast 1-row inter-epoch weights
-    "tpch_q22_sales_opportunity")  // broadcast 1-row global-average gate
+    "tpch_q22_sales_opportunity",  // broadcast 1-row global-average gate
+    "tpch_q11_important_stock")    // broadcast 1-row fraction gate (the
+                                   // > compare keeps it a BNLJ; Q15's =
+                                   // gate becomes a hash join instead
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
