@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Batch 54: inference-side data planning — KV-cache prefix sharing.
+  *
+  * Serving (and preference-data generation, where one prompt fans out
+  * to N completions) pays prefill cost per prompt unless prompts that
+  * share a template prefix reuse the same KV-cache blocks.  Planning
+  * that reuse over a 100 TB prompt log is a pure data problem: group
+  * by a template key, measure the exact shared prefix per group, and
+  * account the chars (∝ tokens ∝ cache blocks) saved.
+  */
+object Curation54Queries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "prefix_cache_sharing",
+      (s, d) => {
+        // Exact group-LCP without any pairwise compare: within a group,
+        // the common prefix of ALL members equals the common prefix of
+        // the lexicographic min and max alone (any divergence between
+        // two members shows up between the extremes).  So the whole
+        // plan is ONE hash agg (count/min/max are all partial-
+        // aggregatable) + a scalar LCP on the two survivors per group —
+        // no self-join, no explode, no window.  The LCP is evaluated
+        // via the monotone prefix trick: prefix-equality at i implies
+        // it at every j<i, so counting the positions where the i-char
+        // prefixes match IS the LCP length (capped at 64 chars — one
+        // 4-token cache block of headroom; the cap mirrors in the
+        // oracle).
+        Tables.documents(s, d)
+          .select(substring(col("text"), 1, 12).as("tpl"), col("text"))
+          .groupBy(col("tpl"))
+          .agg(count(lit(1)).as("n_prompts"),
+            min(col("text")).as("mn"), max(col("text")).as("mx"))
+          .filter(col("n_prompts") >= 2)
+          .select(col("tpl"), col("n_prompts"),
+            expr("cast(size(filter(sequence(1, 64), " +
+              "i -> substring(mn, 1, i) = substring(mx, 1, i))) AS bigint)")
+              .as("lcp_chars"))
+          .withColumn("chars_saved",
+            (col("n_prompts") - 1L) * col("lcp_chars"))
+      },
+      Some("""WITH g AS (
+        |  SELECT substr(text, 1, 12) AS tpl, count(*)::BIGINT AS n_prompts,
+        |    min(text) AS mn, max(text) AS mx
+        |  FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT tpl, n_prompts,
+        |  len(list_filter(generate_series(1, 64),
+        |    i -> substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER)))
+        |    ::BIGINT AS lcp_chars,
+        |  ((n_prompts - 1) * len(list_filter(generate_series(1, 64),
+        |    i -> substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER))))
+        |    ::BIGINT AS chars_saved
+        |FROM g""".stripMargin),
+      "KV-cache prefix-sharing planner: group prompts by a 12-char " +
+        "template key, compute each group's EXACT longest common " +
+        "prefix as LCP(min, max) — the lexicographic extremes bound " +
+        "every member, so one partial-aggregatable hash agg replaces " +
+        "any pairwise scan — and account (n-1) x LCP chars of prefill " +
+        "the cache reuse saves.  Capped at 64 chars; monotone prefix-" +
+        "equality makes the position count equal the LCP length."),
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-54 invariants: exact replay of the prefix-cache planner and
+  * the LCP(min,max) identity it relies on. */
+class Curation54Spec extends SparkSpec {
+
+  private def byName(name: String) =
+    SparkEntry.registry.find(_.name == name).get.fn(spark, sfDir)
+
+  private def lcp(a: String, b: String): Int =
+    a.zip(b).takeWhile { case (x, y) => x == y }.size
+
+  test("prefix_cache_sharing: exact replay; LCP(min,max) equals the " +
+    "all-members LCP on every group") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val groups = texts.groupBy(_.take(12)).filter(_._2.size >= 2)
+    val expected = groups.map { case (tpl, ts) =>
+      val l = math.min(64, lcp(ts.min, ts.max)).toLong
+      (tpl, ts.size.toLong, l, (ts.size - 1) * l)
+    }.toSet
+    val got = byName("prefix_cache_sharing").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the algebraic identity the plan rests on: pairwise-all LCP ==
+    // LCP of the lexicographic extremes
+    groups.foreach { case (_, ts) =>
+      val viaExtremes = lcp(ts.min, ts.max)
+      val viaAll = ts.map(_.toVector).reduce { (a, b) =>
+        a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+      }.size
+      assert(viaExtremes === viaAll)
+    }
+    // every group's LCP is at least the 12-char template key
+    got.foreach { case (_, _, l, _) => assert(l >= 12L) }
+  }
+}
