@@ -471,7 +471,21 @@ object DedupQueries {
         // known ground-truth pairs: each injected duplicate against its
         // source — the estimator's quality measured where the answer is
         // known by construction, no LSH in the loop
-        val sh = shingles(Corpus.withDups(s, d)).persist()
+        //
+        // Only ~1/25 of the corpus ever appears in a calibration pair,
+        // so prune BEFORE shingling: signatures/shingles are computed
+        // for pair members only (the joins below are inner on pair ids,
+        // so the pruning is output-invariant — the unfiltered oracle
+        // proves it).  The shift constants preserve the mod classes
+        // (1e6 % 50 = 0, 2e6 % 25 = 0), so membership is a scan-local
+        // predicate on doc_id — at 100 TB this is the difference
+        // between shingling the corpus and shingling the 4% sample.
+        val pairMember =
+          (col("doc_id") < 1000000L && pmod(col("doc_id"), lit(25)) === 0) ||
+          (col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
+            pmod(col("doc_id"), lit(50)) === 0) ||
+          (col("doc_id") >= 2000000L && pmod(col("doc_id"), lit(25)) === 0)
+        val sh = shingles(Corpus.withDups(s, d).filter(pairMember)).persist()
         val sigCols = count(lit(1)).as("nsh") +:
           (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
         val sig = sh.groupBy(col("doc_id"))
