@@ -100,22 +100,26 @@ object Curation50Queries {
       (s, d) => {
         // Which sources contribute content nobody else has?  Per
         // source: distinct word-4-grams, and the share of them found
-        // in no other source.  Grams shuffle once (gram -> #distinct
-        // sources, the contamination_ngram_overlap substrate); the
-        // per-source rollup rides the same frame.
-        val grams = Tables.documents(s, d)
+        // in no other source.  ONE gram-keyed shuffle: collect_set
+        // (bounded by the handful of distinct sources, partial-
+        // aggregated map-side) yields both the spread count and the
+        // per-source membership, so the join-back of the earlier
+        // formulation — a second data-sized exchange of the gram
+        // frame — disappears; the explode back out is narrow and the
+        // source rollup runs on a bounded key domain.
+        Tables.documents(s, d)
           .select(col("source"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 4)
           .select(col("source"), explode(expr(
             "transform(sequence(0, size(toks) - 4), " +
               "i -> array_join(slice(toks, i + 1, 4), ' '))")).as("gram"))
-          .distinct()
-        val spread = grams.groupBy(col("gram"))
-          .agg(countDistinct(col("source")).as("ns"))
-        grams.join(spread, "gram")
+          .groupBy(col("gram"))
+          .agg(collect_set(col("source")).as("srcs"))
+          .select(size(col("srcs")).cast("long").as("ns"),
+            explode(col("srcs")).as("source"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("ns") === 1, 1L).otherwise(0L))
+            sum(when(col("ns") === 1L, 1L).otherwise(0L))
               .as("n_exclusive"))
           .select(col("source"), col("n_grams"), col("n_exclusive"),
             expr("n_exclusive * 1000 div n_grams").as("novelty_permille"))
