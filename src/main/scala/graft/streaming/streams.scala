@@ -273,6 +273,33 @@ object Streams {
         col("start_ts"), col("done_ts"))
   }
 
+  /** Reconciliation: the FULL OUTER form of [[correlateStartDone]] —
+    * both directions of mismatch surface once the watermark closes the
+    * window: starts that never completed (null done_id) AND completions
+    * with no recorded start (null start_id, the orphaned-receipt case a
+    * ledger reconciler must flag, not drop). Same state bound as the
+    * one-sided forms: both sides buffer keyed rows only inside
+    * watermark + interval, evicted automatically. The surfaced user_id
+    * coalesces across sides since exactly one side is null on
+    * unmatched rows. */
+  def correlateStartDoneFull(events: DataFrame): DataFrame = {
+    val starts = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("start_id"), col("user_id"),
+        col("ts").as("start_ts"))
+      .withWatermark("start_ts", "10 minutes")
+    val dones = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("done_id"),
+        col("user_id").as("done_user"), col("ts").as("done_ts"))
+      .withWatermark("done_ts", "10 minutes")
+    starts.join(dones,
+      col("user_id") === col("done_user") &&
+        col("done_ts") >= col("start_ts") &&
+        col("done_ts") <= col("start_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("done_user")).as("user_id"),
+        col("start_id"), col("done_id"), col("start_ts"), col("done_ts"))
+  }
+
   /** Batch-catchup drain: process everything currently available, then
     * stop on our own — Trigger.AvailableNow. This is the scheduled-job
     * form of a stream (the reference's cron-like sweep drivers rerun and

@@ -312,6 +312,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(3L) === None)
   }
 
+  test("correlateStartDoneFull surfaces both unmatched directions " +
+    "after the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(0), 1, "signup", 1.0, "{}"),    // matched within the hour
+      Ev(2, ts(30), 1, "purchase", 1.0, "{}"),
+      Ev(3, ts(10), 2, "signup", 1.0, "{}"),   // never completes
+      Ev(8, ts(15), 3, "purchase", 1.0, "{}")) // orphaned completion
+    // advance both per-side watermarks past start_ts + 1h + 10min, then
+    // force one more micro-batch so eviction emits the unmatched rows
+    mem.addData(
+      Ev(4, ts(6000), 8, "signup", 1.0, "{}"),
+      Ev(5, ts(6000), 9, "purchase", 1.0, "{}"))
+    mem.addData(
+      Ev(6, ts(6200), 8, "signup", 1.0, "{}"),
+      Ev(7, ts(6200), 9, "purchase", 1.0, "{}"))
+    val out = runBatches(Streams.correlateStartDoneFull(mem.toDF()), "sdf")
+    val rows = out
+      .select(col("user_id"), col("start_id"), col("done_id"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (u, s0, d0) => u -> ((s0, d0)) }.toMap
+    assert(rows(1L) === ((Some(1L), Some(2L))))  // matched
+    assert(rows(2L) === ((Some(3L), None)))      // start, no done
+    assert(rows(3L) === ((None, Some(8L))))      // done, no start
+    // user_id never null: exactly one side is null per unmatched row
+    assert(out.filter(col("user_id").isNull).count() === 0L)
+  }
+
   test("slidingDistinctUsers emits per-window sketched cardinality " +
     "after watermark close") {
     import spark.implicits._
