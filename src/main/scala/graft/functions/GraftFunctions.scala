@@ -141,6 +141,15 @@ object GraftFunctions {
   private val simhash60Info = new ExpressionInfo(
     classOf[SimHash60].getCanonicalName, "simhash60")
 
+  private val commonPrefixLenBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"common_prefix_len expects 2 arguments, got ${args.length}")
+    CommonPrefixLen(args(0), args(1))
+  }
+
+  private val commonPrefixLenInfo = new ExpressionInfo(
+    classOf[CommonPrefixLen].getCanonicalName, "common_prefix_len")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder),
@@ -157,7 +166,9 @@ object GraftFunctions {
       (FunctionIdentifier("minhash_sig"), minhashSigInfo, minhashSigBuilder),
       (FunctionIdentifier("sorted_intersect"), sortedIntersectInfo,
         sortedIntersectBuilder),
-      (FunctionIdentifier("simhash60"), simhash60Info, simhash60Builder))
+      (FunctionIdentifier("simhash60"), simhash60Info, simhash60Builder),
+      (FunctionIdentifier("common_prefix_len"), commonPrefixLenInfo,
+        commonPrefixLenBuilder))
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

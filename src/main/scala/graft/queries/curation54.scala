@@ -37,9 +37,13 @@ object Curation54Queries {
           .agg(count(lit(1)).as("n_prompts"),
             min(col("text")).as("mn"), max(col("text")).as("mx"))
           .filter(col("n_prompts") >= 2)
+          // native codegen'd LCP kernel (one forward pass, stops at the
+          // first divergence) in place of the O(cap^2)-bytes HOF count;
+          // least(., 64) reproduces the capped count exactly since
+          // prefix equality is monotone (parity: CommonPrefixLenSpec)
           .select(col("tpl"), col("n_prompts"),
-            expr("cast(size(filter(sequence(1, 64), " +
-              "i -> substring(mn, 1, i) = substring(mx, 1, i))) AS bigint)")
+            least(graft.functions.CommonPrefixLen
+              .commonPrefixLen(col("mn"), col("mx")), lit(64L))
               .as("lcp_chars"))
           .withColumn("chars_saved",
             (col("n_prompts") - 1L) * col("lcp_chars"))
@@ -50,10 +54,12 @@ object Curation54Queries {
         |  FROM documents GROUP BY 1 HAVING count(*) >= 2)
         |SELECT tpl, n_prompts,
         |  len(list_filter(generate_series(1, 64),
-        |    i -> substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER)))
+        |    i -> i <= len(mn)
+        |     AND substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER)))
         |    ::BIGINT AS lcp_chars,
         |  ((n_prompts - 1) * len(list_filter(generate_series(1, 64),
-        |    i -> substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER))))
+        |    i -> i <= len(mn)
+        |     AND substr(mn, 1, i::INTEGER) = substr(mx, 1, i::INTEGER))))
         |    ::BIGINT AS chars_saved
         |FROM g""".stripMargin),
       "KV-cache prefix-sharing planner: group prompts by a 12-char " +
@@ -61,7 +67,11 @@ object Curation54Queries {
         "prefix as LCP(min, max) — the lexicographic extremes bound " +
         "every member, so one partial-aggregatable hash agg replaces " +
         "any pairwise scan — and account (n-1) x LCP chars of prefill " +
-        "the cache reuse saves.  Capped at 64 chars; monotone prefix-" +
-        "equality makes the position count equal the LCP length."),
+        "the cache reuse saves.  Capped at 64 chars.  The LCP is the " +
+        "native codegen'd common_prefix_len kernel (one forward pass, " +
+        "stops at first divergence); the oracle's position count " +
+        "guards i <= len(min) so saturating substr cannot overstate " +
+        "equal-short-string LCPs (a prefix sorts before its " +
+        "extensions, so the min side suffices)."),
   )
 }
