@@ -395,5 +395,65 @@ object GraphQueries {
         "label of every node is the component minimum — exactly what " +
         "the oracle's recursive reach computes independently. The " +
         "same loop body scales by swapping persist for checkpoint."),
+
+    // ------------------------------------ multi-source BFS hop layers
+    QueryDef(
+      "knn_bfs_hops",
+      (s, d) => {
+        // Seed-expansion distances: hop count from a seed set over the
+        // undirected kNN graph, 4 synchronous supersteps — the frontier
+        // pattern of graph-based retrieval (expand a query's seed
+        // neighborhood breadth-first) and of influence-radius audits.
+        // Each superstep is one join + one map-side-combinable min-agg
+        // keyed on the node; lineage is truncated per round
+        // (localCheckpoint) exactly like the CC fixpoint above.  Depth
+        // is a fixed constant, so unlike CC no convergence check is
+        // needed and the round count — not the diameter — bounds the
+        // work at any scale.
+        val und0 = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val und = und0.unionByName(
+          und0.select(col("b").as("a"), col("a").as("b")))
+        var dist = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(40)) === 0, 0L).as("hop"))
+          .localCheckpoint()
+        (1 to 4).foreach { _ =>
+          val nb = und.join(dist.filter(col("hop").isNotNull),
+              und("b") === dist("vec_id"))
+            .groupBy(col("a")).agg(min(col("hop") + 1L).as("nbhop"))
+          // least() skips nulls, so unreached nodes adopt the neighbor
+          // hop and already-reached nodes keep their minimum
+          dist = dist.join(nb, dist("vec_id") === nb("a"), "left")
+            .select(dist("vec_id"),
+              least(col("hop"), col("nbhop")).as("hop"))
+            .localCheckpoint()
+        }
+        dist.select(col("vec_id"), coalesce(col("hop"), lit(-1L)).as("hops"))
+      },
+      Some(s"""WITH RECURSIVE $knnEdgesSql,
+        |und AS (SELECT a, b FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+        |  UNION
+        |  SELECT b, a FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)),
+        |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
+        |bfs AS (
+        |  SELECT vec_id AS node, 0 AS hop FROM nodes WHERE vec_id % 40 = 0
+        |  UNION ALL
+        |  SELECT u.b AS node, bfs.hop + 1 FROM bfs
+        |  JOIN und u ON u.a = bfs.node WHERE bfs.hop < 4)
+        |SELECT n.vec_id, coalesce(min(bfs.hop), -1)::BIGINT AS hops
+        |FROM nodes n LEFT JOIN bfs ON bfs.node = n.vec_id
+        |GROUP BY n.vec_id""".stripMargin),
+      "Multi-source BFS over the kNN graph: hop distance from the seed " +
+        "set (vec_id % 40 = 0) in at most 4 synchronous supersteps, " +
+        "unreached nodes surfaced as -1.  Each superstep is one " +
+        "neighbor join + node-keyed min-agg (partial-aggregated), and " +
+        "the fixed depth bounds total work by rounds x |edges| — the " +
+        "oracle's recursive path enumeration with min(hop) computes " +
+        "the same frontier distances independently."),
   )
 }

@@ -139,6 +139,30 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got == lbl)
   }
 
+  test("knn_bfs_hops matches a driver BFS; hop layers are sound") {
+    val got = byName("knn_bfs_hops").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 300).select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    // driver BFS from the seed set, depth-capped at 4
+    var dist = nodes.filter(_ % 40 == 0).map(_ -> 0L).toMap
+    for (h <- 1L to 4L) {
+      val frontier = dist.collect { case (v, d0) if d0 == h - 1 => v }
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+    }
+    val expected = nodes.map(v => v -> dist.getOrElse(v, -1L)).toMap
+    assert(got === expected)
+    // soundness: every hop-h node (h>0) has a neighbor at hop h-1
+    got.foreach { case (v, h) =>
+      if (h > 0) assert(adj.getOrElse(v, Set.empty)
+        .exists(u => got(u) == h - 1))
+    }
+    assert(got.values.exists(_ > 0L)) // expansion actually happened
+  }
+
   test("connected_components_largestar: edges never cross components, " +
     "roots are component minima") {
     val lbl = byName("connected_components_largestar").collect()
