@@ -455,5 +455,60 @@ object GraphQueries {
         "the fixed depth bounds total work by rounds x |edges| — the " +
         "oracle's recursive path enumeration with min(hop) computes " +
         "the same frontier distances independently."),
+
+    // ------------------------- the same BFS through WITH RECURSIVE
+    QueryDef(
+      "knn_bfs_recursive_sql",
+      (s, d) => {
+        // Twin of knn_bfs_hops executed through Spark 4's recursive CTE
+        // (UnionLoop): the engine's declarative recursion surface,
+        // mirroring the DuckDB oracle SQL 1:1.  The edge substrate is
+        // built once as a DataFrame (the cosine kNN construction is not
+        // SQL-portable) and exposed as a temp view; the recursion is
+        // depth-bounded by the hop predicate, so the loop unrolls to
+        // the same 4 frontier expansions as the superstep form.  Use
+        // the superstep twin at 100 TB — recursion enumerates paths
+        // (frontier x branching growth) where supersteps carry one
+        // min-distance row per node; the parity spec pins both to the
+        // same answer.
+        val und0 = knnEdges(s, d)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        und0.unionByName(und0.select(col("b").as("a"), col("a").as("b")))
+          .createOrReplaceTempView("graft_bfs_und")
+        Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id")).createOrReplaceTempView("graft_bfs_nodes")
+        s.sql("""WITH RECURSIVE bfs(node, hop) AS (
+          |  SELECT vec_id, 0 FROM graft_bfs_nodes WHERE vec_id % 40 = 0
+          |  UNION ALL
+          |  SELECT u.b, bfs.hop + 1 FROM bfs
+          |  JOIN graft_bfs_und u ON u.a = bfs.node WHERE bfs.hop < 4)
+          |SELECT n.vec_id,
+          |  CAST(coalesce(min(bfs.hop), -1) AS BIGINT) AS hops
+          |FROM graft_bfs_nodes n LEFT JOIN bfs ON bfs.node = n.vec_id
+          |GROUP BY n.vec_id""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE $knnEdgesSql,
+        |und AS (SELECT a, b FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+        |  UNION
+        |  SELECT b, a FROM (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)),
+        |nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 300),
+        |bfs AS (
+        |  SELECT vec_id AS node, 0 AS hop FROM nodes WHERE vec_id % 40 = 0
+        |  UNION ALL
+        |  SELECT u.b AS node, bfs.hop + 1 FROM bfs
+        |  JOIN und u ON u.a = bfs.node WHERE bfs.hop < 4)
+        |SELECT n.vec_id, coalesce(min(bfs.hop), -1)::BIGINT AS hops
+        |FROM nodes n LEFT JOIN bfs ON bfs.node = n.vec_id
+        |GROUP BY n.vec_id""".stripMargin),
+      "The BFS as a declarative WITH RECURSIVE query (Spark 4 " +
+        "UnionLoop), hop-bounded in the recursive term — same answer, " +
+        "same oracle as knn_bfs_hops, proving the engine's SQL " +
+        "recursion surface.  The superstep twin remains the 100 TB " +
+        "form: recursion enumerates paths where supersteps carry one " +
+        "min-distance row per node."),
   )
 }

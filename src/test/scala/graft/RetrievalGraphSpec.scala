@@ -163,6 +163,15 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got.values.exists(_ > 0L)) // expansion actually happened
   }
 
+  test("knn_bfs_recursive_sql (WITH RECURSIVE / UnionLoop) matches the " +
+    "superstep twin row for row") {
+    val sup = byName("knn_bfs_hops").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rec = byName("knn_bfs_recursive_sql").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rec === sup)
+  }
+
   test("connected_components_largestar: edges never cross components, " +
     "roots are component minima") {
     val lbl = byName("connected_components_largestar").collect()
