@@ -73,5 +73,41 @@ object Curation54Queries {
         "guards i <= len(min) so saturating substr cannot overstate " +
         "equal-short-string LCPs (a prefix sorts before its " +
         "extensions, so the min side suffices)."),
+
+    // ---------------------------- Spark 4 VARIANT semi-structured path
+    QueryDef(
+      "variant_shred_props",
+      (s, d) => {
+        // The engine's semi-structured fast path: parse the JSON props
+        // column ONCE into Spark 4's binary-encoded VARIANT, then do
+        // typed extractions against the encoded value — at 100 TB the
+        // difference between parsing each payload per field touched
+        // (get_json_object) and parsing it once per row.  variant_get
+        // with a target type yields a typed column with no second
+        // parse; the rollup is an ordinary bounded-key agg.
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')")
+              .as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
+        |    AS n_with_k,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k
+        |FROM events GROUP BY event_type""".stripMargin),
+      "Semi-structured payloads through Spark 4's VARIANT type: " +
+        "parse_json once into the binary-encoded value, typed " +
+        "variant_get extraction (no re-parse per field), bounded " +
+        "event-type rollup of the extracted measure.  The oracle " +
+        "reads the same field with DuckDB's JSON extraction — same " +
+        "numbers, different encodings, proving the VARIANT path " +
+        "preserves JSON semantics."),
   )
 }

@@ -38,4 +38,28 @@ class Curation54Spec extends SparkSpec {
     // every group's LCP is at least the 12-char template key
     got.foreach { case (_, _, l, _) => assert(l >= 12L) }
   }
+
+  test("variant_shred_props: VARIANT extraction agrees with the " +
+    "string-path get_json_object on every event; variant laws hold") {
+    val cmp = Tables.events(spark, sfDir)
+      .select(
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("vk"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("jk"),
+        expr("schema_of_variant(parse_json(props))").as("sch"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("miss"))
+    assert(cmp.filter(not(col("vk") <=> col("jk"))).count() === 0L)
+    // the inferred variant schema names the k field with an integral type
+    val schemas = cmp.select(col("sch")).distinct()
+      .collect().map(_.getString(0))
+    assert(schemas.forall(s0 => s0.contains("k") &&
+      (s0.contains("BIGINT") || s0.contains("INT"))))
+    // absent paths are null, not an error (try_variant_get)
+    assert(cmp.filter(col("miss").isNotNull).count() === 0L)
+    // the registry rollup conserves the total count of extracted keys
+    val rolled = SparkEntry.registry.find(_.name == "variant_shred_props")
+      .get.fn(spark, sfDir).agg(sum(col("n_with_k"))).collect()
+      .head.getLong(0)
+    assert(rolled === cmp.filter(col("vk").isNotNull).count())
+  }
 }
