@@ -109,5 +109,80 @@ object Curation54Queries {
         "reads the same field with DuckDB's JSON extraction — same " +
         "numbers, different encodings, proving the VARIANT path " +
         "preserves JSON semantics."),
+
+    // ----------------------------- best-of-n sampling budget planning
+    QueryDef(
+      "best_of_n_reward_curve",
+      (s, d) => {
+        // How much reward does one more sample per prompt buy?  The
+        // RLHF sampling-budget question, answered EXACTLY from the
+        // empirical per-prompt reward distribution: for a group of N
+        // candidates, E[max of n drawn without replacement] =
+        // sum_i r_(i) * C(i-1, n-1) / C(N, n) over ascending ranks i
+        // — the i-th smallest is the max of exactly C(i-1, n-1)
+        // subsets.  All combinatorics stay in exact integers (one
+        // floor division per group AFTER the sum), so the curve is
+        // engine-portable bit for bit.  Rewards are the deterministic
+        // md5 pseudo-scorer (the perplexity_filter_stub convention);
+        // the window is partitioned by prompt group (bounded), and the
+        // rollup is a 3-key agg.
+        import org.apache.spark.sql.expressions.Window
+        val r = Tables.documents(s, d).select(
+          substring(col("text"), 1, 12).as("tpl"),
+          pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long"), lit(1000000L)).as("reward"),
+          col("doc_id"))
+        val ranked = r.select(col("tpl"), col("reward"),
+          row_number().over(Window.partitionBy(col("tpl"))
+            .orderBy(col("reward"), col("doc_id"))).as("i"),
+          count(lit(1)).over(Window.partitionBy(col("tpl"))).as("nn"))
+        val per = ranked
+          .select(col("*"),
+            explode(array(lit(1), lit(2), lit(4))).as("n"))
+          .filter(col("nn") >= col("n") && col("i") >= col("n"))
+          .groupBy(col("tpl"), col("n"))
+          .agg(expr("""sum(reward * (CASE n WHEN 1 THEN 1
+            | WHEN 2 THEN i - 1
+            | ELSE ((i-1)*(i-2)*(i-3)) div 6 END))
+            | div max(CASE n WHEN 1 THEN nn
+            | WHEN 2 THEN (nn*(nn-1)) div 2
+            | ELSE (nn*(nn-1)*(nn-2)*(nn-3)) div 24 END)""".stripMargin
+            .replace("\n", " ")).as("ev"))
+        per.groupBy(col("n").cast("long").as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            expr("sum(ev) div count(1)").as("avg_ev_reward"))
+      },
+      Some("""WITH r AS (
+        |  SELECT substr(text, 1, 12) AS tpl,
+        |    (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000)
+        |      AS reward,
+        |    doc_id
+        |  FROM documents),
+        |ranked AS (SELECT tpl, reward,
+        |    row_number() OVER (PARTITION BY tpl
+        |      ORDER BY reward, doc_id) AS i,
+        |    count(*) OVER (PARTITION BY tpl) AS nn
+        |  FROM r),
+        |expanded AS (SELECT tpl, reward, i, nn, n.n
+        |  FROM ranked, (SELECT unnest([1, 2, 4]) AS n) n
+        |  WHERE nn >= n.n AND i >= n.n),
+        |per AS (SELECT tpl, n,
+        |    sum(reward * (CASE n WHEN 1 THEN 1 WHEN 2 THEN i - 1
+        |        ELSE (i-1)*(i-2)*(i-3)//6 END))::BIGINT
+        |    // max(CASE n WHEN 1 THEN nn WHEN 2 THEN nn*(nn-1)//2
+        |        ELSE nn*(nn-1)*(nn-2)*(nn-3)//24 END)::BIGINT AS ev
+        |  FROM expanded GROUP BY tpl, n)
+        |SELECT n::BIGINT AS n, count(*)::BIGINT AS n_groups,
+        |  (sum(ev)::BIGINT // count(*)::BIGINT) AS avg_ev_reward
+        |FROM per GROUP BY n""".stripMargin),
+      "Best-of-n reward curve: exact E[max of n samples] per prompt " +
+        "group from the empirical reward distribution (without " +
+        "replacement; the i-th smallest reward is the max of exactly " +
+        "C(i-1, n-1) of the C(N, n) subsets), averaged over groups " +
+        "for n = 1, 2, 4.  Pure integer combinatorics — one floor " +
+        "division per group after the sum — so the sampling-budget " +
+        "decision (is 4x inference worth the reward lift?) is " +
+        "reproducible bit for bit.  Bounded-group window + 3-key " +
+        "rollup; no simulation, no floats."),
   )
 }

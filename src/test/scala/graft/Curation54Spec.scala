@@ -62,4 +62,33 @@ class Curation54Spec extends SparkSpec {
       .head.getLong(0)
     assert(rolled === cmp.filter(col("vk").isNotNull).count())
   }
+
+  test("best_of_n_reward_curve: brute-force subset enumeration replay") {
+    // deterministic md5 pseudo-rewards, recomputed driver-side
+    val rewards = Tables.documents(spark, sfDir)
+      .select(substring(col("text"), 1, 12).as("tpl"),
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)).as("reward"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val groups = rewards.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def comb(n: Int, k: Int): Long =
+      if (k < 0 || k > n) 0L
+      else (1 to k).foldLeft(1L)((acc, j) => acc * (n - k + j) / j)
+    val expected = Seq(1, 2, 4).flatMap { n =>
+      // exact E[max of n] per group by literal subset enumeration
+      val evs = groups.values.filter(_.size >= n).map { rs =>
+        // index the members so .combinations enumerates positional
+        // subsets (it dedups equal elements otherwise)
+        val subsets = rs.zipWithIndex.combinations(n)
+          .map(_.map(_._1).max).toSeq
+        subsets.sum / comb(rs.size, n)
+      }.toSeq
+      if (evs.isEmpty) None
+      else Some((n.toLong, evs.size.toLong, evs.sum / evs.size))
+    }.toSet
+    val got = byName("best_of_n_reward_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.size === 3)
+  }
 }
