@@ -43,7 +43,15 @@ class DeterminismSpec extends SparkSpec {
     "skyline_pareto",             // exclusive running max
     "abc_part_classification",    // range-partitioned revenue cumsum
     "dedup_embedding_cosine",     // LSH bucket join + native kernels
-    "chunk_text_recursive")       // per-row recursive Generator
+    "chunk_text_recursive",       // per-row recursive Generator
+    // session batch: TPC-H closers + inference-planning + recursion
+    "tpch_q2_min_cost_supplier",  // decorrelated min + deterministic cut
+    "tpch_q15_top_supplier",      // 1-row max gate, tie set complete
+    "prefix_cache_sharing",       // min/max string agg + native LCP
+    "best_of_n_reward_curve",     // per-group combinatorial expectation
+    "variant_shred_props",        // VARIANT parse + typed extraction
+    "knn_bfs_hops",               // superstep BFS min-distance carry
+    "knn_bfs_recursive_sql")      // UnionLoop recursion, same answer
 
   for (name <- sample) {
     test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
