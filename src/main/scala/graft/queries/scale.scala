@@ -107,5 +107,52 @@ object ScaleQueries {
         "file-listing time), not a data filter — the layout choice " +
         "that turns a full-corpus scan into a single-partition read. " +
         "Values oracle-checked against the unpartitioned original."),
+
+    // ------------------------------------ dynamic partition pruning
+    QueryDef(
+      "dynamic_partition_prune_join",
+      (s, d) => {
+        // The RUNTIME half of partition pruning: the fact is laid out
+        // by ship year, and the year set to read is only known after
+        // filtering the dimension — so no static predicate exists on
+        // the fact side at plan time.  Spark's dynamic partition
+        // pruning turns the broadcast dim into a runtime IN-subquery
+        // on the fact's partition column (dynamicpruning#N in the
+        // scan, asserted by PartitionPruneSpec), so the 100 TB fact
+        // reads only the partitions the dim selects — the star-schema
+        // pattern DPP exists for.
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft_li_by_year"
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("price_e2"),
+            year(col("l_shipdate")).as("l_year"))
+          .write.mode("overwrite").partitionBy("l_year").parquet(path)
+        val urgentYears = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(year(col("o_orderdate")).as("o_year")).distinct()
+        s.read.parquet(path)
+          .join(urgentYears, col("l_year") === col("o_year"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("price_e2")).as("revenue_e2"))
+      },
+      Some("""WITH uy AS (SELECT DISTINCT year(o_orderdate) AS o_year
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_e2
+        |FROM lineitem JOIN uy ON year(l_shipdate) = o_year
+        |GROUP BY l_returnflag""".stripMargin),
+      "Dynamic partition pruning: the fact is partitioned by ship " +
+        "year and the qualifying year set only materializes at " +
+        "runtime from the filtered dimension — DPP injects the " +
+        "broadcast result as a subquery filter on the fact's " +
+        "partition column, so only the selected year directories are " +
+        "read.  Static pruning (the two rows above) cannot express " +
+        "this; the oracle recomputes on the unpartitioned original."),
   )
 }

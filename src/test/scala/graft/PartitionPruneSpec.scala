@@ -25,4 +25,18 @@ class PartitionPruneSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(scan.count() === expected)
   }
+
+  test("dim-derived year set becomes a dynamicpruning subquery on the " +
+    "fact scan (DPP)") {
+    val q = SparkEntry.registry
+      .find(_.name == "dynamic_partition_prune_join").get.fn(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+    // the runtime filter targets the fact's partition column
+    assert(
+      "dynamicpruningexpression\\(l_year#\\d+ IN dynamicpruning".r
+        .findFirstIn(plan).isDefined,
+      s"DPP filter is not on the partition column:\n$plan")
+  }
 }
