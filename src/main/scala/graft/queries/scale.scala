@@ -46,23 +46,30 @@ object ScaleQueries {
     QueryDef(
       "repartitioned_two_phase_agg",
       (s, d) => {
-        // Two aggregations on the same key: repartition once, both aggs
-        // reuse the exchange (Spark's ReusedExchange / AQE) instead of
-        // shuffling twice.
-        val byUser = Tables.events(s, d).repartition(col("user_id"))
-        val counts = byUser.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n"))
-        val sums = byUser.groupBy(col("user_id"))
-          .agg((sum(floor(col("value") * 100)) / 100.0).as("total_value"))
-        counts.join(sums, Seq("user_id"))
+        // Two aggregations on the same key in ONE two-phase pass
+        // (partial map-side + one exchange + final).  The tempting
+        // two-branch formulation — repartition once, aggregate twice,
+        // join — does NOT reuse the exchange in the executed plan:
+        // column pruning specializes each branch's exchange (the count
+        // branch drops `value`), the canonical subtrees stop matching,
+        // and the fact shuffles twice (measured; ExchangeReuseSpec
+        // pins this query to exactly one exchange, and keeps
+        // tpch_q17_small_quantity as the genuine ReusedExchange case
+        // where both consumers need identical columns).
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("value") * 100)) / 100.0).as("total_value"))
       },
       Some("""SELECT user_id, count(*) AS n,
         | sum(floor(value * 100)) / 100.0 AS total_value
         |FROM events GROUP BY user_id""".stripMargin),
-      "Shared partitioning across aggregations: one explicit repartition " +
-        "on the key feeds both agg branches; the join is then " +
-        "co-partitioned (zero extra shuffle). The bucketed-table analog " +
-        "of this is how a 100 TB fact avoids re-shuffling per query."),
+      "Multi-aggregate two-phase pass: both measures ride one partial-" +
+        "aggregated shuffle on the key. The two-branch repartition+join " +
+        "alternative double-shuffles the fact once column pruning " +
+        "specializes the branch exchanges — the plan-shape trap this " +
+        "query exists to document; exchange REUSE is real only when " +
+        "consumers need identical columns (see tpch_q17)."),
 
     // ----------------------------------------- partition-pruned reading
     QueryDef(
