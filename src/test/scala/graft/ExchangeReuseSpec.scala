@@ -22,6 +22,17 @@ class ExchangeReuseSpec extends SparkSpec {
     assert(finalPlan("tpch_q17_small_quantity").contains("ReusedExchange"))
   }
 
+  test("tpch_q2 and tpch_q11: the shared partsupp-proxy subtree is " +
+    "computed once at runtime (AQE stage reuse)") {
+    // both queries reference the proxy-derived frame twice (per-part
+    // min / national total scalar gate); the initial plan duplicates
+    // the subtree, and AQE stage reuse collapses it — so the fact
+    // shuffles ONCE per query at runtime, which is the 100 TB claim
+    for (n <- Seq("tpch_q2_min_cost_supplier", "tpch_q11_important_stock"))
+      assert(finalPlan(n).split("== Initial Plan ==").head
+        .contains("ReusedExchange"), s"$n lost runtime stage reuse")
+  }
+
   test("repartitioned_two_phase_agg: both measures ride exactly one " +
     "exchange") {
     // the adaptive plan string prints Final and Initial sections —

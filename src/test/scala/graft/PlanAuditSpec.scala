@@ -212,7 +212,20 @@ class PlanAuditSpec extends SparkSpec {
     "tpch_q13_customer_distribution" -> 2, // custkey agg + count re-agg
     "tpch_q17_small_quantity" -> 3,  // partkey agg + join + global agg
     "tpch_q21_waiting_supplier" -> 3, // orderkey agg + supplier agg + sort
-    "tpch_q22_sales_opportunity" -> 2) // anti join + code agg
+    "tpch_q22_sales_opportunity" -> 2, // anti join + code agg
+    // batch 53/54 (counts are initial-plan; the scalar-gate shapes
+    // q2/q11 re-plan at runtime with a ReusedExchange over the shared
+    // partsupp-proxy subtree — asserted in ExchangeReuseSpec)
+    "tpch_q2_min_cost_supplier" -> 5,
+    "tpch_q11_important_stock" -> 5,
+    "tpch_q15_top_supplier" -> 3,    // date-pruned slice aggregated twice
+    "tpch_q16_supplier_relationship" -> 3, // proxy + 2-phase distinct
+    "tpch_q20_promotion_stock" -> 2, // pair agg + distinct; semi broadcast
+    "prefix_cache_sharing" -> 1,     // the one min/max/count hash agg
+    "variant_shred_props" -> 1,      // one bounded event-type rollup
+    "best_of_n_reward_curve" -> 2,   // tpl window + bounded rollups
+    "cross_source_novelty" -> 2,     // gram agg + source rollup
+    "dynamic_partition_prune_join" -> 3) // year-dim distinct + fact agg
 
   test("round-5 operators stay inside their documented shuffle budgets") {
     val offenders = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
