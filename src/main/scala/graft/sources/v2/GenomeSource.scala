@@ -115,7 +115,20 @@ final class GenomeScan(path: String, required: StructType,
         fs.listStatus(hPath).filter(_.isFile).map(_.getPath.toString)
           .filterNot(f => f.contains("/_") || f.contains("/."))
       else Array(hPath.toString)
-    files.sorted.map(f => GenomeFilePartition(f): InputPartition)
+    // data skipping: with a _zonemap.json sidecar present, drop whole
+    // shards whose gene_count range cannot satisfy the pushed filters
+    // (GenomeZoneMap; the reader's row-level pushdown remains the
+    // exact second line of defense, so this never changes results)
+    val zm =
+      if (status.isDirectory) GenomeZoneMap.load(fs, hPath) else None
+    val kept = zm match {
+      case Some(m) => files.filter { f =>
+        m.get(new Path(f).getName)
+          .forall(s => GenomeZoneMap.mightMatch(pushed, s))
+      }
+      case None => files
+    }
+    kept.sorted.map(f => GenomeFilePartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -46,6 +46,42 @@ class GenomeSourceV2Spec extends SparkSpec {
     assert(rows.length === ref.length)
   }
 
+  test("zone-map sidecar skips whole shards the predicate cannot " +
+    "touch; results are unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zm").toString
+    // three shards with disjoint gene_count ranges
+    def shard(name: String, lo: Long): Unit = {
+      val body = (lo until lo + 10).map(v =>
+        s"""{"genome_id":"g$v","genome_name":"n$v","pathway":"p",""" +
+          s""""gene_count":$v}""").mkString("\n")
+      Files.write(Paths.get(dir, name), body.getBytes("UTF-8"))
+    }
+    shard("a.jsonl", 0L); shard("b.jsonl", 100L); shard("c.jsonl", 200L)
+    val q = () => v2(dir).filter(col("gene_count") >= 200)
+
+    // without the sidecar: every shard is planned
+    assert(q().rdd.getNumPartitions === 3)
+    val before = q().select(col("genome_id")).as[String].collect().sorted
+
+    // with the sidecar: only the one shard whose range can match
+    graft.sources.v2.GenomeZoneMap.write(spark, dir)
+    assert(q().rdd.getNumPartitions === 1)
+    val after = q().select(col("genome_id")).as[String].collect().sorted
+    assert(after === before)
+    assert(after.length === 10)
+
+    // an unfiltered read still plans (and returns) everything — the
+    // sidecar itself is never listed as data
+    assert(v2(dir).rdd.getNumPartitions === 3)
+    assert(v2(dir).count() === 30)
+
+    // equality probes prune to the single covering shard
+    val eq = v2(dir).filter(col("gene_count") === 105L)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.count() === 1)
+  }
+
   test("column pruning reaches the reader (scan output is the projection)") {
     val df = v2(res("genome-records.jsonl")).select(col("genome_id"))
     val scan = df.queryExecution.executedPlan.collect {
