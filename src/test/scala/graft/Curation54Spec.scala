@@ -91,4 +91,24 @@ class Curation54Spec extends SparkSpec {
     assert(got === expected)
     assert(got.size === 3)
   }
+
+  test("hll_sketch_union_cardinality: merge laws — union of per-type " +
+    "sketches equals the one-shot sketch and the exact count") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val oneShot = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id))")).collect()
+      .head.getLong(0)
+    val viaUnion = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
+      .head.getLong(0)
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(viaUnion === oneShot)    // merge = one-pass (register maxes)
+    assert(oneShot === exact)       // sparse regime: estimate is exact
+    // and the registry query's _all row carries the same number
+    val allRow = byName("hll_sketch_union_cardinality")
+      .filter(col("event_type") === "_all").collect().head.getLong(1)
+    assert(allRow === exact)
+  }
 }
