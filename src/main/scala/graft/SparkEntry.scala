@@ -40,7 +40,8 @@ object SparkEntry {
       Curation47Queries.defs ++ Curation48Queries.defs ++
       Curation49Queries.defs ++ Curation50Queries.defs ++
       Curation51Queries.defs ++ Curation52Queries.defs ++
-      Curation53Queries.defs ++ Curation54Queries.defs
+      Curation53Queries.defs ++ Curation54Queries.defs ++
+      Curation55Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Batch 55: BLEU — the classic generation-eval metric the eval family
+  * (rouge_l_pairs, pass_at_k, ndcg/mrr/map) still lacked.  Candidate/
+  * reference pairs come from the corpus's injected 90%-prefix
+  * truncations (Corpus.withDups construction: candidate = the +1e6
+  * near-dup, reference = its base document), the same known-truth
+  * substrate the dedup calibration uses.
+  */
+object Curation55Queries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "bleu_ngram_precisions",
+      (s, d) => {
+        // Corpus-level modified n-gram precisions for n = 1..4 plus
+        // the brevity ratio (n = 0 row) — every BLEU ingredient in
+        // exact integers; the geometric-mean + exp tail is a trivial
+        // driver-side float over FOUR numbers and deliberately stays
+        // out of the engine (transcendental, not bit-portable).
+        // Shape: per-pair n-gram counts on each side (narrow explode),
+        // one (pair, n, gram) equi-join for clipping, bounded n-keyed
+        // rollup.  No pair ever sees another pair's grams, so the join
+        // key space is pair-local — the shape that survives a corpus
+        // of any size as long as single documents stay bounded.
+        val base = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("pair"), col("text"))
+        // candidate = the 90%-prefix truncation (the +1e6 near-dup)
+        val cand = base.select(col("pair"),
+          expr("substring(text, 1, (length(text)*9) div 10)").as("text"))
+        def grams(df: org.apache.spark.sql.DataFrame, cnt: String) = df
+          .select(col("pair"), split(col("text"), " ").as("toks"))
+          .select(col("pair"), explode(expr(
+            """flatten(transform(sequence(1, 4), n ->
+              |  transform(sequence(1, size(toks) - n + 1), i ->
+              |    struct(n AS n, array_join(slice(toks, i, n), ' ')
+              |      AS gram))))""".stripMargin)).as("g"))
+          .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+          .agg(count(lit(1)).as(cnt))
+        val joined = grams(cand, "c_cand")
+          .join(grams(base, "c_ref"), Seq("pair", "n", "gram"), "left")
+          .select(col("n"), col("c_cand"),
+            least(col("c_cand"), coalesce(col("c_ref"), lit(0L)))
+              .as("clipped"))
+        val precisions = joined.groupBy(col("n").cast("long").as("n"))
+          .agg(sum(col("clipped")).as("matched"),
+            sum(col("c_cand")).as("total"))
+          .select(col("n"), col("matched"), col("total"),
+            expr("matched * 1000 div total").as("prec_permille"))
+        // brevity row: candidate vs reference token mass
+        val brevity = cand.select(size(split(col("text"), " "))
+            .cast("long").as("cl"))
+          .agg(sum(col("cl")).as("matched"))
+          .crossJoin(broadcast(base.select(size(split(col("text"), " "))
+            .cast("long").as("rl")).agg(sum(col("rl")).as("total"))))
+          .select(lit(0L).as("n"), col("matched"), col("total"),
+            expr("matched * 1000 div total").as("prec_permille"))
+        precisions.unionByName(brevity)
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id AS pair, text FROM documents WHERE doc_id % 50 = 0),
+        |cand AS (SELECT pair,
+        |    substr(text, 1, (length(text)*9)//10) AS text FROM base),
+        |cg AS (SELECT pair, n.n, array_to_string(toks[i.i+1 : i.i+n.n], ' ')
+        |      AS gram, count(*)::BIGINT AS c_cand
+        |  FROM (SELECT pair, string_split(text, ' ') AS toks FROM cand),
+        |    (SELECT unnest([1,2,3,4]) AS n) n,
+        |    (SELECT range AS i FROM range(0, 4096)) i
+        |  WHERE i.i + n.n <= len(toks) GROUP BY 1, 2, 3),
+        |rg AS (SELECT pair, n.n, array_to_string(toks[i.i+1 : i.i+n.n], ' ')
+        |      AS gram, count(*)::BIGINT AS c_ref
+        |  FROM (SELECT pair, string_split(text, ' ') AS toks FROM base),
+        |    (SELECT unnest([1,2,3,4]) AS n) n,
+        |    (SELECT range AS i FROM range(0, 4096)) i
+        |  WHERE i.i + n.n <= len(toks) GROUP BY 1, 2, 3),
+        |j AS (SELECT cg.n, cg.c_cand,
+        |    least(cg.c_cand, coalesce(rg.c_ref, 0)) AS clipped
+        |  FROM cg LEFT JOIN rg ON rg.pair = cg.pair AND rg.n = cg.n
+        |    AND rg.gram = cg.gram),
+        |prec AS (SELECT n::BIGINT AS n, sum(clipped)::BIGINT AS matched,
+        |    sum(c_cand)::BIGINT AS total,
+        |    (sum(clipped) * 1000 // sum(c_cand))::BIGINT AS prec_permille
+        |  FROM j GROUP BY n),
+        |brev AS (SELECT 0::BIGINT AS n,
+        |    (SELECT sum(len(string_split(text, ' ')))::BIGINT FROM cand)
+        |      AS matched,
+        |    (SELECT sum(len(string_split(text, ' ')))::BIGINT FROM base)
+        |      AS total)
+        |SELECT n, matched, total, prec_permille FROM prec
+        |UNION ALL
+        |SELECT n, matched, total,
+        |  (matched * 1000 // total)::BIGINT FROM brev""".stripMargin),
+      "Corpus-level BLEU ingredients over the injected near-dup pairs: " +
+        "modified (reference-clipped) n-gram precision for n = 1..4 " +
+        "in exact permille, plus the candidate/reference length ratio " +
+        "the brevity penalty needs (n = 0 row).  Clipping is one " +
+        "pair-local (pair, n, gram) equi-join between the two count " +
+        "tables; the geometric-mean + exp composite stays driver-side " +
+        "by design — four numbers, transcendental, not bit-portable."),
+  )
+}

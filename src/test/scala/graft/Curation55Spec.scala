@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-55 invariants: exact driver replay of the BLEU ingredients
+  * and the bounds the prefix-truncation construction implies. */
+class Curation55Spec extends SparkSpec {
+
+  private def byName(name: String) =
+    SparkEntry.registry.find(_.name == name).get.fn(spark, sfDir)
+
+  test("bleu_ngram_precisions: exact clipped-count replay; prefix " +
+    "candidates keep precision near the ceiling") {
+    val base = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def ngrams(s0: String, n: Int): Map[String, Long] =
+      s0.split(" ", -1).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    val perN = (1 to 4).map { n =>
+      var matched = 0L; var total = 0L
+      base.foreach { case (_, ref) =>
+        val cand = ref.substring(0, ref.length * 9 / 10)
+        val cg = ngrams(cand, n); val rg = ngrams(ref, n)
+        cg.foreach { case (g, c) =>
+          matched += math.min(c, rg.getOrElse(g, 0L)); total += c
+        }
+      }
+      (n.toLong, matched, total, matched * 1000 / total)
+    }
+    val brevM = base.map { case (_, ref) =>
+      ref.substring(0, ref.length * 9 / 10).split(" ", -1).length.toLong }.sum
+    val brevT = base.map(_._2.split(" ", -1).length.toLong).sum
+    val expected = (perN :+
+      ((0L, brevM, brevT, brevM * 1000 / brevT))).toSet
+    val got = byName("bleu_ngram_precisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // construction bounds: a prefix shares all but boundary grams, so
+    // precision stays near (and never above) the ceiling, and longer
+    // grams can only lower it
+    val prec = got.toSeq.filter(_._1 > 0).sortBy(_._1).map(_._4)
+    assert(prec.forall(p => p > 900 && p <= 1000))
+    assert(prec.zip(prec.tail).forall { case (a, b) => b <= a })
+    // brevity ratio reflects the 90% truncation (word-rounding slack)
+    val brev = got.find(_._1 == 0L).get._4
+    assert(brev >= 850 && brev <= 950)
+  }
+}
