@@ -102,5 +102,83 @@ object Curation55Queries {
         "pair-local (pair, n, gram) equi-join between the two count " +
         "tables; the geometric-mean + exp composite stays driver-side " +
         "by design — four numbers, transcendental, not bit-portable."),
+
+    QueryDef(
+      "chrf_char_ngram_f",
+      (s, d) => {
+        // chrF over the same pairs: CHARACTER n-gram (n = 1..6)
+        // precision AND recall — recall is what BLEU's candidate-side
+        // clipping cannot see, and chrF's F-score is a harmonic mean,
+        // i.e. RATIONAL, so unlike BLEU's geometric mean the whole
+        // metric stays in exact integers end to end.  Same pair-local
+        // join shape as bleu_ngram_precisions; corpus-level (micro)
+        // totals per order n.
+        val base = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("pair"), col("text"))
+        val cand = base.select(col("pair"),
+          expr("substring(text, 1, (length(text)*9) div 10)").as("text"))
+        def grams(df: org.apache.spark.sql.DataFrame, cnt: String) = df
+          .select(col("pair"), explode(expr(
+            """flatten(transform(sequence(1, 6), n ->
+              |  transform(sequence(1, length(text) - n + 1), i ->
+              |    struct(n AS n, substring(text, i, n) AS gram))))"""
+              .stripMargin)).as("g"))
+          .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+          .agg(count(lit(1)).as(cnt))
+        grams(cand, "c_cand")
+          .join(grams(base, "c_ref"), Seq("pair", "n", "gram"), "full_outer")
+          .select(col("n"),
+            coalesce(col("c_cand"), lit(0L)).as("c_cand"),
+            coalesce(col("c_ref"), lit(0L)).as("c_ref"))
+          .withColumn("m", least(col("c_cand"), col("c_ref")))
+          .groupBy(col("n").cast("long").as("n"))
+          .agg(sum(col("m")).as("matched"),
+            sum(col("c_cand")).as("cand_total"),
+            sum(col("c_ref")).as("ref_total"))
+          .select(col("n"), col("matched"),
+            expr("matched * 1000 div cand_total").as("p_permille"),
+            expr("matched * 1000 div ref_total").as("r_permille"))
+          .withColumn("f_permille", expr(
+            "CASE WHEN p_permille + r_permille = 0 THEN 0 " +
+              "ELSE (2 * p_permille * r_permille) " +
+              "div (p_permille + r_permille) END"))
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id AS pair, text FROM documents WHERE doc_id % 50 = 0),
+        |cand AS (SELECT pair,
+        |    substr(text, 1, (length(text)*9)//10) AS text FROM base),
+        |cg AS (SELECT pair, n.n, substr(text, i.i + 1, n.n) AS gram,
+        |    count(*)::BIGINT AS c_cand
+        |  FROM cand, (SELECT unnest([1,2,3,4,5,6]) AS n) n,
+        |    (SELECT range AS i FROM range(0, 8192)) i
+        |  WHERE i.i + n.n <= length(text) GROUP BY 1, 2, 3),
+        |rg AS (SELECT pair, n.n, substr(text, i.i + 1, n.n) AS gram,
+        |    count(*)::BIGINT AS c_ref
+        |  FROM base, (SELECT unnest([1,2,3,4,5,6]) AS n) n,
+        |    (SELECT range AS i FROM range(0, 8192)) i
+        |  WHERE i.i + n.n <= length(text) GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(cg.n, rg.n) AS n,
+        |    coalesce(cg.c_cand, 0) AS c_cand,
+        |    coalesce(rg.c_ref, 0) AS c_ref,
+        |    least(coalesce(cg.c_cand, 0), coalesce(rg.c_ref, 0)) AS m
+        |  FROM cg FULL OUTER JOIN rg ON rg.pair = cg.pair
+        |    AND rg.n = cg.n AND rg.gram = cg.gram),
+        |t AS (SELECT n::BIGINT AS n, sum(m)::BIGINT AS matched,
+        |    (sum(m) * 1000 // sum(c_cand))::BIGINT AS p_permille,
+        |    (sum(m) * 1000 // sum(c_ref))::BIGINT AS r_permille
+        |  FROM j GROUP BY n)
+        |SELECT n, matched, p_permille, r_permille,
+        |  CASE WHEN p_permille + r_permille = 0 THEN 0
+        |       ELSE (2 * p_permille * r_permille)
+        |         // (p_permille + r_permille) END::BIGINT AS f_permille
+        |FROM t""".stripMargin),
+      "chrF ingredients: character n-gram precision, recall, and " +
+        "harmonic-mean F per order n = 1..6 over the near-dup pairs — " +
+        "the recall side BLEU cannot see, and (unlike BLEU's " +
+        "geometric mean) fully rational, so every number is exact " +
+        "permille.  The FULL OUTER count join makes reference-only " +
+        "grams first-class (they lower recall, not precision); the " +
+        "join stays pair-local, bounded by document length."),
   )
 }

@@ -49,4 +49,39 @@ class Curation55Spec extends SparkSpec {
     val brev = got.find(_._1 == 0L).get._4
     assert(brev >= 850 && brev <= 950)
   }
+
+  test("chrf_char_ngram_f: exact char-gram replay; recall tracks the " +
+    "10% truncation, precision stays near the ceiling") {
+    val base = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    def cgrams(s0: String, n: Int): Map[String, Long] =
+      (0 to s0.length - n).map(i => s0.substring(i, i + n))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = (1 to 6).map { n =>
+      var m = 0L; var ct = 0L; var rt = 0L
+      base.foreach { case (_, ref) =>
+        val cand = ref.substring(0, ref.length * 9 / 10)
+        val cg = cgrams(cand, n); val rg = cgrams(ref, n)
+        (cg.keySet ++ rg.keySet).foreach { g =>
+          m += math.min(cg.getOrElse(g, 0L), rg.getOrElse(g, 0L))
+        }
+        ct += cg.values.sum; rt += rg.values.sum
+      }
+      val p = m * 1000 / ct; val r = m * 1000 / rt
+      val f = if (p + r == 0) 0L else 2 * p * r / (p + r)
+      (n.toLong, m, p, r, f)
+    }.toSet
+    val got = byName("chrf_char_ngram_f").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // a 90% char prefix: precision near ceiling, recall near 900
+    got.foreach { case (_, _, p, r, f) =>
+      assert(p > 950 && p <= 1000)
+      assert(r > 850 && r < 950)
+      assert(f >= r && f <= p) // harmonic mean sits between
+    }
+  }
 }
