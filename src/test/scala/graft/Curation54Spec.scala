@@ -110,5 +110,16 @@ class Curation54Spec extends SparkSpec {
     val allRow = byName("hll_sketch_union_cardinality")
       .filter(col("event_type") === "_all").collect().head.getLong(1)
     assert(allRow === exact)
+    // the deployment story: sketch BLOBS survive a parquet round-trip
+    // and merge later without touching the events again
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll").toString
+    ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
+      .head.getLong(0)
+    assert(reloaded === exact)
   }
 }
