@@ -180,5 +180,45 @@ object Curation55Queries {
         "permille.  The FULL OUTER count join makes reference-only " +
         "grams first-class (they lower recall, not precision); the " +
         "join stays pair-local, bounded by document length."),
+
+    // ------------------------------- LATERAL correlated top-k per key
+    QueryDef(
+      "lateral_topk_per_customer",
+      (s, d) => {
+        // The declarative per-key top-k: a correlated LATERAL subquery
+        // with ORDER BY + LIMIT — the SQL-surface twin of the window
+        // row_number <= k pattern (limit_topk / budgeted_topk family).
+        // Catalyst decorrelates the lateral into a partitioned ranked
+        // window, so the executed plan is the same two-phase
+        // WindowGroupLimit shape as the hand-written form: per-key
+        // state is k rows, never the customer's whole order list.
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .createOrReplaceTempView("graft_lat_cust")
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_lat_orders")
+        s.sql("""SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+          |  CAST(floor(l.o_totalprice * 100) AS BIGINT) AS price_e2
+          |FROM graft_lat_cust c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey
+          |         LIMIT 2) l""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey,
+        |  floor(l.o_totalprice * 100)::BIGINT AS price_e2
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) l""".stripMargin),
+      "Per-customer top-2 orders through a correlated LATERAL " +
+        "subquery (ORDER BY + LIMIT inside the lateral) — mirrored " +
+        "verbatim in the DuckDB oracle.  Catalyst decorrelates it to " +
+        "a partitioned ranked window, so despite the row-at-a-time " +
+        "surface syntax the executed plan is the set-based two-phase " +
+        "group-limit — per-key state is k rows at any scale.  " +
+        "Deterministic under ties via the orderkey tiebreaker."),
   )
 }

@@ -301,7 +301,8 @@ class PlanAuditSpec extends SparkSpec {
     * at 100 TB. */
   test("top-k window queries plan two-phase WindowGroupLimit") {
     Seq("cosine_topk", "knn_graph", "ann_lsh_topk", "limit_topk",
-      "topk_terms_per_lang", "sample_fixed_per_group").foreach {
+      "topk_terms_per_lang", "sample_fixed_per_group",
+      "lateral_topk_per_customer").foreach { // LATERAL decorrelates here
       name =>
         val plan = SparkEntry.registry.find(_.name == name).get
           .fn(spark, sfDir).queryExecution.sparkPlan.toString
