@@ -50,6 +50,41 @@ class Spark4SqlSpec extends SparkSpec {
     assert(piped.nonEmpty)
   }
 
+  test("SQL session variables (DECLARE / SET VAR) parameterize a query") {
+    docs()
+    spark.sql("DECLARE OR REPLACE VARIABLE s4_minchars BIGINT DEFAULT 0")
+    spark.sql("SET VAR s4_minchars = 120")
+    val got = spark.sql(
+      "SELECT count(*) FROM s4_docs WHERE n_chars >= s4_minchars")
+      .collect().head.getLong(0)
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") >= 120).count()
+    assert(got === expected)
+    assert(got > 0L)
+  }
+
+  test("collated comparison (UTF8_LCASE) matches lower()-normalized " +
+    "equality and grouping") {
+    val mixed = spark.createDataFrame(Seq(
+      ("EN", 1L), ("en", 2L), ("En", 3L), ("de", 4L), ("DE", 5L)))
+      .toDF("lang", "v")
+    // case-insensitive grouping via collation — no lower() rewrite
+    val collated = mixed
+      .groupBy(expr("collate(lang, 'UTF8_LCASE')").as("lang"))
+      .agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0).toLowerCase -> r.getLong(1)).toMap
+    val viaLower = mixed.groupBy(lower(col("lang")).as("lang"))
+      .agg(sum(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(collated === viaLower)
+    assert(collated.keySet === Set("en", "de"))
+    // and collated equality in a filter
+    val n = mixed.filter(
+      expr("collate(lang, 'UTF8_LCASE') = collate('eN', 'UTF8_LCASE')"))
+      .count()
+    assert(n === 3L)
+  }
+
   test("parameterized spark.sql binds named parameters safely") {
     docs()
     val got = spark.sql(
