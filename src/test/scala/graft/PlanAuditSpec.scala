@@ -123,9 +123,10 @@ class PlanAuditSpec extends SparkSpec {
     "ivf_pq_topk",                 // broadcast ~16-row coarse centroid set
     "perceptron_quality_epochs",   // broadcast 1-row inter-epoch weights
     "tpch_q22_sales_opportunity",  // broadcast 1-row global-average gate
-    "tpch_q11_important_stock")    // broadcast 1-row fraction gate (the
+    "tpch_q11_important_stock",    // broadcast 1-row fraction gate (the
                                    // > compare keeps it a BNLJ; Q15's =
                                    // gate becomes a hash join instead
+    "bleu_ngram_precisions")       // brevity row: 1-row x 1-row totals
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
