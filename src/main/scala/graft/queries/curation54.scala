@@ -31,11 +31,19 @@ object Curation54Queries {
         // prefixes match IS the LCP length (capped at 64 chars — one
         // 4-token cache block of headroom; the cap mirrors in the
         // oracle).
+        // min/max run over the 64-char truncation, not the full text:
+        // truncation is monotone for the lexicographic order, so
+        // min(trunc(s)) = trunc(min(s)) (and dually for max), and
+        // LCP(trunc64(a), trunc64(b)) = min(64, LCP(a, b)) — the exact
+        // capped answer with aggregation state bounded at 64 chars per
+        // group instead of two full documents (the unfiltered oracle
+        // proves the identity end to end)
         Tables.documents(s, d)
-          .select(substring(col("text"), 1, 12).as("tpl"), col("text"))
+          .select(substring(col("text"), 1, 12).as("tpl"),
+            substring(col("text"), 1, 64).as("t64"))
           .groupBy(col("tpl"))
           .agg(count(lit(1)).as("n_prompts"),
-            min(col("text")).as("mn"), max(col("text")).as("mx"))
+            min(col("t64")).as("mn"), max(col("t64")).as("mx"))
           .filter(col("n_prompts") >= 2)
           // native codegen'd LCP kernel (one forward pass, stops at the
           // first divergence) in place of the O(cap^2)-bytes HOF count;
