@@ -142,6 +142,30 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Arbitrary-state v2 with the COMPOSITE state types: per-user
+    * activity tally in a MapState[String, Long] (one entry per event
+    * type), the recent-event window in a ListState[Long] trimmed to k,
+    * and optional processing-time TTL on both — the mechanism that
+    * keeps keyed state bounded on a 100 TB stream when no watermark
+    * applies (abandoned keys age out instead of accumulating).
+    * TwsParitySpec pins a two-batch driver-fold parity and the TTL
+    * expiry behavior. */
+  def userActivityTws(events: Dataset[JobEvent], recentK: Int,
+      ttlMs: Option[Long] = None): Dataset[ActivitySummary] = {
+    import events.sparkSession.implicits._
+    // state TTL requires the processing-time mode; without TTL the
+    // plain TimeMode.None path applies
+    val mode =
+      if (ttlMs.isDefined)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserActivityProcessor(recentK, ttlMs), mode,
+        OutputMode.Update())
+  }
+
   /** Streaming twin of the `sliding_distinct_users` batch operator:
     * distinct-user cardinality per 3 h window sliding by 1 h. Exact
     * streaming count-distinct would buffer every user id per open window;
@@ -801,6 +825,8 @@ final case class GateDecision(user_id: Long, in_flight: Int, admitted: Int,
     rejected: Int)
 final case class RetryDecision(user_id: Long, event_id: Long, failures: Int,
     willRetry: Boolean)
+final case class ActivitySummary(user_id: Long, n_types: Long, total: Long,
+    recent: Seq[Long])
 
 /** Arbitrary-state v2 processor behind [[Streams.capacityGateTws]]:
   * the in-flight count lives in a named ValueState[Int] ("inFlight") —
@@ -860,5 +886,52 @@ final class RetryGateProcessor(maxRetries: Int)
     }
     failuresState.update(failures)
     out.iterator
+  }
+}
+
+/** Composite-state v2 processor behind [[Streams.userActivityTws]]:
+  * the per-type tally lives in a MapState (one entry per event type —
+  * point lookups and updates, no whole-blob rewrite), the recent-id
+  * window in a ListState trimmed to k, both optionally TTL'd on
+  * processing time so abandoned users age out of the store.  The fold
+  * is event_id-sorted for multi-partition determinism. */
+final class UserActivityProcessor(recentK: Int, ttlMs: Option[Long])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, JobEvent, ActivitySummary] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+    TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var typeCounts: MapState[String, Long] = _
+  @transient private var recentIds: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = ttlMs
+      .map(ms => new TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+      Encoders.STRING, Encoders.scalaLong, ttl)
+    recentIds = getHandle.getListState[Long]("recentIds",
+      Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(user: Long, evs: Iterator[JobEvent],
+      timers: TimerValues): Iterator[ActivitySummary] = {
+    evs.toIndexedSeq.sortBy(_.event_id).foreach { e =>
+      val prev =
+        if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type)
+        else 0L
+      typeCounts.updateValue(e.event_type, prev + 1L)
+      recentIds.appendValue(e.event_id)
+    }
+    // trim the window to the last k ids (ListState has no suffix op;
+    // the rewrite is k elements, bounded)
+    val ids = recentIds.get().toIndexedSeq
+    val kept = ids.takeRight(recentK)
+    if (ids.size > kept.size) recentIds.put(kept.toArray)
+    val counts = typeCounts.iterator().toIndexedSeq
+    Iterator.single(ActivitySummary(user, counts.size.toLong,
+      counts.map(_._2).sum, kept))
   }
 }
