@@ -220,5 +220,40 @@ object Curation55Queries {
         "surface syntax the executed plan is the set-based two-phase " +
         "group-limit — per-key state is k rows at any scale.  " +
         "Deterministic under ties via the orderkey tiebreaker."),
+
+    // -------------------------------- ordered string aggregation
+    QueryDef(
+      "listagg_sources_by_lang",
+      (s, d) => {
+        // Spark 4's listagg with WITHIN GROUP ordering: the ordered
+        // string rollup (previously only expressible as
+        // sort_array(collect_set(..)) + array_join).  DISTINCT +
+        // explicit ORDER BY makes the result a deterministic function
+        // of the grouped SET — order-independent, partitioning-
+        // independent — which is the only way a string agg is usable
+        // in an engine-portable pipeline.
+        // dedupe BEFORE the agg: listagg(DISTINCT ..) WITHIN GROUP
+        // trips an AttributeReference->SortOrder cast in the 4.1
+        // planner, and the pre-distinct is the better plan anyway
+        // (partial-aggregated set reduction before the string build)
+        Tables.documents(s, d)
+          .select(col("lang"), col("source")).distinct()
+          .createOrReplaceTempView("graft_la_docs")
+        s.sql("""SELECT lang,
+          |  listagg(source, ',')
+          |    WITHIN GROUP (ORDER BY source) AS sources,
+          |  CAST(count(source) AS BIGINT) AS n_sources
+          |FROM graft_la_docs GROUP BY lang""".stripMargin)
+      },
+      Some("""SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  count(DISTINCT source)::BIGINT AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin),
+      "Ordered distinct string aggregation per language via Spark 4's " +
+        "listagg WITHIN GROUP — deterministic because DISTINCT plus " +
+        "the explicit ORDER BY make the result a pure function of the " +
+        "grouped set, independent of row arrival order or " +
+        "partitioning.  The oracle is DuckDB's ordered string_agg; " +
+        "identical strings prove the ordering contract."),
   )
 }

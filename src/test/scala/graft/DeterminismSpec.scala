@@ -51,7 +51,8 @@ class DeterminismSpec extends SparkSpec {
     "best_of_n_reward_curve",     // per-group combinatorial expectation
     "variant_shred_props",        // VARIANT parse + typed extraction
     "knn_bfs_hops",               // superstep BFS min-distance carry
-    "knn_bfs_recursive_sql")      // UnionLoop recursion, same answer
+    "knn_bfs_recursive_sql",      // UnionLoop recursion, same answer
+    "listagg_sources_by_lang")    // ordered string agg: order contract
 
   for (name <- sample) {
     test(s"$name: identical rows under 3 vs 32 shuffle partitions") {
