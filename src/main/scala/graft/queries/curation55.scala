@@ -255,5 +255,48 @@ object Curation55Queries {
         "grouped set, independent of row arrival order or " +
         "partitioning.  The oracle is DuckDB's ordered string_agg; " +
         "identical strings prove the ordering contract."),
+
+    // ------------------------------ exact mergeable distinct (bitmaps)
+    QueryDef(
+      "bitmap_exact_distinct_users",
+      (s, d) => {
+        // The EXACT complement of the HLL sketch rollup: per-bucket
+        // bitmaps over the dense user-id space (bitmap_bucket_number /
+        // bitmap_bit_position partition ids into 32k-bit buckets), one
+        // bitmap per (event_type, bucket) — partial-aggregatable OR
+        // folds — then per-type counts, and the overall cardinality by
+        // bitmap_or_agg MERGING the per-type bitmaps bucket-wise
+        // without rescanning events.  Exact at any scale (bitmaps
+        // never approximate); the cost model is bits over the id
+        // domain per group, which dense ids keep linear — the
+        // trade against HLL's fixed-size-but-approximate sketches.
+        Tables.events(s, d)
+          .select(col("event_type"), col("user_id"))
+          .createOrReplaceTempView("graft_bm_events")
+        s.sql("""WITH per_bucket AS (
+          |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+          |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM graft_bm_events GROUP BY 1, 2)
+          |SELECT event_type,
+          |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+          |FROM per_bucket GROUP BY event_type
+          |UNION ALL
+          |SELECT '_all', CAST(sum(cnt) AS BIGINT) FROM (
+          |  SELECT bitmap_count(bitmap_or_agg(bm)) AS cnt
+          |  FROM per_bucket GROUP BY bkt)""".stripMargin)
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_all', count(DISTINCT user_id)::BIGINT FROM events"""
+        .stripMargin),
+      "Exact distinct users per event type through Spark 4's bitmap " +
+        "aggregates: ids partition into 32k-bit buckets, OR-folds " +
+        "build one bitmap per (type, bucket) map-side, counts sum per " +
+        "type, and the overall cardinality merges the per-type " +
+        "bitmaps bucket-wise (bitmap_or_agg) with no second scan — " +
+        "the exact mergeable-distinct pattern, complementing the HLL " +
+        "sketch rollup's fixed-size approximate one.  Oracle: plain " +
+        "exact count distinct."),
   )
 }
