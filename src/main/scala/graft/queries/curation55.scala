@@ -37,9 +37,16 @@ object Curation55Queries {
           .select(col("pair"), split(col("text"), " ").as("toks"))
           .select(col("pair"), explode(expr(
             """flatten(transform(sequence(1, 4), n ->
-              |  transform(sequence(1, size(toks) - n + 1), i ->
+              |  transform(if(size(toks) >= n,
+              |      sequence(1, size(toks) - n + 1),
+              |      cast(array() as array<int>)), i ->
               |    struct(n AS n, array_join(slice(toks, i, n), ' ')
               |      AS gram))))""".stripMargin)).as("g"))
+          // the if() guard matters: for a doc shorter than n tokens,
+          // sequence(1, size-n+1) has start > stop and Spark counts
+          // DOWN (default step -1), so i reaches 0 and slice throws —
+          // short docs must contribute the EMPTY gram set (the
+          // oracle's `i + n <= len(toks)` bound), not an error
           .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
           .agg(count(lit(1)).as(cnt))
         val joined = grams(cand, "c_cand")
@@ -121,9 +128,15 @@ object Curation55Queries {
         def grams(df: org.apache.spark.sql.DataFrame, cnt: String) = df
           .select(col("pair"), explode(expr(
             """flatten(transform(sequence(1, 6), n ->
-              |  transform(sequence(1, length(text) - n + 1), i ->
+              |  transform(if(length(text) >= n,
+              |      sequence(1, length(text) - n + 1),
+              |      cast(array() as array<int>)), i ->
               |    struct(n AS n, substring(text, i, n) AS gram))))"""
               .stripMargin)).as("g"))
+          // same guard as bleu_ngram_precisions: a text shorter than n
+          // chars must emit ZERO n-grams of order n — the unguarded
+          // downward sequence reaches i <= 0 where substring silently
+          // fabricates grams that don't exist (wrong counts, no error)
           .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
           .agg(count(lit(1)).as(cnt))
         grams(cand, "c_cand")

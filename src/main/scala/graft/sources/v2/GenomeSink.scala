@@ -56,7 +56,8 @@ final class GenomeBatchWrite(path: String, schema: StructType)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GenomeWriterFactory(path, schema)
+    new GenomeWriterFactory(path, schema, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 
   /** Driver-side: publish staged files atomically-per-file. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -80,19 +81,21 @@ final class GenomeBatchWrite(path: String, schema: StructType)
   }
 }
 
-final class GenomeWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+/** Serialized driver -> executor; carries the session Hadoop conf so
+  * task-side staged-file creation keeps credentials / fs.* settings. */
+final class GenomeWriterFactory(path: String, schema: StructType,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GenomeJsonWriter(path, schema, partitionId, taskId)
+    new GenomeJsonWriter(path, schema, partitionId, taskId, conf)
 }
 
 final class GenomeJsonWriter(dir: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
 
   private val staged = s"$dir/_tmp-part-$partitionId-$taskId.jsonl"
   private val finalName = f"part-$partitionId%05d.jsonl"
-  private val fs = FileSystem.get(new Path(dir).toUri,
-    new org.apache.hadoop.conf.Configuration())
+  private val fs = FileSystem.get(new Path(dir).toUri, conf.value)
   private val out = {
     fs.mkdirs(new Path(dir))
     new java.io.PrintWriter(new java.io.OutputStreamWriter(

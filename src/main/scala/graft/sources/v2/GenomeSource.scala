@@ -112,27 +112,35 @@ final class GenomeScan(path: String, required: StructType,
     val status = fs.getFileStatus(hPath)
     val files =
       if (status.isDirectory)
-        fs.listStatus(hPath).filter(_.isFile).map(_.getPath.toString)
-          .filterNot(f => f.contains("/_") || f.contains("/."))
-      else Array(hPath.toString)
+        fs.listStatus(hPath).filter(_.isFile)
+          .filterNot(st => st.getPath.toString.contains("/_") ||
+            st.getPath.toString.contains("/."))
+      else Array(status)
     // data skipping: with a _zonemap.json sidecar present, drop whole
-    // shards whose gene_count range cannot satisfy the pushed filters
-    // (GenomeZoneMap; the reader's row-level pushdown remains the
-    // exact second line of defense, so this never changes results)
+    // shards whose gene_count range cannot satisfy the pushed filters.
+    // Skipping removes files BEFORE the row-level filter runs, so it is
+    // only safe for entries whose recorded (length, mtime) fingerprint
+    // still matches the live file (FileStats.covers) — a shard
+    // rewritten after the sidecar was built is planned unconditionally
+    // and the reader's row-level pushdown keeps it exact.
     val zm =
       if (status.isDirectory) GenomeZoneMap.load(fs, hPath) else None
     val kept = zm match {
-      case Some(m) => files.filter { f =>
-        m.get(new Path(f).getName)
-          .forall(s => GenomeZoneMap.mightMatch(pushed, s))
+      case Some(m) => files.filter { st =>
+        m.get(st.getPath.getName) match {
+          case Some(s) if s.covers(st) => GenomeZoneMap.mightMatch(pushed, s)
+          case _ => true // unknown or stale entry: never skip
+        }
       }
       case None => files
     }
-    kept.sorted.map(f => GenomeFilePartition(f): InputPartition)
+    kept.map(_.getPath.toString).sorted
+      .map(f => GenomeFilePartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenomeReaderFactory(required, pushed)
+    new GenomeReaderFactory(required, pushed, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -188,7 +196,8 @@ final class GenomeMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenomeReaderFactory(required, pushed)
+    new GenomeReaderFactory(required, pushed, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -204,21 +213,23 @@ final case class GenomeOffset(files: Seq[String])
   }
 }
 
-final class GenomeReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+/** Serialized driver -> executor; carries the session Hadoop conf so
+  * executor-side file opens keep credentials / fs.* settings. */
+final class GenomeReaderFactory(required: StructType, pushed: Array[Filter],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GenomeFileReader(
-      partition.asInstanceOf[GenomeFilePartition].file, required, pushed)
+      partition.asInstanceOf[GenomeFilePartition].file, required, pushed, conf)
 }
 
 /** Per-file line reader: parse -> filter -> project, all executor-side. */
 final class GenomeFileReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val hPath = new Path(file)
-  private val fs = FileSystem.get(hPath.toUri,
-    new org.apache.hadoop.conf.Configuration())
+  private val fs = FileSystem.get(hPath.toUri, conf.value)
   private val lines = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(hPath), "UTF-8"))
   private var current: InternalRow = _

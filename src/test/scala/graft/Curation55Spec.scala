@@ -84,4 +84,41 @@ class Curation55Spec extends SparkSpec {
       assert(f >= r && f <= p) // harmonic mean sits between
     }
   }
+
+  test("short documents contribute empty gram sets, not crashes or " +
+    "fabricated grams (the downward-sequence guard)") {
+    import spark.implicits._
+    // a corpus where the selected pair set (doc_id % 50 == 0) contains
+    // a 1-token / 2-char doc: unguarded, the BLEU enumeration throws
+    // (slice at i <= 0) and the chrF one silently invents char-grams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_c55_short").toString
+    Seq(
+      (0L, "hi"),                       // 1 token, 2 chars — the trap
+      (50L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bleu = SparkEntry.registry.find(_.name == "bleu_ngram_precisions")
+      .get.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "hi" has one 1-gram and zero 2/3/4-grams; candidate = 90% prefix
+    // of "hi" = "h" (1 token).  Long docs dominate, but the short doc
+    // must add exactly one clipped unigram pair and nothing above n=1.
+    assert(bleu.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val docs = Seq("hi",
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten")
+    def toks(s0: String) = s0.substring(0, s0.length * 9 / 10)
+      .split(" ", -1).filter(_ => true)
+    val candToks = docs.map(toks)
+    (1 to 4).foreach { n =>
+      val total = candToks.map(t => math.max(0, t.length - n + 1).toLong).sum
+      assert(bleu(n.toLong)._2 === total,
+        s"n=$n: expected $total candidate $n-grams (short doc excluded)")
+    }
+    val chrf = SparkEntry.registry.find(_.name == "chrf_char_ngram_f")
+      .get.fn(spark, dir).collect()
+    assert(chrf.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }

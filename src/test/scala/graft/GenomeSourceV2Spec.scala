@@ -82,6 +82,38 @@ class GenomeSourceV2Spec extends SparkSpec {
     assert(eq.count() === 1)
   }
 
+  test("a stale zone-map entry never skips: a shard rewritten after the " +
+    "sidecar was built is planned unconditionally") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zm_stale").toString
+    def shard(name: String, lo: Long, n: Int = 10): Unit = {
+      val body = (lo until lo + n).map(v =>
+        s"""{"genome_id":"g$v","genome_name":"n$v","pathway":"p",""" +
+          s""""gene_count":$v}""").mkString("\n")
+      Files.write(Paths.get(dir, name), body.getBytes("UTF-8"))
+    }
+    shard("a.jsonl", 0L); shard("b.jsonl", 100L)
+    graft.sources.v2.GenomeZoneMap.write(spark, dir)
+    val q = () => v2(dir).filter(col("gene_count") >= 200)
+    // sidecar current: both shards' ranges fail the predicate -> 0 files
+    assert(q().rdd.getNumPartitions === 0)
+    // REWRITE shard a with rows that DO match; the sidecar still claims
+    // [0, 9].  Trusting it would silently drop all matching rows — the
+    // (len, mtime) fingerprint must detect the mismatch and plan the
+    // file, leaving the row-level filter to produce the exact answer.
+    shard("a.jsonl", 200L, n = 25) // different length => stale for sure
+    val got = q().select(col("gene_count")).as[Long].collect().sorted
+    assert(got === (200L until 225L).toArray, "stale sidecar dropped rows")
+    // shard b's entry is still current and still skips
+    assert(q().rdd.getNumPartitions === 1)
+    // rebuilding the sidecar restores skipping with the new range
+    graft.sources.v2.GenomeZoneMap.write(spark, dir)
+    assert(v2(dir).filter(col("gene_count") >= 300).rdd
+      .getNumPartitions === 0)
+    assert(q().rdd.getNumPartitions === 1)
+    assert(q().count() === 25)
+  }
+
   test("column pruning reaches the reader (scan output is the projection)") {
     val df = v2(res("genome-records.jsonl")).select(col("genome_id"))
     val scan = df.queryExecution.executedPlan.collect {
