@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * the two at sf0.01 (see Verify.scala), so every query must be
   * deterministic: explicit ORDER BY, no floating-point aggregation whose
   * result depends on summation order (see [[Det]]).
+  *
+  * CACHE CONTRACT: a query's `fn` MAY `persist()` shared subtrees that
+  * its returned plan references more than once (the dedup shingle
+  * tables, the MMR candidate unroll, iterative CC labels) — that is
+  * what makes those plans affordable — and those blocks intentionally
+  * survive `fn`'s return so the CALLER's action reads them. The caller
+  * MUST `spark.catalog.clearCache()` after consuming each result
+  * (Verify, Bench, and the specs all do); without it, accumulated
+  * storage across a registry sweep starves execution memory (measured
+  * >5x on the full-run total at local[4]/8g). CacheContractSpec pins
+  * that clearCache() fully drains every persisting query's blocks.
   */
 final case class QueryDef(
     name: String,

@@ -574,12 +574,23 @@ object WindowQueries {
     // ------------------------------------------------------- W5 (extra)
     QueryDef(
       "percent_rank_cume",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        percent_rank().over(Window.partitionBy(col("lang"))
-          .orderBy(col("n_chars"), col("doc_id"))).as("pct_rank"),
-        cume_dist().over(Window.partitionBy(col("lang"))
-          .orderBy(col("n_chars"), col("doc_id"))).as("cume")),
+      (s, d) => {
+        // (doc_id tiebreak makes the order total, so rank == row index
+        // and cume_dist == rank / n).  Executes through ScalableGroups:
+        // one range exchange on (lang, n_chars, doc_id) + a broadcast
+        // per-lang (first index, count) — no enum-partitioned window
+        // concentrating corpus/|lang| rows on single tasks.
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.operators.ScalableGroups.withGroupRank(
+            docs, Seq("lang"), Seq(col("n_chars"), col("doc_id")), 8,
+            rankCol = "r", sizeCol = "n")
+          .select(col("doc_id"), col("lang"),
+            when(col("n") === 1, lit(0.0)).otherwise(
+              (col("r") - 1).cast("double") /
+                (col("n") - 1).cast("double")).as("pct_rank"),
+            (col("r").cast("double") / col("n").cast("double")).as("cume"))
+      },
       Some("""SELECT doc_id, lang,
         | percent_rank() OVER (PARTITION BY lang
         |                      ORDER BY n_chars, doc_id) AS pct_rank,
@@ -589,7 +600,9 @@ object WindowQueries {
       "Relative standing within a partition: percent_rank ((rank-1)/(n-1)) " +
         "and cume_dist (rank/n) — each a single IEEE division of exact " +
         "integers, so cross-engine bit-parity holds without fixed-point. " +
-        "Same one-shuffle window shape as rank_positions."),
+        "The rank is a ScalableGroups dense index (range exchange + " +
+        "broadcast per-lang offsets), valid because the doc_id tiebreak " +
+        "makes the order total — flat at any corpus size."),
   )
 }
 

@@ -93,11 +93,13 @@ object AnalyticsQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-        val bySrc = docs
-          .withColumn("r", row_number().over(Window.partitionBy(col("source"))
-            .orderBy(col("n_chars"), col("doc_id"))).cast("bigint"))
-          .withColumn("m", count(lit(1))
-            .over(Window.partitionBy(col("source"))))
+        // within-source rank r of m via ScalableGroups — range exchange
+        // on (source, n_chars, doc_id) + broadcast per-source offsets,
+        // not a source-partitioned window (corpus/|source| rows per
+        // task); the doc_id tiebreak makes row_number == dense index
+        val bySrc = graft.operators.ScalableGroups.withGroupRank(
+          docs, Seq("source"), Seq(col("n_chars"), col("doc_id")), 8,
+          rankCol = "r", sizeCol = "m")
         // global order statistics via ScalableIndex (range partition +
         // per-partition offsets) — the corpus-wide sort never collapses
         // to one task; k is the 1-based dense rank in (n_chars, doc_id)

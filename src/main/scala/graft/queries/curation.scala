@@ -373,15 +373,20 @@ object CurationQueries {
     QueryDef(
       "blocking_sorted_neighborhood",
       (s, d) => {
+        // adjacency from a ScalableIndex dense index over the total
+        // order (lang, bkey, doc_id) joined on idx+1 — not a
+        // lang-partitioned lead() window (corpus/|lang| rows per task);
+        // the lang equality keeps pairs inside the block
         val keyed = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             substring(lower(col("text")), 1, 12).as("bkey"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("bkey"), col("doc_id"))
-        keyed.select(col("doc_id"), col("lang"), col("bkey"),
-            lead(col("doc_id"), 1).over(w).as("next_id"),
-            lead(col("bkey"), 1).over(w).as("next_bkey"))
-          .filter(col("next_id").isNotNull)
+        val idxd = graft.operators.ScalableIndex.withDenseIndex(
+          keyed, Seq(col("lang"), col("bkey"), col("doc_id")), 8, "idx")
+        val nxt = idxd.select(col("doc_id").as("next_id"),
+          col("lang").as("nlang"), col("bkey").as("next_bkey"),
+          (col("idx") - 1).as("idx"))
+        idxd.join(nxt, Seq("idx"))
+          .filter(col("lang") === col("nlang"))
           .select(col("doc_id"), col("next_id"), col("lang"),
             (substring(col("bkey"), 1, 4) ===
               substring(col("next_bkey"), 1, 4)).as("prefix_match"))
@@ -398,10 +403,10 @@ object CurationQueries {
         |       (substr(bkey, 1, 4) = substr(next_bkey, 1, 4)) AS prefix_match
         |FROM nbr WHERE next_id IS NOT NULL""".stripMargin),
       "Sorted-neighborhood blocking, the non-LSH dedup candidate " +
-        "strategy: sort each partition (lang) by a normalized blocking " +
-        "key and pair adjacent docs via lead() — window size 1 here, " +
-        "widen with more lead offsets. One shuffle on the partition " +
-        "key; at 100 TB the sort rides range partitioning and each " +
+        "strategy: sort by (lang, blocking key) and pair adjacent docs " +
+        "— adjacency via ScalableIndex idx+1 equi-join (range exchange " +
+        "+ fine-grained keys), so every lang splits across tasks; " +
+        "window size 1 here, widen with more offsets. At 100 TB each " +
         "task emits only its neighborhood pairs, never a cross join."),
 
     // ---------------------------------------------------- fuzzy matching

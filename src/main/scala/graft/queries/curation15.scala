@@ -15,13 +15,19 @@ object Curation15Queries {
     QueryDef(
       "theil_sen_slope",
       (s, d) => {
-        val sample = Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("x"),
-            length(col("text")).cast("long").as("y"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        // deterministic first-60-per-lang sample and the median-pair
+        // rank both execute through ScalableGroups (range exchange +
+        // broadcast lang offsets) — no lang-partitioned window ever
+        // sees corpus-size (or pair-set-size) rows on one task
+        val sample = graft.operators.ScalableGroups.withGroupRank(
+            Tables.documents(s, d)
+              .select(col("lang"), col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("x"),
+                length(col("text")).cast("long").as("y")),
+            Seq("lang"), Seq(col("doc_id")), 8, rankCol = "rn",
+            sizeCol = "__gn")
           .filter(col("rn") <= 60)
+          .drop("rn", "__gn")
         val pairs = sample.as("a").join(sample.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id") &&
@@ -30,13 +36,11 @@ object Curation15Queries {
             (col("b.y") - col("a.y")).as("dy"),
             (col("b.x") - col("a.x")).as("dx"),
             col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        val ranked = pairs
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("lang"))
-              .orderBy((col("dy").cast("double") / col("dx").cast("double"))
-                .asc, col("dy"), col("dx"), col("ia"), col("ib"))))
-          .withColumn("np", count(lit(1)).over(
-            Window.partitionBy(col("lang"))))
+        val ranked = graft.operators.ScalableGroups.withGroupRank(
+          pairs, Seq("lang"),
+          Seq((col("dy").cast("double") / col("dx").cast("double")).asc,
+            col("dy"), col("dx"), col("ia"), col("ib")), 8,
+          rankCol = "rk", sizeCol = "np")
         ranked.filter(col("rk") === expr("(np + 1) div 2"))
           .select(col("lang"), col("np").as("n_pairs"),
             expr("(dy * 1000000) div dx").as("slope_e6"))

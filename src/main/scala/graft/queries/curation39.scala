@@ -203,13 +203,17 @@ object Curation39Queries {
       "compaction_packing_plan",
       (s, d) => {
         val target = 4096L
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
+        // exclusive per-source running offset via ScalableGroups: one
+        // range exchange on (source, doc_id) + a broadcast per-source
+        // offset — a source-partitioned window would put corpus/|source|
+        // rows on single tasks; the range partitioning splits every
+        // source across tasks
+        val base = Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("n_chars"))
-          .withColumn("start_off",
-            coalesce(sum(col("n_chars")).over(w), lit(0L)))
-          .withColumn("bin_id", expr(s"start_off div $target"))
+        graft.operators.ScalableGroups.withGroupRunningSums(
+            base, Seq("source"), Seq(col("doc_id")), Seq("n_chars"), 8,
+            exclusive = true, prefix = "off_")
+          .withColumn("bin_id", expr(s"off_n_chars div $target"))
           .groupBy(col("source"), col("bin_id"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("bytes"),

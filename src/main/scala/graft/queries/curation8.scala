@@ -91,13 +91,20 @@ object Curation8Queries {
     QueryDef(
       "kendall_tau_length",
       (s, d) => {
-        val sample = Tables.documents(s, d)
-          .select(col("lang"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("x"),
-            length(col("text")).cast("long").as("y"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+        // deterministic first-100-per-lang sample via ScalableGroups
+        // rank (range exchange on (lang, doc_id) + broadcast lang
+        // offsets) — the lang-partitioned row_number would funnel
+        // corpus/|lang| rows through single window tasks just to pick
+        // 100 of them
+        val sample = graft.operators.ScalableGroups.withGroupRank(
+            Tables.documents(s, d)
+              .select(col("lang"), col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("x"),
+                length(col("text")).cast("long").as("y")),
+            Seq("lang"), Seq(col("doc_id")), 8, rankCol = "rn",
+            sizeCol = "__gn")
           .filter(col("rn") <= 100)
+          .drop("rn", "__gn")
         val pairs = sample.as("a").join(sample.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -104,12 +104,17 @@ object MlPrepQueries {
     QueryDef(
       "target_encode_loo",
       (s, d) => {
-        val w = Window.partitionBy(col("lang"))
-        Tables.documents(s, d)
+        // per-lang (sum, count) as a 5-row hash aggregate broadcast
+        // back — algebraically identical to the windowed sum/count over
+        // the enum partition, without funneling corpus-size rows
+        // through |lang| window tasks
+        val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("slang", sum(col("n_chars")).over(w))
-          .withColumn("nlang", count(lit(1)).over(w))
+        val stats = docs.groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("slang"),
+            count(lit(1)).as("nlang"))
           .filter(col("nlang") > 1)
+        docs.join(broadcast(stats), "lang")
           .select(col("doc_id"), col("lang"),
             expr("(1000 * (slang - n_chars)) div (nlang - 1)").as("enc_e3"))
       },
@@ -122,11 +127,11 @@ object MlPrepQueries {
         |FROM w WHERE nlang > 1""".stripMargin),
       "Leave-one-out target encoding of a categorical column (lang -> " +
         "mean length of the OTHER members, the encoding that avoids " +
-        "self-leakage): enc = (sum - x) / (n - 1) from one windowed " +
-        "sum+count — integer-exact at e3, no per-row re-aggregation. " +
-        "At 100 TB the window over a 5-value key is skew-prone; the " +
-        "production shape is the 5-row groupBy agg broadcast back, " +
-        "algebraically identical."),
+        "self-leakage): enc = (sum - x) / (n - 1), computed as the " +
+        "5-row per-lang aggregate broadcast back onto the rows — " +
+        "integer-exact at e3, one map-side join, no enum-partitioned " +
+        "window anywhere (the windowed form concentrates corpus/|lang| " +
+        "rows per task; this shape is flat at any corpus size)."),
 
     // ------------------------------------------------ trailing EWMA
     QueryDef(

@@ -82,6 +82,39 @@ object MultimodalQueries {
         "deterministically (no media libs in-container)."),
 
     QueryDef(
+      "media_decode_bmp",
+      (s, d) => MediaSource.decodeBmpFeatures(MediaSource.bmpMedia(s, d))
+        .filter(col("valid"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          expr("(1000 * sum_r) div (width * height)").as("mean_r_e3")),
+      Some("""SELECT doc_id AS media_id,
+        | (doc_id % 7 + 2)::BIGINT AS width,
+        | (doc_id % 5 + 2)::BIGINT AS height,
+        | sum((doc_id * 7 + x.i * 3 + y.i * 5) % 256)::BIGINT AS sum_r,
+        | sum((doc_id * 11 + x.i + 2 * y.i) % 256)::BIGINT AS sum_g,
+        | sum((doc_id + 13 * x.i + y.i) % 256)::BIGINT AS sum_b,
+        | ((1000 * sum((doc_id * 7 + x.i * 3 + y.i * 5) % 256))
+        |   // ((doc_id % 7 + 2) * (doc_id % 5 + 2)))::BIGINT AS mean_r_e3
+        |FROM documents,
+        | (SELECT range AS i FROM range(0, 8)) x,
+        | (SELECT range AS i FROM range(0, 6)) y
+        |WHERE x.i < doc_id % 7 + 2 AND y.i < doc_id % 5 + 2
+        |GROUP BY doc_id""".stripMargin),
+      "REAL media decode, stub replaced for one concrete format: the " +
+        "payload column carries genuine 24-bpp BMP bytes (headers, " +
+        "4-byte row padding, bottom-up BGR), built executor-side from " +
+        "a deterministic pixel function of doc_id; the feature pass " +
+        "parses them with the pure-Scala decoder (MediaCodec.decodeBmp," +
+        " mapPartitions, per-partition instance) and aggregates the " +
+        "DECODED raster's per-channel sums. The oracle recomputes the " +
+        "same sums from the generating formula, so any header, " +
+        "padding, row-order or channel-order bug in encode OR decode " +
+        "breaks the hash match (BmpCodecSpec pins the codec pairwise). " +
+        "Payload bytes stay in the value column end to end — only " +
+        "(id, 6 longs) ever leave the map task."),
+
+    QueryDef(
       "media_resize",
       (s, d) => {
         // Thumbnail to fit 64x64 preserving aspect ratio: integer

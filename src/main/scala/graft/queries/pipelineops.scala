@@ -70,20 +70,22 @@ object PipelineOpsQueries {
       (s, d) => {
         // Greedy contiguous packing of documents into 2048-token bins,
         // per language shard: exclusive running token sum -> bin =
-        // cum div capacity.  Partitioning by shard keeps the window
-        // parallel (no global sort) — exactly how packing runs at
-        // corpus scale; within a shard the assignment is the standard
+        // cum div capacity.  The running sum executes through
+        // ScalableGroups (one range exchange on (lang, doc_id) + a
+        // broadcast per-lang offset), NOT a lang-partitioned window —
+        // the enum key would funnel corpus/|lang| rows per task; the
+        // range partitioning splits every language across tasks.
+        // Within a shard the assignment is the standard
         // streaming-greedy approximation of bin packing.
         val Capacity = 2048L
         val toks = size(split(col("text"), " ")).cast("long")
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
+        val base = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), toks.as("n_tokens"))
-          .withColumn("cum_before",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        graft.operators.ScalableGroups.withGroupRunningSums(
+            base, Seq("lang"), Seq(col("doc_id")), Seq("n_tokens"), 8,
+            exclusive = true, prefix = "before_")
           .select(col("doc_id"), col("lang"), col("n_tokens"),
-            (col("cum_before") / Capacity).cast("long").as("bin_id"))
+            (col("before_n_tokens") / Capacity).cast("long").as("bin_id"))
       },
       Some("""SELECT doc_id, lang,
         | len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -94,9 +96,11 @@ object PipelineOpsQueries {
         |FROM documents""".stripMargin),
       "Sequence packing for LLM training: documents greedily packed " +
         "into 2048-token context bins per language shard (exclusive " +
-        "running sum -> integer div). One shuffle on the shard key, " +
-        "window stays partition-parallel — the batch-construction pass " +
-        "between curation and the trainer."),
+        "running sum -> integer div). One range exchange on " +
+        "(lang, doc_id) + a broadcast per-lang offset (ScalableGroups) " +
+        "— every language splits across tasks, so the pass is flat at " +
+        "any corpus size; the batch-construction step between " +
+        "curation and the trainer."),
 
     // ---------------------------------------------- cohort retention
     QueryDef(

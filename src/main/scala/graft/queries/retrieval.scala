@@ -242,24 +242,31 @@ object RetrievalQueries {
     QueryDef(
       "fuzzy_match_jw",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // Sorted-neighborhood candidates WITHOUT the lang-partitioned
+        // lead() window (corpus/|lang| rows per task): a ScalableIndex
+        // dense index over the total order (lang, key, doc_id) makes
+        // "next 1/2 neighbors within my lang" an equi-join on idx+off —
+        // fine-grained long keys, one shuffle, every lang split across
+        // tasks.  The lang equality keeps pairs from crossing the
+        // language boundary, exactly like the partitioned lead().
         val k = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             substring(col("text"), 1, 40).as("key"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))
-        val pairs = k
-          .withColumn("nbrs", array(
-            struct(lead(col("doc_id"), 1).over(w).as("b"),
-              lead(col("key"), 1).over(w).as("nkey")),
-            struct(lead(col("doc_id"), 2).over(w).as("b"),
-              lead(col("key"), 2).over(w).as("nkey"))))
-          .select(col("doc_id").as("a"), col("key"),
-            explode(col("nbrs")).as("n"))
-          .filter(col("n.b").isNotNull)
-        pairs.select(col("a"), col("n.b").as("b"),
-          floor(graft.functions.JaroWinkler
-            .jaroWinkler(col("key"), col("n.nkey")) * 1000000)
-            .cast("long").as("jw_e6"))
+        val idxd = graft.operators.ScalableIndex.withDenseIndex(
+          k, Seq(col("lang"), col("key"), col("doc_id")), 8, "idx")
+        val lhs = idxd
+          .withColumn("off", explode(array(lit(1L), lit(2L))))
+          .select(col("doc_id").as("a"), col("lang"), col("key"),
+            (col("idx") + col("off")).as("nidx"))
+        val rhs = idxd.select(col("doc_id").as("b"),
+          col("lang").as("nlang"), col("key").as("nkey"),
+          col("idx").as("nidx"))
+        lhs.join(rhs, Seq("nidx"))
+          .filter(col("lang") === col("nlang"))
+          .select(col("a"), col("b"),
+            floor(graft.functions.JaroWinkler
+              .jaroWinkler(col("key"), col("nkey")) * 1000000)
+              .cast("long").as("jw_e6"))
       },
       Some("""WITH k AS (SELECT doc_id, lang, substr(text, 1, 40) AS key
         |        FROM documents),
@@ -276,9 +283,12 @@ object RetrievalQueries {
         |FROM pairs""".stripMargin),
       "Jaro-Winkler fuzzy matching over sorted-neighborhood blocks: " +
         "per-lang lexicographic sort on a 40-char key, each record " +
-        "scored against its next 2 neighbors with the native " +
-        "JaroWinklerSimilarity expression (whole-stage codegen calling " +
-        "a static kernel — no UDF serialization). The kernel is " +
+        "scored against its next 2 neighbors — neighbors come from a " +
+        "ScalableIndex dense index joined on idx+1/idx+2 (range " +
+        "exchange + fine-grained equi-join, no enum-partitioned lead " +
+        "window) — with the native JaroWinklerSimilarity expression " +
+        "(whole-stage codegen calling a static kernel — no UDF " +
+        "serialization). The kernel is " +
         "bit-identical to DuckDB's jaro_winkler_similarity (floored " +
         "half-transpositions, 0.7 boost threshold — pinned on 11k " +
         "pairs), so the oracle is full hash parity, not rows-only. " +

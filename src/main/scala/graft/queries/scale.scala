@@ -31,6 +31,17 @@ object ScaleQueries {
       path
     })
 
+  /** The lang-partitioned documents layout `partitioned_write_prune`
+    * reads — exposed so PartitionPruneSpec audits the exact directory
+    * this session materialized (the path is app-unique, see
+    * [[layoutOnce]]). */
+  def docsByLangLayout(s: SparkSession, d: String): String =
+    layoutOnce(s, d, "docs_by_lang") { p =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+    }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------ salted join
     QueryDef(
@@ -116,11 +127,7 @@ object ScaleQueries {
         // the matching directory (PartitionFilters, asserted by
         // PartitionPruneSpec), so the other partitions cost zero I/O
         // AND zero listing at 100 TB.
-        val path = layoutOnce(s, d, "docs_by_lang") { p =>
-          Tables.documents(s, d)
-            .select(col("doc_id"), col("n_chars"), col("lang"))
-            .write.mode("overwrite").partitionBy("lang").parquet(p)
-        }
+        val path = docsByLangLayout(s, d)
         s.read.parquet(path)
           .filter(col("lang") === "en")
           .agg(count(lit(1)).as("n"),

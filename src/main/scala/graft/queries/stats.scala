@@ -151,11 +151,15 @@ object StatsQueries {
     QueryDef(
       "gini_length_concentration",
       (s, d) => {
-        val ranked = Tables.documents(s, d)
-          .select(col("source"), col("n_chars"), col("doc_id"))
-          .withColumn("i", row_number().over(
-            Window.partitionBy(col("source"))
-              .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        // per-source ascending rank via ScalableGroups (range exchange
+        // on (source, n_chars, doc_id) + broadcast per-source offsets)
+        // — the source-partitioned row_number window would concentrate
+        // corpus/|source| rows per task
+        val ranked = graft.operators.ScalableGroups.withGroupRank(
+            Tables.documents(s, d)
+              .select(col("source"), col("n_chars"), col("doc_id")),
+            Seq("source"), Seq(col("n_chars"), col("doc_id")), 8,
+            rankCol = "i", sizeCol = "__gn")
         ranked.groupBy(col("source")).agg(
             count(lit(1)).as("n"),
             sum(col("n_chars")).as("sx"),
@@ -179,9 +183,10 @@ object StatsQueries {
         "(2 Sum(i x_i) - (n+1) Sum(x)) / (n Sum(x)) over ascending " +
         "order statistics; all-integer, numerator provably >= 0 " +
         "and the 1e6 scale keeps div exact-floor on both " +
-        "engines (operands positive). Per-source sort parallelizes " +
-        "across sources; within a 100 TB source the rank pass is the " +
-        "same range-partitioned sort as ScalableIndex."),
+        "engines (operands positive). The rank IS ScalableGroups' " +
+        "range-partitioned dense index minus a broadcast per-source " +
+        "offset — every source splits across tasks, so a 100 TB " +
+        "source costs one range exchange, never a single-task sort."),
 
     // --------------------------------------- Benford digit profile
     QueryDef(
@@ -218,12 +223,12 @@ object StatsQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
+        // exact per-lang lower median via ScalableGroups rank (range
+        // exchange + broadcast lang offsets) — the lang-partitioned
+        // row_number would funnel corpus/|lang| rows per task
         def lowerMedian(in: DataFrame, valueCol: String, out: String): DataFrame =
-          in.withColumn("rn", row_number().over(
-              Window.partitionBy(col("lang"))
-                .orderBy(col(valueCol), col("doc_id"))))
-            .withColumn("cnt", count(lit(1)).over(
-              Window.partitionBy(col("lang"))))
+          graft.operators.ScalableGroups.withGroupRank(in, Seq("lang"),
+              Seq(col(valueCol), col("doc_id")), 8, "rn", "cnt")
             .filter(col("rn") === expr("(cnt + 1) div 2")) // lower median
             .select(col("lang"), col(valueCol).as(out))
         val med = lowerMedian(docs, "n_chars", "med")

@@ -27,13 +27,16 @@ object Stats2Queries {
         val rows = Tables.documents(s, d).select(col("source"),
           col("doc_id"), col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("w"))
-        val cum = rows
-          .withColumn("cumw", sum(col("w")).over(
-            Window.partitionBy(col("source"))
-              .orderBy(col("n_chars"), col("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("totw", sum(col("w")).over(
-            Window.partitionBy(col("source"))))
+        // per-source running weight via ScalableGroups (range exchange
+        // on (source, n_chars, doc_id) + broadcast source offsets) and
+        // the 5-row per-source total broadcast back — no enum window
+        val totals = rows.groupBy(col("source"))
+          .agg(sum(col("w")).as("totw"))
+        val cum = graft.operators.ScalableGroups.withGroupRunningSums(
+            rows, Seq("source"), Seq(col("n_chars"), col("doc_id")),
+            Seq("w"), 8, prefix = "cumw_")
+          .withColumnRenamed("cumw_w", "cumw")
+          .join(broadcast(totals), "source")
         // qualifying rows form a suffix of the sort order, so min() over
         // them is the boundary value — the weighted lower median
         cum.filter(col("cumw") * 2 >= col("totw"))
@@ -190,13 +193,24 @@ object Stats2Queries {
         val base = Tables.documents(s, d).select(col("lang"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("x"),
           col("n_chars").as("y"))
-        def ar2(c: String) =
-          rank().over(Window.partitionBy(col("lang")).orderBy(col(c)))
-            .cast("long") * 2 +
-            count(lit(1)).over(Window.partitionBy(col("lang"), col(c))) - 1
+        // Doubled average ranks from the per-(lang, value) HISTOGRAM —
+        // the merged-histogram rank (mann_whitney_u pattern), here
+        // per-lang: compact to distinct values first, take per-lang
+        // running counts via ScalableGroups (range exchange + broadcast
+        // lang offsets), then ar2 = 2*cum(<=v) - cnt + 1 joins back on
+        // the fine-grained (lang, value) key.  No corpus row ever
+        // passes through a lang-partitioned window.
+        def ar2(c: String, out: String) = {
+          val hist = base.groupBy(col("lang"), col(c))
+            .agg(count(lit(1)).as("cnt"))
+          graft.operators.ScalableGroups.withGroupRunningSums(
+              hist, Seq("lang"), Seq(col(c)), Seq("cnt"), 8)
+            .select(col("lang"), col(c),
+              (col("cum_cnt") * 2 - col("cnt") + 1).as(out))
+        }
         val ranked = base
-          .withColumn("rx", ar2("x"))
-          .withColumn("ry", ar2("y"))
+          .join(ar2("x", "rx"), Seq("lang", "x"))
+          .join(ar2("y", "ry"), Seq("lang", "y"))
         val m = ranked.groupBy(col("lang")).agg(
           count(lit(1)).as("n"),
           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
@@ -232,8 +246,9 @@ object Stats2Queries {
         "length): Pearson machinery applied to doubled average ranks — " +
         "tie-exact integers end to end, with the same fixed 4-op IEEE " +
         "tail as pearson_corr_lang. Monotone-but-nonlinear association " +
-        "that Pearson understates shows up here first; the per-lang " +
-        "rank windows partition cleanly, and the moment agg is the " +
-        "same single shuffle."),
+        "that Pearson understates shows up here first; ranks come from " +
+        "the per-(lang, value) histogram through ScalableGroups " +
+        "running counts — value-bounded state, fine-grained join keys, " +
+        "no enum-partitioned window over corpus rows."),
   )
 }

@@ -38,6 +38,47 @@ class AnnRecallSpec extends SparkSpec {
       s"IVF recall@5 = $recallPermille permille")
   }
 
+  test("graph ANN (NSW beam search) recall@3 against brute force is " +
+    "usable and measured") {
+    // exact top-3 ground truth over the same <300 corpus slice the
+    // graph indexes (cosine_topk ranks the FULL table and includes
+    // self-matches, so brute-force the slice directly)
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    val e3 = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val exact3 = broadcast(e3.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .crossJoin(e3.select(col("vec_id").as("cid"),
+        col("embedding").as("ce")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val graph = byName("ann_graph_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(graph.nonEmpty)
+    // every query returns exactly 3 ranked neighbors from the slice
+    graph.foreach { case (q, ns) =>
+      assert(ns.size === 3, s"query $q returned ${ns.size} neighbors")
+      assert(!ns.contains(q))
+    }
+    val scored = graph.filter { case (q, _) => exact3.contains(q) }
+    val hits = scored.map { case (q, approx) =>
+      (approx intersect exact3(q)).size }.sum
+    val total = scored.map { case (q, _) => exact3(q).size }.sum
+    val recallPermille = if (total == 0) 0L else 1000L * hits / total
+    // a k=3 graph over 300 RANDOM 64-dim vectors is the hardest
+    // navigability case (no cluster structure, tiny degree); random
+    // guessing lands near 3/300 = 10 permille. Floor low enough to be
+    // draw-stable, high enough to catch a broken expansion.
+    assert(recallPermille >= 100L,
+      s"graph ANN recall@3 = $recallPermille permille")
+  }
+
   test("LSH top-k output is structurally sound per query") {
     val lsh = byName("ann_lsh_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

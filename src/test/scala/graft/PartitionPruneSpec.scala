@@ -8,11 +8,9 @@ import org.apache.spark.sql.functions._
 class PartitionPruneSpec extends SparkSpec {
 
   test("lang predicate prunes to a single hive partition in the plan") {
-    // materialize the partitioned layout via the registry query
-    SparkEntry.registry.find(_.name == "partitioned_write_prune").get
-      .fn(spark, sfDir).queryExecution.toRdd.count()
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_docs_by_lang"
+    // materialize (or reuse) this session's app-unique partitioned
+    // layout — the same directory partitioned_write_prune reads
+    val path = graft.queries.ScaleQueries.docsByLangLayout(spark, sfDir)
     val scan = spark.read.parquet(path).filter(col("lang") === "en")
     val plan = scan.queryExecution.executedPlan.toString
     assert(

@@ -466,6 +466,86 @@ class PlanAuditSpec extends SparkSpec {
     "lorenz_user_concentration" -> "10 decile ids (user rank is ScalableIndex)",
     "order_backlog_daily" -> "calendar days in the fixture span")
 
+  /** An ENUM-partitioned WindowExec — partitionSpec consisting only of
+    * bounded-enum columns (lang/source/split/event_type/...) — divides
+    * the corpus by a CONSTANT, not by data size: at the 100 TB north
+    * star that is corpus/|enum| rows funneled through a handful of
+    * window tasks, the same scale-killer as the unpartitioned window
+    * merely divided by five. The same tolerances as the global
+    * invariant apply: in-plan compaction below the window (limit /
+    * top-k / WindowGroupLimit / literal leaf), or a reviewed
+    * [[enumWindowAllowed]] entry whose window input is an aggregate
+    * over a VALUE-bounded domain (so rows-per-group is pinned by the
+    * value space, not corpus size). Everything else migrates to
+    * ScalableGroups (range exchange over the total order + broadcast
+    * per-group offsets — ScalableGroupsSpec pins exact window parity).
+    */
+  private val enumPartitionCols = Set("lang", "source", "split",
+    "event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
+    "o_orderpriority", "c_mktsegment", "r_name", "n_name", "status",
+    "half", "variant", "bucket_kind", "model", "segment")
+
+  test("no enum-partitioned WindowExec over unbounded input anywhere " +
+    "in the registry") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
+    def compacted(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec => true
+      case _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      case r: RangeExec => r.numElements.isValidLong &&
+        r.numElements.toLong <= 10000L
+      case t: LocalTableScanExec => t.rows.size <= 10000
+      case _ => false
+    }
+    def enumOnly(w: WindowExec): Boolean =
+      w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+        case a: Attribute => enumPartitionCols(a.name)
+        case _ => false
+      }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if enumOnly(w) && !compacted(w.child) => w
+      }
+      if (bad.nonEmpty && !enumWindowAllowed.contains(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"enum-partitioned window over unbounded input in: " +
+        offenders.mkString(", "))
+  }
+
+  /** Enum-partitioned-window queries whose window input is an
+    * aggregate over a VALUE-bounded domain — rows per enum group
+    * pinned by the value space, independent of corpus row count.
+    * Reviewed claims, same contract as [[boundedDomainWindows]].
+    * (The former row-level members — percent_rank_cume, gini, spearman,
+    * kendall/theil-sen samples, fuzzy_match_jw, pack_sequences,
+    * compaction_packing_plan, target_encode_loo, quantile_normalize,
+    * blocking_sorted_neighborhood, mad_outlier_flag,
+    * weighted_median_length — migrated to ScalableGroups/ScalableIndex
+    * and may NOT return here.) */
+  private lazy val enumWindowAllowed: Map[String, String] = Map(
+    "ipf_raking" -> "lang x source cells (<= |lang|*|source| rows)",
+    "t_closeness_audit" ->
+      "lang x source x 10 fixed length bins per class",
+    "seasonal_naive_eval" ->
+      "per-(event_type, day) counts: |types| x fixture-horizon days",
+    "weekly_autocorr_strength" ->
+      "per-(event_type, day) counts: |types| x fixture-horizon days",
+    "runs_test_randomness" ->
+      "per-(event_type, day) counts: |types| x fixture-horizon days",
+    "durbin_watson_daily" ->
+      "per-(event_type, day) counts: |types| x fixture-horizon days",
+    "max_drawdown_daily" ->
+      "per-(event_type, day) counts: |types| x fixture-horizon days")
+
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
