@@ -126,7 +126,11 @@ class PlanAuditSpec extends SparkSpec {
     "tpch_q11_important_stock",    // broadcast 1-row fraction gate (the
                                    // > compare keeps it a BNLJ; Q15's =
                                    // gate becomes a hash join instead
-    "bleu_ngram_precisions")       // brevity row: 1-row x 1-row totals
+    "bleu_ngram_precisions",       // brevity row: 1-row x 1-row totals
+    "ann_graph_topk")              // bounded 300-vector kNN slice (the
+                                   // knn_graph construction's broadcast
+                                   // !=-join; the search rounds are all
+                                   // equi-joins)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -84,4 +84,27 @@ class ScalableGroupsSpec extends SparkSpec {
       .queryExecution.executedPlan
     assert(plan.collect { case w: WindowExec => w }.isEmpty)
   }
+
+  test("migrated queries execute through the partition-offset RDD " +
+    "pass, with no WindowExec anywhere") {
+    // The range exchange lives INSIDE the ScalableIndex/Prefix RDD
+    // lineage (queryExecution.toRdd of the range-partitioned sort), so
+    // the outer plan cannot show it — what it must show is (a) a scan
+    // of that existing internal RDD (the Bridge hand-off) and (b) the
+    // total absence of WindowExec: any reappearing window means the
+    // migration regressed to the enum-partitioned form.
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("percent_rank_cume", "pack_sequences", "gini_length_concentration",
+      "quantile_normalize_scores", "mad_outlier_flag", "target_encode_loo",
+      "compaction_packing_plan", "weighted_median_length").foreach { name =>
+      val plan = SparkEntry.registry.find(_.name == name).get
+        .fn(spark, sfDir).queryExecution.sparkPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$name plans a WindowExec again")
+      // all but the broadcast-only target_encode_loo ride the Bridge
+      if (name != "target_encode_loo")
+        assert(plan.toString.contains("ExistingRDD"),
+          s"$name does not read the partition-offset RDD:\n$plan")
+    }
+  }
 }
