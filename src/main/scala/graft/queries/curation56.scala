@@ -123,5 +123,93 @@ object Curation56Queries {
         "bit-parity cosine kernel; deterministic (cos DESC, cid) " +
         "tie-breaks end to end.  Recall vs brute force is measured in " +
         "AnnRecallSpec alongside the IVF and LSH paths."),
+
+    QueryDef(
+      "kendall_tau_full",
+      (s, d) => {
+        // CORPUS-EXACT Kendall tau-b per language — the scalable
+        // upgrade of kendall_tau_length's bounded 100-doc sample.
+        // Key identity: concordance/discordance only depend on VALUE
+        // comparisons, so compact the corpus to its joint (x, y)
+        // histogram first (one partial-aggregated shuffle; cell count
+        // is bounded by the VALUE domain |x|*|y|, not corpus rows) and
+        // classify CELL pairs weighted by cnt_a*cnt_b.  Tie terms need
+        // only the 1-D marginals (sum of C(m,2) per x-group/y-group),
+        // never the pair join.  At extreme value domains, quantize
+        // x/y first — same pipeline, coarser cells.
+        val base = Tables.documents(s, d).select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y"))
+        val cells = base.groupBy(col("lang"), col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt"))
+        // each unordered cell pair once: lexicographic (x, y) order
+        val pairs = cells.as("a").join(cells.as("b"),
+          col("a.lang") === col("b.lang") &&
+            (col("a.x") < col("b.x") ||
+              (col("a.x") === col("b.x") && col("a.y") < col("b.y"))))
+          .select(col("a.lang").as("lang"),
+            (col("a.cnt") * col("b.cnt")).as("w"),
+            ((col("b.x") - col("a.x")) * (col("b.y") - col("a.y")))
+              .as("prod"))
+        val cd = pairs.groupBy(col("lang")).agg(
+          sum(when(col("prod") > 0, col("w")).otherwise(0L)).as("c"),
+          sum(when(col("prod") < 0, col("w")).otherwise(0L)).as("dd"))
+        def tiePairs(keyCol: String, out: String) = base
+          .groupBy(col("lang"), col(keyCol)).agg(count(lit(1)).as("m"))
+          .groupBy(col("lang"))
+          .agg(sum(expr("m * (m - 1) div 2")).as(out))
+        val n0 = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("n"),
+            expr("n * (n - 1) div 2").as("n0"))
+        n0.join(cd, "lang")
+          .join(tiePairs("x", "nx"), "lang")
+          .join(tiePairs("y", "ny"), "lang")
+          .select(col("lang"), col("n").as("n_docs"), col("c"), col("dd"),
+            floor((col("c") - col("dd")).cast("double") * lit(1000.0) /
+              (sqrt((col("n0") - col("nx")).cast("double")) *
+                sqrt((col("n0") - col("ny")).cast("double"))))
+              .cast("bigint").as("tau_e3"))
+      },
+      Some("""WITH base AS (SELECT lang,
+        |    len(string_split(text, ' '))::BIGINT AS x, n_chars AS y
+        |  FROM documents),
+        |cells AS (SELECT lang, x, y, count(*)::BIGINT AS cnt
+        |  FROM base GROUP BY 1, 2, 3),
+        |pairs AS (SELECT a.lang, a.cnt * b.cnt AS w,
+        |    (b.x - a.x) * (b.y - a.y) AS prod
+        |  FROM cells a JOIN cells b ON a.lang = b.lang
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+        |cd AS (SELECT lang,
+        |    sum(CASE WHEN prod > 0 THEN w ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN prod < 0 THEN w ELSE 0 END)::BIGINT AS dd
+        |  FROM pairs GROUP BY lang),
+        |tx AS (SELECT lang, sum(m * (m - 1) // 2)::BIGINT AS nx FROM (
+        |    SELECT lang, x, count(*)::BIGINT AS m FROM base GROUP BY 1, 2)
+        |  GROUP BY lang),
+        |ty AS (SELECT lang, sum(m * (m - 1) // 2)::BIGINT AS ny FROM (
+        |    SELECT lang, y, count(*)::BIGINT AS m FROM base GROUP BY 1, 2)
+        |  GROUP BY lang),
+        |nn AS (SELECT lang, count(*)::BIGINT AS n,
+        |    (count(*) * (count(*) - 1) // 2)::BIGINT AS n0
+        |  FROM base GROUP BY lang)
+        |SELECT nn.lang, n AS n_docs, c, dd,
+        |  floor((c - dd)::DOUBLE * 1000.0
+        |        / (sqrt((n0 - nx)::DOUBLE) * sqrt((n0 - ny)::DOUBLE)))
+        |    ::BIGINT AS tau_e3
+        |FROM nn JOIN cd ON cd.lang = nn.lang
+        |JOIN tx ON tx.lang = nn.lang JOIN ty ON ty.lang = nn.lang"""
+        .stripMargin),
+      "Corpus-exact Kendall tau-b per language — every document pair, " +
+        "not a bounded sample: the corpus compacts to its joint (x, y) " +
+        "value histogram (cells bounded by the VALUE domain, not row " +
+        "count), cell pairs classify concordant/discordant weighted by " +
+        "cnt_a*cnt_b, and the tie corrections come from the 1-D " +
+        "marginals alone (sum C(m,2)) so the pair join never handles " +
+        "ties.  All integer until the 5-op IEEE tau tail (mirrored " +
+        "exactly).  Complements kendall_tau_length (the " +
+        "reference-shaped 100-doc sample): same statistic, the shape " +
+        "that survives when n is 1e11 but the value grid is small — " +
+        "and when the grid itself is large, quantize first, same " +
+        "pipeline."),
   )
 }

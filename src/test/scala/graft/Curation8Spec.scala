@@ -78,6 +78,38 @@ class Curation8Spec extends SparkSpec {
     }
   }
 
+  test("kendall_tau_full matches the all-pairs O(n^2) recompute over " +
+    "the whole corpus") {
+    // the histogram-cell formulation must equal brute force exactly —
+    // every pair, all ties, not a sample
+    val all = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val got = byName("kendall_tau_full").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === all.keySet)
+    all.foreach { case (lang, xs) =>
+      var c = 0L; var dd = 0L; var nx = 0L; var ny = 0L; var n0 = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        val prod = (xs(i)._1 - xs(j)._1) * (xs(i)._2 - xs(j)._2)
+        n0 += 1
+        if (prod > 0) c += 1 else if (prod < 0) dd += 1
+        if (xs(i)._1 == xs(j)._1) nx += 1
+        if (xs(i)._2 == xs(j)._2) ny += 1
+      }
+      val tau = math.floor((c - dd).toDouble * 1000.0 /
+        (math.sqrt((n0 - nx).toDouble) * math.sqrt((n0 - ny).toDouble)))
+        .toLong
+      assert(got(lang) === ((xs.length.toLong, c, dd, tau)), s"lang $lang")
+    }
+  }
+
   test("autocorr_lag1 matches a sequential per-user recompute") {
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
