@@ -79,6 +79,66 @@ class AnnRecallSpec extends SparkSpec {
       s"graph ANN recall@3 = $recallPermille permille")
   }
 
+  test("NN-descent graph build converges toward the exact kNN graph, " +
+    "monotone every round") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    // exact top-3 edges over the slice (the ground truth the
+    // construction approaches)
+    val e3 = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+    val base = e3.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = base.as("x").join(broadcast(base.as("y")),
+        col("x.cid") =!= col("y.cid"))
+      .select(col("x.cid").as("src"), col("y.cid").as("dst"),
+        cosine(col("x.ce"), col("y.ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("dst"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver replay of the rounds (exact same construction as the
+    // query, tie-breaks included) to observe EVERY round's recall
+    val vecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topK(cands: Set[(Long, Long)], k: Int): Set[(Long, Long)] =
+      // .toSeq before flatMap: flatMap on a Map yielding tuples would
+      // rebuild a Map and silently keep ONE edge per src
+      cands.filter(p => p._1 != p._2).groupBy(_._1).toSeq.flatMap {
+        case (src, ps) => ps.toSeq
+          .map { case (_, dst) => (dst, cosD(vecs(src), vecs(dst))) }
+          .sortBy { case (dst, c) => (-c, dst) }.take(k)
+          .map { case (dst, _) => (src, dst) }
+      }.toSet
+    val n = 300L
+    var g = topK((for (s0 <- 0L until n; o <- Seq(1L, 7L, 31L, 73L, 151L))
+      yield (s0, (s0 + o) % n)).toSet, 5)
+    var prevRecall = (g intersect exact).size
+    (1 to 4).foreach { round =>
+      val fwd = for ((a, b) <- g; (b2, c) <- g if b2 == b) yield (a, c)
+      val rev = for ((a, b) <- g; (a2, b2) <- g if b2 == b) yield (a, a2)
+      g = topK(g ++ fwd ++ rev, 5)
+      val rec = (g intersect exact).size
+      assert(rec > prevRecall,
+        s"round $round recall $rec did not improve on $prevRecall")
+      prevRecall = rec
+    }
+    // the query's output is the driver replay's final graph exactly
+    val got = byName("knn_graph_nn_descent").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === g)
+    // and it ends far above the similarity-blind seed baseline
+    assert(prevRecall >= 300,
+      s"final exact-edge recall $prevRecall/900 below floor")
+  }
+
   test("LSH top-k output is structurally sound per query") {
     val lsh = byName("ann_lsh_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
