@@ -77,6 +77,26 @@ class AnnRecallSpec extends SparkSpec {
     // draw-stable, high enough to catch a broken expansion.
     assert(recallPermille >= 100L,
       s"graph ANN recall@3 = $recallPermille permille")
+    // the assembled pipeline (NN-descent graph + centroid-routed
+    // entries + the same beam search) must clear the same floor and
+    // return well-formed top-3 sets — it searches the BUILT graph,
+    // not the exact one, so its recall is measured, not assumed
+    spark.catalog.clearCache() // hier persists its graph (contract)
+    val hier = byName("ann_graph_hier_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+    spark.catalog.clearCache()
+    assert(hier.nonEmpty)
+    hier.foreach { case (q2, ns) =>
+      assert(ns.size === 3 && !ns.contains(q2), s"query $q2 malformed")
+    }
+    val hScored = hier.filter { case (q2, _) => exact3.contains(q2) }
+    val hHits = hScored.map { case (q2, approx) =>
+      (approx intersect exact3(q2)).size }.sum
+    val hTotal = hScored.map { case (q2, _) => exact3(q2).size }.sum
+    val hRecall = if (hTotal == 0) 0L else 1000L * hHits / hTotal
+    assert(hRecall >= 100L,
+      s"hierarchical graph ANN recall@3 = $hRecall permille")
   }
 
   test("NN-descent graph build converges toward the exact kNN graph, " +
