@@ -25,42 +25,77 @@ object Curation56Queries {
   private val Rounds = 3
   private val EntrySeeds = Seq(17L, 93L, 171L, 247L)
 
+  // one build per (application, sf dir): the index is BUILT once and
+  // WRITTEN; every searcher reads the materialized edge table (see
+  // nnDescentEdges)
+  private val builtGraphs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   /** NN-descent kNN graph over the 300-vector slice: k=5, 4 local-join
     * rounds from id-arithmetic seeds. Shared by knn_graph_nn_descent
-    * (which emits it) and ann_graph_hier_topk (which searches it). */
+    * (which emits it) and ann_graph_hier_topk (which searches it).
+    *
+    * Each round is CHECKPOINTED to parquet and read back before the
+    * next round plans against it.  Two reasons, both fatal without it:
+    * (1) execution — a round references its predecessor FIVE times
+    * (union + two self-joins), so the inlined plan re-expands 5^rounds
+    * copies of round 0 (measured minutes of recompute for a 1500-edge
+    * graph); (2) the LOGICAL PLAN itself goes exponential, and since
+    * the searcher then references the graph once per beam round, the
+    * driver OOMs during analysis before a single task runs (persist()
+    * fixes only (1): CacheManager dedups execution, not the analyzed
+    * tree).  Writing each round is the iterative-algorithm shape the
+    * CC fixpoint (graph.scala) uses via localCheckpoint, done here as
+    * a reliable parquet checkpoint instead so no cache blocks escape
+    * the QueryDef contract and the final index is exactly what a
+    * cluster deployment ships: an edge TABLE, built once (memoized per
+    * app+dataset, the layoutOnce pattern from scale.scala), searched
+    * many times.  The DuckDB oracle mirrors the boundaries with AS
+    * MATERIALIZED on each round's CTE. */
   private[queries] def nnDescentEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val k = 5
-    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val n = 300L
-    val seeds = e.select(col("cid").as("src"))
-      .withColumn("dst", explode(array(
-        Seq(1L, 7L, 31L, 73L, 151L).map(o =>
-          pmod(col("src") + lit(o), lit(n))): _*)))
-    def topK(cand: DataFrame) = cand
-      .distinct()
-      .filter(col("src") =!= col("dst"))
-      .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
-      .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
-      .select(col("src"), col("dst"),
-        cosine(col("se"), col("de")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst"))))
-      .filter(col("rnk") <= k)
-      .select(col("src"), col("dst"))
-    var g = topK(seeds)
-    for (_ <- 1 to 4) {
-      val fwd = g.as("a").join(g.as("b"),
-          col("a.dst") === col("b.src"))
-        .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      val rev = g.as("a").join(g.as("b"),
-          col("a.dst") === col("b.dst"))
-        .select(col("a.src").as("src"), col("b.src").as("dst"))
-      g = topK(g.unionByName(fwd).unionByName(rev))
-    }
-    g
+    val path = builtGraphs.getOrElseUpdate(
+      (s.sparkContext.applicationId, d), {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_nnd_" +
+          s"${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+        val k = 5
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val n = 300L
+        val seeds = e.select(col("cid").as("src"))
+          .withColumn("dst", explode(array(
+            Seq(1L, 7L, 31L, 73L, 151L).map(o =>
+              pmod(col("src") + lit(o), lit(n))): _*)))
+        def topK(cand: DataFrame) = cand
+          .distinct()
+          .filter(col("src") =!= col("dst"))
+          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+          .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
+          .select(col("src"), col("dst"),
+            cosine(col("se"), col("de")).as("cos"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))))
+          .filter(col("rnk") <= k)
+          .select(col("src"), col("dst"))
+        def ckpt(df: DataFrame, tag: String): DataFrame = {
+          val p = s"$base/$tag"
+          df.write.mode("overwrite").parquet(p)
+          s.read.parquet(p)
+        }
+        var g = ckpt(topK(seeds), "r0")
+        for (r <- 1 to 4) {
+          val fwd = g.as("a").join(g.as("b"),
+              col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          val rev = g.as("a").join(g.as("b"),
+              col("a.dst") === col("b.dst"))
+            .select(col("a.src").as("src"), col("b.src").as("dst"))
+          g = ckpt(topK(g.unionByName(fwd).unionByName(rev)), s"r$r")
+        }
+        s"$base/r4"
+      })
+    s.read.parquet(path)
   }
 
   /** The matching DuckDB CTE chain: defines `base` (the slice) and
@@ -360,15 +395,12 @@ object Curation56Queries {
         // centroid grid restricted to graph nodes (vec_id % 31 == 7,
         // same construction as ann_ivf_topk)
         val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
-        // MATERIALIZE the built graph before searching (QueryDef cache
-        // contract; CacheContractSpec covers this query): the
-        // NN-descent construction is itself 5 unrolled join+rank
-        // stages, and every search round references the adjacency —
-        // inlined, the plan tree multiplies those stages per round
-        // (measured: driver OOM at plan size).  At cluster scale this
-        // is exactly the real deployment shape anyway: the index is
-        // BUILT once and WRITTEN, searches read the materialized
-        // edge table.
+        // nnDescentEdges returns the WRITTEN index (a parquet scan —
+        // see its scaladoc for why the build must checkpoint), so each
+        // beam round's reference to the adjacency is a cheap re-scan;
+        // the persist() below caches the symmetrized+deduped adjacency
+        // across the three search rounds (QueryDef cache contract;
+        // CacheContractSpec covers this query).
         val ed = nnDescentEdges(s, d)
         val und = ed.unionByName(
             ed.select(col("dst").as("src"), col("src").as("dst")))

@@ -127,10 +127,17 @@ class PlanAuditSpec extends SparkSpec {
                                    // > compare keeps it a BNLJ; Q15's =
                                    // gate becomes a hash join instead
     "bleu_ngram_precisions",       // brevity row: 1-row x 1-row totals
-    "ann_graph_topk")              // bounded 300-vector kNN slice (the
+    "ann_graph_topk",              // bounded 300-vector kNN slice (the
                                    // knn_graph construction's broadcast
                                    // !=-join; the search rounds are all
                                    // equi-joins)
+    "ann_graph_hier_topk")         // entry routing: broadcast 10-query
+                                   // panel x ~|corpus|/31 centroid grid
+                                   // (the IVF coarse-quantizer product,
+                                   // same shape as ivf_pq_topk); the
+                                   // graph build and search rounds are
+                                   // all equi-joins over the WRITTEN
+                                   // edge table
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
@@ -549,6 +556,35 @@ class PlanAuditSpec extends SparkSpec {
       "per-(event_type, day) counts: |types| x fixture-horizon days",
     "max_drawdown_daily" ->
       "per-(event_type, day) counts: |types| x fixture-horizon days")
+
+  test("no registry query's analyzed plan exceeds the node budget") {
+    // The failure class this locks out: iterative DataFrame loops that
+    // reference their predecessor k times per round build k^rounds-node
+    // trees — ANALYSIS alone OOMs the driver before a single task runs
+    // (observed live: the NN-descent build pre-checkpoint took the
+    // whole ann_graph_hier_topk query down with `Java heap space` at
+    // 8 GiB driver heap; persist() does not help because CacheManager
+    // dedups execution, not the analyzed tree). Iterative constructions
+    // must truncate lineage per round (parquet checkpoint like
+    // nnDescentEdges, localCheckpoint like the CC fixpoint). The budget
+    // is ~4x the widest legitimate plan in the registry (the unrolled
+    // beam rounds of ann_graph_topk, 662 nodes at last measure), so
+    // growth shows up as a reviewed decision here, while any
+    // exponential blowup (which jumps to 1e5+ nodes) trips it
+    // unmissably.
+    val budget = 2500
+    val sizes = SparkEntry.registry.map { q =>
+      q.name -> q.fn(spark, sfDir).queryExecution.analyzed
+        .collect { case _ => 1 }.size
+    }
+    val worst = sizes.sortBy(-_._2).take(5)
+      .map { case (n, c) => s"$n=$c" }.mkString(", ")
+    info(s"largest analyzed plans: $worst")
+    val offenders = sizes.collect { case (n, c) if c > budget => s"$n=$c" }
+    assert(offenders.isEmpty,
+      s"analyzed plan over $budget nodes (exponential lineage?): " +
+        offenders.mkString(", "))
+  }
 
   test("filters reach the parquet scan for the pruned-scan query") {
     val plan = SparkEntry.registry.find(_.name == "partition_pruned_scan").get
