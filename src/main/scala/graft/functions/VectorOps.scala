@@ -89,4 +89,24 @@ object VectorOps {
 
   def meanPoolSql(v: String): String =
     s"(${foldSumSql(s"list_transform($v, x -> x::DOUBLE)")} / len($v))"
+
+  /** Plain-Scala cosine for executor-side state code (the streaming
+    * near-dup processor) — the SAME loop as the native kernel's
+    * nullSafeEval (CosineSimilarity.scala): one pass, three double
+    * accumulators in array order, None on length mismatch or a zero
+    * norm. Keeping the op order identical is what lets the streaming
+    * verdicts be compared 1:1 against batch kernel scores. */
+  def cosineScala(a: Array[Float], b: Array[Float]): Option[Double] = {
+    if (a.length != b.length) return None
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    if (aa == 0.0 || bb == 0.0) None
+    else Some(ab / (math.sqrt(aa) * math.sqrt(bb)))
+  }
 }

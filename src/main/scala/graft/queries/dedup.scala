@@ -63,7 +63,10 @@ object DedupQueries {
     (0 until NumDedupPlanes).map(j =>
       when(dDot(embCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-  private def dBucket(embCol: Column): Column =
+  /** Shared with the streaming near-dup twin (Streams.nearDupLsh):
+    * both compute buckets through the same native kernel, so a vector
+    * lands in the same bucket whichever engine half sees it. */
+  private[graft] def dBucket(embCol: Column): Column =
     graft.functions.HyperplaneBucket.hyperplaneBucket(embCol, dplanes)
 
   // SimHash geometry: 60 bits (15 hex chars of md5 — the widest prefix

@@ -246,6 +246,46 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming EMBEDDING near-dup — the arbitrary-state twin of the
+    * batch `dedup_embedding_cosine` bucketed LSH. Each arriving vector
+    * is bucketed by the SAME 24-hyperplane native kernel the batch
+    * query uses (DedupQueries.dBucket — integer dots, partition- and
+    * engine-order-independent), the stream is keyed BY BUCKET, and a
+    * per-bucket ListState holds up to `cap` member vectors: an arrival
+    * scores cosine (the kernel's exact loop, VectorOps.cosineScala)
+    * against its bucket's members only and emits every pair at
+    * cos >= 0.999 as (min_id, max_id, cos_e6).
+    *
+    * Scale contract: state is |touched buckets| x cap x (8 + 4*dim)
+    * bytes and per-arrival work is <= cap comparisons — never a
+    * corpus-sized product, exactly the batch plan's bucket-join bound.
+    * The one semantic divergence from batch is forced by ONLINE
+    * operation: batch drops buckets that END UP oversized (a
+    * retroactive global fact), a stream can only cap membership as it
+    * grows — arrivals past `cap` still score against the first `cap`
+    * members but are not added. On corpora where no bucket exceeds the
+    * cap (the healthy regime the 2^24-bucket geometry is sized for)
+    * the emitted pair set is IDENTICAL to the batch query's —
+    * StreamingNearDupSpec pins that, plus cross-batch state carry and
+    * the cap bound. Idle buckets age out via the optional
+    * processing-time TTL, the same mechanism as [[userActivityTws]]. */
+  def nearDupLsh(vecs: DataFrame, cap: Int = 64,
+      ttlMs: Option[Long] = None): Dataset[NearDupPair] = {
+    import vecs.sparkSession.implicits._
+    val mode =
+      if (ttlMs.isDefined)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        graft.queries.DedupQueries.dBucket(col("embedding")).as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .as[EmbRecord]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor(cap, ttlMs), mode,
+        OutputMode.Append())
+  }
+
   /** Stream-stream interval join: each start event ('signup') matched to
     * completion events ('purchase') of the same user arriving within
     * [start, start + 1 hour] — the submit->done correlation the
@@ -784,6 +824,10 @@ object Streams {
 }
 
 final case class JobEvent(event_id: Long, user_id: Long, event_type: String)
+final case class EmbRecord(vec_id: Long, embedding: Array[Float],
+    bucket: Long)
+final case class EmbMember(vec_id: Long, embedding: Array[Float])
+final case class NearDupPair(a: Long, b: Long, cos_e6: Long)
 final case class DayEvent(event_id: Long, user_id: Long, day: Long)
 final case class DecayedScore(user_id: Long, anchor_day: Long, score: Long,
     n_events: Long)
@@ -895,6 +939,58 @@ final class RetryGateProcessor(maxRetries: Int)
   * window in a ListState trimmed to k, both optionally TTL'd on
   * processing time so abandoned users age out of the store.  The fold
   * is event_id-sorted for multi-partition determinism. */
+/** Arbitrary-state v2 processor behind [[Streams.nearDupLsh]]: the
+  * per-bucket member list (<= cap vectors) in a named ListState; each
+  * vec_id-sorted arrival scores against current members with the
+  * batch kernel's exact cosine loop and emits >= 0.999 pairs. The
+  * vec_id sort makes per-batch EMISSION ORDER deterministic across
+  * partitionings; the emitted SET is order-independent anyway while
+  * the bucket stays under cap, because every unordered in-bucket pair
+  * is scored exactly once — when its later element arrives. */
+final class NearDupProcessor(cap: Int, ttlMs: Option[Long])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EmbRecord, NearDupPair] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var members: ListState[EmbMember] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = ttlMs
+      .map(ms => new TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    members = getHandle.getListState[EmbMember]("members",
+      Encoders.product[EmbMember], ttl)
+  }
+
+  override def handleInputRows(bucket: Long, rows: Iterator[EmbRecord],
+      timers: TimerValues): Iterator[NearDupPair] = {
+    val held = scala.collection.mutable.ArrayBuffer
+      .from(members.get())
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    rows.toIndexedSeq.sortBy(_.vec_id).foreach { r =>
+      held.foreach { m =>
+        if (m.vec_id != r.vec_id)
+          graft.functions.VectorOps.cosineScala(m.embedding, r.embedding)
+            .foreach { cos =>
+              if (cos >= 0.999) {
+                val (a, b) =
+                  if (m.vec_id < r.vec_id) (m.vec_id, r.vec_id)
+                  else (r.vec_id, m.vec_id)
+                out += NearDupPair(a, b, math.floor(cos * 1e6).toLong)
+              }
+            }
+      }
+      if (held.size < cap) {
+        held += EmbMember(r.vec_id, r.embedding)
+        members.appendValue(EmbMember(r.vec_id, r.embedding))
+      }
+    }
+    out.iterator
+  }
+}
+
 final class UserActivityProcessor(recentK: Int, ttlMs: Option[Long])
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, JobEvent, ActivitySummary] {
