@@ -98,6 +98,64 @@ object Curation56Queries {
     s.read.parquet(path)
   }
 
+  /** The (cid, ce) corpus slice the graph-ANN family indexes. */
+  private[graft] def hierCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Symmetrized, deduped adjacency over the WRITTEN NN-descent index. */
+  private[graft] def hierAdjacency(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ed = nnDescentEdges(s, d)
+    ed.unionByName(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Centroid-routed bounded beam search over a built adjacency —
+    * shared VERBATIM by the ann_graph_hier_topk registry query and the
+    * streaming serving path (Streams.serveAnn), so an online answer is
+    * the batch plan by construction. Columns: `q` (qid, qe), `e`
+    * (cid, ce), `und` (src, dst). Per query the search touches at most
+    * beam*degree*rounds corpus rows — constant, corpus-size
+    * independent. */
+  private[graft] def hierBeamSearch(q: DataFrame, e: DataFrame,
+      und: DataFrame): DataFrame = {
+    // centroid grid restricted to graph nodes (vec_id % 31 == 7,
+    // same construction as ann_ivf_topk)
+    val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
+    def topB(cands: DataFrame, b: Int): DataFrame = cands
+      .distinct()
+      .join(e, "cid").join(broadcast(q), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rnk") <= b)
+    // route: 2 nearest centroids per query are the entry beam
+    val entries = broadcast(q).crossJoin(cents)
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("cid"))
+    var beam = topB(entries, Beam).select(col("qid"), col("cid"))
+    for (_ <- 1 to Rounds) {
+      val expand = beam.join(und, beam("cid") === und("src"))
+        .select(col("qid"), col("dst").as("cid"))
+        .unionByName(beam)
+      beam = topB(expand, Beam).select(col("qid"), col("cid"))
+    }
+    topB(beam, 3)
+      .select(col("qid"), col("cid"), col("rnk").cast("bigint")
+        .as("rank"),
+        floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
+  }
+
   /** The matching DuckDB CTE chain: defines `base` (the slice) and
     * `g4` (the final edge list); prepend after WITH. */
   private[queries] val nnDescentSqlCtes: String = {
@@ -388,54 +446,15 @@ object Curation56Queries {
         //   search: the same bounded beam expansion (beam 8, 3 rounds)
         // No stage touches n^2 anything; per-query work stays
         // beam*degree*rounds regardless of corpus size.
-        val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val q = Tables.embeddings(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        // centroid grid restricted to graph nodes (vec_id % 31 == 7,
-        // same construction as ann_ivf_topk)
-        val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
-        // nnDescentEdges returns the WRITTEN index (a parquet scan —
-        // see its scaladoc for why the build must checkpoint), so each
-        // beam round's reference to the adjacency is a cheap re-scan;
-        // the persist() below caches the symmetrized+deduped adjacency
-        // across the three search rounds (QueryDef cache contract;
-        // CacheContractSpec covers this query).
-        val ed = nnDescentEdges(s, d)
-        val und = ed.unionByName(
-            ed.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-          .persist()
-        def topB(cands: DataFrame, b: Int): DataFrame = cands
-          .distinct()
-          .join(e, "cid").join(broadcast(q), "qid")
-          .filter(col("qid") =!= col("cid"))
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce")).as("cos"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("cos").desc, col("cid"))))
-          .filter(col("rnk") <= b)
-        // route: 2 nearest centroids per query are the entry beam
-        val entries = broadcast(q).crossJoin(cents)
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce")).as("ccos"))
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("ccos").desc, col("cid"))))
-          .filter(col("crn") <= 2)
-          .select(col("qid"), col("cid"))
-        var beam = topB(entries, Beam).select(col("qid"), col("cid"))
-        for (_ <- 1 to Rounds) {
-          val expand = beam.join(und, beam("cid") === und("src"))
-            .select(col("qid"), col("dst").as("cid"))
-            .unionByName(beam)
-          beam = topB(expand, Beam).select(col("qid"), col("cid"))
-        }
-        topB(beam, 3)
-          .select(col("qid"), col("cid"), col("rnk").cast("bigint")
-            .as("rank"),
-            floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
+        // hierAdjacency reads the WRITTEN index (a parquet scan — see
+        // nnDescentEdges' scaladoc for why the build must checkpoint),
+        // so each beam round's reference to the adjacency is a cheap
+        // re-scan; the persist() caches the symmetrized+deduped
+        // adjacency across the three search rounds (QueryDef cache
+        // contract; CacheContractSpec covers this query).
+        hierBeamSearch(q, hierCorpus(s, d), hierAdjacency(s, d).persist())
       },
       Some {
         def round(prev: String, out: String): String =

@@ -286,6 +286,39 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming vector-search SERVING over the written graph-ANN index:
+    * incoming query vectors are answered per micro-batch with the SAME
+    * centroid-routed bounded beam search the batch ann_graph_hier_topk
+    * registry query runs (Curation56Queries.hierBeamSearch — shared
+    * code, so an online answer IS the batch plan). foreachBatch is the
+    * right operator here, not a stateful map: top-k ranking needs a
+    * bounded candidate frame, which is exactly what a micro-batch is —
+    * rank/window operators are unsupported on unbounded streams for
+    * that reason — and it lets the index and corpus stay STATIC
+    * DataFrames joined per batch with no per-key state at all. Results
+    * land batchId-keyed (idempotent replay, same pattern as
+    * [[startIdempotentSink]]); per query the work is the search's
+    * beam*degree*rounds constant regardless of stream length or corpus
+    * size. StreamingAnnServeSpec pins answer parity with the batch
+    * query, batch by batch. `queries` columns: (qid, qe); `corpus`
+    * (cid, ce); `und` (src, dst) — the symmetrized adjacency of the
+    * built index. */
+  def serveAnn(queries: DataFrame, corpus: DataFrame, und: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.queries.Curation56Queries
+            .hierBeamSearch(batch, corpus, und)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Stream-stream interval join: each start event ('signup') matched to
     * completion events ('purchase') of the same user arriving within
     * [start, start + 1 hour] — the submit->done correlation the

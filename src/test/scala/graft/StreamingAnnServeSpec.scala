@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.queries.Curation56Queries
+import graft.streaming.Streams
+
+/** Streaming ANN serving (Streams.serveAnn) against its batch shadow:
+  * the ann_graph_hier_topk registry query and the serve path share
+  * hierBeamSearch verbatim, so every micro-batch of query vectors must
+  * produce exactly the batch answer rows for those queries — including
+  * when the query panel arrives split across micro-batches (the index
+  * is static; answers are per-query independent). */
+class StreamingAnnServeSpec extends SparkSpec {
+
+  private def queryPanel: Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+
+  private lazy val expected: Set[(Long, Long, Long, Long)] =
+    SparkEntry.registry.find(_.name == "ann_graph_hier_topk").get
+      .fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def serve(batches: Seq[Seq[(Long, Array[Float])]])
+      : Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_out").toString
+    val chkDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_chk").toString
+    val corpus = Curation56Queries.hierCorpus(spark, sfDir)
+    val und = Curation56Queries.hierAdjacency(spark, sfDir).persist()
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = Streams.serveAnn(
+        mem.toDS().toDF("vec_id", "embedding")
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        corpus, und, outDir, chkDir)
+      try batches.foreach { b =>
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(outDir)
+        .select(col("qid"), col("cid"), col("rank"), col("score_e6"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    } finally spark.catalog.clearCache()
+  }
+
+  test("one micro-batch serves exactly the batch query's answers") {
+    assert(expected.nonEmpty)
+    assert(serve(Seq(queryPanel)) === expected)
+  }
+
+  test("queries split across micro-batches serve the same answers") {
+    val (a, b) = queryPanel.partition(_._1 < 5)
+    assert(serve(Seq(a, b)) === expected)
+  }
+}
