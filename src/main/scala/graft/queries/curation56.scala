@@ -120,7 +120,7 @@ object Curation56Queries {
     * beam*degree*rounds corpus rows — constant, corpus-size
     * independent. */
   private[graft] def hierBeamSearch(q: DataFrame, e: DataFrame,
-      und: DataFrame): DataFrame = {
+      und: DataFrame, finalK: Int = 3): DataFrame = {
     // centroid grid restricted to graph nodes (vec_id % 31 == 7,
     // same construction as ann_ivf_topk)
     val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
@@ -150,7 +150,7 @@ object Curation56Queries {
         .unionByName(beam)
       beam = topB(expand, Beam).select(col("qid"), col("cid"))
     }
-    topB(beam, 3)
+    topB(beam, finalK)
       .select(col("qid"), col("cid"), col("rnk").cast("bigint")
         .as("rank"),
         floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
@@ -515,5 +515,114 @@ object Curation56Queries {
         "constant.  Deterministic (cos DESC, cid) tie-breaks, " +
         "bit-parity cosine kernel; recall measured against brute " +
         "force in AnnRecallSpec alongside the fixed-entry variant."),
+
+    QueryDef(
+      "ann_index_insert",
+      (s, d) => {
+        // INDEX MAINTENANCE — the lifecycle piece after build and
+        // serve: insert 20 new vectors (vec_id 300-319, outside the
+        // indexed slice) into the WRITTEN graph without rebuilding.
+        // Exactly the HNSW insertion procedure: (1) route the new
+        // vector to entry points via the coarse-centroid grid, (2) run
+        // the same bounded beam search the serving path uses to find
+        // its k=5 nearest indexed nodes — these become its forward
+        // edges — and (3) for each linked node, the back-edge PRUNE
+        // decision: the new vector displaces the node's current worst
+        // out-edge iff it scores strictly better (ties keep the
+        // incumbent; compared on the shared e6 integer grid so both
+        // engines decide identically). Per insert the work is the
+        // search's beam*degree*rounds constant plus a k-row join — no
+        // rebuild, no corpus scan. The displaced-edge min is a plain
+        // partial-aggregated groupBy over the k-bounded edge list.
+        val e = hierCorpus(s, d)
+        val newV = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val und = hierAdjacency(s, d).persist()
+        val fwd = hierBeamSearch(newV, e, und, finalK = 5)
+        val g = nnDescentEdges(s, d)
+        val worst = g
+          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+          .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
+          .select(col("src"), cosine(col("se"), col("de")).as("cos"))
+          .groupBy(col("src"))
+          .agg(floor(min(col("cos")) * 1000000).cast("bigint")
+            .as("displaced_e6"))
+        fwd.join(worst, fwd("cid") === worst("src"))
+          .select(col("qid").as("new_id"), col("cid").as("dst"),
+            col("rank"), col("score_e6"), col("displaced_e6"),
+            (col("score_e6") > col("displaced_e6")).as("back_inserted"))
+      },
+      Some {
+        def round(prev: String, out: String): String =
+          s"""cands_$out AS (SELECT DISTINCT qid, cid FROM (
+             |    SELECT b.qid, u.dst AS cid
+             |    FROM $prev b JOIN und u ON u.src = b.cid
+             |    UNION ALL SELECT qid, cid FROM $prev)),
+             |scored_$out AS (SELECT c.qid, c.cid,
+             |    ${cosineSql("q.qe", "e.ce")} AS cos
+             |  FROM cands_$out c JOIN e ON e.cid = c.cid
+             |  JOIN q ON q.qid = c.qid
+             |  WHERE c.qid <> c.cid),
+             |$out AS MATERIALIZED (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+             |      ORDER BY cos DESC, cid) AS rnk FROM scored_$out)
+             |  WHERE rnk <= $Beam)""".stripMargin
+        s"""WITH $nnDescentSqlCtes,
+           |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM g4
+           |    UNION ALL SELECT dst, src FROM g4)),
+           |e AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce
+           |      FROM base),
+           |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+           |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 320),
+           |cents AS (SELECT cid, ce FROM e WHERE cid % 31 = 7),
+           |entries AS (SELECT qid, cid FROM (
+           |    SELECT q.qid, c.cid, row_number() OVER (
+           |      PARTITION BY q.qid ORDER BY
+           |        ${cosineSql("q.qe", "c.ce")} DESC, c.cid) AS crn
+           |    FROM q CROSS JOIN cents c)
+           |  WHERE crn <= 2),
+           |scored_b0 AS (SELECT c.qid, c.cid,
+           |    ${cosineSql("q.qe", "e.ce")} AS cos
+           |  FROM entries c JOIN e ON e.cid = c.cid
+           |  JOIN q ON q.qid = c.qid
+           |  WHERE c.qid <> c.cid),
+           |b0 AS (SELECT qid, cid FROM (
+           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, cid) AS rnk FROM scored_b0)
+           |  WHERE rnk <= $Beam),
+           |${round("b0", "b1")},
+           |${round("b1", "b2")},
+           |${round("b2", "b3")},
+           |fwd AS (SELECT qid, cid, rnk::BIGINT AS rank,
+           |    floor(cos * 1000000)::BIGINT AS score_e6
+           |  FROM (SELECT qid, cid, cos, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           |    FROM scored_b3)
+           |  WHERE rnk <= 5),
+           |w AS (SELECT g4.src,
+           |    floor(min(${cosineSql("es.embedding", "ed.embedding")})
+           |          * 1000000)::BIGINT AS displaced_e6
+           |  FROM g4 JOIN base es ON es.vec_id = g4.src
+           |  JOIN base ed ON ed.vec_id = g4.dst
+           |  GROUP BY g4.src)
+           |SELECT f.qid AS new_id, f.cid AS dst, f.rank, f.score_e6,
+           |  w.displaced_e6, f.score_e6 > w.displaced_e6 AS back_inserted
+           |FROM fwd f JOIN w ON w.src = f.cid""".stripMargin
+      },
+      "Graph-ANN index maintenance — HNSW-style INSERT into the " +
+        "written index without a rebuild: route each of 20 new vectors " +
+        "through the coarse-centroid grid, find its k=5 nearest indexed " +
+        "nodes with the same bounded beam search serving uses (these " +
+        "become its forward edges), and decide each back-edge by the " +
+        "displacement rule — the new vector enters a linked node's " +
+        "neighbor list iff it strictly beats that node's current worst " +
+        "edge on the shared e6 integer grid (ties keep the incumbent). " +
+        "Per insert: constant search work + a k-row join; the worst-" +
+        "edge table is one partial-aggregated groupBy over the " +
+        "k-bounded edge list. Completes the lifecycle the family " +
+        "demonstrates: NN-descent BUILD -> written index -> routed " +
+        "SEARCH/SERVE -> incremental INSERT."),
   )
 }

@@ -17,7 +17,7 @@ class CacheContractSpec extends SparkSpec {
   private val persistingQueries = Seq(
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "minhash_jaccard_estimate", "dedup_clusters", "dedup_keep_best",
-    "mmr_rerank_top3", "ann_graph_hier_topk")
+    "mmr_rerank_top3", "ann_graph_hier_topk", "ann_index_insert")
 
   test("persisting queries leave blocks; one clearCache drains them all") {
     spark.catalog.clearCache()

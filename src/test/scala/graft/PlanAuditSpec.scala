@@ -131,13 +131,17 @@ class PlanAuditSpec extends SparkSpec {
                                    // knn_graph construction's broadcast
                                    // !=-join; the search rounds are all
                                    // equi-joins)
-    "ann_graph_hier_topk")         // entry routing: broadcast 10-query
+    "ann_graph_hier_topk",         // entry routing: broadcast 10-query
                                    // panel x ~|corpus|/31 centroid grid
                                    // (the IVF coarse-quantizer product,
                                    // same shape as ivf_pq_topk); the
                                    // graph build and search rounds are
                                    // all equi-joins over the WRITTEN
                                    // edge table
+    "ann_index_insert")            // same routing product, 20-row
+                                   // broadcast insert panel x centroid
+                                   // grid; search + worst-edge join are
+                                   // equi-joins
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
