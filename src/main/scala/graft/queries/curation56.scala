@@ -624,5 +624,95 @@ object Curation56Queries {
         "k-bounded edge list. Completes the lifecycle the family " +
         "demonstrates: NN-descent BUILD -> written index -> routed " +
         "SEARCH/SERVE -> incremental INSERT."),
+
+    QueryDef(
+      "ann_index_delete",
+      (s, d) => {
+        // The DELETE half of index maintenance: remove the 6 nodes
+        // vec_id % 50 == 3 from the written graph and REPAIR the
+        // survivors that pointed at them — the standard graph-index
+        // repair (a deleted node's own out-neighbors are the best
+        // replacement candidates for every edge that died pointing at
+        // it, the same neighbor-of-neighbor principle NN-descent
+        // builds with). Each affected survivor re-ranks those
+        // candidates (minus deleted nodes, itself, and dsts it already
+        // keeps) by the kernel cosine and refills exactly the edges it
+        // lost. Work is bounded by |affected| x (dead dsts x k)
+        // candidates — never a rebuild, never a corpus scan; the
+        // per-src window ranks <= 25 candidate rows.
+        val e = hierCorpus(s, d)
+        val g = nnDescentEdges(s, d)
+        val del = e.filter(pmod(col("cid"), lit(50)) === 3)
+          .select(col("cid").as("del"))
+        val liveSrc = g.join(del, g("src") === del("del"), "left_anti")
+        val surv = liveSrc
+          .join(del, liveSrc("dst") === del("del"), "left_anti")
+        val dead = liveSrc.join(del, liveSrc("dst") === del("del"))
+          .select(col("src"), col("del"))
+        val lost = dead.groupBy(col("src"))
+          .agg(count(lit(1)).as("n_lost"))
+        val cand = dead
+          .join(g.select(col("src").as("del"), col("dst").as("cand")),
+            "del")
+          .select(col("src"), col("cand"))
+          .filter(col("src") =!= col("cand"))
+          .join(del.select(col("del").as("cand")), Seq("cand"),
+            "left_anti")
+          .join(surv.select(col("src"), col("dst").as("cand")),
+            Seq("src", "cand"), "left_anti")
+          .distinct()
+        cand
+          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+          .join(e.select(col("cid").as("cand"), col("ce").as("de")),
+            "cand")
+          .select(col("src"), col("cand"),
+            cosine(col("se"), col("de")).as("cos"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("cand"))))
+          .join(lost, "src")
+          .filter(col("rnk") <= col("n_lost"))
+          .select(col("src"), col("cand").as("new_dst"),
+            col("rnk").cast("bigint").as("fill_rank"),
+            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"),
+            col("n_lost"))
+      },
+      Some(s"""WITH $nnDescentSqlCtes,
+           |del AS (SELECT vec_id AS del FROM base WHERE vec_id % 50 = 3),
+           |live AS (SELECT src, dst FROM g4
+           |         WHERE src NOT IN (SELECT del FROM del)),
+           |surv AS (SELECT src, dst FROM live
+           |         WHERE dst NOT IN (SELECT del FROM del)),
+           |dead AS (SELECT src, dst AS del FROM live
+           |         WHERE dst IN (SELECT del FROM del)),
+           |lost AS (SELECT src, count(*)::BIGINT AS n_lost
+           |         FROM dead GROUP BY src),
+           |cand AS (SELECT DISTINCT d.src, g.dst AS cand
+           |  FROM dead d JOIN g4 g ON g.src = d.del
+           |  WHERE g.dst <> d.src
+           |    AND g.dst NOT IN (SELECT del FROM del)
+           |    AND NOT EXISTS (SELECT 1 FROM surv s
+           |                    WHERE s.src = d.src AND s.dst = g.dst)),
+           |scored AS (SELECT c.src, c.cand,
+           |    ${cosineSql("es.embedding", "ed.embedding")} AS cos
+           |  FROM cand c JOIN base es ON es.vec_id = c.src
+           |  JOIN base ed ON ed.vec_id = c.cand)
+           |SELECT s.src, s.cand AS new_dst, rnk::BIGINT AS fill_rank,
+           |  floor(cos * 1000000)::BIGINT AS cos_e6, l.n_lost
+           |FROM (SELECT src, cand, cos, row_number() OVER (
+           |    PARTITION BY src ORDER BY cos DESC, cand) AS rnk
+           |  FROM scored) s
+           |JOIN lost l ON l.src = s.src
+           |WHERE rnk <= l.n_lost""".stripMargin),
+      "Graph-ANN index maintenance, the DELETE half: drop 6 indexed " +
+        "nodes and repair every survivor that pointed at one — the " +
+        "deleted node's own out-neighbors are the replacement " +
+        "candidates (the NN-descent neighbor-of-neighbor principle), " +
+        "re-ranked by the kernel cosine minus deleted nodes, self, and " +
+        "already-kept dsts, refilling exactly the lost edge count. " +
+        "Candidate work is |affected| x (dead dsts x k) rows through " +
+        "equi-joins and anti-joins; no rebuild, no corpus scan. " +
+        "With ann_index_insert this closes the maintenance pair on " +
+        "the written index."),
   )
 }
