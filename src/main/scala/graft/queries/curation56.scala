@@ -52,7 +52,7 @@ object Curation56Queries {
     * app+dataset, the layoutOnce pattern from scale.scala), searched
     * many times.  The DuckDB oracle mirrors the boundaries with AS
     * MATERIALIZED on each round's CTE. */
-  private[queries] def nnDescentEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def nnDescentEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val path = builtGraphs.getOrElseUpdate(
       (s.sparkContext.applicationId, d), {

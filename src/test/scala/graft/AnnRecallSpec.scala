@@ -187,4 +187,59 @@ class AnnRecallSpec extends SparkSpec {
     // but not floored — the banding variant that does chase recall is
     // dedup_minhash_lsh's multi-band construction.
   }
+
+  test("the maintained index still serves: search after delete+repair " +
+    "clears the recall floor") {
+    // ann_index_delete's output is not just rows — APPLY it: drop every
+    // edge touching a deleted node from the written graph, add the
+    // refill edges, and run the same routed beam search the serving
+    // path uses over the repaired adjacency. The repaired index must
+    // (a) never surface a deleted node and (b) clear the same recall
+    // floor as the intact graph on the surviving queries — the check a
+    // deployment runs before swapping in a maintained index.
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    import graft.queries.Curation56Queries
+    val deleted = (0 until 300 by 50).map(_ + 3L) // vec_id % 50 == 3
+    val g = Curation56Queries.nnDescentEdges(spark, sfDir)
+    val surv = g.filter(!col("src").isin(deleted: _*) &&
+      !col("dst").isin(deleted: _*))
+    val refill = byName("ann_index_delete")
+      .select(col("src"), col("new_dst").as("dst"))
+    val repaired = surv.unionByName(refill)
+    val und = repaired.unionByName(
+        repaired.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val live = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 300 && !col("vec_id").isin(deleted: _*))
+    val e = live.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val q = live.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = Curation56Queries.hierBeamSearch(q, e, und)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.nonEmpty)
+    assert(served.forall { case (_, cid) => !deleted.contains(cid) },
+      "repaired index surfaced a deleted node")
+    val got = served.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    got.foreach { case (qid, ns) =>
+      assert(ns.size === 3 && !ns.contains(qid), s"query $qid malformed")
+    }
+    // exact top-3 over the LIVE slice (deleted nodes are not valid
+    // answers after deletion, so ground truth excludes them too)
+    val exact3 = broadcast(q).crossJoin(e)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hits = got.collect { case (qid, approx) if exact3.contains(qid) =>
+      (approx intersect exact3(qid)).size }.sum
+    val total = got.collect { case (qid, _) if exact3.contains(qid) =>
+      exact3(qid).size }.sum
+    val recall = if (total == 0) 0L else 1000L * hits / total
+    assert(recall >= 100L,
+      s"post-repair graph ANN recall@3 = $recall permille")
+  }
 }
