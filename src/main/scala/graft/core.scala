@@ -133,3 +133,46 @@ object Corpus {
       |UNION ALL SELECT doc_id + 1000000, substr(text, 1, (length(text)*9)//10), lang, source FROM documents WHERE doc_id % 50 = 0
       |UNION ALL SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 25 = 0""".stripMargin
 }
+
+/** Scratch-layout plumbing shared by every query that materializes a
+  * derived table under java.io.tmpdir (the partition-pruning layouts in
+  * ScaleQueries, the written NN-descent index in Curation56Queries).
+  *
+  *  - [[tag]] keys the path by an MD5 prefix of the dataset dir, not
+  *    its 32-bit String.hashCode: two datasets colliding on hashCode
+  *    within one application would silently SHARE a layout path (the
+  *    memo map, keyed by the full string, would then serve one
+  *    dataset's files to the other).
+  *  - [[register]] records every created path and deletes them all in
+  *    one JVM shutdown hook — app-unique paths are what make
+  *    concurrent sessions safe, so without the hook every run leaks a
+  *    parquet copy of its layouts into tmpdir permanently.
+  *
+  * Builders must run under the owning memo map's lock (both call sites
+  * synchronize) so racing first-callers cannot overwrite-write the
+  * same path concurrently.
+  */
+object Scratch {
+  def tag(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val hookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach(p => rm(new java.io.File(p)))))
+
+  def register(path: String): String = {
+    hookOnce
+    created.add(path)
+    path
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(rm)
+    f.delete()
+    ()
+  }
+}

@@ -54,10 +54,15 @@ object Curation56Queries {
     * MATERIALIZED on each round's CTE. */
   private[graft] def nnDescentEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val path = builtGraphs.getOrElseUpdate(
+    // synchronized + Scratch.tag/register: once-only build under the
+    // memo lock, collision-proof path key, deleted at JVM shutdown
+    // (see graft.Scratch)
+    val path = builtGraphs.synchronized {
+      builtGraphs.getOrElseUpdate(
       (s.sparkContext.applicationId, d), {
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_nnd_" +
-          s"${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+        val base = graft.Scratch.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_nnd_" +
+            s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
         val k = 5
         val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -95,6 +100,7 @@ object Curation56Queries {
         }
         s"$base/r4"
       })
+    }
     s.read.parquet(path)
   }
 
@@ -119,30 +125,30 @@ object Curation56Queries {
     * (cid, ce), `und` (src, dst). Per query the search touches at most
     * beam*degree*rounds corpus rows — constant, corpus-size
     * independent. */
-  private[graft] def hierBeamSearch(q: DataFrame, e: DataFrame,
-      und: DataFrame, finalK: Int = 3): DataFrame = {
-    // centroid grid restricted to graph nodes (vec_id % 31 == 7,
-    // same construction as ann_ivf_topk)
-    val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
-    def topB(cands: DataFrame, b: Int): DataFrame = cands
-      .distinct()
-      .join(e, "cid").join(broadcast(q), "qid")
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        cosine(col("qe"), col("ce")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rnk") <= b)
-    // route: 2 nearest centroids per query are the entry beam
-    val entries = broadcast(q).crossJoin(cents)
-      .select(col("qid"), col("cid"),
-        cosine(col("qe"), col("ce")).as("ccos"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crn") <= 2)
-      .select(col("qid"), col("cid"))
+  /** Per-query bounded top-b re-rank: score candidates with the kernel
+    * cosine, keep b per query by (cos DESC, cid). The window
+    * partitions on qid over a BOUNDED set (<= beam * (degree + 1) rows
+    * per query), never corpus rows. ONE definition shared by every
+    * graph-ANN search variant (fixed-entry, routed, insert) so the
+    * tie-break and scoring can never drift between them. */
+  private def topBOver(q: DataFrame, e: DataFrame)(
+      cands: DataFrame, b: Int): DataFrame = cands
+    .distinct()
+    .join(e, "cid").join(broadcast(q), "qid")
+    .filter(col("qid") =!= col("cid"))
+    .select(col("qid"), col("cid"),
+      cosine(col("qe"), col("ce")).as("cos"))
+    .withColumn("rnk", row_number().over(
+      Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))))
+    .filter(col("rnk") <= b)
+
+  /** The unrolled bounded beam expansion from an entry candidate set
+    * (fixed seeds or routed centroids): top-8 of the entries, Rounds
+    * greedy adjacency expansions, final top-k re-rank. */
+  private[graft] def beamRounds(q: DataFrame, e: DataFrame,
+      und: DataFrame, entries: DataFrame, finalK: Int): DataFrame = {
+    val topB = topBOver(q, e) _
     var beam = topB(entries, Beam).select(col("qid"), col("cid"))
     for (_ <- 1 to Rounds) {
       val expand = beam.join(und, beam("cid") === und("src"))
@@ -155,6 +161,77 @@ object Curation56Queries {
         .as("rank"),
         floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
   }
+
+  private[graft] def hierBeamSearch(q: DataFrame, e: DataFrame,
+      und: DataFrame, finalK: Int = 3): DataFrame = {
+    // centroid grid restricted to graph nodes (vec_id % 31 == 7,
+    // same construction as ann_ivf_topk)
+    val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
+    // route: 2 nearest centroids per query are the entry beam
+    val entries = broadcast(q).crossJoin(cents)
+      .select(col("qid"), col("cid"),
+        cosine(col("qe"), col("ce")).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("cid"))
+    beamRounds(q, e, und, entries, finalK)
+  }
+
+  /** Oracle-side mirrors of the beam machinery — ONE text per piece,
+    * interpolated into all three searching oracles, for the same
+    * no-drift reason as [[topBOver]]. */
+  private def annB0Sql(entriesCte: String): String =
+    s"""scored_b0 AS (SELECT c.qid, c.cid,
+       |    ${cosineSql("q.qe", "e.ce")} AS cos
+       |  FROM $entriesCte c JOIN e ON e.cid = c.cid
+       |  JOIN q ON q.qid = c.qid
+       |  WHERE c.qid <> c.cid),
+       |b0 AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, cid) AS rnk FROM scored_b0)
+       |  WHERE rnk <= $Beam)""".stripMargin
+
+  private def annRoundSql(prev: String, out: String): String =
+    s"""cands_$out AS (SELECT DISTINCT qid, cid FROM (
+       |    SELECT b.qid, u.dst AS cid
+       |    FROM $prev b JOIN und u ON u.src = b.cid
+       |    UNION ALL SELECT qid, cid FROM $prev)),
+       |scored_$out AS (SELECT c.qid, c.cid,
+       |    ${cosineSql("q.qe", "e.ce")} AS cos
+       |  FROM cands_$out c JOIN e ON e.cid = c.cid
+       |  JOIN q ON q.qid = c.qid
+       |  WHERE c.qid <> c.cid),
+       |$out AS MATERIALIZED (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, cid) AS rnk FROM scored_$out)
+       |  WHERE rnk <= $Beam)""".stripMargin
+
+  private def annRoundsSql: String =
+    s"""${annRoundSql("b0", "b1")},
+       |${annRoundSql("b1", "b2")},
+       |${annRoundSql("b2", "b3")}""".stripMargin
+
+  private def annFinalSql(k: Int): String =
+    s"""SELECT c.qid, c.cid, rnk::BIGINT AS rank,
+       |  floor(cos * 1000000)::BIGINT AS score_e6
+       |FROM (SELECT qid, cid, cos, row_number() OVER (
+       |    PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM scored_b3) c
+       |WHERE rnk <= $k""".stripMargin
+
+  /** Centroid routing: cents grid + 2 nearest centroids per query —
+    * the oracle mirror of [[hierBeamSearch]]'s entry construction,
+    * shared by the hier search and the insert oracles. */
+  private def annEntriesSql: String =
+    s"""cents AS (SELECT cid, ce FROM e WHERE cid % 31 = 7),
+       |entries AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (
+       |      PARTITION BY q.qid ORDER BY
+       |        ${cosineSql("q.qe", "c.ce")} DESC, c.cid) AS crn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE crn <= 2)""".stripMargin
 
   /** The matching DuckDB CTE chain: defines `base` (the slice) and
     * `g4` (the final edge list); prepend after WITH. */
@@ -212,50 +289,13 @@ object Curation56Queries {
         val und = ed.unionByName(
             ed.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
-        // score a candidate set and keep the per-query top b — the
-        // window partitions on qid over a BOUNDED set (<= beam *
-        // (degree + 1) rows per query), never corpus rows
-        def topB(cands: DataFrame, b: Int): DataFrame = cands
-          .distinct()
-          .join(e, "cid").join(broadcast(q), "qid")
-          .filter(col("qid") =!= col("cid"))
-          .select(col("qid"), col("cid"),
-            cosine(col("qe"), col("ce")).as("cos"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("cos").desc, col("cid"))))
-          .filter(col("rnk") <= b)
-        // fixed entry points -> beam; then Rounds greedy expansions:
-        // candidates = beam + kNN neighbors of beam, re-ranked, top-8
+        // fixed entry points -> beam; then Rounds greedy expansions
+        // through the SHARED beamRounds/topBOver machinery
         val seeds = q.select(col("qid")).withColumn("cid",
           explode(array(EntrySeeds.map(lit): _*)))
-        var beam = topB(seeds, Beam).select(col("qid"), col("cid"))
-        for (_ <- 1 to Rounds) {
-          val expand = beam.join(und, beam("cid") === und("src"))
-            .select(col("qid"), col("dst").as("cid"))
-            .unionByName(beam)
-          beam = topB(expand, Beam).select(col("qid"), col("cid"))
-        }
-        topB(beam, 3)
-          .select(col("qid"), col("cid"), col("rnk").cast("bigint")
-            .as("rank"),
-            floor(col("cos") * 1000000).cast("bigint").as("score_e6"))
+        beamRounds(q, e, und, seeds, finalK = 3)
       },
       Some {
-        def round(prev: String, out: String): String =
-          s"""cands_$out AS (SELECT DISTINCT qid, cid FROM (
-             |    SELECT b.qid, u.dst AS cid
-             |    FROM $prev b JOIN und u ON u.src = b.cid
-             |    UNION ALL SELECT qid, cid FROM $prev)),
-             |scored_$out AS (SELECT c.qid, c.cid,
-             |    ${cosineSql("q.qe", "e.ce")} AS cos
-             |  FROM cands_$out c JOIN e ON e.cid = c.cid
-             |  JOIN q ON q.qid = c.qid
-             |  WHERE c.qid <> c.cid),
-             |$out AS MATERIALIZED (SELECT qid, cid FROM (
-             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-             |      ORDER BY cos DESC, cid) AS rnk FROM scored_$out)
-             |  WHERE rnk <= $Beam)""".stripMargin
         val seedVals = EntrySeeds.map(v => s"($v)").mkString(",")
         s"""WITH ${GraphQueries.knnEdgesSql},
            |und AS (SELECT DISTINCT src, dst FROM (
@@ -266,23 +306,9 @@ object Curation56Queries {
            |      FROM embeddings WHERE vec_id < 10),
            |seed AS (SELECT qid, s.cid::BIGINT AS cid
            |         FROM q, (VALUES $seedVals) s(cid)),
-           |scored_b0 AS (SELECT c.qid, c.cid,
-           |    ${cosineSql("q.qe", "e.ce")} AS cos
-           |  FROM seed c JOIN e ON e.cid = c.cid JOIN q ON q.qid = c.qid
-           |  WHERE c.qid <> c.cid),
-           |b0 AS (SELECT qid, cid FROM (
-           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-           |      ORDER BY cos DESC, cid) AS rnk FROM scored_b0)
-           |  WHERE rnk <= $Beam),
-           |${round("b0", "b1")},
-           |${round("b1", "b2")},
-           |${round("b2", "b3")}
-           |SELECT c.qid, c.cid, rnk::BIGINT AS rank,
-           |  floor(cos * 1000000)::BIGINT AS score_e6
-           |FROM (SELECT qid, cid, cos, row_number() OVER (
-           |    PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-           |  FROM scored_b3) c
-           |WHERE rnk <= 3""".stripMargin
+           |${annB0Sql("seed")},
+           |$annRoundsSql
+           |${annFinalSql(3)}""".stripMargin
       },
       "Graph-based ANN (NSW-style): greedy beam search over the k=3 " +
         "kNN graph — 4 fixed entry points, beam 8, 3 unrolled " +
@@ -309,6 +335,12 @@ object Curation56Queries {
         // only the 1-D marginals (sum of C(m,2) per x-group/y-group),
         // never the pair join.  At extreme value domains, quantize
         // x/y first — same pipeline, coarser cells.
+        // Numeric range: everything through cd is int64-exact while
+        // n-per-lang stays under ~4.3e9 (n0 = C(n,2) caps int64) and
+        // no single cell pair's weight product tops 2^63 — past that,
+        // shard by lang-hash and merge the four counters, or quantize
+        // first; the tau tail guards the all-tied denominator (n0 = nx
+        // or n0 = ny -> NULL, both engines) instead of emitting NaN.
         val base = Tables.documents(s, d).select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("x"),
           col("n_chars").as("y"))
@@ -337,10 +369,11 @@ object Curation56Queries {
           .join(tiePairs("x", "nx"), "lang")
           .join(tiePairs("y", "ny"), "lang")
           .select(col("lang"), col("n").as("n_docs"), col("c"), col("dd"),
-            floor((col("c") - col("dd")).cast("double") * lit(1000.0) /
-              (sqrt((col("n0") - col("nx")).cast("double")) *
-                sqrt((col("n0") - col("ny")).cast("double"))))
-              .cast("bigint").as("tau_e3"))
+            when(col("n0") > col("nx") && col("n0") > col("ny"),
+              floor((col("c") - col("dd")).cast("double") * lit(1000.0) /
+                (sqrt((col("n0") - col("nx")).cast("double")) *
+                  sqrt((col("n0") - col("ny")).cast("double"))))
+                .cast("bigint")).as("tau_e3"))
       },
       Some("""WITH base AS (SELECT lang,
         |    len(string_split(text, ' '))::BIGINT AS x, n_chars AS y
@@ -365,9 +398,10 @@ object Curation56Queries {
         |    (count(*) * (count(*) - 1) // 2)::BIGINT AS n0
         |  FROM base GROUP BY lang)
         |SELECT nn.lang, n AS n_docs, c, dd,
-        |  floor((c - dd)::DOUBLE * 1000.0
-        |        / (sqrt((n0 - nx)::DOUBLE) * sqrt((n0 - ny)::DOUBLE)))
-        |    ::BIGINT AS tau_e3
+        |  CASE WHEN n0 > nx AND n0 > ny THEN
+        |    floor((c - dd)::DOUBLE * 1000.0
+        |          / (sqrt((n0 - nx)::DOUBLE) * sqrt((n0 - ny)::DOUBLE)))
+        |      ::BIGINT END AS tau_e3
         |FROM nn JOIN cd ON cd.lang = nn.lang
         |JOIN tx ON tx.lang = nn.lang JOIN ty ON ty.lang = nn.lang"""
         .stripMargin),
@@ -457,20 +491,6 @@ object Curation56Queries {
         hierBeamSearch(q, hierCorpus(s, d), hierAdjacency(s, d).persist())
       },
       Some {
-        def round(prev: String, out: String): String =
-          s"""cands_$out AS (SELECT DISTINCT qid, cid FROM (
-             |    SELECT b.qid, u.dst AS cid
-             |    FROM $prev b JOIN und u ON u.src = b.cid
-             |    UNION ALL SELECT qid, cid FROM $prev)),
-             |scored_$out AS (SELECT c.qid, c.cid,
-             |    ${cosineSql("q.qe", "e.ce")} AS cos
-             |  FROM cands_$out c JOIN e ON e.cid = c.cid
-             |  JOIN q ON q.qid = c.qid
-             |  WHERE c.qid <> c.cid),
-             |$out AS MATERIALIZED (SELECT qid, cid FROM (
-             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-             |      ORDER BY cos DESC, cid) AS rnk FROM scored_$out)
-             |  WHERE rnk <= $Beam)""".stripMargin
         s"""WITH $nnDescentSqlCtes,
            |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            |    SELECT src, dst FROM g4
@@ -479,31 +499,10 @@ object Curation56Queries {
            |      FROM base),
            |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
            |      FROM embeddings WHERE vec_id < 10),
-           |cents AS (SELECT cid, ce FROM e WHERE cid % 31 = 7),
-           |entries AS (SELECT qid, cid FROM (
-           |    SELECT q.qid, c.cid, row_number() OVER (
-           |      PARTITION BY q.qid ORDER BY
-           |        ${cosineSql("q.qe", "c.ce")} DESC, c.cid) AS crn
-           |    FROM q CROSS JOIN cents c)
-           |  WHERE crn <= 2),
-           |scored_b0 AS (SELECT c.qid, c.cid,
-           |    ${cosineSql("q.qe", "e.ce")} AS cos
-           |  FROM entries c JOIN e ON e.cid = c.cid
-           |  JOIN q ON q.qid = c.qid
-           |  WHERE c.qid <> c.cid),
-           |b0 AS (SELECT qid, cid FROM (
-           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-           |      ORDER BY cos DESC, cid) AS rnk FROM scored_b0)
-           |  WHERE rnk <= $Beam),
-           |${round("b0", "b1")},
-           |${round("b1", "b2")},
-           |${round("b2", "b3")}
-           |SELECT c.qid, c.cid, rnk::BIGINT AS rank,
-           |  floor(cos * 1000000)::BIGINT AS score_e6
-           |FROM (SELECT qid, cid, cos, row_number() OVER (
-           |    PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-           |  FROM scored_b3) c
-           |WHERE rnk <= 3""".stripMargin
+           |$annEntriesSql,
+           |${annB0Sql("entries")},
+           |$annRoundsSql
+           |${annFinalSql(3)}""".stripMargin
       },
       "The assembled scalable graph-ANN pipeline (the HNSW story end " +
         "to end): NN-descent BUILDS the graph (O(n*k^2)/round local " +
@@ -554,20 +553,6 @@ object Curation56Queries {
             (col("score_e6") > col("displaced_e6")).as("back_inserted"))
       },
       Some {
-        def round(prev: String, out: String): String =
-          s"""cands_$out AS (SELECT DISTINCT qid, cid FROM (
-             |    SELECT b.qid, u.dst AS cid
-             |    FROM $prev b JOIN und u ON u.src = b.cid
-             |    UNION ALL SELECT qid, cid FROM $prev)),
-             |scored_$out AS (SELECT c.qid, c.cid,
-             |    ${cosineSql("q.qe", "e.ce")} AS cos
-             |  FROM cands_$out c JOIN e ON e.cid = c.cid
-             |  JOIN q ON q.qid = c.qid
-             |  WHERE c.qid <> c.cid),
-             |$out AS MATERIALIZED (SELECT qid, cid FROM (
-             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-             |      ORDER BY cos DESC, cid) AS rnk FROM scored_$out)
-             |  WHERE rnk <= $Beam)""".stripMargin
         s"""WITH $nnDescentSqlCtes,
            |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            |    SELECT src, dst FROM g4
@@ -576,25 +561,9 @@ object Curation56Queries {
            |      FROM base),
            |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
            |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 320),
-           |cents AS (SELECT cid, ce FROM e WHERE cid % 31 = 7),
-           |entries AS (SELECT qid, cid FROM (
-           |    SELECT q.qid, c.cid, row_number() OVER (
-           |      PARTITION BY q.qid ORDER BY
-           |        ${cosineSql("q.qe", "c.ce")} DESC, c.cid) AS crn
-           |    FROM q CROSS JOIN cents c)
-           |  WHERE crn <= 2),
-           |scored_b0 AS (SELECT c.qid, c.cid,
-           |    ${cosineSql("q.qe", "e.ce")} AS cos
-           |  FROM entries c JOIN e ON e.cid = c.cid
-           |  JOIN q ON q.qid = c.qid
-           |  WHERE c.qid <> c.cid),
-           |b0 AS (SELECT qid, cid FROM (
-           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
-           |      ORDER BY cos DESC, cid) AS rnk FROM scored_b0)
-           |  WHERE rnk <= $Beam),
-           |${round("b0", "b1")},
-           |${round("b1", "b2")},
-           |${round("b2", "b3")},
+           |$annEntriesSql,
+           |${annB0Sql("entries")},
+           |$annRoundsSql,
            |fwd AS (SELECT qid, cid, rnk::BIGINT AS rank,
            |    floor(cos * 1000000)::BIGINT AS score_e6
            |  FROM (SELECT qid, cid, cos, row_number() OVER (

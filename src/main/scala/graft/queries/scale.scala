@@ -22,14 +22,19 @@ object ScaleQueries {
   private val materialized =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
+  // synchronized: TrieMap.getOrElseUpdate gives no once-only guarantee
+  // for the side-effecting builder, and two first-callers racing the
+  // same key would both overwrite-write the same path. Collision
+  // safety, path uniqueness and shutdown cleanup via graft.Scratch.
   private def layoutOnce(s: SparkSession, d: String, kind: String)(
-      write: String => Unit): String =
+      write: String => Unit): String = materialized.synchronized {
     materialized.getOrElseUpdate((s.sparkContext.applicationId, d, kind), {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-        s"${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+        s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}"
       write(path)
-      path
+      graft.Scratch.register(path)
     })
+  }
 
   /** The lang-partitioned documents layout `partitioned_write_prune`
     * reads — exposed so PartitionPruneSpec audits the exact directory

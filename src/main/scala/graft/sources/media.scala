@@ -104,6 +104,9 @@ object MediaCodec {
     val dataOffset = u32(bytes, 10)
     val hdrSize = u32(bytes, 14)
     if (hdrSize < 40) return None
+    // pixel data must start past the 14-byte file header + DIB header;
+    // a smaller offset would silently decode header bytes as pixels
+    if (dataOffset < 14L + hdrSize) return None
     val width = i32(bytes, 18)
     val heightRaw = i32(bytes, 22)
     val bottomUp = heightRaw >= 0

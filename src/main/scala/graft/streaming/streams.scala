@@ -268,7 +268,12 @@ object Streams {
     * the emitted pair set is IDENTICAL to the batch query's —
     * StreamingNearDupSpec pins that, plus cross-batch state carry and
     * the cap bound. Idle buckets age out via the optional
-    * processing-time TTL, the same mechanism as [[userActivityTws]]. */
+    * processing-time TTL, the same mechanism as [[userActivityTws]].
+    * Redelivered ids (at-least-once upstream) are dropped whole while
+    * they are held as members — no duplicate emissions, no cap slot
+    * burned twice; only an id that arrived past a full cap (never
+    * became a member, so bounded state cannot remember it) re-scores
+    * on redelivery. */
   def nearDupLsh(vecs: DataFrame, cap: Int = 64,
       ttlMs: Option[Long] = None): Dataset[NearDupPair] = {
     import vecs.sparkSession.implicits._
@@ -1001,10 +1006,15 @@ final class NearDupProcessor(cap: Int, ttlMs: Option[Long])
       timers: TimerValues): Iterator[NearDupPair] = {
     val held = scala.collection.mutable.ArrayBuffer
       .from(members.get())
+    val seen = scala.collection.mutable.Set.from(held.iterator.map(_.vec_id))
     val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
     rows.toIndexedSeq.sortBy(_.vec_id).foreach { r =>
-      held.foreach { m =>
-        if (m.vec_id != r.vec_id)
+      // redelivery idempotence: an id already held (at-least-once
+      // upstream, or a same-batch duplicate) is dropped whole — no
+      // re-scoring (the Append sink would double its pairs) and no
+      // second membership burning a cap slot
+      if (!seen.contains(r.vec_id)) {
+        held.foreach { m =>
           graft.functions.VectorOps.cosineScala(m.embedding, r.embedding)
             .foreach { cos =>
               if (cos >= 0.999) {
@@ -1014,10 +1024,12 @@ final class NearDupProcessor(cap: Int, ttlMs: Option[Long])
                 out += NearDupPair(a, b, math.floor(cos * 1e6).toLong)
               }
             }
-      }
-      if (held.size < cap) {
-        held += EmbMember(r.vec_id, r.embedding)
-        members.appendValue(EmbMember(r.vec_id, r.embedding))
+        }
+        if (held.size < cap) {
+          held += EmbMember(r.vec_id, r.embedding)
+          members.appendValue(EmbMember(r.vec_id, r.embedding))
+        }
+        seen += r.vec_id
       }
     }
     out.iterator

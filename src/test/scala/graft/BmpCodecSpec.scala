@@ -61,6 +61,11 @@ class BmpCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeBmp(bpp8).isEmpty)
     val rle = good.clone(); rle(30) = 1 // BI_RLE8 compression
     assert(MediaCodec.decodeBmp(rle).isEmpty)
+    // dataOffset inside the header: would decode header bytes as
+    // pixels if accepted (offset 0 keeps every bound check happy on a
+    // payload this small — the reject must come from the offset floor)
+    val hdrOverlap = good.clone(); hdrOverlap(10) = 0
+    assert(MediaCodec.decodeBmp(hdrOverlap).isEmpty)
   }
 
   test("the media_decode_bmp payloads are genuine BMPs and every row " +

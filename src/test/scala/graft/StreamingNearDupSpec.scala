@@ -109,6 +109,16 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(got.toSet === expectedPairs)
   }
 
+  test("redelivered members are idempotent: no duplicate pairs, " +
+    "no double membership") {
+    // batch 2 redelivers every batch-1 vector alongside the late
+    // copies — emissions must equal the clean two-batch run exactly
+    val (late, early) = vectors.partition(_._1 >= 10000L)
+    val got = runStream(Seq(early, early ++ late), "neardup_redeliver")
+    assert(got.size === got.toSet.size, "duplicate emissions")
+    assert(got.toSet === expectedPairs)
+  }
+
   test("membership cap bounds comparisons and state") {
     // six identical vectors into one bucket with cap=3: arrivals 1-3
     // join the member list (0+1+2 pairs), arrivals 4-6 each score
