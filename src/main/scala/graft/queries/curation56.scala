@@ -221,6 +221,36 @@ object Curation56Queries {
        |  FROM scored_b3) c
        |WHERE rnk <= $k""".stripMargin
 
+  /** Each indexed node's worst current out-edge score on the e6 grid —
+    * the displacement threshold for insertion. STATIC per built index:
+    * one partial-aggregated groupBy over the k-bounded edge list. */
+  private[graft] def worstEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val e = hierCorpus(s, d)
+    nnDescentEdges(s, d)
+      .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+      .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
+      .select(col("src"), cosine(col("se"), col("de")).as("cos"))
+      .groupBy(col("src"))
+      .agg(floor(min(col("cos")) * 1000000).cast("bigint")
+        .as("displaced_e6"))
+  }
+
+  /** The HNSW insertion computation shared by the ann_index_insert
+    * registry query and the streaming maintenance path
+    * (Streams.insertAnn): routed beam search finds each new vector's
+    * k=5 forward edges; the back-edge decision joins the static
+    * worst-edge table — the new vector displaces a linked node's worst
+    * out-edge iff it strictly beats it on the e6 grid. */
+  private[graft] def insertEdges(newV: DataFrame, e: DataFrame,
+      und: DataFrame, worst: DataFrame): DataFrame = {
+    val fwd = hierBeamSearch(newV, e, und, finalK = 5)
+    fwd.join(worst, fwd("cid") === worst("src"))
+      .select(col("qid").as("new_id"), col("cid").as("dst"),
+        col("rank"), col("score_e6"), col("displaced_e6"),
+        (col("score_e6") > col("displaced_e6")).as("back_inserted"))
+  }
+
   /** Centroid routing: cents grid + 2 nearest centroids per query —
     * the oracle mirror of [[hierBeamSearch]]'s entry construction,
     * shared by the hier search and the insert oracles. */
@@ -537,20 +567,8 @@ object Curation56Queries {
         val newV = Tables.embeddings(s, d)
           .filter(col("vec_id") >= 300 && col("vec_id") < 320)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val und = hierAdjacency(s, d).persist()
-        val fwd = hierBeamSearch(newV, e, und, finalK = 5)
-        val g = nnDescentEdges(s, d)
-        val worst = g
-          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
-          .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
-          .select(col("src"), cosine(col("se"), col("de")).as("cos"))
-          .groupBy(col("src"))
-          .agg(floor(min(col("cos")) * 1000000).cast("bigint")
-            .as("displaced_e6"))
-        fwd.join(worst, fwd("cid") === worst("src"))
-          .select(col("qid").as("new_id"), col("cid").as("dst"),
-            col("rank"), col("score_e6"), col("displaced_e6"),
-            (col("score_e6") > col("displaced_e6")).as("back_inserted"))
+        insertEdges(newV, e, hierAdjacency(s, d).persist(),
+          worstEdges(s, d))
       },
       Some {
         s"""WITH $nnDescentSqlCtes,

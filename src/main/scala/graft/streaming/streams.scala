@@ -324,6 +324,35 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming index MAINTENANCE — new vectors stream in and each
+    * micro-batch is inserted into the written graph-ANN index with the
+    * SAME computation the batch ann_index_insert query runs
+    * (Curation56Queries.insertEdges: routed beam search for the k
+    * forward edges + the back-edge displacement rule against the
+    * static worst-edge table). Like [[serveAnn]], foreachBatch is the
+    * operator: the index, corpus, and worst-edge table stay static
+    * DataFrames joined per batch, edge batches land batchId-keyed for
+    * idempotent replay, and per arriving vector the work is the
+    * search's constant plus a k-row join. StreamingAnnServeSpec pins
+    * edge-for-edge parity with the batch insert query. `newVecs`
+    * columns: (qid, qe); statics as in serveAnn plus `worst`
+    * (src, displaced_e6). */
+  def insertAnn(newVecs: DataFrame, corpus: DataFrame, und: DataFrame,
+      worst: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVecs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          graft.queries.Curation56Queries
+            .insertEdges(batch, corpus, und, worst)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Stream-stream interval join: each start event ('signup') matched to
     * completion events ('purchase') of the same user arriving within
     * [start, start + 1 hour] — the submit->done correlation the

@@ -65,4 +65,49 @@ class StreamingAnnServeSpec extends SparkSpec {
     val (a, b) = queryPanel.partition(_._1 < 5)
     assert(serve(Seq(a, b)) === expected)
   }
+
+  test("streaming inserts match the batch insert query edge for edge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val newVecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val batchRows = SparkEntry.registry.find(_.name == "ann_index_insert")
+      .get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    spark.catalog.clearCache()
+    assert(batchRows.nonEmpty)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ins_out").toString
+    val chkDir = java.nio.file.Files
+      .createTempDirectory("graft_ins_chk").toString
+    val corpus = Curation56Queries.hierCorpus(spark, sfDir)
+    val und = Curation56Queries.hierAdjacency(spark, sfDir).persist()
+    val worst = Curation56Queries.worstEdges(spark, sfDir).persist()
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = Streams.insertAnn(
+        mem.toDS().toDF("vec_id", "embedding")
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        corpus, und, worst, outDir, chkDir)
+      // two micro-batches: inserts are per-vector independent against
+      // the static index, so the union must equal the batch run
+      val (a, b) = newVecs.partition(_._1 < 310)
+      try Seq(a, b).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(outDir)
+        .select(col("new_id"), col("dst"), col("rank"), col("score_e6"),
+          col("displaced_e6"), col("back_inserted"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === batchRows)
+    } finally spark.catalog.clearCache()
+  }
 }
