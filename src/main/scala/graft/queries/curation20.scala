@@ -89,9 +89,12 @@ object Curation20Queries {
     QueryDef(
       "curriculum_order",
       (s, d) => {
-        // exact ntile(3) tier arithmetic on the ScalableIndex dense rank
-        // (no unpartitioned window over the corpus); the per-tier step
-        // window stays partitioned
+        // exact ntile(3) tier arithmetic on the ScalableIndex dense
+        // rank — and the per-tier step TOO: the tiers are contiguous
+        // idx ranges of the same (n_chars, doc_id) total order, so
+        // step = idx - tier_start + 1 is pure arithmetic. No window at
+        // all (a per-tier window would funnel corpus/3 rows per task —
+        // the enum-window killer one column over).
         val n = Tables.documents(s, d).count()
         val k = 3L
         val q = n / k
@@ -100,13 +103,15 @@ object Curation20Queries {
           if (q == 0L) "idx + 1"
           else s"if(idx < ${r * (q + 1)}L, idx div ${q + 1}L, " +
             s"$r + (idx - ${r * (q + 1)}L) div ${q}L) + 1"
-        val stepW = Window.partitionBy(col("tier"))
-          .orderBy(col("n_chars"), col("doc_id"))
+        val tierStart =
+          if (q == 0L) "idx"
+          else s"if(tier <= $r, (tier - 1L) * ${q + 1}L, " +
+            s"${r * (q + 1)}L + (tier - 1L - $r) * ${q}L)"
         graft.operators.ScalableIndex.withDenseIndex(
             Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
             Seq(col("n_chars"), col("doc_id")), 8, "idx")
           .withColumn("tier", expr(s"cast($bucket AS bigint)"))
-          .withColumn("step", row_number().over(stepW).cast("long"))
+          .withColumn("step", expr(s"idx - ($tierStart) + 1L"))
           .withColumn("global_step",
             (col("step") - 1L) * 3L + col("tier"))
           .filter(col("global_step") <= 60)
@@ -128,9 +133,9 @@ object Curation20Queries {
         "order), then emitted round-robin easy/medium/hard so every " +
         "training window sees the full difficulty mix while average " +
         "difficulty stays flat — the schedule LLM data pipelines use " +
-        "when pure easy-to-hard ordering destabilizes training. At " +
-        "100 TB the global ntile becomes fixed length-range tiers " +
-        "(length quantiles from quantile_bin_boundaries) and the " +
-        "per-tier row_number a per-partition zip — both shuffle-light."),
+        "when pure easy-to-hard ordering destabilizes training. One " +
+        "range exchange total: tiers are contiguous ranges of the " +
+        "dense index, so both tier and per-tier step are closed-form " +
+        "arithmetic on idx — no per-tier window anywhere in the plan."),
   )
 }

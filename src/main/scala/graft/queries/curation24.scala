@@ -212,9 +212,21 @@ object Curation24Queries {
         val stacked = Tables.documents(s, d).selectExpr("doc_id",
           "stack(3, 'lang', lang, 'source', source, " +
             "'n_chars', cast(n_chars as string)) as (col_name, v)")
-        val w = Window.partitionBy(col("col_name")).orderBy(col("doc_id"))
-        val withHead = stacked.withColumn("is_head",
-          coalesce(lag(col("v"), 1).over(w) =!= col("v"), lit(true)))
+        // run-head detection WITHOUT a per-col_name window (3 enum
+        // values -> corpus/3 rows per window task): ScalableGroups
+        // ranks each row in its column's doc_id order via one range
+        // exchange, and the predecessor comes back as an idx+1
+        // equi-join on (col_name, rank) — the
+        // blocking_sorted_neighborhood neighbor pattern, distributed
+        // by the data-cardinality rank key
+        val ranked = graft.operators.ScalableGroups.withGroupRank(
+          stacked, Seq("col_name"), Seq(col("doc_id")), 8,
+          rankCol = "grank")
+        val prev = ranked.select(col("col_name"),
+          (col("grank") + 1L).as("grank"), col("v").as("prev_v"))
+        val withHead = ranked.join(prev, Seq("col_name", "grank"), "left")
+          .withColumn("is_head",
+            coalesce(col("prev_v") =!= col("v"), lit(true)))
         val base = withHead.groupBy(col("col_name")).agg(
           count(lit(1)).as("n_values"),
           sum(octet_length(col("v")).cast("long") * 8L).as("plain_bits"),

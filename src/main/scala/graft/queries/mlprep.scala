@@ -55,10 +55,16 @@ object MlPrepQueries {
         // then windowed across them (never a full-table single partition)
         val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
           .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
-        val ranked = e.select(col("vec_id"), col("label"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("label"))
-              .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        // per-label shuffle rank via ScalableGroups, NOT a per-label
+        // window: label is a ~10-value enum, so a window would funnel
+        // corpus/10 rows per task; the group-rank form range-exchanges
+        // the (label, hash) total order and rebases by broadcast
+        // offsets (exact row_number parity, ScalableGroupsSpec)
+        val hashed = e.select(col("vec_id"), col("label"))
+          .withColumn("__h", md5(col("vec_id").cast("string")))
+        val ranked = graft.operators.ScalableGroups.withGroupRank(
+          hashed, Seq("label"), Seq(col("__h"), col("vec_id")), 8,
+          rankCol = "rk")
         ranked.join(counts.select(col("label"), col("n_min")), "label")
           .filter(col("rk") <= col("n_min"))
           .select(col("vec_id"), col("label"))

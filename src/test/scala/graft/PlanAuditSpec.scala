@@ -498,7 +498,10 @@ class PlanAuditSpec extends SparkSpec {
   private val enumPartitionCols = Set("lang", "source", "split",
     "event_type", "l_returnflag", "l_linestatus", "o_orderstatus",
     "o_orderpriority", "c_mktsegment", "r_name", "n_name", "status",
-    "half", "variant", "bucket_kind", "model", "segment")
+    "half", "variant", "bucket_kind", "model", "segment",
+    // round-7 census additions: every other bounded-enum partition
+    // column found by a grep over Window.partitionBy call sites
+    "label", "tier", "col_name", "snap", "dow")
 
   test("no enum-partitioned WindowExec over unbounded input anywhere " +
     "in the registry") {
@@ -559,7 +562,12 @@ class PlanAuditSpec extends SparkSpec {
     "durbin_watson_daily" ->
       "per-(event_type, day) counts: |types| x fixture-horizon days",
     "max_drawdown_daily" ->
-      "per-(event_type, day) counts: |types| x fixture-horizon days")
+      "per-(event_type, day) counts: |types| x fixture-horizon days",
+    "schema_drift_detect" ->
+      ("per-(snap, col_name, v) counts: window input is the " +
+        "aggregated value histogram, bounded by the value domain"),
+    "anomaly_dow_baseline" ->
+      "per-day counts: |dow| x fixture-horizon days")
 
   test("no registry query's analyzed plan exceeds the node budget") {
     // The failure class this locks out: iterative DataFrame loops that
