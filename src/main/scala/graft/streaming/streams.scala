@@ -334,7 +334,17 @@ object Streams {
     * DataFrames joined per batch, edge batches land batchId-keyed for
     * idempotent replay, and per arriving vector the work is the
     * search's constant plus a k-row join. StreamingAnnServeSpec pins
-    * edge-for-edge parity with the batch insert query. `newVecs`
+    * edge-for-edge parity with the batch insert query.
+    *
+    * Semantics: every micro-batch inserts against the SAME index
+    * snapshot — emitted edges are DELTAS; they do not fold back into
+    * the adjacency mid-stream, so two streamed vectors never link to
+    * each other and displacement decisions are vs the snapshot's
+    * worst edges (exactly the batch query's semantics, which is what
+    * the parity pin requires). That is the segment/delta design
+    * production vector stores use: serve from snapshot + deltas,
+    * CONSOLIDATE periodically by re-running the NN-descent refinement
+    * over base + accumulated inserts as a batch job.  `newVecs`
     * columns: (qid, qe); statics as in serveAnn plus `worst`
     * (src, displaced_e6). */
   def insertAnn(newVecs: DataFrame, corpus: DataFrame, und: DataFrame,
