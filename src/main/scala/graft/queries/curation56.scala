@@ -31,6 +31,26 @@ object Curation56Queries {
   private val builtGraphs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  // generic write-once side tables (the insert DELTA table the
+  // consolidation folds in); same memo/collision/cleanup discipline
+  private val builtTables =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String),
+      String]
+  private def materializedOnce(s: org.apache.spark.sql.SparkSession,
+      d: String, kind: String)(build: => DataFrame): DataFrame = {
+    val path = builtTables.synchronized {
+      builtTables.getOrElseUpdate(
+        (s.sparkContext.applicationId, d, kind), {
+          val p = graft.Scratch.register(
+            s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+              s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
+          build.write.mode("overwrite").parquet(p)
+          p
+        })
+    }
+    s.read.parquet(path)
+  }
+
   /** NN-descent kNN graph over the 300-vector slice: k=5, 4 local-join
     * rounds from id-arithmetic seeds. Shared by knn_graph_nn_descent
     * (which emits it) and ann_graph_hier_topk (which searches it).
@@ -250,6 +270,28 @@ object Curation56Queries {
         col("rank"), col("score_e6"), col("displaced_e6"),
         (col("score_e6") > col("displaced_e6")).as("back_inserted"))
   }
+
+  /** The insert pipeline's oracle CTE chain after nnDescentSqlCtes —
+    * und/e/q + routed search + the k=5 forward-edge table `fwd`.
+    * Shared by the ann_index_insert and ann_index_consolidate
+    * oracles. */
+  private def insertFwdSqlCtes: String =
+    s"""und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g4
+       |    UNION ALL SELECT dst, src FROM g4)),
+       |e AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce
+       |      FROM base),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 320),
+       |$annEntriesSql,
+       |${annB0Sql("entries")},
+       |$annRoundsSql,
+       |fwd AS MATERIALIZED (SELECT qid, cid, rnk::BIGINT AS rank,
+       |    floor(cos * 1000000)::BIGINT AS score_e6
+       |  FROM (SELECT qid, cid, cos, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |    FROM scored_b3)
+       |  WHERE rnk <= 5)""".stripMargin
 
   /** Centroid routing: cents grid + 2 nearest centroids per query —
     * the oracle mirror of [[hierBeamSearch]]'s entry construction,
@@ -572,22 +614,7 @@ object Curation56Queries {
       },
       Some {
         s"""WITH $nnDescentSqlCtes,
-           |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           |    SELECT src, dst FROM g4
-           |    UNION ALL SELECT dst, src FROM g4)),
-           |e AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce
-           |      FROM base),
-           |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
-           |      FROM embeddings WHERE vec_id >= 300 AND vec_id < 320),
-           |$annEntriesSql,
-           |${annB0Sql("entries")},
-           |$annRoundsSql,
-           |fwd AS (SELECT qid, cid, rnk::BIGINT AS rank,
-           |    floor(cos * 1000000)::BIGINT AS score_e6
-           |  FROM (SELECT qid, cid, cos, row_number() OVER (
-           |      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-           |    FROM scored_b3)
-           |  WHERE rnk <= 5),
+           |$insertFwdSqlCtes,
            |w AS (SELECT g4.src,
            |    floor(min(${cosineSql("es.embedding", "ed.embedding")})
            |          * 1000000)::BIGINT AS displaced_e6
@@ -611,6 +638,89 @@ object Curation56Queries {
         "k-bounded edge list. Completes the lifecycle the family " +
         "demonstrates: NN-descent BUILD -> written index -> routed " +
         "SEARCH/SERVE -> incremental INSERT."),
+
+    QueryDef(
+      "ann_index_consolidate",
+      (s, d) => {
+        // CONSOLIDATION — the periodic batch job the delta-insert
+        // design defers to (see Streams.insertAnn's scaladoc): fold
+        // the accumulated insert deltas into the index with ONE
+        // NN-descent refinement round over base + inserted nodes.
+        // Seed graph = the written base index + the WRITTEN delta
+        // edges (materializedOnce — deltas are a table, exactly what
+        // the streaming insert path lands); candidates = seeds +
+        // forward/reverse neighbor-of-neighbor pairs; re-score and
+        // keep top-5 per node over the widened corpus. This is the
+        // step that lets INSERTED NODES LINK EACH OTHER (two new
+        // vectors sharing a base neighbor meet through the reverse
+        // join) — the edge class per-batch deltas cannot produce.
+        // Same O(n*k^2) equi-join round as the build; nothing
+        // quadratic, nothing rebuilt from scratch.
+        val e320 = Tables.embeddings(s, d).filter(col("vec_id") < 320)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val ins = materializedOnce(s, d, "insdelta") {
+          val newV = Tables.embeddings(s, d)
+            .filter(col("vec_id") >= 300 && col("vec_id") < 320)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          insertEdges(newV, hierCorpus(s, d),
+            hierAdjacency(s, d).persist(), worstEdges(s, d))
+            .select(col("new_id").as("src"), col("dst"))
+        }
+        val seed = nnDescentEdges(s, d).unionByName(ins)
+        val fwd = seed.as("a").join(seed.as("b"),
+            col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        val rev = seed.as("a").join(seed.as("b"),
+            col("a.dst") === col("b.dst"))
+          .select(col("a.src").as("src"), col("b.src").as("dst"))
+        seed.unionByName(fwd).unionByName(rev)
+          .distinct()
+          .filter(col("src") =!= col("dst"))
+          .join(e320.select(col("cid").as("src"), col("ce").as("se")),
+            "src")
+          .join(e320.select(col("cid").as("dst"), col("ce").as("de")),
+            "dst")
+          .select(col("src"), col("dst"),
+            cosine(col("se"), col("de")).as("cos"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cos").desc, col("dst"))))
+          .filter(col("rnk") <= 5)
+          .select(col("src"), col("dst"),
+            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"))
+      },
+      Some(s"""WITH $nnDescentSqlCtes,
+           |$insertFwdSqlCtes,
+           |base320 AS MATERIALIZED (SELECT vec_id, embedding
+           |  FROM embeddings WHERE vec_id < 320),
+           |seed2 AS MATERIALIZED (SELECT src, dst FROM g4
+           |  UNION ALL SELECT qid, cid FROM fwd),
+           |cons AS (SELECT src, dst FROM seed2
+           |  UNION ALL SELECT a.src, b.dst FROM seed2 a
+           |    JOIN seed2 b ON a.dst = b.src
+           |  UNION ALL SELECT a.src, b.src FROM seed2 a
+           |    JOIN seed2 b ON a.dst = b.dst),
+           |scored_k AS (SELECT c.src, c.dst,
+           |    ${cosineSql("es.embedding", "ed.embedding")} AS cos
+           |  FROM (SELECT DISTINCT src, dst FROM cons
+           |        WHERE src <> dst) c
+           |  JOIN base320 es ON es.vec_id = c.src
+           |  JOIN base320 ed ON ed.vec_id = c.dst)
+           |SELECT src, dst, floor(cos * 1000000)::BIGINT AS cos_e6
+           |FROM (SELECT src, dst, cos, row_number() OVER (
+           |    PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+           |  FROM scored_k)
+           |WHERE rnk <= 5""".stripMargin),
+      "Graph-ANN index CONSOLIDATION — the periodic batch job the " +
+        "delta-insert design defers to: seed with the written base " +
+        "index plus the written insert deltas and run one NN-descent " +
+        "refinement round (seeds + forward/reverse neighbor-of-" +
+        "neighbor candidates, re-scored, top-5 per node) over the " +
+        "widened corpus. This is where inserted nodes gain edges to " +
+        "EACH OTHER — the edge class per-batch deltas cannot " +
+        "produce — at the build's O(n*k^2) equi-join cost, never a " +
+        "rebuild. Closes the maintenance loop: build -> insert " +
+        "deltas -> consolidate -> serve the refreshed table."),
 
     QueryDef(
       "ann_index_delete",
