@@ -242,4 +242,50 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 100L,
       s"post-repair graph ANN recall@3 = $recall permille")
   }
+
+  test("the consolidated index interlinks inserted nodes and serves " +
+    "the widened corpus above the recall floor") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    import graft.queries.Curation56Queries
+    val edges = byName("ann_index_consolidate")
+      .select(col("src"), col("dst"))
+    spark.catalog.clearCache()
+    // the motivating property: consolidation produces edges BETWEEN
+    // inserted nodes (>= 300) — the class per-batch deltas cannot
+    val interlinks = edges
+      .filter(col("src") >= 300L && col("dst") >= 300L).count()
+    assert(interlinks > 0L,
+      "consolidation produced no inserted-node interlinks")
+    // and the refreshed graph must serve the WIDENED corpus: same
+    // routed beam search, ground truth now includes inserted nodes
+    val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val wide = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 320)
+    val e = wide.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val q = wide.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = Curation56Queries.hierBeamSearch(q, e, und)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    served.foreach { case (qid, ns) =>
+      assert(ns.size === 3 && !ns.contains(qid), s"query $qid malformed")
+    }
+    val exact3 = broadcast(q).crossJoin(e)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hits = served.collect { case (qid, ap) if exact3.contains(qid) =>
+      (ap intersect exact3(qid)).size }.sum
+    val total = served.collect { case (qid, _) if exact3.contains(qid) =>
+      exact3(qid).size }.sum
+    val recall = if (total == 0) 0L else 1000L * hits / total
+    assert(recall >= 100L,
+      s"post-consolidation graph ANN recall@3 = $recall permille")
+  }
 }
