@@ -271,6 +271,52 @@ object Curation56Queries {
         (col("score_e6") > col("displaced_e6")).as("back_inserted"))
   }
 
+  /** The delete-repair computation shared by the ann_index_delete
+    * registry query and the streaming maintenance path
+    * (Streams.deleteAnn). `delNow` is the batch of deletions to
+    * repair for; `tomb` is the FULL tombstone set so far (a superset
+    * of delNow — equal to it in the one-shot batch query): survivors
+    * are nodes outside `tomb`, kept/candidate edges exclude `tomb`,
+    * and each affected survivor refills exactly the edges it lost to
+    * `delNow` from the deleted nodes' own out-neighbors, re-ranked by
+    * the kernel cosine. With delNow == tomb this is exactly the
+    * one-shot delete semantics the DuckDB oracle mirrors. */
+  private[graft] def deleteRepair(delNow: DataFrame, tomb: DataFrame,
+      g: DataFrame, e: DataFrame): DataFrame = {
+    val liveSrc = g.join(tomb, g("src") === tomb("del"), "left_anti")
+    val surv = liveSrc
+      .join(tomb, liveSrc("dst") === tomb("del"), "left_anti")
+    val dead = liveSrc.join(delNow, liveSrc("dst") === delNow("del"))
+      .select(col("src"), col("del"))
+    val lost = dead.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_lost"))
+    val cand = dead
+      .join(g.select(col("src").as("del"), col("dst").as("cand")),
+        "del")
+      .select(col("src"), col("cand"))
+      .filter(col("src") =!= col("cand"))
+      .join(tomb.select(col("del").as("cand")), Seq("cand"),
+        "left_anti")
+      .join(surv.select(col("src"), col("dst").as("cand")),
+        Seq("src", "cand"), "left_anti")
+      .distinct()
+    cand
+      .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+      .join(e.select(col("cid").as("cand"), col("ce").as("de")),
+        "cand")
+      .select(col("src"), col("cand"),
+        cosine(col("se"), col("de")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("cand"))))
+      .join(lost, "src")
+      .filter(col("rnk") <= col("n_lost"))
+      .select(col("src"), col("cand").as("new_dst"),
+        col("rnk").cast("bigint").as("fill_rank"),
+        floor(col("cos") * 1000000).cast("bigint").as("cos_e6"),
+        col("n_lost"))
+  }
+
   /** The insert pipeline's oracle CTE chain after nnDescentSqlCtes —
     * und/e/q + routed search + the k=5 forward-edge table `fwd`.
     * Shared by the ann_index_insert and ann_index_consolidate
@@ -738,41 +784,9 @@ object Curation56Queries {
         // candidates — never a rebuild, never a corpus scan; the
         // per-src window ranks <= 25 candidate rows.
         val e = hierCorpus(s, d)
-        val g = nnDescentEdges(s, d)
         val del = e.filter(pmod(col("cid"), lit(50)) === 3)
           .select(col("cid").as("del"))
-        val liveSrc = g.join(del, g("src") === del("del"), "left_anti")
-        val surv = liveSrc
-          .join(del, liveSrc("dst") === del("del"), "left_anti")
-        val dead = liveSrc.join(del, liveSrc("dst") === del("del"))
-          .select(col("src"), col("del"))
-        val lost = dead.groupBy(col("src"))
-          .agg(count(lit(1)).as("n_lost"))
-        val cand = dead
-          .join(g.select(col("src").as("del"), col("dst").as("cand")),
-            "del")
-          .select(col("src"), col("cand"))
-          .filter(col("src") =!= col("cand"))
-          .join(del.select(col("del").as("cand")), Seq("cand"),
-            "left_anti")
-          .join(surv.select(col("src"), col("dst").as("cand")),
-            Seq("src", "cand"), "left_anti")
-          .distinct()
-        cand
-          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
-          .join(e.select(col("cid").as("cand"), col("ce").as("de")),
-            "cand")
-          .select(col("src"), col("cand"),
-            cosine(col("se"), col("de")).as("cos"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("src"))
-              .orderBy(col("cos").desc, col("cand"))))
-          .join(lost, "src")
-          .filter(col("rnk") <= col("n_lost"))
-          .select(col("src"), col("cand").as("new_dst"),
-            col("rnk").cast("bigint").as("fill_rank"),
-            floor(col("cos") * 1000000).cast("bigint").as("cos_e6"),
-            col("n_lost"))
+        deleteRepair(del, del, nnDescentEdges(s, d), e)
       },
       Some(s"""WITH $nnDescentSqlCtes,
            |del AS (SELECT vec_id AS del FROM base WHERE vec_id % 50 = 3),

@@ -363,6 +363,42 @@ object Streams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming DELETES with a tombstone table — the third online
+    * maintenance op beside [[serveAnn]] and [[insertAnn]]. Each
+    * micro-batch of deletion requests (vec ids) first APPENDS to the
+    * tombstone table, then computes repair edges for exactly that
+    * batch's deletions with the SAME computation as the batch
+    * ann_index_delete query (Curation56Queries.deleteRepair), with
+    * survivors/kept-edges/candidates excluding the FULL tombstone set
+    * so far. Streaming the whole delete set in one batch is
+    * edge-for-edge the batch query (StreamingAnnServeSpec); across
+    * batches the semantics are sequential — a repair made before a
+    * later deletion may point at a node that later dies, which is why
+    * SERVING reads snapshot + deltas MINUS tombstones (the standard
+    * tombstone design) and consolidation eventually rewrites the
+    * segment. Tombstone appends are idempotent under replay in effect
+    * (duplicate ids change no exclusion decision). */
+  def deleteAnn(delStream: DataFrame, corpus: DataFrame, g: DataFrame,
+      outDir: String, tombDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delStream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val s = batch.sparkSession
+          batch.select(org.apache.spark.sql.functions.col("del"))
+            .write.mode("append").parquet(tombDir)
+          val tomb = s.read.parquet(tombDir)
+          graft.queries.Curation56Queries
+            .deleteRepair(batch.select(
+              org.apache.spark.sql.functions.col("del")), tomb, g, corpus)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Stream-stream interval join: each start event ('signup') matched to
     * completion events ('purchase') of the same user arriving within
     * [start, start + 1 hour] — the submit->done correlation the

@@ -110,4 +110,77 @@ class StreamingAnnServeSpec extends SparkSpec {
       assert(got === batchRows)
     } finally spark.catalog.clearCache()
   }
+
+  private var lastDeleteOut: String = _
+
+  private def runDeletes(batches: Seq[Seq[Long]])
+      : (Set[(Long, Long, Long, Long, Long)], Set[Long]) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_del_out").toString
+    lastDeleteOut = outDir
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft_del_tomb").toString
+    val chkDir = java.nio.file.Files
+      .createTempDirectory("graft_del_chk").toString
+    val corpus = Curation56Queries.hierCorpus(spark, sfDir)
+    val g = Curation56Queries.nnDescentEdges(spark, sfDir)
+    val mem = MemoryStream[Long]
+    val q = Streams.deleteAnn(mem.toDS().toDF("del"), corpus, g,
+      outDir, tombDir, chkDir)
+    try batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val repairs = spark.read.parquet(outDir)
+      .select(col("src"), col("new_dst"), col("fill_rank"),
+        col("cos_e6"), col("n_lost"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val tombs = spark.read.parquet(tombDir)
+      .collect().map(_.getLong(0)).toSet
+    (repairs, tombs)
+  }
+
+  test("streaming deletes in one batch match the batch delete query") {
+    val delSet = (0 until 300 by 50).map(_ + 3L) // the oracle's set
+    val batchRows = SparkEntry.registry.find(_.name == "ann_index_delete")
+      .get.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    val (got, tombs) = runDeletes(Seq(delSet))
+    assert(tombs === delSet.toSet)
+    assert(got === batchRows)
+  }
+
+  test("sequential deletes: later repairs avoid ALL tombstones and " +
+    "the tombstone-filtered edge set never surfaces a deleted node") {
+    val delSet = (0 until 300 by 50).map(_ + 3L)
+    val (early, late) = delSet.partition(_ < 150L)
+    val (got, tombs) = runDeletes(Seq(early, late))
+    assert(tombs === delSet.toSet)
+    assert(got.nonEmpty)
+    // the LAST batch knows every tombstone, so its repairs must avoid
+    // them all (an EARLY repair may legitimately touch a node the late
+    // batch then deletes — that is the sequential semantics the
+    // tombstone filter below exists for)
+    val lateRepairs = spark.read.parquet(s"$lastDeleteOut/batch_id=1")
+      .select(col("src"), col("new_dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lateRepairs.forall { case (s2, d2) =>
+      !tombs.contains(s2) && !tombs.contains(d2) })
+    // serving reads (edges + repairs) MINUS tombstones on BOTH
+    // endpoints: after the filter no deleted node survives anywhere
+    val g = Curation56Queries.nnDescentEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val repaired = (g ++ got.map { case (s2, d2, _, _, _) => (s2, d2) })
+      .filterNot { case (s2, d2) =>
+        tombs.contains(s2) || tombs.contains(d2) }
+    assert(repaired.nonEmpty)
+    assert(repaired.forall { case (s2, d2) =>
+      !tombs.contains(s2) && !tombs.contains(d2) })
+  }
 }
