@@ -126,4 +126,13 @@ object TopKLongsAgg {
   def topkLongs(c: Column, k: Int): Column =
     Bridge.column(TopKLongsAgg(Bridge.expression(c), k)
       .toAggregateExpression())
+
+  /** Column wrapper: k SMALLEST values of a bigint column, ascending —
+    * the KMV-sketch building block (curation57.scala): each partition
+    * reduces to at most k mins before the shuffle, so a per-group
+    * k-minimum-values sketch costs n_groups * k longs of exchange no
+    * matter how many rows feed it. */
+  def minkLongs(c: Column, k: Int): Column =
+    Bridge.column(TopKLongsAgg(Bridge.expression(c), k, largest = false)
+      .toAggregateExpression())
 }

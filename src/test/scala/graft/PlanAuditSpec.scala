@@ -138,10 +138,21 @@ class PlanAuditSpec extends SparkSpec {
                                    // graph build and search rounds are
                                    // all equi-joins over the WRITTEN
                                    // edge table
-    "ann_index_insert")            // same routing product, 20-row
+    "ann_index_insert",            // same routing product, 20-row
                                    // broadcast insert panel x centroid
                                    // grid; search + worst-edge join are
                                    // equi-joins
+    "kmv_jaccard_sources",         // pair enumeration over the SKETCH
+                                   // table: n_sources rows of k longs
+                                   // each (corpus-size-independent by
+                                   // construction — that is the KMV
+                                   // point); the corpus pass itself is
+                                   // agg-only
+    "cms_heavy_hitters_twopass")   // the 1-ROW threshold scalar
+                                   // (count(*)/200) broadcast onto the
+                                   // distinct-token probe side; both
+                                   // corpus passes are agg / broadcast
+                                   // equi-join only
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
