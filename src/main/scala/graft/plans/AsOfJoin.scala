@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.LongType
 
@@ -90,6 +91,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // SQL metrics like the built-in joins expose: visible in the Spark UI
+  // and to listeners, so a 1000-executor run can see match rates without
+  // re-running anything (AsOfJoinExecSpec pins the accounting)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "output rows with an as-of match"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(lKey)), ClusteredDistribution(Seq(rKey)))
 
@@ -108,6 +118,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lOut = left.output
     val rOut = right.output
     val outSchema = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       // bind as Expression: bindReference's generic return would cast
       // the produced BoundReference back to Attribute otherwise
@@ -141,8 +153,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           if (pk == k) { heldKey = k; heldVal = pv; heldSet = true }
           fetch()
         }
-        if (heldSet && heldKey == k) valRow.setLong(0, heldVal)
-        else valRow.update(0, null)
+        if (heldSet && heldKey == k) {
+          valRow.setLong(0, heldVal)
+          numMatched += 1
+        } else valRow.update(0, null)
+        numOutputRows += 1
         proj(joined(lrow, valRow))
       }
     }

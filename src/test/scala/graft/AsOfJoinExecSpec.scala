@@ -67,6 +67,35 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("SQL metrics account for every output row and every match") {
+    import spark.implicits._
+    val left = (1L to 400L).map(i => (i, i % 5, i * 10)).toDF("id", "key", "time")
+    val right = (1L to 100L).map(i => (i % 3, i * 17, i)).toDF("rkey", "rt", "v")
+    val df = AsOfJoin.latest(left, "key", "time",
+      right, "rkey", "rt", "v", "asof_v")
+    val rows = df.collect()
+    val matched = rows.count(!_.isNullAt(3))
+    // after collect() the adaptive plan is final; unwrap the adaptive
+    // root AND the query-stage leaves (QueryStageExec hides its inner
+    // plan from collect) to reach the custom operator
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[graft.plans.AsOfJoinExec] =
+      p.collectFirst { case a: graft.plans.AsOfJoinExec => a }
+        .orElse(p.collect { case q: QueryStageExec => q.plan }
+          .flatMap(find(_)).headOption)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exec = find(finalPlan)
+      .getOrElse(fail(s"AsOfJoinExec not found in executed plan:\n$finalPlan"))
+    assert(exec.metrics("numOutputRows").value == rows.length.toLong)
+    assert(exec.metrics("numMatched").value == matched.toLong)
+    assert(matched > 0 && matched < rows.length,
+      "fixture must exercise both matched and unmatched rows")
+  }
+
   test("repartitioned inputs do not change the result (merge is local-safe)") {
     import spark.implicits._
     val left = (1L to 500L).map(i => (i, i % 7, i * 10)).toDF("id", "key", "time")
