@@ -25,9 +25,13 @@ object Curation51Queries {
         // side per-partition fan-out (no driver loop, no payload
         // shuffle); the read-back is the real multimodal ingest path
         // Formats.binaryDir documents.
-        val scratch = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft_bin_media")
-        // clean first: stale files from another sf would pollute the glob
+        // unique per (session, dataset) + shutdown-cleaned: a fixed
+        // shared dir would let a concurrent session's clean-first
+        // delete THIS session's files mid-read; stale same-key files
+        // are still cleaned so the glob never sees another run's ids
+        val scratch = new java.io.File(graft.Scratch.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_bin_media_" +
+            s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}"))
         if (scratch.exists())
           scratch.listFiles().foreach(f => { f.delete(); () })
         scratch.mkdirs()

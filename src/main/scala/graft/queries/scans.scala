@@ -171,7 +171,12 @@ object ScanQueries {
         // (the oracle reads the parquet). Exercises Spark's second
         // first-class columnar reader end to end — type mapping,
         // predicate pushdown, vectorized decode.
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs"
+        // unique per (session, dataset) + shutdown-cleaned: a fixed
+        // shared path would let concurrent sessions / different sfDirs
+        // clobber each other's round-trip mid-read
+        val path = graft.Scratch.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_orc_docs_" +
+            s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
         docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
           .write.mode("overwrite").orc(path)
         s.read.orc(path)
@@ -195,7 +200,10 @@ object ScanQueries {
         // newlines must survive write->read exactly (quote/escape mode,
         // multiLine read). Byte-identical text is asserted by summing
         // text lengths per language after the round-trip.
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_docs"
+        // unique per (session, dataset) + shutdown-cleaned, as above
+        val path = graft.Scratch.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft_csv_docs_" +
+            s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
         docs(s, d).select(col("doc_id"), col("lang"), col("text"))
           .write.mode("overwrite").option("header", "true")
           .option("escape", "\"").csv(path)
