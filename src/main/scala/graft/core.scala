@@ -157,6 +157,31 @@ object Scratch {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
 
+  private val onceBuilt = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), String]
+
+  /** Materialize a scratch layout/table ONCE per (application, dataset,
+    * kind) and return its path: the path embeds the applicationId plus
+    * a dataset hash so concurrent sessions (separate JVMs) never
+    * clobber each other, repeated executions in one app (bench
+    * iterations, spec re-runs) re-read instead of re-paying the write,
+    * and the shutdown hook removes it.  The builder runs under a lock —
+    * TrieMap.getOrElseUpdate alone gives no once-only guarantee for a
+    * side-effecting builder, and two first-callers racing the same key
+    * would both overwrite-write the same path.  Shared by the
+    * partition-layout queries (scale.scala), the NN-descent graph
+    * build and the insert-delta side tables (curation56.scala). */
+  def buildOnce(s: org.apache.spark.sql.SparkSession, d: String,
+      kind: String)(write: String => Unit): String =
+    onceBuilt.synchronized {
+      onceBuilt.getOrElseUpdate((s.sparkContext.applicationId, d, kind), {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+          s"${s.sparkContext.applicationId}_${tag(d)}"
+        write(path)
+        register(path)
+      })
+    }
+
   private val created =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val hookOnce: Unit =

@@ -33,6 +33,22 @@ import org.apache.spark.sql.functions._
   */
 object ScalableGroups {
 
+  /** Broadcast-join `right`'s per-group row back onto `left` with
+    * NULL-SAFE key equality: `Window.partitionBy` puts NULL-key rows in
+    * a partition of their own and emits them, and `groupBy` likewise
+    * keeps a NULL group — so the rebase join must match them too, or
+    * every NULL-group row silently vanishes from the output (the
+    * using-columns join's `=` would drop them). */
+  private def joinGroupsNullSafe(left: DataFrame, right: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val renamed = groupCols.foldLeft(right)(
+      (r, c) => r.withColumnRenamed(c, s"__gk_$c"))
+    val cond = groupCols.map(c => left(c) <=> renamed(s"__gk_$c"))
+      .reduce(_ && _)
+    left.join(broadcast(renamed), cond)
+      .drop(groupCols.map(c => s"__gk_$c"): _*)
+  }
+
   /** Adds `rankCol` = 1-based rank of the row within its group in
     * `orderCols` order, and `sizeCol` = rows in the group. Exact
     * equivalent of
@@ -46,7 +62,7 @@ object ScalableGroups {
     val bounds = idxd.groupBy(groupCols.map(col): _*)
       .agg(min(col("__gidx")).as("__glo"),
         count(lit(1)).as(sizeCol))
-    idxd.join(broadcast(bounds), groupCols)
+    joinGroupsNullSafe(idxd, bounds, groupCols)
       .withColumn(rankCol, col("__gidx") - col("__glo") + 1)
       .drop("__gidx", "__glo")
   }
@@ -74,7 +90,7 @@ object ScalableGroups {
           .as(s"__off_${sumCols.head}"),
         sumCols.tail.map(c =>
           min_by(col(s"__gbef_$c"), orderKey).as(s"__off_$c")): _*)
-    val joined = withBefore.join(broadcast(offs), groupCols)
+    val joined = joinGroupsNullSafe(withBefore, offs, groupCols)
     val rebased = sumCols.foldLeft(joined) { (acc, c) =>
       val in = if (exclusive) col(s"__gbef_$c") else col(s"__gcum_$c")
       acc.withColumn(prefix + c, in - col(s"__off_$c"))

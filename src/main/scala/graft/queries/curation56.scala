@@ -27,29 +27,12 @@ object Curation56Queries {
 
   // one build per (application, sf dir): the index is BUILT once and
   // WRITTEN; every searcher reads the materialized edge table (see
-  // nnDescentEdges)
-  private val builtGraphs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
-  // generic write-once side tables (the insert DELTA table the
-  // consolidation folds in); same memo/collision/cleanup discipline
-  private val builtTables =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String),
-      String]
+  // nnDescentEdges); memo + collision safety + shutdown cleanup live
+  // in graft.Scratch.buildOnce (shared with scale.scala's layouts)
   private def materializedOnce(s: org.apache.spark.sql.SparkSession,
-      d: String, kind: String)(build: => DataFrame): DataFrame = {
-    val path = builtTables.synchronized {
-      builtTables.getOrElseUpdate(
-        (s.sparkContext.applicationId, d, kind), {
-          val p = graft.Scratch.register(
-            s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-              s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
-          build.write.mode("overwrite").parquet(p)
-          p
-        })
-    }
-    s.read.parquet(path)
-  }
+      d: String, kind: String)(build: => DataFrame): DataFrame =
+    s.read.parquet(graft.Scratch.buildOnce(s, d, kind)(
+      p => build.write.mode("overwrite").parquet(p)))
 
   /** NN-descent kNN graph over the 300-vector slice: k=5, 4 local-join
     * rounds from id-arithmetic seeds. Shared by knn_graph_nn_descent
@@ -74,15 +57,9 @@ object Curation56Queries {
     * MATERIALIZED on each round's CTE. */
   private[graft] def nnDescentEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    // synchronized + Scratch.tag/register: once-only build under the
-    // memo lock, collision-proof path key, deleted at JVM shutdown
-    // (see graft.Scratch)
-    val path = builtGraphs.synchronized {
-      builtGraphs.getOrElseUpdate(
-      (s.sparkContext.applicationId, d), {
-        val base = graft.Scratch.register(
-          s"${System.getProperty("java.io.tmpdir")}/graft_nnd_" +
-            s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}")
+    // once-only build, collision-proof path key, shutdown cleanup: all
+    // via graft.Scratch.buildOnce; rounds land under base/r0..r4
+    val base = graft.Scratch.buildOnce(s, d, "nnd") { base =>
         val k = 5
         val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -118,10 +95,8 @@ object Curation56Queries {
             .select(col("a.src").as("src"), col("b.src").as("dst"))
           g = ckpt(topK(g.unionByName(fwd).unionByName(rev)), s"r$r")
         }
-        s"$base/r4"
-      })
-    }
-    s.read.parquet(path)
+      }
+    s.read.parquet(s"$base/r4")
   }
 
   /** The (cid, ce) corpus slice the graph-ANN family indexes. */

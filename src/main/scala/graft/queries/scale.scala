@@ -19,22 +19,12 @@ object ScaleQueries {
     * repeated executions of the same query in one app (bench
     * iterations, spec re-runs) re-read the already-written layout
     * instead of re-paying — and re-measuring — the write. */
-  private val materialized =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
-
-  // synchronized: TrieMap.getOrElseUpdate gives no once-only guarantee
-  // for the side-effecting builder, and two first-callers racing the
-  // same key would both overwrite-write the same path. Collision
-  // safety, path uniqueness and shutdown cleanup via graft.Scratch.
+  // memo + collision safety + shutdown cleanup hoisted to
+  // graft.Scratch.buildOnce (shared with curation56's graph/delta
+  // tables so the locking and path scheme live in one place)
   private def layoutOnce(s: SparkSession, d: String, kind: String)(
-      write: String => Unit): String = materialized.synchronized {
-    materialized.getOrElseUpdate((s.sparkContext.applicationId, d, kind), {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-        s"${s.sparkContext.applicationId}_${graft.Scratch.tag(d)}"
-      write(path)
-      graft.Scratch.register(path)
-    })
-  }
+      write: String => Unit): String =
+    graft.Scratch.buildOnce(s, d, kind)(write)
 
   /** The lang-partitioned documents layout `partitioned_write_prune`
     * reads — exposed so PartitionPruneSpec audits the exact directory

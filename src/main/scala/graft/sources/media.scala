@@ -110,12 +110,16 @@ object MediaCodec {
     val width = i32(bytes, 18)
     val heightRaw = i32(bytes, 22)
     val bottomUp = heightRaw >= 0
-    val height = math.abs(heightRaw)
+    // abs in LONG space: math.abs(Int.MinValue) stays negative, which
+    // would slip past every product-based bound below and crash the
+    // array allocation — a corrupt payload must never be fatal
+    val heightL = math.abs(heightRaw.toLong)
     val bitCount = u16(bytes, 28)
     val compression = u32(bytes, 30)
-    if (width <= 0 || height == 0 || bitCount != 24 || compression != 0L)
+    if (width <= 0 || heightL == 0L || bitCount != 24 || compression != 0L)
       return None
-    if (width.toLong * height > (1L << 24)) return None // bounded decode
+    if (width.toLong * heightL > (1L << 24)) return None // bounded decode
+    val height = heightL.toInt // <= 2^24 by the bound above
     val rowBytes = width * 3
     val stride = rowBytes + (4 - rowBytes % 4) % 4
     if (dataOffset + stride.toLong * height > bytes.length) return None

@@ -126,9 +126,10 @@ final class GenomeScan(path: String, required: StructType,
     val zm =
       if (status.isDirectory) GenomeZoneMap.load(fs, hPath) else None
     val kept = zm match {
-      case Some(m) => files.filter { st =>
+      case Some((m, sidecarMtime)) => files.filter { st =>
         m.get(st.getPath.getName) match {
-          case Some(s) if s.covers(st) => GenomeZoneMap.mightMatch(pushed, s)
+          case Some(s) if s.covers(st, sidecarMtime) =>
+            GenomeZoneMap.mightMatch(pushed, s)
           case _ => true // unknown or stale entry: never skip
         }
       }

@@ -31,13 +31,24 @@ object GenomeZoneMap {
       len: Long, mtime: Long) {
 
     /** True only when the entry was computed from the file as it
-      * exists NOW — i.e. the recorded (length, mtime) still match.
-      * Entries from sidecars that predate the fingerprint fields
-      * (len/mtime = -1) never cover, so old sidecars lose skipping
-      * but never lose rows. */
-    def covers(status: FileStatus): Boolean =
+      * exists NOW: the recorded (length, mtime) still match AND the
+      * file's mtime is strictly older than the sidecar itself.  The
+      * second condition closes the same-length-rewrite hole the
+      * fingerprint alone leaves open — a rewrite landing in the same
+      * mtime granule as the original write keeps (len, mtime)
+      * identical, but any such rewrite at-or-after the sidecar's own
+      * timestamp now degrades to "plan the file".  (The residual
+      * window — a rewrite completing between the stats read and the
+      * sidecar write, inside the original write's mtime granule — is
+      * inherent to mtime fingerprints; stores that rewrite shards
+      * in place should regenerate the sidecar, or better, write
+      * shards immutably.)  Entries from sidecars that predate the
+      * fingerprint fields (len/mtime = -1) never cover, so old
+      * sidecars lose skipping but never lose rows. */
+    def covers(status: FileStatus, sidecarMtime: Long): Boolean =
       len >= 0 && len == status.getLen &&
-        mtime == status.getModificationTime
+        mtime == status.getModificationTime &&
+        status.getModificationTime < sidecarMtime
   }
 
   val SidecarName = "_zonemap.json"
@@ -103,14 +114,18 @@ object GenomeZoneMap {
     out.close()
   }
 
-  /** Load the sidecar if present (keyed by shard basename).  Entries
-    * missing the (len, mtime) fingerprint — sidecars written before it
-    * existed — load with -1 markers and are treated as stale by
+  /** Load the sidecar if present (keyed by shard basename), together
+    * with the sidecar file's own mtime (the staleness horizon
+    * [[FileStats.covers]] checks against).  Entries missing the
+    * (len, mtime) fingerprint — sidecars written before it existed —
+    * load with -1 markers and are treated as stale by
     * [[FileStats.covers]]. */
-  def load(fs: FileSystem, dir: Path): Option[Map[String, FileStats]] = {
+  def load(fs: FileSystem, dir: Path)
+      : Option[(Map[String, FileStats], Long)] = {
     val p = new Path(dir, SidecarName)
     if (!fs.exists(p)) None
     else {
+      val sidecarMtime = fs.getFileStatus(p).getModificationTime
       val mapper = new ObjectMapper()
       val in = fs.open(p)
       val node =
@@ -126,7 +141,7 @@ object GenomeZoneMap {
         b += k -> FileStats(o.get("min").asLong(), o.get("max").asLong(),
           o.get("rows").asLong(), opt("len"), opt("mtime"))
       }
-      Some(b.result())
+      Some((b.result(), sidecarMtime))
     }
   }
 

@@ -376,8 +376,12 @@ object Streams {
     * later deletion may point at a node that later dies, which is why
     * SERVING reads snapshot + deltas MINUS tombstones (the standard
     * tombstone design) and consolidation eventually rewrites the
-    * segment. Tombstone appends are idempotent under replay in effect
-    * (duplicate ids change no exclusion decision). */
+    * segment. Deletes are fully idempotent under at-least-once
+    * delivery: the batch is DISTINCT'd and anti-joined against the
+    * tombstones of earlier batches, so a duplicate id in one batch
+    * cannot multiply n_lost (which would over-refill repair edges) and
+    * a re-delivered id in a later batch is a no-op rather than a
+    * duplicate repair emission. */
   def deleteAnn(delStream: DataFrame, corpus: DataFrame, g: DataFrame,
       outDir: String, tombDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -386,12 +390,20 @@ object Streams {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           val s = batch.sparkSession
-          batch.select(org.apache.spark.sql.functions.col("del"))
-            .write.mode("append").parquet(tombDir)
+          import org.apache.spark.sql.functions.col
+          // tombstones from EARLIER batches (dir absent/empty on the
+          // first — only that schema-inference failure is recoverable;
+          // a corrupt table must fail the batch, not re-emit repairs)
+          val prior =
+            try s.read.parquet(tombDir).select(col("del"))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              s.range(0).select(col("id").as("del")) }
+          val fresh = batch.select(col("del")).distinct()
+            .join(prior, Seq("del"), "left_anti")
+          fresh.write.mode("append").parquet(tombDir)
           val tomb = s.read.parquet(tombDir)
           graft.queries.Curation56Queries
-            .deleteRepair(batch.select(
-              org.apache.spark.sql.functions.col("del")), tomb, g, corpus)
+            .deleteRepair(fresh, tomb, g, corpus)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           ()
       }

@@ -66,6 +66,13 @@ class BmpCodecSpec extends SparkSpec {
     // payload this small — the reject must come from the offset floor)
     val hdrOverlap = good.clone(); hdrOverlap(10) = 0
     assert(MediaCodec.decodeBmp(hdrOverlap).isEmpty)
+    // height = Int.MinValue: its 32-bit abs is still negative, which
+    // sails through every PRODUCT-based bound (negative < limit) and
+    // crashes the pixel-array allocation unless abs is taken in Long
+    val hMin = good.clone()
+    val mv = Int.MinValue
+    (0 until 4).foreach(i => hMin(22 + i) = ((mv >> (8 * i)) & 0xff).toByte)
+    assert(MediaCodec.decodeBmp(hMin).isEmpty)
   }
 
   test("the media_decode_bmp payloads are genuine BMPs and every row " +

@@ -28,6 +28,36 @@ class ScalableGroupsSpec extends SparkSpec {
     assert(windowed.exceptAll(scalable).count() === 0)
   }
 
+  test("NULL group keys survive and match the window semantics") {
+    // Window.partitionBy puts NULL-key rows in their own partition and
+    // emits them; the rebase join must be null-safe or they vanish
+    val withNulls = docs.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val windowed = withNulls.select(col("doc_id"),
+      row_number().over(w).cast("long").as("r"),
+      count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+    val scalable = ScalableGroups.withGroupRank(withNulls, Seq("lang"),
+        Seq(col("n_chars"), col("doc_id")), 7, "r", "n")
+      .select(col("doc_id"), col("r"), col("n"))
+    assert(scalable.count() === withNulls.count(), "rows dropped")
+    assert(scalable.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(scalable).count() === 0)
+    // and the running-sum form
+    val longDocs = withNulls.withColumn("len", col("n_chars"))
+    val wsum = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winSum = longDocs.select(col("doc_id"),
+      sum(col("len")).over(wsum).as("cum_len"))
+    val scalSum = ScalableGroups.withGroupRunningSums(longDocs,
+        Seq("lang"), Seq(col("n_chars"), col("doc_id")), Seq("len"), 7)
+      .select(col("doc_id"), col("cum_len"))
+    assert(scalSum.exceptAll(winSum).count() === 0)
+    assert(winSum.exceptAll(scalSum).count() === 0)
+  }
+
   test("withGroupRank is partition-count invariant") {
     val a = ScalableGroups.withGroupRank(docs, Seq("source"),
       Seq(col("n_chars"), col("doc_id")), 3, "r", "n")

@@ -112,6 +112,7 @@ class StreamingAnnServeSpec extends SparkSpec {
   }
 
   private var lastDeleteOut: String = _
+  private var lastTombDir: String = _
 
   private def runDeletes(batches: Seq[Seq[Long]])
       : (Set[(Long, Long, Long, Long, Long)], Set[Long]) = {
@@ -122,6 +123,7 @@ class StreamingAnnServeSpec extends SparkSpec {
     lastDeleteOut = outDir
     val tombDir = java.nio.file.Files
       .createTempDirectory("graft_del_tomb").toString
+    lastTombDir = tombDir
     val chkDir = java.nio.file.Files
       .createTempDirectory("graft_del_chk").toString
     val corpus = Curation56Queries.hierCorpus(spark, sfDir)
@@ -182,5 +184,28 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(repaired.nonEmpty)
     assert(repaired.forall { case (s2, d2) =>
       !tombs.contains(s2) && !tombs.contains(d2) })
+  }
+
+  test("deletes are idempotent: in-batch duplicates do not inflate " +
+    "n_lost and re-delivered ids emit no second repair") {
+    val delSet = (0 until 300 by 50).map(_ + 3L)
+    spark.catalog.clearCache()
+    val (clean, _) = runDeletes(Seq(delSet))
+    spark.catalog.clearCache()
+    // each id delivered twice in the same batch, then the whole batch
+    // re-delivered (at-least-once upstream)
+    val (dup, tombs) = runDeletes(Seq(delSet ++ delSet, delSet))
+    assert(tombs === delSet.toSet)
+    assert(dup === clean,
+      "duplicate delivery changed the repair edge set")
+    // the redelivery batch must be a no-op (empty or absent output)
+    val redelivered =
+      try spark.read.parquet(s"$lastDeleteOut/batch_id=1").count()
+      catch { case _: Throwable => 0L }
+    assert(redelivered === 0L, "re-delivered ids emitted repairs again")
+    // and the tombstone table holds each id exactly once
+    val tombRows = spark.read.parquet(lastTombDir).count()
+    assert(tombRows === delSet.size.toLong,
+      s"tombstone table has $tombRows rows for ${delSet.size} ids")
   }
 }
