@@ -115,6 +115,44 @@ object MultimodalQueries {
         "(id, 6 longs) ever leave the map task."),
 
     QueryDef(
+      "media_decode_wav",
+      (s, d) => MediaSource.decodeWavFeatures(MediaSource.wavMedia(s, d))
+        .filter(col("valid"))
+        .select(col("media_id"), col("n_samples"), col("duration_ms"),
+          col("peak"), col("energy"), col("zero_crossings")),
+      Some("""WITH s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 17) % 4001) - 2000 AS v
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, doc_id % 50 + 20)) AS i) r),
+        |f AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id,
+        |  (doc_id % 50 + 20)::BIGINT AS n_samples,
+        |  ((doc_id % 50 + 20) * 1000 // 8000)::BIGINT AS duration_ms,
+        |  max(abs(v))::BIGINT AS peak,
+        |  sum(v * v)::BIGINT AS energy,
+        |  sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+        |      THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+        |FROM f GROUP BY doc_id""".stripMargin),
+      "REAL audio decode — the WAV counterpart of media_decode_bmp, " +
+        "completing the genuine image+audio decoder pair: payloads " +
+        "are actual RIFF/WAVE 16-bit PCM mono bytes built " +
+        "executor-side from a fixed integer waveform of doc_id, and " +
+        "the feature pass parses them with the pure-Scala " +
+        "chunk-walking decoder (MediaCodec.decodeWav — fixed offsets " +
+        "would break on real files carrying LIST/fact chunks) then " +
+        "computes duration, peak, energy and zero-crossings from the " +
+        "DECODED samples.  The oracle recomputes the same features " +
+        "from the generating waveform, so any header, chunk-size, " +
+        "endianness or sign-extension bug in encode OR decode breaks " +
+        "the hash match (WavCodecSpec pins the codec pairwise).  " +
+        "Payload bytes never shuffle; only (id, 6 longs) leave the " +
+        "map task."),
+
+    QueryDef(
       "media_resize",
       (s, d) => {
         // Thumbnail to fit 64x64 preserving aspect ratio: integer

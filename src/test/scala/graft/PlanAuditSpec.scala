@@ -148,11 +148,18 @@ class PlanAuditSpec extends SparkSpec {
                                    // construction — that is the KMV
                                    // point); the corpus pass itself is
                                    // agg-only
-    "cms_heavy_hitters_twopass")   // the 1-ROW threshold scalar
+    "cms_heavy_hitters_twopass",   // the 1-ROW threshold scalar
                                    // (count(*)/200) broadcast onto the
                                    // distinct-token probe side; both
                                    // corpus passes are agg / broadcast
                                    // equi-join only
+    "bigram_backoff_score",        // broadcast of the 1-row train-token
+                                   // total N (the stupid-backoff
+                                   // denominator); model joins are
+                                   // (w1,w2)/(w)-keyed equi-joins
+    "lm_score_quality_gate")       // same 1-row N broadcast inside the
+                                   // shared scoring subplan; the gate
+                                   // join itself is source-keyed
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>
