@@ -68,7 +68,16 @@ object Curation59Queries {
   /** per-held-out-doc stupid-backoff score frame:
     * (doc_id, source, n_bigrams, n_backoff, avg_p_e6) */
   private def heldoutScores(s: SparkSession, d: String): DataFrame = {
-    val uni = unigrams(s, d)
+    // The unigram model feeds THREE consumers below (the w1 context
+    // join, the w2 backoff join, and the N total) — without persist
+    // each one re-scans and re-tokenizes the train split.  The table
+    // is vocab-bounded (model-sized, not corpus-sized), so caching it
+    // is safe at any corpus scale; the caller releases it via the
+    // QueryDef clearCache contract (core.scala).  The two remaining
+    // corpus passes (unigram agg, bigram agg) are deliberate: at
+    // 100 TB re-scanning the train split twice beats caching a
+    // corpus-sized token stream.
+    val uni = unigrams(s, d).persist()
     // N (total train tokens) is one scalar; a 1-row broadcast join
     // keeps it distributed-safe (no driver round trip in the plan)
     val tot = uni.agg(sum(col("cu")).as("n_total"))

@@ -59,7 +59,15 @@ object Curation60Queries {
 
   /** occurrences of grams that appear more than once corpus-wide */
   private def dupOccurrences(s: SparkSession, d: String): DataFrame = {
-    val occ = gramOccurrences(s, d)
+    // The gram stream feeds two consumers (the count aggregate and
+    // the probe side of the survivor join); persist stops the corpus
+    // tokenize+md5 pass — the dominant scan-side cost — from running
+    // twice (same two-consumer shape dedup.scala persists for its
+    // shingle tables; the caller releases via the QueryDef clearCache
+    // contract).  At 100 TB, where caching a gram stream ~10x the
+    // corpus is worse than recompute, swap the persist for a scratch
+    // parquet materialization of `occ` — the plan is unchanged.
+    val occ = gramOccurrences(s, d).persist()
     // count per hash (map-side partials; fixed-width key), keep h>1,
     // then equi-join the occurrence stream back on the same key — at
     // sf the count side broadcasts via AQE, at corpus scale both
@@ -81,11 +89,10 @@ object Curation60Queries {
     // one document's gram count.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dupOccurrences(s, d)
-      .withColumn("new_span", expr(
-        s"case when lag(pos) over (partition by doc_id order by pos) " +
-          s"is null then 1L " +
-          s"when pos - lag(pos) over (partition by doc_id order by pos) " +
-          s"> $K then 1L else 0L end"))
+      .withColumn("new_span",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(w) > K), 1L)
+          .otherwise(0L))
       .withColumn("span_id", sum(col("new_span")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("source"), col("span_id"))
@@ -146,9 +153,11 @@ object Curation60Queries {
         "step is a fixed-width-key shuffle count + equi-join instead " +
         "of a corpus-global suffix-array sort.  The span merge is a " +
         "gaps-and-islands window partitioned by doc_id (state " +
-        "bounded by one document, not an enum).  These spans are the " +
-        "removal plan: cut them and the corpus keeps exactly one " +
-        "copy of every long repeated block."),
+        "bounded by one document, not an enum).  The span table " +
+        "flags EVERY occurrence of duplicated material; a keep-one " +
+        "policy (Lee et al. retain one copy per repeated block) is a " +
+        "downstream choice — e.g. keep the span whose (doc_id, pos) " +
+        "is minimal in its gram cluster — applied over this table."),
 
     // ---------------------------------- what removal would save, per source
     QueryDef(
@@ -192,9 +201,11 @@ object Curation60Queries {
           |ORDER BY t.source""".stripMargin),
       "The dedup planning readout: per source, how many documents " +
         "carry duplicated spans and what permille of the source's " +
-        "tokens the ExactSubstr cut would remove — the number that " +
-        "decides whether a source is boilerplate-ridden enough to " +
-        "need substring dedup before training.  Span stats and " +
+        "tokens sits inside them — an UPPER BOUND on the ExactSubstr " +
+        "cut (keep-one removal retains one copy per repeated block, " +
+        "so it saves less than this flagged total), and the number " +
+        "that decides whether a source is boilerplate-ridden enough " +
+        "to need substring dedup before training.  Span stats and " +
         "source totals are both source-cardinality aggregates joined " +
         "at enum size; the corpus-size work is shared with " +
         "dup_kgram_spans."),
