@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Physical-layer laws of the versioned table format the oracle's row
+  * algebra can't see: CAS commit under contention, copy-on-write file
+  * targeting (untouched files carry by reference), manifest pruning,
+  * time-travel immutability, and vacuum's can't-break-kept-snapshots
+  * guarantee. */
+class VersionedTableSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vtspec_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def idsDf(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+  }
+
+  test("concurrent appends: CAS gives both committers distinct versions") {
+    val root = freshRoot("cas")
+    VersionedTable.append(spark, root, idsDf(0 until 40), "doc_id", 2)
+    val t1 = new Thread(() => {
+      VersionedTable.append(spark, root, idsDf(1000 until 1020), "doc_id", 1)
+      ()
+    })
+    val t2 = new Thread(() => {
+      VersionedTable.append(spark, root, idsDf(2000 until 2020), "doc_id", 1)
+      ()
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
+    // the loser rebased: the final snapshot carries BOTH appends
+    assert(VersionedTable.read(spark, root).count() === 80)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 1020).count() === 20)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("doc_id") >= 2000).count() === 20)
+  }
+
+  test("merge rewrites only files containing matched keys") {
+    val root = freshRoot("cow")
+    VersionedTable.append(spark, root, idsDf(0 until 100), "doc_id", 4)
+    val before = VersionedTable.snapshot(spark, root, 1)
+    assert(before.files.size === 4)
+    // keys 0..9 live in the lowest range file only
+    val upd = idsDf(0 until 10)
+      .withColumn("text", concat(lit("u "), col("text")))
+    VersionedTable.merge(spark, root, upd, "doc_id", 1)
+    val after = VersionedTable.snapshot(spark, root, 2)
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    // at least the top range files carry over by reference
+    assert(carried.size >= 2, s"expected >=2 carried files, got $carried")
+    assert(carried.size < before.files.size)
+    // and the merge applied
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 100)
+    assert(head.filter(col("text").startsWith("u ")).count() === 10)
+  }
+
+  test("delete carries untouched files and drops only matching rows") {
+    val root = freshRoot("del")
+    VersionedTable.append(spark, root, idsDf(0 until 100), "doc_id", 4)
+    val before = VersionedTable.snapshot(spark, root, 1)
+    VersionedTable.delete(spark, root, col("doc_id") < 5, "doc_id", 1)
+    val after = VersionedTable.snapshot(spark, root, 2)
+    val carried = after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet)
+    assert(carried.size >= 2 && carried.size < before.files.size)
+    assert(VersionedTable.read(spark, root).count() === 95)
+    assert(VersionedTable.read(spark, root)
+      .agg(min(col("doc_id"))).head.getLong(0) === 5L)
+  }
+
+  test("time travel: an old snapshot is byte-stable across later commits") {
+    val root = freshRoot("tt")
+    VersionedTable.append(spark, root, idsDf(0 until 50), "doc_id", 2)
+    val v1Before = VersionedTable.read(spark, root, Some(1))
+      .collect().map(_.toString).sorted
+    VersionedTable.merge(spark, root,
+      idsDf(0 until 50).withColumn("text", lit("rewritten")), "doc_id", 2)
+    VersionedTable.delete(spark, root, col("doc_id") < 25, "doc_id", 1)
+    val v1After = VersionedTable.read(spark, root, Some(1))
+      .collect().map(_.toString).sorted
+    assert(v1Before.toSeq === v1After.toSeq)
+    assert(VersionedTable.read(spark, root).count() === 25)
+  }
+
+  test("manifest pruning plans a strict file subset with the same answer") {
+    val root = freshRoot("prune")
+    VersionedTable.append(spark, root, idsDf(0 until 200), "doc_id", 8)
+    val all = VersionedTable.snapshot(spark, root, 1).files
+    val pruned = VersionedTable.prunedFiles(spark, root, 1, 0L, 24L)
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"pruned ${pruned.size} of ${all.size}")
+    val viaPruned = VersionedTable
+      .read(spark, root, idRange = Some((0L, 24L)))
+      .filter(col("doc_id") <= 24).count()
+    val viaFull = VersionedTable.read(spark, root)
+      .filter(col("doc_id") <= 24).count()
+    assert(viaPruned === viaFull)
+  }
+
+  test("vacuum deletes only unreferenced files and keeps snapshots whole") {
+    val root = freshRoot("vac")
+    VersionedTable.append(spark, root, idsDf(0 until 50), "doc_id", 2)
+    VersionedTable.merge(spark, root,
+      idsDf(0 until 50).withColumn("text", lit("v2")), "doc_id", 2)
+    VersionedTable.append(spark, root, idsDf(100 until 120), "doc_id", 1)
+    val keptFiles = VersionedTable.snapshot(spark, root, 3).files
+    val (beforeCount, deleted) = VersionedTable.vacuum(spark, root, 2)
+    assert(deleted > 0)
+    assert(beforeCount - deleted >= keptFiles.size)
+    // kept versions read whole
+    assert(VersionedTable.versions(spark, root) === Seq(2, 3))
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 50)
+    assert(VersionedTable.read(spark, root, Some(3)).count() === 70)
+    // every kept file physically present
+    keptFiles.foreach { f =>
+      assert(new java.io.File(
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists())
+    }
+    // v1 history is gone
+    intercept[Exception] {
+      VersionedTable.read(spark, root, Some(1)).count()
+    }
+    ()
+  }
+}
