@@ -51,7 +51,8 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   final case class FileEntry(path: String, rows: Long, minId: Long, maxId: Long)
-  final case class Snapshot(version: Int, op: String, files: Seq[FileEntry]) {
+  final case class Snapshot(version: Int, op: String, files: Seq[FileEntry],
+      txnId: Option[String] = None) {
     def rows: Long = files.map(_.rows).sum
   }
 
@@ -66,6 +67,31 @@ object VersionedTable {
   /** Scheme-insensitive path identity (input_file_name says
     * `file:///x`, `_metadata.file_path` says `file:/x`). */
   private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Atomically claim a manifest slot: exactly one concurrent caller
+    * may win.  Hadoop's LocalFileSystem `create(overwrite = false)` is
+    * check-then-act (two racing threads can both "win" and one
+    * manifest silently vanishes — caught by the CAS spec), so local
+    * paths claim through NIO's `createFile`, which is O_CREAT|O_EXCL
+    * atomic on POSIX.  HDFS `create(overwrite = false)` is atomic at
+    * the NameNode and object stores implement this contract with a
+    * conditional PUT (If-None-Match), so the FileSystem path is the
+    * correct claim everywhere else. */
+  private def claimSlot(fs: FileSystem, target: Path): Boolean = {
+    val uri = target.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(uri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { fs.create(target, false).close(); true }
+      catch { case _: java.io.IOException => false } // lost the race
+    }
+  }
 
   /** All committed version numbers, ascending (empty for a fresh root). */
   def versions(s: SparkSession, root: String): Seq[Int] = {
@@ -93,8 +119,14 @@ object VersionedTable {
     while ((node == null || node.get("files") == null) && attempts < 100) {
       if (attempts > 0) Thread.sleep(20)
       attempts += 1
-      val in = fs.open(manifestPath(root, v))
-      node = try new ObjectMapper().readTree(in) finally in.close()
+      // FileNotFound is as transient as empty content here: local
+      // FileContext.rename(OVERWRITE) implementations can expose a
+      // delete-then-rename window where the claimed slot briefly
+      // vanishes before the content lands
+      try {
+        val in = fs.open(manifestPath(root, v))
+        node = try new ObjectMapper().readTree(in) finally in.close()
+      } catch { case _: java.io.FileNotFoundException => () }
     }
     if (node == null || node.get("files") == null)
       throw new IllegalStateException(
@@ -105,8 +137,17 @@ object VersionedTable {
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong())
     }
-    Snapshot(node.get("version").asInt(), node.get("op").asText(), entries)
+    Snapshot(node.get("version").asInt(), node.get("op").asText(), entries,
+      Option(node.get("txn")).map(_.asText()))
   }
+
+  /** Has a commit carrying this transaction id already landed?  The
+    * scan is O(versions) manifest reads — the idempotence ledger every
+    * exactly-once sink needs (Delta's `txnAppId/txnVersion`, Iceberg's
+    * snapshot summary props play the same role). */
+  def txnCommitted(s: SparkSession, root: String, txnId: String): Boolean =
+    versions(s, root).exists(v =>
+      snapshot(s, root, v).txnId.contains(txnId))
 
   /** Read a snapshot (latest when version is None).  `idRange` prunes
     * whole files through the manifest's per-file key range BEFORE Spark
@@ -157,7 +198,9 @@ object VersionedTable {
     * Returns the committed version number. */
   private def commitManifest(s: SparkSession, root: String, op: String,
       newFiles: Seq[FileEntry],
-      carryOver: Option[Snapshot] => Seq[FileEntry]): Int = {
+      carryOver: Option[Snapshot] => Seq[FileEntry],
+      txnId: Option[String] = None,
+      requireParent: Option[Int] = None): Int = {
     val fs = fileSystem(s, root)
     fs.mkdirs(new Path(root, VersionsDir))
     val mapper = new ObjectMapper()
@@ -169,11 +212,31 @@ object VersionedTable {
         throw new IllegalStateException(
           s"commit to $root lost the version race $attempts times " +
             "(or the claim create keeps failing for a non-race reason)")
+      // exactly-once: if this transaction already committed (a retried
+      // micro-batch, a racing duplicate of ourselves), return its
+      // version instead of applying twice; our orphaned data files are
+      // vacuum's problem, by design
+      txnId.foreach { t =>
+        versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
+          .foreach(v => return v)
+      }
       val parent = latestVersion(s, root).map(snapshot(s, root, _))
+      // a carry list computed against a specific parent snapshot is
+      // only valid on TOP of that snapshot: if someone else committed
+      // first, the files we'd carry may no longer exist in the head
+      // (e.g. the winner rewrote them), so surface the conflict and
+      // let the caller re-derive its file sets against the new head
+      requireParent.foreach { expected =>
+        if (!parent.map(_.version).contains(expected))
+          throw new java.util.ConcurrentModificationException(
+            s"table $root moved past v$expected " +
+              s"(head is v${parent.map(_.version).getOrElse(0)})")
+      }
       val v = parent.map(_.version + 1).getOrElse(1)
       val files = (carryOver(parent) ++ newFiles).sortBy(_.path)
       val node = mapper.createObjectNode()
       node.put("version", v); node.put("op", op)
+      txnId.foreach(node.put("txn", _))
       val arr = node.putArray("files")
       files.foreach { f =>
         val o = arr.addObject()
@@ -181,9 +244,7 @@ object VersionedTable {
         o.put("minId", f.minId); o.put("maxId", f.maxId)
       }
       val target = manifestPath(root, v)
-      val claimed =
-        try { fs.create(target, false).close(); true }
-        catch { case _: java.io.IOException => false } // lost the race
+      val claimed = claimSlot(fs, target)
       if (claimed) {
         // content becomes visible atomically: full write to a temp
         // file, then overwrite-rename onto the claimed slot
@@ -203,22 +264,54 @@ object VersionedTable {
     committed
   }
 
-  /** Append: new files join the parent snapshot's files untouched. */
+  /** Append: new files join the parent snapshot's files untouched.
+    * Concurrency-safe without conflict detection — the carry list is
+    * re-derived from the CURRENT head on every CAS attempt.  `txnId`
+    * makes the commit idempotent (a retry of the same transaction
+    * returns the already-committed version instead of appending twice). */
   def append(s: SparkSession, root: String, df: DataFrame,
-      idCol: String, numFiles: Int, op: String = "append"): Int = {
+      idCol: String, numFiles: Int, op: String = "append",
+      txnId: Option[String] = None): Int = {
+    txnId.foreach(t =>
+      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
+        .foreach(v => return v))
     val newFiles = writeFiles(s, root, df, idCol, numFiles)
     commitManifest(s, root, op, newFiles,
-      parent => parent.map(_.files).getOrElse(Seq.empty))
+      parent => parent.map(_.files).getOrElse(Seq.empty), txnId)
+  }
+
+  /** Re-run `op` (which derives file sets against the head snapshot)
+    * until its commit lands on the parent it was derived from — the
+    * optimistic-concurrency loop every lake format runs for mutations
+    * whose carry list is only valid on top of a specific snapshot. */
+  private def retryingConflicts(root: String)(op: () => Int): Int = {
+    var out = -1
+    var attempts = 0
+    while (out < 0) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"mutation of $root kept conflicting after $attempts attempts")
+      try out = op()
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    out
   }
 
   /** MERGE INTO (upsert): rows of `updates` whose key matches a current
     * row replace it; unmatched keys insert.  Copy-on-write at file
     * granularity: one semi-join pass finds the files that CONTAIN a
-    * matched key (`input_file_name` collect — O(files) driver state),
-    * only those are rewritten (their unmatched rows ++ all of
-    * `updates`), and every untouched file carries over by reference. */
+    * matched key (`_metadata.file_path` collect — O(files) driver
+    * state), only those are rewritten (their unmatched rows ++ all of
+    * `updates`), and every untouched file carries over by reference.
+    * If another commit lands first, the whole derivation re-runs
+    * against the new head (optimistic concurrency); with `txnId` the
+    * merge is exactly-once under retries. */
   def merge(s: SparkSession, root: String, updates: DataFrame,
-      idCol: String, numFiles: Int): Int = {
+      idCol: String, numFiles: Int,
+      txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
+    txnId.foreach(t =>
+      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
+        .foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("merge into empty table"))
     val snap = snapshot(s, root, parentV)
@@ -239,13 +332,20 @@ object VersionedTable {
         .join(broadcast(keys), Seq(idCol), "left_anti")
         .unionByName(updates)
     val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-    commitManifest(s, root, "merge", newFiles, _ => carry)
+    commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
+      requireParent = Some(parentV))
   }
 
   /** DELETE WHERE: files containing no matching row carry over by
-    * reference; the rest are rewritten without the matching rows. */
+    * reference; the rest are rewritten without the matching rows.
+    * Same optimistic-concurrency + txn idempotence contract as
+    * [[merge]]. */
   def delete(s: SparkSession, root: String, cond: Column,
-      idCol: String, numFiles: Int): Int = {
+      idCol: String, numFiles: Int,
+      txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
+    txnId.foreach(t =>
+      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
+        .foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
     val snap = snapshot(s, root, parentV)
@@ -256,11 +356,13 @@ object VersionedTable {
     val (rewrite, carry) =
       snap.files.partition(f => touched.contains(normPath(f.path)))
     if (rewrite.isEmpty)
-      commitManifest(s, root, "delete", Seq.empty, _ => carry)
+      commitManifest(s, root, "delete", Seq.empty, _ => carry, txnId,
+        requireParent = Some(parentV))
     else {
       val survivors = s.read.parquet(rewrite.map(_.path): _*).filter(!cond)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-      commitManifest(s, root, "delete", newFiles, _ => carry)
+      commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
+        requireParent = Some(parentV))
     }
   }
 

@@ -23,15 +23,16 @@ class VersionedTableSpec extends SparkSpec {
   test("concurrent appends: CAS gives both committers distinct versions") {
     val root = freshRoot("cas")
     VersionedTable.append(spark, root, idsDf(0 until 40), "doc_id", 2)
-    val t1 = new Thread(() => {
-      VersionedTable.append(spark, root, idsDf(1000 until 1020), "doc_id", 1)
-      ()
-    })
-    val t2 = new Thread(() => {
-      VersionedTable.append(spark, root, idsDf(2000 until 2020), "doc_id", 1)
-      ()
-    })
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(ids: Range) = new Thread(() =>
+      try {
+        VersionedTable.append(spark, root, idsDf(ids), "doc_id", 1)
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    val t1 = appender(1000 until 1020)
+    val t2 = appender(2000 until 2020)
     t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"appender threads threw: ${errs.toArray.toSeq}")
     assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
     // the loser rebased: the final snapshot carries BOTH appends
     assert(VersionedTable.read(spark, root).count() === 80)
