@@ -366,6 +366,32 @@ object VersionedTable {
     }
   }
 
+  /** OPTIMIZE (small-file compaction): every current file whose row
+    * count is below `minRows` is coalesced into `numFiles` fresh
+    * range-partitioned files; files already big enough carry over by
+    * reference.  Row-preserving by construction (pure rewrite, no
+    * predicate), so the new version reads identically — this is the
+    * maintenance op a streaming upsert table needs, because each
+    * micro-batch commit lands one small file set and scan efficiency
+    * decays with file count.  Same optimistic-concurrency contract as
+    * [[merge]].  Returns the committed version. */
+  def optimize(s: SparkSession, root: String, minRows: Long,
+      idCol: String, numFiles: Int): Int = retryingConflicts(root) { () =>
+    val parentV = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException("optimize of empty table"))
+    val snap = snapshot(s, root, parentV)
+    val (small, carry) = snap.files.partition(_.rows < minRows)
+    if (small.size <= 1)
+      commitManifest(s, root, "optimize", Seq.empty, _ => snap.files,
+        requireParent = Some(parentV))
+    else {
+      val packed = s.read.parquet(small.map(_.path): _*)
+      val newFiles = writeFiles(s, root, packed, idCol, numFiles)
+      commitManifest(s, root, "optimize", newFiles, _ => carry,
+        requireParent = Some(parentV))
+    }
+  }
+
   /** Snapshot diff as (added, removed) row multisets, manifest-aware:
     * files shared by both manifests are carried by REFERENCE, so their
     * rows cancel exactly and never need scanning — with snapshots

@@ -106,6 +106,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(viaPruned === viaFull)
   }
 
+  test("optimize compacts small files, preserves rows, keeps history") {
+    val root = freshRoot("opt")
+    // simulate a streaming table: one small file set per "batch"
+    VersionedTable.append(spark, root, idsDf(0 until 30), "doc_id", 3)
+    (1 to 4).foreach { b =>
+      VersionedTable.append(spark, root,
+        idsDf(b * 100 until b * 100 + 5), "doc_id", 1)
+    }
+    val before = VersionedTable.snapshot(spark, root, 5)
+    assert(before.files.size === 7)
+    val v = VersionedTable.optimize(spark, root, minRows = 8L,
+      "doc_id", 1)
+    val after = VersionedTable.snapshot(spark, root, v)
+    // the four 5-row batch files packed into one; the 10-row files carried
+    assert(after.files.size === 4, s"files: ${after.files.map(_.rows)}")
+    assert(after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet).size === 3)
+    // row multiset identical
+    val a = VersionedTable.read(spark, root, Some(5))
+      .collect().map(_.toString).sorted.toSeq
+    val b = VersionedTable.read(spark, root, Some(v))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // pre-optimize history still reads
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 35)
+  }
+
   test("vacuum deletes only unreferenced files and keeps snapshots whole") {
     val root = freshRoot("vac")
     VersionedTable.append(spark, root, idsDf(0 until 50), "doc_id", 2)
