@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * Copy-on-write mutation targets files, not the table: `merge`
   * (upsert: matched keys update, unmatched insert) and `delete` first
   * find the files that actually CONTAIN affected rows (one semi-join /
-  * filter pass collecting `input_file_name()` — bounded driver state,
+  * filter pass collecting `_metadata.file_path` — bounded driver state,
   * O(files); the same "find touched files" scan Delta's MERGE runs),
   * rewrite only those, and carry every untouched file into the new
   * manifest by reference.  A merge that touches 1 of 10^6 files
@@ -165,7 +165,12 @@ object VersionedTable {
     }
     if (kept.isEmpty)
       s.read.parquet(snap.files.head.path).limit(0)
-    else s.read.parquet(kept.map(_.path): _*)
+    else
+      // mergeSchema: a snapshot can mix files written before and after
+      // a column was added (schema evolution) — older files surface
+      // the new column as null, and a time-travel read of an all-old
+      // snapshot simply lacks the column
+      s.read.option("mergeSchema", "true").parquet(kept.map(_.path): _*)
   }
 
   /** The manifest-pruned file list for a key range (exposed so specs
@@ -328,9 +333,12 @@ object VersionedTable {
       snap.files.partition(f => touched.contains(normPath(f.path)))
     val survivors =
       if (rewrite.isEmpty) updates
-      else s.read.parquet(rewrite.map(_.path): _*)
+      else s.read.option("mergeSchema", "true")
+        .parquet(rewrite.map(_.path): _*)
         .join(broadcast(keys), Seq(idCol), "left_anti")
-        .unionByName(updates)
+        // allowMissingColumns: an upsert batch may ADD columns (schema
+        // evolution) — surviving old rows carry null for them
+        .unionByName(updates, allowMissingColumns = true)
     val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
     commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
       requireParent = Some(parentV))
@@ -359,7 +367,8 @@ object VersionedTable {
       commitManifest(s, root, "delete", Seq.empty, _ => carry, txnId,
         requireParent = Some(parentV))
     else {
-      val survivors = s.read.parquet(rewrite.map(_.path): _*).filter(!cond)
+      val survivors = s.read.option("mergeSchema", "true")
+        .parquet(rewrite.map(_.path): _*).filter(!cond)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
         requireParent = Some(parentV))

@@ -133,6 +133,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root, Some(2)).count() === 35)
   }
 
+  test("schema evolution: an upsert can add a column; old rows read null") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    // the new batch carries a quality column the table never had
+    val withQuality = (10L until 30L)
+      .map(i => (i, s"q$i", i * 10))
+      .toDF("doc_id", "text", "quality")
+    VersionedTable.merge(spark, root, withQuality, "doc_id", 2)
+    val head = VersionedTable.read(spark, root)
+    assert(head.columns.toSet === Set("doc_id", "text", "quality"))
+    assert(head.count() === 30)
+    // untouched old rows surface null quality; upserted rows carry it
+    assert(head.filter(col("quality").isNull)
+      .agg(max(col("doc_id"))).head.getLong(0) < 10L)
+    assert(head.filter(col("quality").isNotNull).count() === 20)
+    // a time-travel read of the pre-evolution snapshot has no column
+    assert(!VersionedTable.read(spark, root, Some(1))
+      .columns.contains("quality"))
+  }
+
   test("vacuum deletes only unreferenced files and keeps snapshots whole") {
     val root = freshRoot("vac")
     VersionedTable.append(spark, root, idsDf(0 until 50), "doc_id", 2)
