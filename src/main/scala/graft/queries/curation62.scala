@@ -195,7 +195,8 @@ object Curation62Queries {
           VersionedTable.merge(s, r, updates.unionByName(inserts),
             "doc_id", 4)
           VersionedTable.delete(s, r, col("lang") === "zh", "doc_id", 4)
-          VersionedTable.vacuum(s, r, keepFrom = 3)
+          // retainMs = 0: single-process build, no in-flight committers
+          VersionedTable.vacuum(s, r, keepFrom = 3, retainMs = 0L)
           ()
         }
         import s.implicits._

@@ -68,29 +68,51 @@ object VersionedTable {
     * `file:///x`, `_metadata.file_path` says `file:/x`). */
   private def normPath(p: String): String = new Path(p).toUri.getPath
 
-  /** Atomically claim a manifest slot: exactly one concurrent caller
-    * may win.  Hadoop's LocalFileSystem `create(overwrite = false)` is
-    * check-then-act (two racing threads can both "win" and one
-    * manifest silently vanishes — caught by the CAS spec), so local
-    * paths claim through NIO's `createFile`, which is O_CREAT|O_EXCL
-    * atomic on POSIX.  HDFS `create(overwrite = false)` is atomic at
-    * the NameNode and object stores implement this contract with a
-    * conditional PUT (If-None-Match), so the FileSystem path is the
-    * correct claim everywhere else. */
-  private def claimSlot(fs: FileSystem, target: Path): Boolean = {
+  /** Atomically claim a manifest slot WITH its full content already in
+    * place: the manifest is written to a temp file first, and the claim
+    * itself is an atomic no-overwrite publish of that temp file onto
+    * the slot.  A committer killed at any instant therefore leaves
+    * either no manifest (retryable by anyone) or a complete one — there
+    * is no torn window where an empty claimed slot bricks the table.
+    *
+    * Hadoop's LocalFileSystem rename is check-then-act, so local paths
+    * publish through NIO `createLink` (atomic on POSIX, fails with
+    * FileAlreadyExistsException when the slot is taken).  Elsewhere the
+    * publish is `FileContext.rename(Rename.NONE)` — atomic at the HDFS
+    * NameNode, and the conditional-PUT contract on object stores. */
+  private def claimSlotWithContent(fs: FileSystem, s: SparkSession,
+      root: String, target: Path, bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(s"$root/$VersionsDir",
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(bytes)
+    out.close()
     val uri = target.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(uri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
+    val won =
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(uri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try {
+          FileContext.getFileContext(new Path(root).toUri,
+            s.sparkContext.hadoopConfiguration)
+            .rename(tmp, target, Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException => false // lost the race
+        }
       }
-    } else {
-      try { fs.create(target, false).close(); true }
-      catch { case _: java.io.IOException => false } // lost the race
-    }
+    // local createLink leaves the tmp behind; rename consumed it on win
+    if (uri.getScheme == null || uri.getScheme == "file" || !won)
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    won
   }
 
   /** All committed version numbers, ascending (empty for a fresh root). */
@@ -108,21 +130,26 @@ object VersionedTable {
   def latestVersion(s: SparkSession, root: String): Option[Int] =
     versions(s, root).lastOption
 
-  /** Parse one version's manifest.  A version file can exist EMPTY for
-    * the moment between a committer's CAS claim and its atomic content
-    * rename; readers retry through that window instead of failing (the
-    * claim means the content rename is already in flight). */
+  /** Committed manifests are immutable, so parses cache process-wide;
+    * this turns the O(versions) txn-ledger scan into one directory
+    * listing plus cache hits.  Bounded defensively (manifests are tiny;
+    * 64k entries is far past any single-process horizon). */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Snapshot]()
+
+  /** Parse one version's manifest.  The commit protocol publishes
+    * manifests atomically with full content, so a listed version always
+    * parses; a short retry tolerates rename visibility lag on
+    * eventually-consistent stores. */
   def snapshot(s: SparkSession, root: String, v: Int): Snapshot = {
+    val cached = snapCache.get((root, v))
+    if (cached != null) return cached
     val fs = fileSystem(s, root)
     var node: com.fasterxml.jackson.databind.JsonNode = null
     var attempts = 0
     while ((node == null || node.get("files") == null) && attempts < 100) {
       if (attempts > 0) Thread.sleep(20)
       attempts += 1
-      // FileNotFound is as transient as empty content here: local
-      // FileContext.rename(OVERWRITE) implementations can expose a
-      // delete-then-rename window where the claimed slot briefly
-      // vanishes before the content lands
       try {
         val in = fs.open(manifestPath(root, v))
         node = try new ObjectMapper().readTree(in) finally in.close()
@@ -137,17 +164,25 @@ object VersionedTable {
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong())
     }
-    Snapshot(node.get("version").asInt(), node.get("op").asText(), entries,
-      Option(node.get("txn")).map(_.asText()))
+    val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
+      entries, Option(node.get("txn")).map(_.asText()))
+    if (snapCache.size() < 65536) snapCache.put((root, v), snap)
+    snap
   }
 
-  /** Has a commit carrying this transaction id already landed?  The
-    * scan is O(versions) manifest reads — the idempotence ledger every
-    * exactly-once sink needs (Delta's `txnAppId/txnVersion`, Iceberg's
-    * snapshot summary props play the same role). */
-  def txnCommitted(s: SparkSession, root: String, txnId: String): Boolean =
-    versions(s, root).exists(v =>
+  /** The committed version carrying this transaction id, if any — the
+    * idempotence ledger every exactly-once sink needs (Delta's
+    * `txnAppId/txnVersion`, Iceberg's snapshot summary props play the
+    * same role).  Scans newest-first: a retried micro-batch is near the
+    * head, and the manifest cache makes repeat scans one listing. */
+  def findCommittedTxn(s: SparkSession, root: String,
+      txnId: String): Option[Int] =
+    versions(s, root).reverse.find(v =>
       snapshot(s, root, v).txnId.contains(txnId))
+
+  /** Has a commit carrying this transaction id already landed? */
+  def txnCommitted(s: SparkSession, root: String, txnId: String): Boolean =
+    findCommittedTxn(s, root, txnId).isDefined
 
   /** Read a snapshot (latest when version is None).  `idRange` prunes
     * whole files through the manifest's per-file key range BEFORE Spark
@@ -164,13 +199,34 @@ object VersionedTable {
         snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
     }
     if (kept.isEmpty)
-      s.read.parquet(snap.files.head.path).limit(0)
+      emptyLike(s, root, v, snap)
     else
       // mergeSchema: a snapshot can mix files written before and after
       // a column was added (schema evolution) — older files surface
       // the new column as null, and a time-travel read of an all-old
       // snapshot simply lacks the column
       s.read.option("mergeSchema", "true").parquet(kept.map(_.path): _*)
+  }
+
+  /** A zero-row DataFrame with the snapshot's schema.  A snapshot can
+    * legitimately list NO files (a delete that matched every row), so
+    * the schema template falls back through earlier versions to the
+    * newest one that still references data; a table that never held
+    * data reads as the zero-column empty frame. */
+  private def emptyLike(s: SparkSession, root: String, v: Int,
+      snap: Snapshot): DataFrame = {
+    val template =
+      if (snap.files.nonEmpty) snap.files
+      else versions(s, root).filter(_ < v).reverse.iterator
+        .map(pv => snapshot(s, root, pv).files)
+        .collectFirst { case fs if fs.nonEmpty => fs }
+        .getOrElse(Seq.empty)
+    if (template.isEmpty) s.emptyDataFrame
+    else
+      // limit(0) over the full list: footer-only schema resolution, so
+      // evolution-added columns survive into the empty frame's schema
+      s.read.option("mergeSchema", "true")
+        .parquet(template.map(_.path): _*).limit(0)
   }
 
   /** The manifest-pruned file list for a key range (exposed so specs
@@ -222,8 +278,7 @@ object VersionedTable {
       // version instead of applying twice; our orphaned data files are
       // vacuum's problem, by design
       txnId.foreach { t =>
-        versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
-          .foreach(v => return v)
+        findCommittedTxn(s, root, t).foreach(v => return v)
       }
       val parent = latestVersion(s, root).map(snapshot(s, root, _))
       // a carry list computed against a specific parent snapshot is
@@ -249,20 +304,9 @@ object VersionedTable {
         o.put("minId", f.minId); o.put("maxId", f.maxId)
       }
       val target = manifestPath(root, v)
-      val claimed = claimSlot(fs, target)
-      if (claimed) {
-        // content becomes visible atomically: full write to a temp
-        // file, then overwrite-rename onto the claimed slot
-        val tmp = new Path(s"$root/$VersionsDir",
-          s".tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-        out.close()
-        FileContext.getFileContext(new Path(root).toUri,
-          s.sparkContext.hadoopConfiguration)
-          .rename(tmp, target, Options.Rename.OVERWRITE)
+      if (claimSlotWithContent(fs, s, root, target,
+          mapper.writeValueAsString(node).getBytes("UTF-8")))
         committed = v
-      }
       // not claimed: loop — latestVersion now sees the winner, carryOver
       // rebases on it
     }
@@ -277,9 +321,9 @@ object VersionedTable {
   def append(s: SparkSession, root: String, df: DataFrame,
       idCol: String, numFiles: Int, op: String = "append",
       txnId: Option[String] = None): Int = {
-    txnId.foreach(t =>
-      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
-        .foreach(v => return v))
+    // pre-check before the expensive write; commitManifest re-checks
+    // under the CAS loop for racing duplicates
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val newFiles = writeFiles(s, root, df, idCol, numFiles)
     commitManifest(s, root, op, newFiles,
       parent => parent.map(_.files).getOrElse(Seq.empty), txnId)
@@ -314,13 +358,15 @@ object VersionedTable {
   def merge(s: SparkSession, root: String, updates: DataFrame,
       idCol: String, numFiles: Int,
       txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
-    txnId.foreach(t =>
-      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
-        .foreach(v => return v))
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("merge into empty table"))
     val snap = snapshot(s, root, parentV)
-    val current = s.read.parquet(snap.files.map(_.path): _*)
+    // mergeSchema even on the discovery scan: after schema evolution the
+    // snapshot mixes file schemas, and an unmerged read takes one
+    // arbitrary file's columns
+    val current =
+      s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
     val keys = updates.select(col(idCol)).distinct()
     // _metadata.file_path (not input_file_name) — it binds to the scan
     // relation, so it survives the join with the update keys
@@ -351,13 +397,12 @@ object VersionedTable {
   def delete(s: SparkSession, root: String, cond: Column,
       idCol: String, numFiles: Int,
       txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
-    txnId.foreach(t =>
-      versions(s, root).find(v => snapshot(s, root, v).txnId.contains(t))
-        .foreach(v => return v))
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
     val snap = snapshot(s, root, parentV)
-    val current = s.read.parquet(snap.files.map(_.path): _*)
+    val current =
+      s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
     val touched = current.filter(cond)
       .select(col("_metadata.file_path").as("f")).distinct()
       .collect().map(r => normPath(r.getString(0))).toSet
@@ -367,8 +412,12 @@ object VersionedTable {
       commitManifest(s, root, "delete", Seq.empty, _ => carry, txnId,
         requireParent = Some(parentV))
     else {
+      // SQL DELETE semantics: only rows where cond is TRUE go; a NULL
+      // condition keeps the row (plain !cond would also drop NULLs, and
+      // only in rewritten files — co-location-dependent data loss)
       val survivors = s.read.option("mergeSchema", "true")
-        .parquet(rewrite.map(_.path): _*).filter(!cond)
+        .parquet(rewrite.map(_.path): _*)
+        .filter(!coalesce(cond, lit(false)))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
         requireParent = Some(parentV))
@@ -391,10 +440,12 @@ object VersionedTable {
     val snap = snapshot(s, root, parentV)
     val (small, carry) = snap.files.partition(_.rows < minRows)
     if (small.size <= 1)
-      commitManifest(s, root, "optimize", Seq.empty, _ => snap.files,
-        requireParent = Some(parentV))
+      // nothing to compact — don't grow the version history with a
+      // no-op manifest (a scheduled maintenance loop calls this often)
+      parentV
     else {
-      val packed = s.read.parquet(small.map(_.path): _*)
+      val packed =
+        s.read.option("mergeSchema", "true").parquet(small.map(_.path): _*)
       val newFiles = writeFiles(s, root, packed, idCol, numFiles)
       commitManifest(s, root, "optimize", newFiles, _ => carry,
         requireParent = Some(parentV))
@@ -415,36 +466,72 @@ object VersionedTable {
     val to = snapshot(s, root, vTo)
     val fromPaths = from.files.map(_.path).toSet
     val toPaths = to.files.map(_.path).toSet
-    def readOr(paths: Seq[String], template: String): DataFrame =
-      if (paths.isEmpty) s.read.parquet(template).limit(0)
-      else s.read.parquet(paths: _*)
-    val template = (from.files ++ to.files).head.path
-    val onlyFrom = readOr(from.files.map(_.path).filterNot(toPaths), template)
-    val onlyTo = readOr(to.files.map(_.path).filterNot(fromPaths), template)
+    val onlyFromPaths = from.files.map(_.path).filterNot(toPaths)
+    val onlyToPaths = to.files.map(_.path).filterNot(fromPaths)
+    if (onlyFromPaths.isEmpty && onlyToPaths.isEmpty) {
+      val e = emptyLike(s, root, math.max(vFrom, vTo), to)
+      return (e, e)
+    }
+    // one merged schema over the differing files, applied to BOTH
+    // sides: across a schema-evolution boundary the sides would
+    // otherwise disagree on columns (exceptAll AnalysisException) or
+    // silently cancel rows differing only in the evolved column.  A
+    // file missing a schema column reads it as null — exactly the
+    // evolution semantics of read().
+    val schema = s.read.option("mergeSchema", "true")
+      .parquet((onlyFromPaths ++ onlyToPaths): _*).schema
+    def readAligned(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(paths: _*)
+    val onlyFrom = readAligned(onlyFromPaths)
+    val onlyTo = readAligned(onlyToPaths)
     (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
   }
 
   /** Remove data files referenced by NO manifest with version >=
     * keepFrom, and the manifests below keepFrom.  Returns
-    * (dataFilesBefore, dataFilesDeleted). */
-  def vacuum(s: SparkSession, root: String, keepFrom: Int): (Int, Int) = {
+    * (dataFilesBefore, dataFilesDeleted).
+    *
+    * `retainMs` is the safety horizon against in-flight commits: a
+    * writer that has finished `writeFiles` but not yet won its CAS has
+    * data files referenced by no committed manifest, and a concurrent
+    * vacuum would otherwise delete them and let the writer commit a
+    * manifest pointing at nothing.  Files younger than `retainMs` are
+    * never touched (Delta's retention-check plays the same role); the
+    * default comfortably exceeds any commit's write-to-CAS window.
+    * Tests pass 0 for determinism in a single-process world. */
+  def vacuum(s: SparkSession, root: String, keepFrom: Int,
+      retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val fs = fileSystem(s, root)
     val referenced = versions(s, root).filter(_ >= keepFrom)
       .flatMap(v => snapshot(s, root, v).files.map(_.path))
       .map(p => new Path(p).toUri.getPath).toSet
     val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return (0, 0)
+    val horizon = System.currentTimeMillis() - retainMs
     val all = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val young = scala.collection.mutable.Set.empty[String]
     val it = fs.listFiles(dataDir, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
+        && !st.getPath.getName.startsWith(".")) {
         all += st.getPath
+        if (st.getModificationTime > horizon)
+          young += st.getPath.toUri.getPath
+      }
     }
-    val doomed = all.filterNot(p => referenced.contains(p.toUri.getPath))
+    val doomed = all.filterNot { p =>
+      val norm = p.toUri.getPath
+      referenced.contains(norm) || young.contains(norm)
+    }
     doomed.foreach(p => fs.delete(p, false))
-    versions(s, root).filter(_ < keepFrom)
-      .foreach(v => fs.delete(manifestPath(root, v), false))
+    versions(s, root).filter(_ < keepFrom).foreach { v =>
+      fs.delete(manifestPath(root, v), false)
+      snapCache.remove((root, v))
+    }
     (all.size, doomed.size)
   }
 }

@@ -154,6 +154,73 @@ class VersionedTableSpec extends SparkSpec {
       .columns.contains("quality"))
   }
 
+  test("delete keeps rows whose condition is NULL (SQL DELETE semantics)") {
+    import spark.implicits._
+    val root = freshRoot("delnull")
+    // lang is null for ids 0..4 — co-located in the same low-range file
+    // as the 'zh' rows the delete targets, so a bare !cond rewrite
+    // would silently drop them
+    val df = (0L until 40L)
+      .map(i => (i, s"t$i", if (i < 5) null else if (i < 10) "zh" else "en"))
+      .toDF("doc_id", "text", "lang")
+    VersionedTable.append(spark, root, df, "doc_id", 2)
+    VersionedTable.delete(spark, root, col("lang") === "zh", "doc_id", 1)
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 35)
+    assert(head.filter(col("lang").isNull).count() === 5)
+    assert(head.filter(col("lang") === "zh").count() === 0)
+  }
+
+  test("delete matching every row leaves a readable empty snapshot") {
+    val root = freshRoot("delall")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    VersionedTable.delete(spark, root, col("doc_id") >= 0, "doc_id", 1)
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 0)
+    // schema survives through the pre-delete history
+    assert(head.columns.toSet === Set("doc_id", "text"))
+    // and the emptied table still accepts a diff against its past
+    val (added, removed) = VersionedTable.diff(spark, root, 1, 2)
+    assert(added.count() === 0 && removed.count() === 20)
+  }
+
+  test("optimize after schema evolution keeps evolved column values") {
+    import spark.implicits._
+    val root = freshRoot("optevo")
+    VersionedTable.append(spark, root, idsDf(0 until 6), "doc_id", 1)
+    // evolution: small append batches carry a quality column
+    (0 until 3).foreach { b =>
+      val batch = (100L + b * 10 until 100L + b * 10 + 4)
+        .map(i => (i, s"q$i", i * 2)).toDF("doc_id", "text", "quality")
+      VersionedTable.append(spark, root, batch, "doc_id", 1)
+    }
+    val v = VersionedTable.optimize(spark, root, minRows = 8L, "doc_id", 1)
+    val head = VersionedTable.read(spark, root, Some(v))
+    // row-preserving INCLUDING the evolved column of the packed files
+    assert(head.count() === 18)
+    assert(head.filter(col("quality").isNotNull).count() === 12)
+    // a fully-compacted table optimizes to a no-op without a new version
+    val again = VersionedTable.optimize(spark, root, minRows = 8L,
+      "doc_id", 1)
+    assert(again === v)
+    assert(VersionedTable.latestVersion(spark, root).get === v)
+  }
+
+  test("diff across a schema-evolution boundary aligns both sides") {
+    import spark.implicits._
+    val root = freshRoot("diffevo")
+    VersionedTable.append(spark, root, idsDf(0 until 10), "doc_id", 1)
+    val evolved = (0L until 10L).map(i => (i, s"text $i", i * 3))
+      .toDF("doc_id", "text", "quality")
+    VersionedTable.merge(spark, root, evolved, "doc_id", 1)
+    val (added, removed) = VersionedTable.diff(spark, root, 1, 2)
+    // every row changed (gained a quality value); the un-evolved side
+    // reads quality as null rather than mis-cancelling or throwing
+    assert(added.count() === 10 && removed.count() === 10)
+    assert(added.filter(col("quality").isNotNull).count() === 10)
+    assert(removed.filter(col("quality").isNull).count() === 10)
+  }
+
   test("vacuum deletes only unreferenced files and keeps snapshots whole") {
     val root = freshRoot("vac")
     VersionedTable.append(spark, root, idsDf(0 until 50), "doc_id", 2)
@@ -161,7 +228,10 @@ class VersionedTableSpec extends SparkSpec {
       idsDf(0 until 50).withColumn("text", lit("v2")), "doc_id", 2)
     VersionedTable.append(spark, root, idsDf(100 until 120), "doc_id", 1)
     val keptFiles = VersionedTable.snapshot(spark, root, 3).files
-    val (beforeCount, deleted) = VersionedTable.vacuum(spark, root, 2)
+    // retainMs = 0: the in-flight-commit safety horizon is meaningless
+    // in a single-process test and would keep every just-written file
+    val (beforeCount, deleted) =
+      VersionedTable.vacuum(spark, root, 2, retainMs = 0L)
     assert(deleted > 0)
     assert(beforeCount - deleted >= keptFiles.size)
     // kept versions read whole
