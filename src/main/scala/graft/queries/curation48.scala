@@ -118,8 +118,13 @@ object Curation48Queries {
         // and centroids are deterministic subsamples (swap-in point for
         // kmeans_cluster_assign's iterated centroids, as pq_encode
         // documents); all arithmetic on the e6 integer grid.
+        // the quantized scan feeds FIVE consumers (cents, assign, sub,
+        // probes, dt) — persist it once per the cache contract so the
+        // parquet scan + float->e6 quantization run once, not five
+        // times (measured 2.1-2.9 s -> see PLANS.md)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), quant(col("embedding")).as("qe"))
+          .persist()
         val cents = e.filter(pmod(col("vec_id"), lit(31)) === 7)
           .select(col("vec_id").as("ivf_cid"), col("qe").as("cvec"))
         // coarse assignment: min integer L2, ties to the lowest list id
@@ -131,10 +136,12 @@ object Curation48Queries {
           .agg(min(col("dc")).as("m"))
           .select(col("vec_id"), col("m.ivf_cid").as("list_id"))
         // PQ codes: 4 subspaces x 16 dims, codebook = first 8 vectors
+        // the subvector explode feeds three consumers (cb, codes, dt)
         val sub = e.select(col("vec_id"),
             explode(sequence(lit(0), lit(3))).as("m"), col("qe"))
           .select(col("vec_id"), col("m"),
             expr("slice(qe, m * 16 + 1, 16)").as("sv"))
+          .persist()
         val cb = sub.filter(col("vec_id") < 8)
           .select(col("m"), col("vec_id").as("cid"), col("sv").as("csub"))
         val codes = sub.join(broadcast(cb), "m")

@@ -142,14 +142,15 @@ object Curation56Queries {
     * (fixed seeds or routed centroids): top-8 of the entries, Rounds
     * greedy adjacency expansions, final top-k re-rank. */
   private[graft] def beamRounds(q: DataFrame, e: DataFrame,
-      und: DataFrame, entries: DataFrame, finalK: Int): DataFrame = {
+      und: DataFrame, entries: DataFrame, finalK: Int,
+      beamWidth: Int = Beam): DataFrame = {
     val topB = topBOver(q, e) _
-    var beam = topB(entries, Beam).select(col("qid"), col("cid"))
+    var beam = topB(entries, beamWidth).select(col("qid"), col("cid"))
     for (_ <- 1 to Rounds) {
       val expand = beam.join(und, beam("cid") === und("src"))
         .select(col("qid"), col("dst").as("cid"))
         .unionByName(beam)
-      beam = topB(expand, Beam).select(col("qid"), col("cid"))
+      beam = topB(expand, beamWidth).select(col("qid"), col("cid"))
     }
     topB(beam, finalK)
       .select(col("qid"), col("cid"), col("rnk").cast("bigint")
@@ -158,7 +159,8 @@ object Curation56Queries {
   }
 
   private[graft] def hierBeamSearch(q: DataFrame, e: DataFrame,
-      und: DataFrame, finalK: Int = 3): DataFrame = {
+      und: DataFrame, finalK: Int = 3,
+      beamWidth: Int = Beam): DataFrame = {
     // centroid grid restricted to graph nodes (vec_id % 31 == 7,
     // same construction as ann_ivf_topk)
     val cents = e.filter(pmod(col("cid"), lit(31)) === 7)
@@ -171,7 +173,7 @@ object Curation56Queries {
           .orderBy(col("ccos").desc, col("cid"))))
       .filter(col("crn") <= 2)
       .select(col("qid"), col("cid"))
-    beamRounds(q, e, und, entries, finalK)
+    beamRounds(q, e, und, entries, finalK, beamWidth)
   }
 
   /** Oracle-side mirrors of the beam machinery — ONE text per piece,

@@ -83,8 +83,14 @@ object Curation61Queries {
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("e_e3", expr("(r * c * 1000) div n"))
+      // greatest(e_e3, 1): a margin product small enough to floor E to
+      // zero at e3 must not turn its cell contribution into a NULL that
+      // sum() silently drops (understating chi-square); clamping the
+      // denominator to 1 keeps the cell finite and large, which is the
+      // conservative direction for an independence REJECTION test
       .withColumn("cell_chi2_e3",
-        expr("((o * 1000 - e_e3) * (o * 1000 - e_e3)) div (e_e3 * 1000)"))
+        expr("((o * 1000 - e_e3) * (o * 1000 - e_e3)) " +
+          "div (greatest(e_e3, 1) * 1000)"))
   }
 
   private val chiCellsSql =
@@ -102,7 +108,7 @@ object Curation61Queries {
        |    (r * c * 1000) // n AS e_e3,
        |    ((coalesce(o, 0) * 1000 - (r * c * 1000) // n)
        |     * (coalesce(o, 0) * 1000 - (r * c * 1000) // n))
-       |      // (((r * c * 1000) // n) * 1000) AS cell_chi2_e3
+       |      // (greatest((r * c * 1000) // n, 1) * 1000) AS cell_chi2_e3
        |  FROM rt CROSS JOIN ct
        |  LEFT JOIN obs ON obs.lang = rt.lang
        |              AND obs.len_bucket = ct.len_bucket, tot)""".stripMargin
@@ -203,7 +209,9 @@ object Curation61Queries {
             .crossJoin(broadcast(tot))
             .withColumn("e_e3", expr("(r * c * 1000) div n"))
             .withColumn("cell_e3",
-              expr("((o * 1000 - e_e3) * (o * 1000 - e_e3)) div (e_e3 * 1000)"))
+              // same zero-expected-cell clamp as chiCells
+              expr("((o * 1000 - e_e3) * (o * 1000 - e_e3)) " +
+                "div (greatest(e_e3, 1) * 1000)"))
             .agg(
               max(col("n")).as("n"),
               max(expr("least(nr - 1, nc - 1)")).as("min_dim"),
@@ -237,7 +245,7 @@ object Curation61Queries {
         |stat AS (SELECT pair, max(n)::BIGINT AS n,
         |    max(least(nr - 1, nc - 1)) AS min_dim,
         |    sum(((o * 1000 - e_e3) * (o * 1000 - e_e3))
-        |        // (e_e3 * 1000))::BIGINT AS chi2_e3
+        |        // (greatest(e_e3, 1) * 1000))::BIGINT AS chi2_e3
         |  FROM cells GROUP BY pair)
         |SELECT pair, n, chi2_e3,
         |       (chi2_e3 * 1000) // (n * min_dim) AS v2_e6

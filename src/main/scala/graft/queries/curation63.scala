@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.{QueryDef, Scratch, Tables}
+import graft.sources.VersionedTable
+
+/** Batch 63: the versioned-table LIFECYCLE surface on top of batch
+  * 62's format — RESTORE (roll the head back to an old version as a
+  * new commit), shallow zero-copy CLONE (a new table root whose first
+  * manifest references the source's files), and the row-level change
+  * data feed (the diff multisets tagged insert/delete).  These are
+  * the three operations a 100 TB training-corpus deployment leans on
+  * hardest: undo a bad curation commit without rewriting anything,
+  * fork a corpus for an experiment without copying it, and ship
+  * incremental changes downstream without rescanning the table.
+  *
+  * Same oracle discipline as batch 62: every query's readout reduces
+  * to CTE algebra over `documents` (the v2/v3/v4 reconstruction in
+  * [[Curation62Queries]]), so DuckDB hash-checks the lifecycle ops
+  * end to end.
+  */
+object Curation63Queries {
+
+  /** Mirror of Curation62Queries.stateSql (private there; duplicated
+    * byte-for-byte so the two batches cannot drift apart silently —
+    * RegistrySpec's oracle checks pin both against the same tables). */
+  private val stateSql =
+    """v2 AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |upd AS (SELECT doc_id, 'rev2 ' || text AS text, lang, source,
+      |          n_chars + 5 AS n_chars
+      |        FROM v2 WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 2000000 AS doc_id, text, lang, source,
+      |          n_chars
+      |        FROM documents WHERE doc_id % 13 = 0),
+      |v3 AS (
+      |  SELECT * FROM v2 WHERE doc_id % 7 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |v4 AS (SELECT * FROM v3 WHERE lang <> 'zh')""".stripMargin
+
+  /** The batch-62 four-version build, shared verbatim. */
+  private def buildFour(s: SparkSession, d: String, root: String): Unit = {
+    val docs = Tables.documents(s, d)
+    VersionedTable.append(s, root, docs, "doc_id", 4, op = "load")
+    val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    VersionedTable.append(s, root, recrawl, "doc_id", 2)
+    val cur = VersionedTable.read(s, root)
+    val updates = cur.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("text", concat(lit("rev2 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 5L)
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    VersionedTable.merge(s, root, updates.unionByName(inserts),
+      "doc_id", 4)
+    VersionedTable.delete(s, root, col("lang") === "zh", "doc_id", 4)
+    ()
+  }
+
+  /** The shared read-only four-version instance (same memo key as
+    * batch 62's, so the two batches share ONE build per dataset). */
+  private def sharedTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "vtab")(root => buildFour(s, d, root))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------ RESTORE
+    QueryDef(
+      "restore_version_read",
+      (s, d) => {
+        // own instance: restore ADDS a v5, which would change
+        // table_version_history's answer on the shared table
+        val root = Scratch.buildOnce(s, d, "vtabres") { r =>
+          buildFour(s, d, r)
+          VersionedTable.restore(s, r, toVersion = 2)
+          ()
+        }
+        val head = VersionedTable.latestVersion(s, root).get
+        val sn = VersionedTable.snapshot(s, root, head)
+        VersionedTable.read(s, root)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .select(lit(head.toLong).as("head_version"),
+            lit(sn.op).as("op"), col("lang"), col("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $stateSql
+        |SELECT 5::BIGINT AS head_version, 'restore' AS op, lang,
+        |       count(*)::BIGINT AS n_docs
+        |FROM v2 GROUP BY lang ORDER BY lang""".stripMargin),
+      "RESTORE to version 2 after a merge and a delete: the head " +
+        "becomes a NEW version 5 whose file list IS v2's manifest — " +
+        "zero bytes copied or rewritten, intermediate history (v3, " +
+        "v4) still time-travels.  The head read hash-matches the pure " +
+        "v2 reconstruction: the undo button for a bad curation " +
+        "commit, O(manifest) regardless of table size."),
+
+    // ------------------------------------------ shallow CLONE
+    QueryDef(
+      "clone_zero_copy_read",
+      (s, d) => {
+        val src = sharedTable(s, d)
+        val dst = Scratch.buildOnce(s, d, "vtabclone") { r =>
+          VersionedTable.cloneShallow(s, src, r, Some(3))
+          ()
+        }
+        // zero-copy proof carried in-band: the clone root holds NO
+        // data files of its own (its manifest references the source)
+        val fsPath = new org.apache.hadoop.fs.Path(dst, "data")
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val localFiles = if (fs.exists(fsPath))
+          fs.listStatus(fsPath).length.toLong else 0L
+        VersionedTable.read(s, dst)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("n_docs"),
+            lit(localFiles).as("n_local_data_files"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $stateSql
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       0::BIGINT AS n_local_data_files
+        |FROM v3 GROUP BY lang ORDER BY lang""".stripMargin),
+      "Shallow clone of the shared table AS OF version 3 into a fresh " +
+        "root: one manifest write, zero data copied (pinned in-band — " +
+        "the clone's data dir holds 0 files), and the clone reads " +
+        "byte-identically to the source's v3.  The fork-a-corpus-for-" +
+        "an-experiment primitive: at 100 TB a deep copy is days of " +
+        "I/O, a shallow clone is one JSON file; the clone's own " +
+        "commits land under its root and never touch the source."),
+
+    // ------------------------------------------ change data feed
+    QueryDef(
+      "version_change_feed",
+      (s, d) => {
+        val root = sharedTable(s, d)
+        VersionedTable.changeFeed(s, root, 2, 3)
+          .groupBy(col("_change_type"), col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .orderBy(col("_change_type"), col("lang"))
+      },
+      Some(s"""WITH $stateSql,
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, lang, n_chars FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars FROM ins
+        |  UNION ALL
+        |  SELECT 'delete', lang, n_chars FROM v2 WHERE doc_id % 7 = 0)
+        |SELECT _change_type, lang, count(*)::BIGINT AS n_rows,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "Row-level change data feed for the v2 -> v3 MERGE: every " +
+        "updated row surfaces as its delete+insert pair (old and new " +
+        "image) and every inserted row as an insert, tagged " +
+        "_change_type — the CDC encoding downstream incremental " +
+        "consumers (re-embed changed docs, refresh an index) fold " +
+        "without rescanning the table.  Reads ONLY files the two " +
+        "manifests do not share; carried files cancel by reference, " +
+        "so feed cost scales with the commit, not the table."),
+  )
+}

@@ -79,7 +79,18 @@ object VersionedTable {
     * publish through NIO `createLink` (atomic on POSIX, fails with
     * FileAlreadyExistsException when the slot is taken).  Elsewhere the
     * publish is `FileContext.rename(Rename.NONE)` — atomic at the HDFS
-    * NameNode, and the conditional-PUT contract on object stores. */
+    * NameNode.
+    *
+    * SUPPORTED FILESYSTEMS: local and HDFS (and any store whose
+    * FileContext.rename is an atomic no-overwrite operation).  Plain
+    * object stores (s3a and friends) implement rename as
+    * copy+delete with a non-atomic existence check, so two racing
+    * committers could BOTH believe they won a slot — the same reason
+    * Delta requires a LogStore with `putIfAbsent` semantics there
+    * (S3 conditional PUT / DynamoDB lock).  Running this table on an
+    * object store requires routing this method through such a
+    * conditional-PUT primitive; until then it must not be pointed at
+    * an s3a/gs/abfs root with concurrent writers. */
   private def claimSlotWithContent(fs: FileSystem, s: SparkSession,
       root: String, target: Path, bytes: Array[Byte]): Boolean = {
     val tmp = new Path(s"$root/$VersionsDir",
@@ -120,11 +131,17 @@ object VersionedTable {
     val fs = fileSystem(s, root)
     val dir = new Path(root, VersionsDir)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{6}\\.json") =>
-        n.substring(1, 7).toInt }
-      .sorted
+    else {
+      // v(\d+), not v\d{6}: %06d PADS to six digits but version
+      // 1,000,000 prints as seven — a fixed-width match would make it
+      // vanish from the listing and every later commit would re-claim
+      // an occupied slot forever
+      val V = "v(\\d+)\\.json".r
+      fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case V(digits) => digits.toInt }
+        .sorted
+    }
   }
 
   def latestVersion(s: SparkSession, root: String): Option[Int] =
@@ -174,11 +191,71 @@ object VersionedTable {
     * idempotence ledger every exactly-once sink needs (Delta's
     * `txnAppId/txnVersion`, Iceberg's snapshot summary props play the
     * same role).  Scans newest-first: a retried micro-batch is near the
-    * head, and the manifest cache makes repeat scans one listing. */
+    * head, and the manifest cache makes repeat scans one listing.
+    * Falls back to the compacted ledger file for txns whose manifests
+    * vacuum has reclaimed — manifest retention and txn idempotence are
+    * independent horizons (Delta keeps setTransaction entries through
+    * checkpoints for the same reason): a stream restarting from an
+    * older checkpoint must NOT re-apply a batch just because time
+    * travel to its version is gone. */
   def findCommittedTxn(s: SparkSession, root: String,
       txnId: String): Option[Int] =
     versions(s, root).reverse.find(v =>
       snapshot(s, root, v).txnId.contains(txnId))
+      .orElse(readTxnLedger(s, root).get(txnId))
+
+  private def txnLedgerPath(root: String): Path =
+    new Path(s"$root/$VersionsDir", "_txns.json")
+
+  /** txn -> version entries harvested from vacuumed manifests.  Tiny
+    * (one entry per retired streaming batch) and read only when a txn
+    * probe misses every live manifest — i.e. once per NEW batch. */
+  private def readTxnLedger(s: SparkSession, root: String)
+      : Map[String, Int] = {
+    val fs = fileSystem(s, root)
+    val p = txnLedgerPath(root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      val arr = node.get("txns")
+      (0 until arr.size()).map { i =>
+        val t = arr.get(i)
+        t.get("txn").asText() -> t.get("version").asInt()
+      }.toMap
+    }
+  }
+
+  /** Replace the ledger file atomically (tmp write + rename-overwrite;
+    * single-writer by contract — vacuum is a maintenance op, not a
+    * concurrent commit path). */
+  private def writeTxnLedger(s: SparkSession, root: String,
+      entries: Map[String, Int]): Unit = {
+    val fs = fileSystem(s, root)
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("txns")
+    entries.toSeq.sortBy(_._2).foreach { case (t, v) =>
+      val o = arr.addObject(); o.put("txn", t); o.put("version", v)
+    }
+    val tmp = new Path(s"$root/$VersionsDir",
+      s".tmp-ledger-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    out.close()
+    val target = txnLedgerPath(root)
+    val uri = target.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(uri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      FileContext.getFileContext(new Path(root).toUri,
+        s.sparkContext.hadoopConfiguration)
+        .rename(tmp, target, Options.Rename.OVERWRITE)
+  }
 
   /** Has a commit carrying this transaction id already landed? */
   def txnCommitted(s: SparkSession, root: String, txnId: String): Boolean =
@@ -346,6 +423,36 @@ object VersionedTable {
     out
   }
 
+  /** Enforce merge's one-update-row-per-key contract.  With `orderCol`:
+    * keep-last per key (greatest orderCol wins; ties fall to a full-row
+    * content hash so the choice is deterministic under retries and
+    * repartitioning).  Without: assert distinctness and throw — a batch
+    * carrying two rows for a key would otherwise anti-join the old row
+    * away and union BOTH in, silently breaking upsert semantics.
+    *
+    * Scale: the window / count partitions by key over the UPDATE BATCH
+    * only, never the table — a batch-sized shuffle, the same cost
+    * Delta pays for its multiple-match detection. */
+  private[graft] def dedupeKeepLast(updates: DataFrame, idCol: String,
+      orderCol: Option[String]): DataFrame = orderCol match {
+    case Some(oc) =>
+      val tiebreak =
+        xxhash64(updates.columns.sorted.map(col).toIndexedSeq: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col(oc).desc, tiebreak.asc)
+      updates.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    case None =>
+      val dup = updates.groupBy(col(idCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"merge updates carry multiple rows for $idCol=" +
+            s"${dup.head.get(0)}; dedupe the batch or pass orderCol " +
+            "for keep-last resolution")
+      updates
+  }
+
   /** MERGE INTO (upsert): rows of `updates` whose key matches a current
     * row replace it; unmatched keys insert.  Copy-on-write at file
     * granularity: one semi-join pass finds the files that CONTAIN a
@@ -354,11 +461,25 @@ object VersionedTable {
     * `updates`), and every untouched file carries over by reference.
     * If another commit lands first, the whole derivation re-runs
     * against the new head (optimistic concurrency); with `txnId` the
-    * merge is exactly-once under retries. */
+    * merge is exactly-once under retries.
+    *
+    * UPSERT requires AT MOST ONE update row per key — otherwise the
+    * anti-join removes the old row once and the union inserts BOTH
+    * update rows, silently corrupting one-row-per-key semantics.  With
+    * `orderCol` the merge resolves duplicates itself, keep-last: the
+    * row with the greatest `orderCol` value per key wins (ties broken
+    * by a content hash, so the outcome is deterministic under retries
+    * and repartitioning) — the natural mode for a CDC micro-batch that
+    * can carry several events for one key.  Without `orderCol` the
+    * merge ASSERTS key-distinctness and throws on violation, exactly
+    * as Delta's MERGE errors on multiple source matches: loud beats
+    * silently wrong. */
   def merge(s: SparkSession, root: String, updates: DataFrame,
       idCol: String, numFiles: Int,
-      txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
+      txnId: Option[String] = None,
+      orderCol: Option[String] = None): Int = retryingConflicts(root) { () =>
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    val upserts = dedupeKeepLast(updates, idCol, orderCol)
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("merge into empty table"))
     val snap = snapshot(s, root, parentV)
@@ -367,7 +488,7 @@ object VersionedTable {
     // arbitrary file's columns
     val current =
       s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
-    val keys = updates.select(col(idCol)).distinct()
+    val keys = upserts.select(col(idCol)).distinct()
     // _metadata.file_path (not input_file_name) — it binds to the scan
     // relation, so it survives the join with the update keys
     val touched = current
@@ -378,13 +499,13 @@ object VersionedTable {
     val (rewrite, carry) =
       snap.files.partition(f => touched.contains(normPath(f.path)))
     val survivors =
-      if (rewrite.isEmpty) updates
+      if (rewrite.isEmpty) upserts
       else s.read.option("mergeSchema", "true")
         .parquet(rewrite.map(_.path): _*)
         .join(broadcast(keys), Seq(idCol), "left_anti")
         // allowMissingColumns: an upsert batch may ADD columns (schema
         // evolution) — surviving old rows carry null for them
-        .unionByName(updates, allowMissingColumns = true)
+        .unionByName(upserts, allowMissingColumns = true)
     val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
     commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
       requireParent = Some(parentV))
@@ -450,6 +571,52 @@ object VersionedTable {
       commitManifest(s, root, "optimize", newFiles, _ => carry,
         requireParent = Some(parentV))
     }
+  }
+
+  /** RESTORE: make the table head the exact content of an older
+    * version, committed as a NEW version (op "restore") whose file list
+    * IS the target snapshot's — no data is copied or rewritten, and the
+    * intermediate history stays readable (Delta's RESTORE TABLE ...
+    * VERSION AS OF has the same shape: roll forward by rolling back).
+    * Requires the target version's manifest to still exist (i.e. not
+    * vacuumed past); the restored files are guaranteed live because
+    * vacuum only deletes files referenced by NO kept manifest. */
+  def restore(s: SparkSession, root: String, toVersion: Int,
+      txnId: Option[String] = None): Int = {
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    val target = snapshot(s, root, toVersion)
+    commitManifest(s, root, "restore", Seq.empty, _ => target.files, txnId)
+  }
+
+  /** Shallow (zero-copy) CLONE: initialize `dstRoot` with a v1 manifest
+    * referencing the SOURCE version's data files by absolute path —
+    * nothing is copied, so cloning a 100 TB table is one manifest
+    * write.  The clone then evolves independently: its copy-on-write
+    * commits land new files under ITS root, and its vacuum only lists
+    * its own data dir, so source files can never be deleted from the
+    * clone side.  The one shared-fate hazard (same as Delta/Iceberg
+    * shallow clones): vacuuming the SOURCE can reclaim files a clone
+    * still references — keep source retention >= clone lifetime. */
+  def cloneShallow(s: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): Int = {
+    val v = version.orElse(latestVersion(s, srcRoot)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcRoot"))
+    val src = snapshot(s, srcRoot, v)
+    if (latestVersion(s, dstRoot).isDefined)
+      throw new IllegalStateException(s"clone target $dstRoot not empty")
+    commitManifest(s, dstRoot, "clone", src.files, _ => Seq.empty)
+  }
+
+  /** Row-level change data feed between two versions: the diff's
+    * multisets tagged with `_change_type` ('insert' / 'delete').  An
+    * UPDATE surfaces as its delete+insert pair — the minimal CDC
+    * encoding every downstream incremental consumer can fold.  Reads
+    * only files the two manifests do not share, like [[diff]]. */
+  def changeFeed(s: SparkSession, root: String, vFrom: Int,
+      vTo: Int): DataFrame = {
+    val (added, removed) = diff(s, root, vFrom, vTo)
+    added.withColumn("_change_type", lit("insert"))
+      .unionByName(removed.withColumn("_change_type", lit("delete")))
   }
 
   /** Snapshot diff as (added, removed) row multisets, manifest-aware:
@@ -528,7 +695,17 @@ object VersionedTable {
       referenced.contains(norm) || young.contains(norm)
     }
     doomed.foreach(p => fs.delete(p, false))
-    versions(s, root).filter(_ < keepFrom).foreach { v =>
+    val doomedVersions = versions(s, root).filter(_ < keepFrom)
+    // Manifests about to be reclaimed may carry txn ids; compact them
+    // into the ledger FIRST (crash between the two steps leaves a txn
+    // in both places — benign) so a stream restarting from an older
+    // checkpoint still sees its batch as committed.  Without this,
+    // vacuum silently broke VersionedSink's exactly-once guarantee.
+    val harvest = doomedVersions
+      .flatMap(v => snapshot(s, root, v).txnId.map(_ -> v)).toMap
+    if (harvest.nonEmpty)
+      writeTxnLedger(s, root, readTxnLedger(s, root) ++ harvest)
+    doomedVersions.foreach { v =>
       fs.delete(manifestPath(root, v), false)
       snapCache.remove((root, v))
     }

@@ -26,9 +26,20 @@ object VersionedSink {
 
   /** Start the upsert stream.  The first batch on a fresh root loads
     * the table (merge needs a parent snapshot); every later batch
-    * merges.  Batch txn ids are `queryName#batchId`. */
+    * merges.  Batch txn ids are `queryName#batchId`.
+    *
+    * DUPLICATE-KEY CONTRACT (inherited from [[VersionedTable.merge]]):
+    * a micro-batch must carry at most one row per `idCol` — true by
+    * construction for streaming aggregations in update mode, where each
+    * batch emits one changed row per key.  A raw CDC event stream can
+    * carry several events per key per batch; pass `orderCol` (the event
+    * sequence / timestamp column) and the merge resolves keep-last
+    * deterministically.  Without `orderCol`, a duplicate-key batch
+    * FAILS the batch (and the query) rather than silently committing a
+    * table with two rows for one key. */
   def upsertStream(df: DataFrame, root: String, idCol: String,
-      numFiles: Int, checkpoint: String, queryName: String)
+      numFiles: Int, checkpoint: String, queryName: String,
+      orderCol: Option[String] = None)
       : StreamingQuery =
     df.writeStream
       .queryName(queryName)
@@ -39,11 +50,14 @@ object VersionedSink {
         val txn = Some(s"$queryName#$batchId")
         if (!batch.isEmpty) {
           if (VersionedTable.latestVersion(s, root).isEmpty)
-            VersionedTable.append(s, root, batch, idCol, numFiles,
-              op = "load", txnId = txn)
+            // the load path must honor the same one-row-per-key
+            // contract as merge: dedupe (or assert) the first batch too
+            VersionedTable.append(s, root,
+              VersionedTable.dedupeKeepLast(batch, idCol, orderCol),
+              idCol, numFiles, op = "load", txnId = txn)
           else
             VersionedTable.merge(s, root, batch, idCol, numFiles,
-              txnId = txn)
+              txnId = txn, orderCol = orderCol)
         }
         ()
       }

@@ -159,6 +159,53 @@ class AnnRecallSpec extends SparkSpec {
       s"final exact-edge recall $prevRecall/900 below floor")
   }
 
+  test("hier beam search recall/touch curve across beam in {4, 8, 16}: " +
+    "wider beams buy recall at bounded linear cost") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    import graft.queries.Curation56Queries
+    // exact top-3 ground truth over the indexed slice
+    val e = Curation56Queries.hierCorpus(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact3 = broadcast(q).crossJoin(e)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val und = Curation56Queries.hierAdjacency(spark, sfDir).persist()
+    val curve = Seq(4, 8, 16).map { b =>
+      val got = Curation56Queries.hierBeamSearch(q, e, und, 3, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+      // well-formed at every width: 3 non-self neighbors per query
+      got.foreach { case (k, ns) =>
+        assert(ns.size === 3 && !ns.contains(k), s"beam $b query $k")
+      }
+      val hits = got.map { case (k, a) => (a intersect exact3(k)).size }.sum
+      b -> 1000L * hits / (got.size * 3)
+    }
+    spark.catalog.clearCache()
+    info(s"recall@3 permille by beam: $curve")
+    val byBeam = curve.toMap
+    // every width must clear the usable floor (random ~ 10 permille)
+    curve.foreach { case (b, r) =>
+      assert(r >= 100L, s"beam $b recall $r below floor")
+    }
+    // the tradeoff the width knob exists for: the widest beam must not
+    // recall WORSE than the narrowest (strict per-step monotonicity is
+    // not a theorem for beam search, so only the span is pinned)
+    assert(byBeam(16) >= byBeam(4),
+      s"beam 16 recall ${byBeam(16)} below beam 4 ${byBeam(4)}")
+    // and the default (8) is the documented operating point: already
+    // at-or-near the wide-beam recall on this fixture
+    assert(byBeam(8) >= byBeam(4),
+      s"default beam 8 recall ${byBeam(8)} below beam 4 ${byBeam(4)}")
+  }
+
   test("LSH top-k output is structurally sound per query") {
     val lsh = byName("ann_lsh_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

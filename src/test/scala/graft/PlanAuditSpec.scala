@@ -157,9 +157,26 @@ class PlanAuditSpec extends SparkSpec {
                                    // total N (the stupid-backoff
                                    // denominator); model joins are
                                    // (w1,w2)/(w)-keyed equi-joins
-    "lm_score_quality_gate")       // same 1-row N broadcast inside the
+    "lm_score_quality_gate",       // same 1-row N broadcast inside the
                                    // shared scoring subplan; the gate
                                    // join itself is source-keyed
+    "chi_square_cells",            // margin completion: rowT x colT is
+                                   // a <=5-lang x 3-bucket enum-agg
+                                   // product (<=15 cells) and tot is a
+                                   // broadcast 1-row scalar frame
+                                   // (curation61.scala chiCells)
+    "chi_square_independence",     // same chiCells subplan: both BNLJ
+                                   // sides bounded by enum cardinality
+    "cramers_v_assoc",             // two chiCells-shaped grids, <=100
+                                   // completed cells each (lang x
+                                   // bucket, lang x source) + 1-row tot
+    "anova_f_oneway",              // k<=5 per-lang moment rows x the
+                                   // broadcast 1-row (k,n,s,q) totals
+    "jackknife_source_influence",  // <=20 per-source moment rows x the
+                                   // broadcast 1-row (n,s) totals
+    "jackknife_variance")          // same <=20-row LOSO frame x two
+                                   // broadcast 1-row scalar frames
+                                   // (totals, then the LOSO mean)
 
   test("no shuffled cartesian anywhere; broadcast NLJ only where bounded") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -64,4 +64,90 @@ class VersionedSinkSpec extends SparkSpec {
     assert(txns.distinct.size === txns.size)
     assert(txns.forall(_.startsWith("vsink#")))
   }
+
+  test("a two-events-per-key CDC batch upserts exactly one row per key " +
+    "(keep-last by orderCol)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vsink_dup").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"; val root = s"$dir/table"
+    new java.io.File(src).mkdirs()
+
+    def start() = VersionedSink.upsertStream(
+      spark.readStream.schema("doc_id LONG, seq LONG, text STRING")
+        .parquet(src),
+      root, "doc_id", 2, chk, "vsink_dup", orderCol = Some("seq"))
+
+    // first batch already carries TWO events for keys 0..4: the load
+    // path must keep only the later (higher-seq) event per key
+    ((0L until 10L).map(i => (i, 1L, s"a$i")) ++
+      (0L until 5L).map(i => (i, 2L, s"b$i")))
+      .toDF("doc_id", "seq", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val loaded = VersionedTable.read(spark, root)
+    assert(loaded.count() === 10, "one row per key after a dup-key load")
+    assert(loaded.filter(col("doc_id") < 5 && !col("text").startsWith("b"))
+      .count() === 0, "the higher-seq event won the load")
+
+    // a later micro-batch with three events for one key: highest seq
+    // wins the MERGE, and no key ever holds two rows
+    Seq((3L, 10L, "mid"), (3L, 30L, "last"), (3L, 20L, "late"))
+      .toDF("doc_id", "seq", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 10)
+    assert(head.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0,
+      "no key holds two rows after a multi-event batch")
+    assert(head.filter(col("doc_id") === 3L).select(col("text"))
+      .head.getString(0) === "last", "keep-last resolution by seq")
+  }
+
+  test("a batch replayed after vacuum reclaimed its manifest is still " +
+    "not re-applied (txn ledger survives manifest retention)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vsink_vac").toString
+    val root = s"$dir/table"
+
+    // batch 0 loads, batches 1..3 merge, each with a sink-style txn id
+    VersionedTable.append(spark, root,
+      (0L until 8L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 1, op = "load", txnId = Some("vac#0"))
+    (1 to 3).foreach { b =>
+      VersionedTable.merge(spark, root,
+        (0L until 8L).map(i => (i, s"b$b-$i")).toDF("doc_id", "text"),
+        "doc_id", 1, txnId = Some(s"vac#$b"))
+    }
+    val head = VersionedTable.latestVersion(spark, root).get
+    assert(VersionedTable.txnCommitted(spark, root, "vac#1"))
+
+    // vacuum away every manifest but the head — time travel to the
+    // batch-1 version is gone, but its txn id must remain committed
+    VersionedTable.vacuum(spark, root, keepFrom = head, retainMs = 0L)
+    assert(VersionedTable.versions(spark, root) === Seq(head))
+    assert(VersionedTable.txnCommitted(spark, root, "vac#1"),
+      "txn ledger must survive manifest reclamation")
+
+    // the stream restarts from an older checkpoint and redelivers
+    // batch 1: the merge must return without applying
+    val v = VersionedTable.merge(spark, root,
+      (0L until 8L).map(i => (i, s"REPLAY$i")).toDF("doc_id", "text"),
+      "doc_id", 1, txnId = Some("vac#1"))
+    assert(VersionedTable.latestVersion(spark, root).get === head,
+      "replayed batch must not commit a new version")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("text").startsWith("REPLAY")).count() === 0,
+      "replayed payload must not reach the table")
+    // the returned version points at the ledger entry, not the head
+    assert(v < head)
+
+    // a genuinely NEW batch still commits normally after the vacuum
+    VersionedTable.merge(spark, root,
+      Seq((0L, "new0")).toDF("doc_id", "text"),
+      "doc_id", 1, txnId = Some("vac#4"))
+    assert(VersionedTable.latestVersion(spark, root).get === head + 1)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("text") === "new0").count() === 1)
+  }
 }

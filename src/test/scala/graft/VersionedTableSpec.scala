@@ -249,4 +249,123 @@ class VersionedTableSpec extends SparkSpec {
     }
     ()
   }
+
+  test("restore rolls the head back as a NEW commit; history intact; " +
+    "zero data files written") {
+    val root = freshRoot("restore")
+    VersionedTable.append(spark, root, idsDf(0 until 30), "doc_id", 2)
+    VersionedTable.merge(spark, root,
+      idsDf(0 until 10).withColumn("text", lit("v2")), "doc_id", 1)
+    VersionedTable.delete(spark, root, col("doc_id") >= 20, "doc_id", 1)
+    val filesBefore = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    val v = VersionedTable.restore(spark, root, toVersion = 1)
+    assert(v === 4)
+    // head content == v1 exactly (the merge and delete are undone)
+    assert(VersionedTable.read(spark, root)
+      .exceptAll(idsDf(0 until 30)).count() === 0)
+    assert(VersionedTable.read(spark, root).count() === 30)
+    // intermediate history still time-travels
+    assert(VersionedTable.read(spark, root, Some(3)).count() === 20)
+    assert(VersionedTable.read(spark, root, Some(2))
+      .filter(col("text") === "v2").count() === 10)
+    // restore wrote a manifest, not data
+    val filesAfter = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    assert(filesAfter === filesBefore, "restore must not write data files")
+    ()
+  }
+
+  test("shallow clone is zero-copy, reads the source version, and " +
+    "evolves independently") {
+    val src = freshRoot("clonesrc")
+    VersionedTable.append(spark, src, idsDf(0 until 40), "doc_id", 2)
+    VersionedTable.merge(spark, src,
+      idsDf(40 until 50), "doc_id", 1)
+    val dst = freshRoot("clonedst")
+    val v = VersionedTable.cloneShallow(spark, src, dst, Some(2))
+    assert(v === 1)
+    // zero-copy: the clone has no data directory of its own
+    assert(!new java.io.File(s"$dst/data").exists())
+    // reads the source's v2 byte-identically
+    assert(VersionedTable.read(spark, dst)
+      .exceptAll(VersionedTable.read(spark, src, Some(2))).count() === 0)
+    assert(VersionedTable.read(spark, dst).count() === 50)
+    // the clone evolves independently: a delete on the clone rewrites
+    // into the CLONE's root and never mutates the source
+    VersionedTable.delete(spark, dst, col("doc_id") < 10, "doc_id", 1)
+    assert(VersionedTable.read(spark, dst).count() === 40)
+    assert(VersionedTable.read(spark, src).count() === 50,
+      "source must be untouched by clone-side mutation")
+    // clone-side vacuum can never reach source files
+    VersionedTable.vacuum(spark, dst,
+      keepFrom = VersionedTable.latestVersion(spark, dst).get,
+      retainMs = 0L)
+    assert(VersionedTable.read(spark, src).count() === 50,
+      "clone-side vacuum must not delete source data")
+    // a second clone into a non-empty root is refused
+    intercept[IllegalStateException] {
+      VersionedTable.cloneShallow(spark, src, dst)
+    }
+    ()
+  }
+
+  test("change feed folds: applying the v1->v2 feed to v1 reproduces v2") {
+    val root = freshRoot("cdf")
+    VersionedTable.append(spark, root, idsDf(0 until 25), "doc_id", 2)
+    VersionedTable.merge(spark, root,
+      idsDf(20 until 35).withColumn("text", lit("new")), "doc_id", 1)
+    val feed = VersionedTable.changeFeed(spark, root, 1, 2).persist()
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    // fold: v1 minus deletes plus inserts == v2 as a multiset
+    val folded = VersionedTable.read(spark, root, Some(1))
+      .exceptAll(deletes).unionByName(inserts)
+    val v2 = VersionedTable.read(spark, root, Some(2))
+    assert(folded.exceptAll(v2).count() === 0)
+    assert(v2.exceptAll(folded).count() === 0)
+    // the update keys appear as delete+insert pairs
+    assert(deletes.filter(col("doc_id").between(20, 24)).count() === 5)
+    assert(inserts.filter(col("text") === "new").count() === 15)
+    feed.unpersist()
+    ()
+  }
+
+  test("merge without orderCol rejects a duplicate-key batch loudly") {
+    val root = freshRoot("dupkey")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    // two rows for doc_id=3: silently keeping both would corrupt the
+    // one-row-per-key upsert contract, so merge must throw instead
+    val dupBatch = idsDf(3 until 4).unionByName(
+      idsDf(3 until 4).withColumn("text", lit("other")))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, dupBatch, "doc_id", 1)
+    }
+    assert(e.getMessage.contains("multiple rows"))
+    // the table is untouched: still exactly one version, 20 rows
+    assert(VersionedTable.versions(spark, root) === Seq(1))
+    assert(VersionedTable.read(spark, root).count() === 20)
+
+    // the same batch WITH orderCol resolves keep-last deterministically
+    val ordered = idsDf(3 until 4).withColumn("seq", lit(1L))
+      .unionByName(idsDf(3 until 4)
+        .withColumn("text", lit("winner")).withColumn("seq", lit(2L)))
+    VersionedTable.merge(spark, root, ordered, "doc_id", 1,
+      orderCol = Some("seq"))
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 20)
+    assert(head.filter(col("doc_id") === 3)
+      .select(col("text")).head.getString(0) === "winner")
+    ()
+  }
 }
