@@ -250,6 +250,52 @@ class VersionedTableSpec extends SparkSpec {
     ()
   }
 
+  test("concurrent merges: optimistic conflict retry preserves both " +
+    "updates (no lost update, every head file live)") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val root = freshRoot("mergerace")
+    VersionedTable.append(spark, root, idsDf(0 until 100), "doc_id", 4)
+    // two committers upsert DISJOINT key ranges at the same time: the
+    // loser's carry list is stale (the winner may have rewritten the
+    // very files it planned to carry), so it must detect the conflict
+    // (requireParent) and re-derive against the new head — losing
+    // either update silently is the classic lost-update anomaly
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def merger(lo: Int, hi: Int, tag: String) = new Thread(() =>
+      try {
+        VersionedTable.merge(spark, root,
+          idsDf(lo until hi)
+            .withColumn("text", concat(lit(s"$tag "), col("text"))),
+          "doc_id", 2)
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    val a = merger(0, 10, "A"); val b = merger(50, 60, "B")
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"merge race surfaced: ${errs.peek()}")
+    // both landed: two new versions, both updates visible, no rows
+    // lost or duplicated
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 100)
+    assert(head.filter(col("doc_id") < 10 &&
+      !col("text").startsWith("A ")).count() === 0, "update A lost")
+    assert(head.filter(col("doc_id").between(50, 59) &&
+      !col("text").startsWith("B ")).count() === 0, "update B lost")
+    assert(head.filter(col("text").startsWith("A ")).count() === 10)
+    assert(head.filter(col("text").startsWith("B ")).count() === 10)
+    // every file the head references physically exists (a stale carry
+    // list would reference a file the winner's rewrite superseded —
+    // it must still exist because commits never delete, but the
+    // REBASED manifest must also never point into the void)
+    VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).files.foreach { f =>
+      assert(new java.io.File(
+        new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists(),
+        s"head references missing file ${f.path}")
+    }
+    ()
+  }
+
   test("restore rolls the head back as a NEW commit; history intact; " +
     "zero data files written") {
     val root = freshRoot("restore")
