@@ -36,8 +36,10 @@ import graft.sources.VersionedTable
   */
 object Curation62Queries {
 
-  /** The shared DuckDB CTE chain reconstructing v2/v3/v4 logically. */
-  private val stateSql =
+  /** The shared DuckDB CTE chain reconstructing v2/v3/v4 logically.
+    * private[queries]: batch 63's lifecycle queries reconstruct the
+    * same states — ONE definition so the two batches cannot drift. */
+  private[queries] val stateSql =
     """v2 AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL
@@ -55,28 +57,34 @@ object Curation62Queries {
       |  UNION ALL SELECT * FROM ins),
       |v4 AS (SELECT * FROM v3 WHERE lang <> 'zh')""".stripMargin
 
+  /** The four-version build (load / re-crawl append / copy-on-write
+    * merge / delete) — the ONE definition batch 63 reuses too, so the
+    * shared `vtab` memo key can never bind two drifting builds. */
+  private[queries] def buildFour(s: SparkSession, d: String,
+      root: String): Unit = {
+    val docs = Tables.documents(s, d)
+    VersionedTable.append(s, root, docs, "doc_id", 4, op = "load")
+    val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    VersionedTable.append(s, root, recrawl, "doc_id", 2)
+    val cur = VersionedTable.read(s, root)
+    val updates = cur.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("text", concat(lit("rev2 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 5L)
+    val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    VersionedTable.merge(s, root, updates.unionByName(inserts),
+      "doc_id", 4)
+    VersionedTable.delete(s, root, col("lang") === "zh", "doc_id", 4)
+    ()
+  }
+
   /** Build the four-version table once per (session, dataset); all
     * queries below read it.  `kind` varies for the vacuum query, which
     * needs its own instance to destroy history on. */
-  private def table(s: SparkSession, d: String,
+  private[queries] def table(s: SparkSession, d: String,
       kind: String = "vtab"): String =
-    Scratch.buildOnce(s, d, kind) { root =>
-      val docs = Tables.documents(s, d)
-      VersionedTable.append(s, root, docs, "doc_id", 4, op = "load")
-      val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      VersionedTable.append(s, root, recrawl, "doc_id", 2)
-      val cur = VersionedTable.read(s, root)
-      val updates = cur.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .withColumn("text", concat(lit("rev2 "), col("text")))
-        .withColumn("n_chars", col("n_chars") + 5L)
-      val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .withColumn("doc_id", col("doc_id") + 2000000L)
-      VersionedTable.merge(s, root, updates.unionByName(inserts),
-        "doc_id", 4)
-      VersionedTable.delete(s, root, col("lang") === "zh", "doc_id", 4)
-      ()
-    }
+    Scratch.buildOnce(s, d, kind)(root => buildFour(s, d, root))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -181,20 +189,7 @@ object Curation62Queries {
       "vacuum_reclaim",
       (s, d) => {
         val root = Scratch.buildOnce(s, d, "vtabvac") { r =>
-          val docs = Tables.documents(s, d)
-          VersionedTable.append(s, r, docs, "doc_id", 4, op = "load")
-          val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-            .withColumn("doc_id", col("doc_id") + 1000000L)
-          VersionedTable.append(s, r, recrawl, "doc_id", 2)
-          val cur = VersionedTable.read(s, r)
-          val updates = cur.filter(pmod(col("doc_id"), lit(7)) === 0)
-            .withColumn("text", concat(lit("rev2 "), col("text")))
-            .withColumn("n_chars", col("n_chars") + 5L)
-          val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-            .withColumn("doc_id", col("doc_id") + 2000000L)
-          VersionedTable.merge(s, r, updates.unionByName(inserts),
-            "doc_id", 4)
-          VersionedTable.delete(s, r, col("lang") === "zh", "doc_id", 4)
+          buildFour(s, d, r)
           // retainMs = 0: single-process build, no in-flight committers
           VersionedTable.vacuum(s, r, keepFrom = 3, retainMs = 0L)
           ()

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
-import graft.{QueryDef, Scratch, Tables}
+import graft.{QueryDef, Scratch}
 import graft.sources.VersionedTable
 
 /** Batch 63: the versioned-table LIFECYCLE surface on top of batch
@@ -22,50 +22,15 @@ import graft.sources.VersionedTable
   */
 object Curation63Queries {
 
-  /** Mirror of Curation62Queries.stateSql (private there; duplicated
-    * byte-for-byte so the two batches cannot drift apart silently —
-    * RegistrySpec's oracle checks pin both against the same tables). */
-  private val stateSql =
-    """v2 AS (
-      |  SELECT doc_id, text, lang, source, n_chars FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text, lang, source, n_chars
-      |  FROM documents WHERE doc_id % 10 = 0),
-      |upd AS (SELECT doc_id, 'rev2 ' || text AS text, lang, source,
-      |          n_chars + 5 AS n_chars
-      |        FROM v2 WHERE doc_id % 7 = 0),
-      |ins AS (SELECT doc_id + 2000000 AS doc_id, text, lang, source,
-      |          n_chars
-      |        FROM documents WHERE doc_id % 13 = 0),
-      |v3 AS (
-      |  SELECT * FROM v2 WHERE doc_id % 7 <> 0
-      |  UNION ALL SELECT * FROM upd
-      |  UNION ALL SELECT * FROM ins),
-      |v4 AS (SELECT * FROM v3 WHERE lang <> 'zh')""".stripMargin
+  // ONE source of truth with batch 62: the CTE reconstruction, the
+  // four-version build, and the shared "vtab" memo key all come from
+  // Curation62Queries (private[queries]) — no drift possible
+  import Curation62Queries.{buildFour, stateSql}
 
-  /** The batch-62 four-version build, shared verbatim. */
-  private def buildFour(s: SparkSession, d: String, root: String): Unit = {
-    val docs = Tables.documents(s, d)
-    VersionedTable.append(s, root, docs, "doc_id", 4, op = "load")
-    val recrawl = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-    VersionedTable.append(s, root, recrawl, "doc_id", 2)
-    val cur = VersionedTable.read(s, root)
-    val updates = cur.filter(pmod(col("doc_id"), lit(7)) === 0)
-      .withColumn("text", concat(lit("rev2 "), col("text")))
-      .withColumn("n_chars", col("n_chars") + 5L)
-    val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-      .withColumn("doc_id", col("doc_id") + 2000000L)
-    VersionedTable.merge(s, root, updates.unionByName(inserts),
-      "doc_id", 4)
-    VersionedTable.delete(s, root, col("lang") === "zh", "doc_id", 4)
-    ()
-  }
-
-  /** The shared read-only four-version instance (same memo key as
-    * batch 62's, so the two batches share ONE build per dataset). */
+  /** The shared read-only four-version instance (batch 62's builder
+    * and memo key, so the two batches share ONE build per dataset). */
   private def sharedTable(s: SparkSession, d: String): String =
-    Scratch.buildOnce(s, d, "vtab")(root => buildFour(s, d, root))
+    Curation62Queries.table(s, d)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -477,9 +477,14 @@ object VersionedTable {
   def merge(s: SparkSession, root: String, updates: DataFrame,
       idCol: String, numFiles: Int,
       txnId: Option[String] = None,
-      orderCol: Option[String] = None): Int = retryingConflicts(root) { () =>
+      orderCol: Option[String] = None): Int = {
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    // hoisted above the conflict-retry loop: the batch never changes
+    // between retries, so the duplicate-key scan runs once, not per
+    // attempt
     val upserts = dedupeKeepLast(updates, idCol, orderCol)
+    retryingConflicts(root) { () =>
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("merge into empty table"))
     val snap = snapshot(s, root, parentV)
@@ -509,6 +514,7 @@ object VersionedTable {
     val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
     commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
       requireParent = Some(parentV))
+    }
   }
 
   /** DELETE WHERE: files containing no matching row carry over by
@@ -602,9 +608,15 @@ object VersionedTable {
     val v = version.orElse(latestVersion(s, srcRoot)).getOrElse(
       throw new IllegalStateException(s"no committed version at $srcRoot"))
     val src = snapshot(s, srcRoot, v)
-    if (latestVersion(s, dstRoot).isDefined)
-      throw new IllegalStateException(s"clone target $dstRoot not empty")
-    commitManifest(s, dstRoot, "clone", src.files, _ => Seq.empty)
+    // emptiness is enforced INSIDE the CAS loop (the carryOver callback
+    // sees the current parent on every attempt), not by a check-then-act
+    // pre-read — a commit racing onto dstRoot must surface as this
+    // exception, never as a clone manifest that silently drops it
+    commitManifest(s, dstRoot, "clone", src.files, {
+      case Some(p) => throw new IllegalStateException(
+        s"clone target $dstRoot not empty (head v${p.version})")
+      case None => Seq.empty
+    })
   }
 
   /** Row-level change data feed between two versions: the diff's

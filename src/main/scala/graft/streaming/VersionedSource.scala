@@ -54,9 +54,18 @@ object VersionedSource {
         // them in commit order exactly as a catch-up replay would
         val vs = batch.select(col("version")).collect()
           .map(_.getInt(0)).sorted
+        // surviving manifests listed once per batch: a version whose
+        // PARENT manifest no longer exists (v1, or the earliest
+        // survivor after a vacuum) bootstraps as a full-snapshot
+        // insert feed — a follower started fresh on a vacuumed table
+        // must not try to diff against a reclaimed manifest (and an
+        // insert-feed bootstrap stays convergent for upsert-applying
+        // consumers; only a parent vacuumed away MID-stream degrades
+        // that one feed's deletes, the documented retention caveat)
+        val live = VersionedTable.versions(s, root).toSet
         vs.foreach { v =>
           val feed =
-            if (v <= 1)
+            if (!live.contains(v - 1))
               VersionedTable.read(s, root, Some(v))
                 .withColumn("_change_type", lit("insert"))
             else VersionedTable.changeFeed(s, root, v - 1, v)

@@ -36,8 +36,9 @@ class Curation64Spec extends SparkSpec {
     // the real-valued lower bound by at most 1)
     assert(dof >= math.min(na, nb) - 2 && dof <= na + nb - 2,
       s"dof $dof outside [min(n)-2, n1+n2-2]")
-    // and the t^2 readout is sane: strictly positive unless the two
-    // e3 means coincide exactly
-    assert((mean1 == mean2) === (t2 == 0L))
+    // forward direction only: equal e3 means force t^2 = 0.  (The
+    // converse is NOT a theorem under integer floors — a nonzero mean
+    // gap smaller than the pooled variance term floors t^2 to 0.)
+    if (mean1 == mean2) assert(t2 === 0L)
   }
 }

@@ -56,4 +56,43 @@ class VersionedSourceSpec extends SparkSpec {
     assert(delivered.head._2 === Map("delete" -> 3L))
     ()
   }
+
+  test("a follower started fresh on a VACUUMED table bootstraps from " +
+    "the earliest surviving version instead of crashing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vsource_vac").toString
+    val root = s"$dir/table"; val chk = s"$dir/chk"
+
+    VersionedTable.append(spark, root,
+      (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    VersionedTable.merge(spark, root,
+      (0L until 5L).map(i => (i, s"u$i")).toDF("doc_id", "text"),
+      "doc_id", 2)
+    VersionedTable.merge(spark, root,
+      (5L until 10L).map(i => (i, s"w$i")).toDF("doc_id", "text"),
+      "doc_id", 2)
+    // history before the follower ever existed is reclaimed: v1's
+    // manifest is gone, so the first event the follower sees (v2) has
+    // no parent to diff against
+    VersionedTable.vacuum(spark, root, keepFrom = 2, retainMs = 0L)
+    assert(VersionedTable.versions(spark, root) === Seq(2, 3))
+
+    val delivered =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, Long])]
+    val q = VersionedSource.followChanges(spark, root, chk, "vboot") {
+      (feed, v) =>
+        val counts = feed.groupBy(col("_change_type")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        delivered.synchronized { delivered += (v -> counts); () }
+    }
+    q.processAllAvailable(); q.stop()
+    // v2 bootstraps as a full-snapshot insert feed (its parent
+    // manifest was vacuumed); v3 diffs normally against v2
+    assert(delivered.map(_._1).toSeq === Seq(2, 3))
+    assert(delivered.head._2 === Map("insert" -> 10L),
+      "earliest survivor must deliver the full snapshot as inserts")
+    assert(delivered(1)._2 === Map("insert" -> 5L, "delete" -> 5L))
+    ()
+  }
 }
