@@ -443,8 +443,11 @@ object VersionedTable {
       updates.withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
     case None =>
-      val dup = updates.groupBy(col(idCol)).count()
-        .filter(col("count") > 1).limit(1).collect()
+      // aliased count: a batch carrying its own `count` column must not
+      // make the distinctness probe ambiguous
+      val dup = updates.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__graft_cnt"))
+        .filter(col("__graft_cnt") > 1).limit(1).collect()
       if (dup.nonEmpty)
         throw new IllegalArgumentException(
           s"merge updates carry multiple rows for $idCol=" +
