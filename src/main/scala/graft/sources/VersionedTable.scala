@@ -487,36 +487,36 @@ object VersionedTable {
     // attempt
     val upserts = dedupeKeepLast(updates, idCol, orderCol)
     retryingConflicts(root) { () =>
-    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
-    val parentV = latestVersion(s, root).getOrElse(
-      throw new IllegalStateException("merge into empty table"))
-    val snap = snapshot(s, root, parentV)
-    // mergeSchema even on the discovery scan: after schema evolution the
-    // snapshot mixes file schemas, and an unmerged read takes one
-    // arbitrary file's columns
-    val current =
-      s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
-    val keys = upserts.select(col(idCol)).distinct()
-    // _metadata.file_path (not input_file_name) — it binds to the scan
-    // relation, so it survives the join with the update keys
-    val touched = current
-      .select(col(idCol), col("_metadata.file_path").as("f"))
-      .join(broadcast(keys), Seq(idCol), "left_semi")
-      .select(col("f")).distinct()
-      .collect().map(r => normPath(r.getString(0))).toSet
-    val (rewrite, carry) =
-      snap.files.partition(f => touched.contains(normPath(f.path)))
-    val survivors =
-      if (rewrite.isEmpty) upserts
-      else s.read.option("mergeSchema", "true")
-        .parquet(rewrite.map(_.path): _*)
-        .join(broadcast(keys), Seq(idCol), "left_anti")
-        // allowMissingColumns: an upsert batch may ADD columns (schema
-        // evolution) — surviving old rows carry null for them
-        .unionByName(upserts, allowMissingColumns = true)
-    val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-    commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
-      requireParent = Some(parentV))
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("merge into empty table"))
+      val snap = snapshot(s, root, parentV)
+      // mergeSchema even on the discovery scan: after schema evolution the
+      // snapshot mixes file schemas, and an unmerged read takes one
+      // arbitrary file's columns
+      val current =
+        s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
+      val keys = upserts.select(col(idCol)).distinct()
+      // _metadata.file_path (not input_file_name) — it binds to the scan
+      // relation, so it survives the join with the update keys
+      val touched = current
+        .select(col(idCol), col("_metadata.file_path").as("f"))
+        .join(broadcast(keys), Seq(idCol), "left_semi")
+        .select(col("f")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+      val (rewrite, carry) =
+        snap.files.partition(f => touched.contains(normPath(f.path)))
+      val survivors =
+        if (rewrite.isEmpty) upserts
+        else s.read.option("mergeSchema", "true")
+          .parquet(rewrite.map(_.path): _*)
+          .join(broadcast(keys), Seq(idCol), "left_anti")
+          // allowMissingColumns: an upsert batch may ADD columns (schema
+          // evolution) — surviving old rows carry null for them
+          .unionByName(upserts, allowMissingColumns = true)
+      val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
+      commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
+        requireParent = Some(parentV))
     }
   }
 
