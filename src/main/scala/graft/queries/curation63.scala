@@ -126,5 +126,38 @@ object Curation63Queries {
         "without rescanning the table.  Reads ONLY files the two " +
         "manifests do not share; carried files cancel by reference, " +
         "so feed cost scales with the commit, not the table."),
+
+    // -------------------------------- change feed with update pairing
+    QueryDef(
+      "change_feed_update_pairs",
+      (s, d) => {
+        val root = sharedTable(s, d)
+        VersionedTable.changeFeed(s, root, 2, 3, idCol = Some("doc_id"))
+          .groupBy(col("_change_type"), col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .orderBy(col("_change_type"), col("lang"))
+      },
+      Some(s"""WITH $stateSql,
+        |feed AS (
+        |  SELECT 'update_postimage' AS _change_type, lang, n_chars
+        |  FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', lang, n_chars FROM ins
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, n_chars
+        |  FROM v2 WHERE doc_id % 7 = 0)
+        |SELECT _change_type, lang, count(*)::BIGINT AS n_rows,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "The same v2 -> v3 feed with its update halves RESOLVED on the " +
+        "table key (Delta's CDF contract): a doc_id on both sides of " +
+        "the diff is an update, emitted as update_preimage (old row) " +
+        "and update_postimage (new row); one-sided keys stay insert / " +
+        "delete — here every merge-matched row pairs and every fresh " +
+        "id inserts, which the oracle reconstructs exactly.  Pairing " +
+        "is one commit-sized key intersection + marker join, never a " +
+        "table scan; it is what lets a downstream aggregate fold " +
+        "+post - pre and stay exact without reprocessing."),
   )
 }

@@ -157,7 +157,13 @@ object VersionedTable {
   /** Parse one version's manifest.  The commit protocol publishes
     * manifests atomically with full content, so a listed version always
     * parses; a short retry tolerates rename visibility lag on
-    * eventually-consistent stores. */
+    * eventually-consistent stores.  A version ABSENT from the directory
+    * listing fast-fails as [[java.util.NoSuchElementException]]
+    * ("reclaimed or never committed") instead of spinning the retry
+    * loop — restore/clone/changeFeed against a vacuumed-away version
+    * must report WHAT happened, not "unreadable after 100 attempts"
+    * two seconds later; the retry is reserved for versions that ARE
+    * listed but whose content is still publishing. */
   def snapshot(s: SparkSession, root: String, v: Int): Snapshot = {
     val cached = snapCache.get((root, v))
     if (cached != null) return cached
@@ -170,7 +176,17 @@ object VersionedTable {
       try {
         val in = fs.open(manifestPath(root, v))
         node = try new ObjectMapper().readTree(in) finally in.close()
-      } catch { case _: java.io.FileNotFoundException => () }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // one listing, first miss only: not listed => gone for good
+          // (vacuum deletes the manifest before anything could re-add
+          // it; versions are never reused).  Listed => publish lag,
+          // fall through to the retry loop.
+          if (attempts == 1 && !versions(s, root).contains(v))
+            throw new java.util.NoSuchElementException(
+              s"version v$v of $root does not exist " +
+                "(reclaimed by vacuum or never committed)")
+      }
     }
     if (node == null || node.get("files") == null)
       throw new IllegalStateException(
@@ -433,11 +449,33 @@ object VersionedTable {
     * Scale: the window / count partitions by key over the UPDATE BATCH
     * only, never the table — a batch-sized shuffle, the same cost
     * Delta pays for its multiple-match detection. */
+  /** Spark's hash expressions reject MapType (map iteration order is
+    * undefined, so a map hash would be non-deterministic — exactly what
+    * a tiebreak must not be); nested maps poison structs/arrays too. */
+  private def hashableType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.forall(f => hashableType(f.dataType))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      hashableType(at.elementType)
+    case _ => true
+  }
+
   private[graft] def dedupeKeepLast(updates: DataFrame, idCol: String,
       orderCol: Option[String]): DataFrame = orderCol match {
     case Some(oc) =>
+      // tiebreak over the HASHABLE columns only: a CDC batch carrying a
+      // map column must not make the whole merge throw AnalysisException
+      // when orderCol alone resolves its duplicates.  Rows identical on
+      // every hashable column but differing inside a map tie-break
+      // arbitrarily-but-stably on the hash of what IS hashable — still
+      // deterministic under retries and repartitioning, which is all
+      // the contract promises.
+      val hashableCols = updates.schema.fields.toIndexedSeq
+        .filter(f => hashableType(f.dataType)).map(_.name).sorted.map(col)
       val tiebreak =
-        xxhash64(updates.columns.sorted.map(col).toIndexedSeq: _*)
+        if (hashableCols.isEmpty) lit(0L) else xxhash64(hashableCols: _*)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col(oc).desc, tiebreak.asc)
       updates.withColumn("__graft_rn", row_number().over(w))
@@ -589,12 +627,34 @@ object VersionedTable {
     * VERSION AS OF has the same shape: roll forward by rolling back).
     * Requires the target version's manifest to still exist (i.e. not
     * vacuumed past); the restored files are guaranteed live because
-    * vacuum only deletes files referenced by NO kept manifest. */
+    * vacuum only deletes files referenced by NO kept manifest.
+    *
+    * Conflict contract: the restore commits AGAINST the head observed
+    * at entry.  A commit racing in between would otherwise be silently
+    * erased from the head (its committer got a success return, its
+    * rows vanish) — so unlike merge/delete, whose retry re-derives the
+    * same semantics against the new head, restore SURFACES the race as
+    * [[java.util.ConcurrentModificationException]]: erasing a commit
+    * nobody has seen is a decision only the caller can make (re-issue
+    * the restore to make it, now knowing about the racer). */
   def restore(s: SparkSession, root: String, toVersion: Int,
       txnId: Option[String] = None): Int = {
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    val head = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"restore of empty table $root"))
+    restoreFrom(s, root, toVersion, head, txnId)
+  }
+
+  /** The commit half of [[restore]] against an explicitly observed
+    * head — split out so the conflict contract is testable without a
+    * thread race: a commit landing after `observedHead` was read makes
+    * this throw, never silently erase. */
+  private[graft] def restoreFrom(s: SparkSession, root: String,
+      toVersion: Int, observedHead: Int,
+      txnId: Option[String] = None): Int = {
     val target = snapshot(s, root, toVersion)
-    commitManifest(s, root, "restore", Seq.empty, _ => target.files, txnId)
+    commitManifest(s, root, "restore", Seq.empty, _ => target.files, txnId,
+      requireParent = Some(observedHead))
   }
 
   /** Shallow (zero-copy) CLONE: initialize `dstRoot` with a v1 manifest
@@ -622,16 +682,49 @@ object VersionedTable {
     })
   }
 
-  /** Row-level change data feed between two versions: the diff's
-    * multisets tagged with `_change_type` ('insert' / 'delete').  An
-    * UPDATE surfaces as its delete+insert pair — the minimal CDC
-    * encoding every downstream incremental consumer can fold.  Reads
-    * only files the two manifests do not share, like [[diff]]. */
+  /** Row-level change data feed between two versions, tagged
+    * `_change_type`.  Without `idCol`: the diff's multisets as
+    * 'insert' / 'delete' — an UPDATE surfaces as its delete+insert
+    * pair, the minimal CDC encoding every downstream incremental
+    * consumer can fold.  With `idCol` (the table key): the pair is
+    * RESOLVED — a key present on both sides of one version's diff is
+    * an update, emitted as 'update_preimage' (the old row) and
+    * 'update_postimage' (the new row), matching Delta's change-data-
+    * feed contract; keys on one side only stay 'insert' / 'delete'.
+    * Downstream aggregate maintenance needs the pairing: fold
+    * `+post − pre + insert − delete` and any distributive aggregate
+    * stays exact without rescanning the table.
+    *
+    * Pairing assumes `idCol` is the table's key (at most one row per
+    * key per snapshot) — the same precondition [[merge]] enforces; on
+    * a multiset table a key recurring on both sides marks ALL its
+    * occurrences as update images.
+    *
+    * Reads only files the two manifests do not share, like [[diff]];
+    * the pairing join runs over the commit-sized diff, never the
+    * table. */
   def changeFeed(s: SparkSession, root: String, vFrom: Int,
-      vTo: Int): DataFrame = {
+      vTo: Int, idCol: Option[String] = None): DataFrame = {
     val (added, removed) = diff(s, root, vFrom, vTo)
-    added.withColumn("_change_type", lit("insert"))
-      .unionByName(removed.withColumn("_change_type", lit("delete")))
+    idCol match {
+      case None =>
+        added.withColumn("_change_type", lit("insert"))
+          .unionByName(removed.withColumn("_change_type", lit("delete")))
+      case Some(id) =>
+        // keys on both sides = updates; distinct-project each side then
+        // inner-join — all commit-sized, and broadcast-eligible under
+        // AQE since a commit's key set is small relative to executors
+        val updKeys = added.select(col(id))
+          .intersect(removed.select(col(id)))
+          .withColumn("__graft_upd", lit(true))
+        def tag(side: DataFrame, hit: String, miss: String): DataFrame =
+          side.join(updKeys, Seq(id), "left")
+            .withColumn("_change_type",
+              when(col("__graft_upd"), hit).otherwise(miss))
+            .drop("__graft_upd")
+        tag(added, "update_postimage", "insert")
+          .unionByName(tag(removed, "update_preimage", "delete"))
+    }
   }
 
   /** Snapshot diff as (added, removed) row multisets, manifest-aware:

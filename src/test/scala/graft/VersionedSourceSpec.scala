@@ -78,21 +78,100 @@ class VersionedSourceSpec extends SparkSpec {
     VersionedTable.vacuum(spark, root, keepFrom = 2, retainMs = 0L)
     assert(VersionedTable.versions(spark, root) === Seq(2, 3))
 
-    val delivered =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, Long])]
+    val delivered = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Map[String, Long], Boolean)]
     val q = VersionedSource.followChanges(spark, root, chk, "vboot") {
       (feed, v) =>
         val counts = feed.groupBy(col("_change_type")).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        delivered.synchronized { delivered += (v -> counts); () }
+        val boot = feed.select(col("_bootstrap")).distinct().collect()
+          .map(_.getBoolean(0)).toSeq
+        delivered.synchronized {
+          delivered += ((v, counts, boot == Seq(true))); ()
+        }
     }
     q.processAllAvailable(); q.stop()
     // v2 bootstraps as a full-snapshot insert feed (its parent
-    // manifest was vacuumed); v3 diffs normally against v2
+    // manifest was vacuumed) — TAGGED as such; v3 diffs normally
     assert(delivered.map(_._1).toSeq === Seq(2, 3))
     assert(delivered.head._2 === Map("insert" -> 10L),
       "earliest survivor must deliver the full snapshot as inserts")
+    assert(delivered.head._3, "fresh-start bootstrap must carry " +
+      "_bootstrap = true so consumers can tell it from a true diff")
     assert(delivered(1)._2 === Map("insert" -> 5L, "delete" -> 5L))
+    assert(!delivered(1)._3, "a true diff must not be tagged bootstrap")
+    ()
+  }
+
+  /** Build v1 load + v2/v3 merges, follow through v2... only, then
+    * commit v3's successor context: the shared fixture for the two
+    * mid-stream data-loss tests below. Returns (root, chk). */
+  private def midStreamLossFixture(tag: String): (String, String) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"graft_vsource_$tag").toString
+    val root = s"$dir/table"; val chk = s"$dir/chk"
+    VersionedTable.append(spark, root,
+      (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    VersionedTable.merge(spark, root,
+      (0L until 5L).map(i => (i, s"u$i")).toDF("doc_id", "text"),
+      "doc_id", 2)
+    // the follower delivers v1 and v2, then goes away (lagging)
+    val q = VersionedSource.followChanges(spark, root, chk,
+      s"vloss_$tag")((_, _) => ())
+    q.processAllAvailable(); q.stop()
+    // while it lags: two more commits, then vacuum reclaims v1 and v2's
+    // manifests — v3's PARENT diff base is now gone mid-stream
+    VersionedTable.merge(spark, root,
+      (5L until 10L).map(i => (i, s"w$i")).toDF("doc_id", "text"),
+      "doc_id", 2)
+    VersionedTable.delete(spark, root, col("doc_id") === 0L, "doc_id", 2)
+    VersionedTable.vacuum(spark, root, keepFrom = 3, retainMs = 0L)
+    assert(VersionedTable.versions(spark, root) === Seq(3, 4))
+    (root, chk)
+  }
+
+  test("a parent manifest vacuumed away MID-stream fails loudly by " +
+    "default instead of silently dropping that feed's deletes") {
+    val (root, chk) = midStreamLossFixture("failloud")
+    val q = VersionedSource.followChanges(spark, root, chk,
+      "vloss_failloud2")((feed, _) => { feed.count(); () })
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("change-feed data loss"))),
+      s"expected the loud data-loss error, got: ${ex.getMessage}")
+  }
+
+  test("failOnDataLoss=false degrades the lost-parent feed to a " +
+    "full-snapshot insert feed tagged _bootstrap=true, then resumes " +
+    "true diffs") {
+    val (root, chk) = midStreamLossFixture("optout")
+    val delivered = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Map[String, Long], Boolean)]
+    val q = VersionedSource.followChanges(spark, root, chk,
+      "vloss_optout2", failOnDataLoss = false) { (feed, v) =>
+      val counts = feed.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val boot = feed.select(col("_bootstrap")).distinct().collect()
+        .map(_.getBoolean(0)).toSeq
+      delivered.synchronized {
+        delivered += ((v, counts, boot == Seq(true))); ()
+      }
+    }
+    q.processAllAvailable(); q.stop()
+    assert(delivered.map(_._1).toSeq === Seq(3, 4))
+    // v3: unrecoverable diff -> the v3 SNAPSHOT as inserts, tagged
+    assert(delivered.head._2 === Map("insert" -> 10L))
+    assert(delivered.head._3,
+      "degraded feed must be tagged _bootstrap = true")
+    // v4 (parent v3 live): a true diff again, untagged
+    assert(delivered(1)._2 === Map("delete" -> 1L))
+    assert(!delivered(1)._3)
     ()
   }
 }

@@ -414,4 +414,165 @@ class VersionedTableSpec extends SparkSpec {
       .select(col("text")).head.getString(0) === "winner")
     ()
   }
+
+  test("restore surfaces a commit racing past its observed head as a " +
+    "conflict instead of silently erasing it") {
+    val root = freshRoot("restorerace")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    VersionedTable.merge(spark, root,
+      idsDf(0 until 5).withColumn("text", lit("v2")), "doc_id", 1)
+    val observedHead = VersionedTable.latestVersion(spark, root).get // 2
+    // a commit races in AFTER the restore read its head: previously the
+    // restore would still win the next CAS slot and erase these rows
+    // from the head with a success return on BOTH sides
+    VersionedTable.append(spark, root, idsDf(100 until 110), "doc_id", 1)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.restoreFrom(spark, root, toVersion = 1, observedHead)
+    }
+    // nothing was erased: the racer's rows are still in the head
+    assert(VersionedTable.read(spark, root)
+      .filter(col("doc_id") >= 100).count() === 10)
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
+    // re-issued against the CURRENT head, the restore is a deliberate,
+    // acknowledged rollback and goes through
+    val v = VersionedTable.restore(spark, root, toVersion = 1)
+    assert(v === 4)
+    assert(VersionedTable.read(spark, root).count() === 20)
+    ()
+  }
+
+  test("merge's keep-last tiebreak tolerates map-typed columns") {
+    import spark.implicits._
+    val root = freshRoot("mapcol")
+    val base = Seq((0L, "a", Map("k" -> "v0")), (1L, "b", Map("k" -> "v1")))
+      .toDF("doc_id", "text", "attrs")
+    VersionedTable.append(spark, root, base, "doc_id", 1)
+    // a CDC batch with two events for doc_id=0 AND a map column:
+    // xxhash64 over all columns would throw AnalysisException (maps are
+    // unhashable); the tiebreak must restrict itself to hashable
+    // columns and let orderCol resolve the duplicate
+    val batch = Seq(
+      (0L, "old", Map("k" -> "x"), 1L),
+      (0L, "new", Map("k" -> "y"), 2L),
+      (2L, "c", Map("k" -> "v2"), 1L))
+      .toDF("doc_id", "text", "attrs", "seq")
+    VersionedTable.merge(spark, root, batch, "doc_id", 1,
+      orderCol = Some("seq"))
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 3)
+    val r0 = head.filter(col("doc_id") === 0L)
+      .select(col("text"), col("attrs")("k")).head
+    assert(r0.getString(0) === "new" && r0.getString(1) === "y")
+    ()
+  }
+
+  test("reading a vacuumed-away version fast-fails as 'reclaimed', " +
+    "not a retry-loop timeout") {
+    val root = freshRoot("vacfail")
+    VersionedTable.append(spark, root, idsDf(0 until 10), "doc_id", 1)
+    VersionedTable.merge(spark, root,
+      idsDf(0 until 2).withColumn("text", lit("v2")), "doc_id", 1)
+    VersionedTable.merge(spark, root,
+      idsDf(2 until 4).withColumn("text", lit("v3")), "doc_id", 1)
+    VersionedTable.vacuum(spark, root, keepFrom = 3, retainMs = 0L)
+    val t0 = System.nanoTime()
+    val e = intercept[java.util.NoSuchElementException] {
+      VersionedTable.read(spark, root, Some(1))
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("reclaimed by vacuum"),
+      s"wrong error: ${e.getMessage}")
+    // the old behavior spun 100 x 20ms before a misleading timeout
+    assert(ms < 1000, f"fast-fail took $ms%.0f ms")
+    // restore and clone against the reclaimed version fail the same way
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.restore(spark, root, toVersion = 1)
+    }
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.cloneShallow(spark, root, freshRoot("vacfaildst"),
+        Some(1))
+    }
+    ()
+  }
+
+  test("restore and clone across a schema-evolution boundary: restore " +
+    "re-reads the old schema; a clone spanning two schemas backfills " +
+    "null") {
+    import spark.implicits._
+    val root = freshRoot("evorestore")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    // v2 evolves the schema: the upsert batch carries a new column
+    val evolved = Seq((0L, "e0", 7L), (30L, "e30", 9L))
+      .toDF("doc_id", "text", "score")
+    VersionedTable.merge(spark, root, evolved, "doc_id", 1)
+    assert(VersionedTable.read(spark, root).columns.toSet ===
+      Set("doc_id", "text", "score"))
+
+    // restore to the PRE-evolution version: the head must read with
+    // v1's schema — no phantom score column resurrected from v2 files
+    VersionedTable.restore(spark, root, toVersion = 1)
+    val back = VersionedTable.read(spark, root)
+    assert(back.columns.toSet === Set("doc_id", "text"))
+    assert(back.count() === 20)
+
+    // roll forward again to the evolved version: schema returns, old
+    // rows read score as null (the read-side backfill contract)
+    VersionedTable.restore(spark, root, toVersion = 2)
+    val fwd = VersionedTable.read(spark, root)
+    assert(fwd.columns.toSet === Set("doc_id", "text", "score"))
+    assert(fwd.count() === 21)
+    assert(fwd.filter(col("score").isNull).count() === 19)
+    assert(fwd.filter(col("doc_id") === 0L)
+      .select(col("score")).head.getLong(0) === 7L)
+
+    // clone the evolved head (v2 files + v1 files in one manifest):
+    // the clone reads the merged schema with the same null backfill
+    val dst = freshRoot("evoclonedst")
+    VersionedTable.cloneShallow(spark, root, dst)
+    val cl = VersionedTable.read(spark, dst)
+    assert(cl.columns.toSet === Set("doc_id", "text", "score"))
+    assert(cl.count() === 21)
+    assert(cl.filter(col("score").isNull).count() === 19)
+    assert(cl.exceptAll(fwd).count() === 0 &&
+      fwd.exceptAll(cl).count() === 0)
+    ()
+  }
+
+  test("changeFeed with idCol resolves update pairs; one-sided keys " +
+    "stay insert/delete") {
+    val root = freshRoot("cdfpairs")
+    VersionedTable.append(spark, root, idsDf(0 until 20), "doc_id", 2)
+    // one commit that UPDATES 15..19, INSERTS 20..24 (merge), then a
+    // separate delete commit so the 1->3 feed carries all four types
+    VersionedTable.merge(spark, root,
+      idsDf(15 until 25).withColumn("text", lit("upd")), "doc_id", 1)
+    VersionedTable.delete(spark, root, col("doc_id") < 3, "doc_id", 1)
+    val feed = VersionedTable.changeFeed(spark, root, 1, 3,
+      idCol = Some("doc_id")).persist()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map(
+      "update_preimage" -> 5L, "update_postimage" -> 5L,
+      "insert" -> 5L, "delete" -> 3L))
+    // images pair on the key and carry old vs new content
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.select(col("doc_id")).except(
+      post.select(col("doc_id"))).count() === 0)
+    assert(pre.filter(col("text") === "upd").count() === 0)
+    assert(post.filter(col("text") =!= "upd").count() === 0)
+    // folding still reproduces the head: -pre +post +insert -delete
+    val folded = VersionedTable.read(spark, root, Some(1))
+      .exceptAll(pre.drop("_change_type"))
+      .exceptAll(feed.filter(col("_change_type") === "delete")
+        .drop("_change_type"))
+      .unionByName(post.drop("_change_type"))
+      .unionByName(feed.filter(col("_change_type") === "insert")
+        .drop("_change_type"))
+    val head = VersionedTable.read(spark, root)
+    assert(folded.exceptAll(head).count() === 0 &&
+      head.exceptAll(folded).count() === 0)
+    feed.unpersist()
+    ()
+  }
 }
