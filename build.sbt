@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE bare JSON line on stdout; sbt's
+// default logger wraps forked-run output with [info]/[error] prefixes,
+// which breaks any line-oriented parser reading `sbt runMain` output.
+// StdoutOutput inherits the parent's streams instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
