@@ -201,13 +201,17 @@ object Curation54Queries {
         // built in one pass, then UNIONED WITHOUT RESCANNING — the
         // mergeability that exact count-distinct lacks and that makes
         // per-day/per-partition cardinality rollups possible at 100 TB
-        // (store the sketch bytes, merge on demand).  At fixture
-        // cardinality the sketch is in its exact sparse regime, so the
-        // DuckDB exact counts are a true oracle; at scale the same
-        // plan returns ±1.6% estimates (lgK=12) with identical shape.
+        // (store the sketch bytes, merge on demand).  lgK=16 (48 KB
+        // per sketch worst-case, still trivially broadcastable) keeps
+        // the sketch in its exact coupon regime through every fixture
+        // scale — the default lgK=12 left it at the sf0.1 cardinality
+        // (1488 est vs 1500 exact, inside rsd but outside a hash
+        // oracle) — so the DuckDB exact counts are a true oracle at
+        // sf0.001/0.01/0.1 alike; at 100 TB cardinalities the same
+        // plan returns ±0.4% estimates with identical shape.
         val byType = Tables.events(s, d)
           .groupBy(col("event_type"))
-          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .agg(expr("hll_sketch_agg(user_id, 16)").as("sk"))
         byType
           .select(col("event_type"),
             expr("hll_sketch_estimate(sk)").as("users_est"))
