@@ -60,43 +60,55 @@ object Curation56Queries {
     // once-only build, collision-proof path key, shutdown cleanup: all
     // via graft.Scratch.buildOnce; rounds land under base/r0..r4
     val base = graft.Scratch.buildOnce(s, d, "nnd") { base =>
-        val k = 5
-        val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val n = 300L
-        val seeds = e.select(col("cid").as("src"))
-          .withColumn("dst", explode(array(
-            Seq(1L, 7L, 31L, 73L, 151L).map(o =>
-              pmod(col("src") + lit(o), lit(n))): _*)))
-        def topK(cand: DataFrame) = cand
-          .distinct()
-          .filter(col("src") =!= col("dst"))
-          .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
-          .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
-          .select(col("src"), col("dst"),
-            cosine(col("se"), col("de")).as("cos"))
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy(col("src"))
-              .orderBy(col("cos").desc, col("dst"))))
-          .filter(col("rnk") <= k)
-          .select(col("src"), col("dst"))
-        def ckpt(df: DataFrame, tag: String): DataFrame = {
-          val p = s"$base/$tag"
-          df.write.mode("overwrite").parquet(p)
-          s.read.parquet(p)
-        }
-        var g = ckpt(topK(seeds), "r0")
-        for (r <- 1 to 4) {
-          val fwd = g.as("a").join(g.as("b"),
-              col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst"))
-          val rev = g.as("a").join(g.as("b"),
-              col("a.dst") === col("b.dst"))
-            .select(col("a.src").as("src"), col("b.src").as("dst"))
-          g = ckpt(topK(g.unionByName(fwd).unionByName(rev)), s"r$r")
-        }
-      }
+      nnDescentOver(s,
+        Tables.embeddings(s, d).filter(col("vec_id") < 300)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        base, n = 300L)
+    }
     s.read.parquet(s"$base/r4")
+  }
+
+  /** The NN-descent construction itself, corpus-generic: k=5, 4
+    * local-join rounds from id-arithmetic ring seeds over `corpus`
+    * (cid, ce) with ids 0..n-1; writes rounds under base/r0..r4.
+    * ONE definition shared by the registry build above and the
+    * recall-evaluation specs (which also build over CLUSTERED
+    * fixtures), so the measured curves measure the shipping
+    * construction, never a drifted copy. */
+  private[graft] def nnDescentOver(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, base: String, n: Long): Unit = {
+    val k = 5
+    val seeds = e.select(col("cid").as("src"))
+      .withColumn("dst", explode(array(
+        Seq(1L, 7L, 31L, 73L, 151L).map(o =>
+          pmod(col("src") + lit(o), lit(n))): _*)))
+    def topK(cand: DataFrame) = cand
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+      .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
+      .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
+      .select(col("src"), col("dst"),
+        cosine(col("se"), col("de")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+    def ckpt(df: DataFrame, tag: String): DataFrame = {
+      val p = s"$base/$tag"
+      df.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+    var g = ckpt(topK(seeds), "r0")
+    for (r <- 1 to 4) {
+      val fwd = g.as("a").join(g.as("b"),
+          col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val rev = g.as("a").join(g.as("b"),
+          col("a.dst") === col("b.dst"))
+        .select(col("a.src").as("src"), col("b.src").as("dst"))
+      g = ckpt(topK(g.unionByName(fwd).unionByName(rev)), s"r$r")
+    }
   }
 
   /** The (cid, ce) corpus slice the graph-ANN family indexes. */

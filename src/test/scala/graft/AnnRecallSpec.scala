@@ -206,6 +206,86 @@ class AnnRecallSpec extends SparkSpec {
       s"default beam 8 recall ${byBeam(8)} below beam 4 ${byBeam(4)}")
   }
 
+  test("hier beam recall curve on a CLUSTERED corpus — the deployment " +
+    "case: the default beam is justified where data has neighborhood " +
+    "structure") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    import graft.queries.Curation56Queries
+    import spark.implicits._
+    // 10 well-separated clusters of 30 vectors, fully deterministic:
+    // cluster c's center peaks (value 10) on coordinates d % 10 == c
+    // with small per-cluster texture elsewhere; per-vector noise is
+    // +/-0.9 max — tight clusters, the shape real embedding corpora
+    // (and this engine's kmeans family) actually have, versus the
+    // uniform-random slice which is the navigability WORST case.
+    val dim = 64
+    def vec(i: Int): Seq[Float] = {
+      val c = i / 30
+      Seq.tabulate(dim) { d =>
+        val center =
+          if (d % 10 == c) 10f else ((c * 37 + d * 11) % 7).toFloat
+        // hash-scrambled noise: a LINEAR pattern in (i, d) makes
+        // intra-cluster similarity a function of i - j alone, i.e. a
+        // circulant ring whose kNN graph has chain diameter — the
+        // scramble decorrelates vectors so each cluster's graph is an
+        // expander, the structure real embedding neighborhoods have
+        val h = i.toLong * 2654435761L + d.toLong * 40503L
+        val n = java.lang.Math.floorMod(h ^ (h >>> 13), 1001L) - 500L
+        center + n * 0.002f
+      }
+    }
+    val clustered = (0 until 300).map(i => (i.toLong, vec(i)))
+      .toDF("cid", "ce").persist()
+    // the SHIPPING construction, not a replica: same NN-descent build
+    // the registry materializes, over this corpus
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ann_clustered").toString
+    Curation56Queries.nnDescentOver(spark, clustered, base, 300L)
+    val edges = spark.read.parquet(s"$base/r4")
+    val und = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    // one query per cluster
+    val q = clustered.filter(pmod(col("cid"), lit(30)) === 0)
+      .select(col("cid").as("qid"), col("ce").as("qe"))
+    val exact3 = broadcast(q).crossJoin(clustered)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("c"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("c").desc, col("cid"))))
+      .filter(col("r") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val curve = Seq(4, 8, 16).map { b =>
+      val got = Curation56Queries.hierBeamSearch(q, clustered, und, 3, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+      got.foreach { case (k, ns) =>
+        assert(ns.size === 3 && !ns.contains(k), s"beam $b query $k")
+      }
+      val hits = got.map { case (k, a) => (a intersect exact3(k)).size }.sum
+      b -> 1000L * hits / (got.size * 3)
+    }
+    spark.catalog.clearCache()
+    info(s"CLUSTERED recall@3 permille by beam: $curve")
+    val byBeam = curve.toMap
+    // pinned from measurement on this fully deterministic fixture
+    // (966/1000/1000 — see PLANS.md): on clustered data the DEFAULT
+    // beam 8 is EXACT and 16 buys nothing, while the narrow beam
+    // already drops — the operating-point justification the
+    // random-slice curve (worst case, measured 166/400/533) cannot
+    // give.  Together: default 8 sits past the knee on deployment-
+    // shaped data; widening helps only the adversarial random case.
+    assert(byBeam(8) === 1000L,
+      s"default beam 8 recall ${byBeam(8)} on clustered data")
+    assert(byBeam(16) === 1000L,
+      s"beam 16 recall ${byBeam(16)} on clustered data")
+    assert(byBeam(4) >= 900L,
+      s"narrow-beam recall collapsed: ${byBeam(4)}")
+    ()
+  }
+
   test("LSH top-k output is structurally sound per query") {
     val lsh = byName("ann_lsh_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
