@@ -234,9 +234,15 @@ object Curation56Queries {
     * the displacement threshold for insertion. STATIC per built index:
     * one partial-aggregated groupBy over the k-bounded edge list. */
   private[graft] def worstEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val e = hierCorpus(s, d)
-    nnDescentEdges(s, d)
+      d: String): DataFrame =
+    worstEdgesOf(hierCorpus(s, d), nnDescentEdges(s, d))
+
+  /** Corpus-generic worst-edge table over a DIRECTED edge list — ONE
+    * definition shared by the registry query path above and the
+    * end-to-end scenario spec (which indexes a versioned corpus). */
+  private[graft] def worstEdgesOf(e: DataFrame, g: DataFrame)
+      : DataFrame = {
+    g
       .join(e.select(col("cid").as("src"), col("ce").as("se")), "src")
       .join(e.select(col("cid").as("dst"), col("ce").as("de")), "dst")
       .select(col("src"), cosine(col("se"), col("de")).as("cos"))

@@ -26,8 +26,13 @@ object VectorQueries {
   private val Stride = 156
 
   /** documents -> overlapping chunks; shared by V1 and the dedup family. */
-  def chunks(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  def chunks(s: SparkSession, d: String): DataFrame = chunksOf(docs(s, d))
+
+  /** The chunker over an arbitrary (doc_id, text, ...) frame — ONE
+    * definition shared with the end-to-end scenario spec, which chunks
+    * a VERSIONED corpus snapshot rather than the fixture table. */
+  def chunksOf(in: DataFrame): DataFrame =
+    in
       .withColumn("n_chunks",
         lit(1) + greatest(lit(0),
           ceil((length(col("text")) - ChunkSize) / Stride.toDouble).cast("int")))
