@@ -45,7 +45,8 @@ object SparkEntry {
       Curation57Queries.defs ++ Curation58Queries.defs ++
       Curation59Queries.defs ++ Curation60Queries.defs ++
       Curation61Queries.defs ++ Curation62Queries.defs ++
-      Curation63Queries.defs ++ Curation64Queries.defs
+      Curation63Queries.defs ++ Curation64Queries.defs ++
+      Curation65Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

@@ -50,10 +50,25 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
-  final case class FileEntry(path: String, rows: Long, minId: Long, maxId: Long)
+  /** A deletion vector: a parquet sidecar listing, per data file, the
+    * key values of rows DELETED from it without rewriting the file —
+    * merge-on-read, the mechanism Delta's deletion vectors and
+    * Iceberg's positional/equality delete files provide.  `path` is
+    * the sidecar file, `rows` the count of masked rows in the OWNING
+    * data file (so live counts stay manifest metadata), `key` the
+    * table key column the masked values belong to. */
+  final case class DvRef(path: String, rows: Long, key: String)
+
+  final case class FileEntry(path: String, rows: Long, minId: Long,
+      maxId: Long, dv: Option[DvRef] = None) {
+    /** Rows a reader actually sees: physical minus DV-masked. */
+    def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
+  }
   final case class Snapshot(version: Int, op: String, files: Seq[FileEntry],
       txnId: Option[String] = None) {
-    def rows: Long = files.map(_.rows).sum
+    /** LIVE rows of the snapshot (deletion-vector-masked rows do not
+      * count — they are deleted, just not yet rewritten away). */
+    def rows: Long = files.map(_.liveRows).sum
   }
 
   private val VersionsDir = "_versions"
@@ -194,8 +209,13 @@ object VersionedTable {
     val filesNode = node.get("files")
     val entries = (0 until filesNode.size()).map { i =>
       val f = filesNode.get(i)
+      // "dv" is optional: pre-deletion-vector manifests (and files
+      // never touched by a merge-on-read delete) simply lack it
+      val dv = Option(f.get("dv")).map(d =>
+        DvRef(d.get("path").asText(), d.get("rows").asLong(),
+          d.get("key").asText()))
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("minId").asLong(), f.get("maxId").asLong())
+        f.get("minId").asLong(), f.get("maxId").asLong(), dv)
     }
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
       entries, Option(node.get("txn")).map(_.asText()))
@@ -294,11 +314,75 @@ object VersionedTable {
     if (kept.isEmpty)
       emptyLike(s, root, v, snap)
     else
-      // mergeSchema: a snapshot can mix files written before and after
-      // a column was added (schema evolution) — older files surface
-      // the new column as null, and a time-travel read of an all-old
-      // snapshot simply lacks the column
-      s.read.option("mergeSchema", "true").parquet(kept.map(_.path): _*)
+      readLive(s, kept)
+  }
+
+  /** The plan-side twin of [[normPath]]: strip any URI scheme prefix
+    * from a path column so `_metadata.file_path` values (`file:/x` or
+    * `file:///x` depending on the scan) compare as one spelling.  DV
+    * sidecars store paths normalized by THIS expression, and every DV
+    * comparison applies it to both sides, so the two normalizers never
+    * need to agree on exotic schemes — only with themselves. */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+
+  /** Scan `files` and mask out each file's deletion-vector rows.
+    * The mask is a per-(file, key) anti-join — NOT a bare key
+    * anti-join, because a key deleted from file A may have been
+    * re-inserted later into file B: masking by key alone would
+    * wrongly erase the re-insert.  Sidecars are commit-sized (the
+    * union of all live DVs is bounded by un-purged deletes), so AQE
+    * broadcasts the build side; the scan side stays a single pass.
+    *
+    * mergeSchema: a snapshot can mix files written before and after a
+    * column was added (schema evolution) — older files surface the new
+    * column as null, and a time-travel read of an all-old snapshot
+    * simply lacks the column. */
+  private def readLive(s: SparkSession, files: Seq[FileEntry]): DataFrame = {
+    val raw =
+      s.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
+    applyDv(s, raw, files)
+  }
+
+  /** [[readLive]] plus a `__graft_file` column carrying each row's
+    * (normalized) source data file — the discovery handle merge /
+    * delete use to find touched files.  Projected from `_metadata`
+    * BEFORE the DV anti-join, because metadata columns bind to the
+    * scan relation and do not survive a join. */
+  private def readLiveWithFile(s: SparkSession,
+      files: Seq[FileEntry]): DataFrame = {
+    val raw = s.read.option("mergeSchema", "true")
+      .parquet(files.map(_.path): _*)
+      .withColumn("__graft_file", normPathCol(col("_metadata.file_path")))
+    applyDv(s, raw, files, fileColumn = Some("__graft_file"))
+  }
+
+  /** Apply the deletion vectors of `files` to an already-built scan of
+    * exactly those files.  `fileColumn` names a pre-projected
+    * normalized-path column when the caller already has one; otherwise
+    * one is projected from `_metadata` here FIRST and dropped after —
+    * the join itself must never reference `_metadata`, which both join
+    * children (data scan and sidecar scan) expose ambiguously. */
+  private def applyDv(s: SparkSession, raw: DataFrame,
+      files: Seq[FileEntry], fileColumn: Option[String] = None)
+      : DataFrame = {
+    val dvPaths = files.flatMap(_.dv.map(_.path)).distinct
+    if (dvPaths.isEmpty) return raw
+    val keys = files.flatMap(_.dv.map(_.key)).distinct
+    require(keys.size == 1,
+      s"deletion vectors disagree on the table key: $keys")
+    val key = keys.head
+    val dv = s.read.parquet(dvPaths: _*)
+      .select(col("path").as("__graft_dv_path"),
+        col("id").as("__graft_dv_id"))
+    val fc = fileColumn.getOrElse("__graft_dv_probe")
+    val side = fileColumn.map(_ => raw).getOrElse(
+      raw.withColumn(fc, normPathCol(col("_metadata.file_path"))))
+    val masked = side.join(dv,
+      col(fc) === col("__graft_dv_path") &&
+        col(key) === col("__graft_dv_id"),
+      "left_anti")
+    if (fileColumn.isDefined) masked else masked.drop(fc)
   }
 
   /** A zero-row DataFrame with the snapshot's schema.  A snapshot can
@@ -395,6 +479,11 @@ object VersionedTable {
         val o = arr.addObject()
         o.put("path", f.path); o.put("rows", f.rows)
         o.put("minId", f.minId); o.put("maxId", f.maxId)
+        f.dv.foreach { d =>
+          val dn = o.putObject("dv")
+          dn.put("path", d.path); dn.put("rows", d.rows)
+          dn.put("key", d.key)
+        }
       }
       val target = manifestPath(root, v)
       if (claimSlotWithContent(fs, s, root, target,
@@ -529,25 +618,23 @@ object VersionedTable {
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("merge into empty table"))
       val snap = snapshot(s, root, parentV)
-      // mergeSchema even on the discovery scan: after schema evolution the
-      // snapshot mixes file schemas, and an unmerged read takes one
-      // arbitrary file's columns
-      val current =
-        s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
+      // LIVE rows only (DV-masked rows are deleted: a masked key
+      // matching an upsert is an INSERT, and must not force a rewrite
+      // of the file that merely still physically holds the dead row)
+      val current = readLiveWithFile(s, snap.files)
       val keys = upserts.select(col(idCol)).distinct()
-      // _metadata.file_path (not input_file_name) — it binds to the scan
-      // relation, so it survives the join with the update keys
       val touched = current
-        .select(col(idCol), col("_metadata.file_path").as("f"))
+        .select(col(idCol), col("__graft_file").as("f"))
         .join(broadcast(keys), Seq(idCol), "left_semi")
         .select(col("f")).distinct()
-        .collect().map(r => normPath(r.getString(0))).toSet
+        .collect().map(r => r.getString(0)).toSet
       val (rewrite, carry) =
         snap.files.partition(f => touched.contains(normPath(f.path)))
       val survivors =
         if (rewrite.isEmpty) upserts
-        else s.read.option("mergeSchema", "true")
-          .parquet(rewrite.map(_.path): _*)
+        // readLive: rewriting a DV-carrying file MATERIALIZES its
+        // deletions — the fresh file carries no DV
+        else readLive(s, rewrite)
           .join(broadcast(keys), Seq(idCol), "left_anti")
           // allowMissingColumns: an upsert batch may ADD columns (schema
           // evolution) — surviving old rows carry null for them
@@ -569,11 +656,10 @@ object VersionedTable {
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
     val snap = snapshot(s, root, parentV)
-    val current =
-      s.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
+    val current = readLiveWithFile(s, snap.files)
     val touched = current.filter(cond)
-      .select(col("_metadata.file_path").as("f")).distinct()
-      .collect().map(r => normPath(r.getString(0))).toSet
+      .select(col("__graft_file").as("f")).distinct()
+      .collect().map(r => r.getString(0)).toSet
     val (rewrite, carry) =
       snap.files.partition(f => touched.contains(normPath(f.path)))
     if (rewrite.isEmpty)
@@ -582,15 +668,128 @@ object VersionedTable {
     else {
       // SQL DELETE semantics: only rows where cond is TRUE go; a NULL
       // condition keeps the row (plain !cond would also drop NULLs, and
-      // only in rewritten files — co-location-dependent data loss)
-      val survivors = s.read.option("mergeSchema", "true")
-        .parquet(rewrite.map(_.path): _*)
+      // only in rewritten files — co-location-dependent data loss).
+      // readLive: the rewrite also materializes any existing DVs.
+      val survivors = readLive(s, rewrite)
         .filter(!coalesce(cond, lit(false)))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
         requireParent = Some(parentV))
     }
   }
+
+  /** Write a commit's deletion-vector sidecar as ONE parquet file
+    * (rows: `path` = owning data file, normalized; `id` = deleted key
+    * value) and return its path.  A DV is bounded by the commit's
+    * deleted rows plus the prior DVs of the files it touches — KBs to
+    * MBs against a 100 TB table — so one file suffices; the heavy end
+    * of the spectrum is what [[purgeDeletes]] is for. */
+  private def writeDv(s: SparkSession, root: String,
+      rows: DataFrame): String = {
+    val dir = s"$root/data/${java.util.UUID.randomUUID().toString}-dv"
+    rows.repartition(1).write.parquet(dir)
+    val fs = fileSystem(s, root)
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"deletion-vector write under $dir produced no part file"))
+      .toString
+  }
+
+  /** DELETE WHERE, merge-on-read: instead of rewriting every file that
+    * contains a matching row (copy-on-write [[delete]] — O(touched
+    * data) write amplification), commit a DELETION VECTOR: a sidecar
+    * parquet listing the (file, key) pairs now masked, referenced from
+    * the touched files' manifest entries.  Readers anti-join the
+    * sidecar at scan time; every data file carries over BY REFERENCE.
+    * Deleting 0.1% of a 100 TB table is a KB-scale sidecar write plus
+    * one manifest — not a rewrite of every touched file — which is
+    * exactly why Delta's deletion vectors and Iceberg's delete files
+    * exist.  The read-side cost (one broadcast-sized anti-join) grows
+    * with un-purged deletes; [[purgeDeletes]] rewrites heavily-masked
+    * files back to plain ones and restores it.
+    *
+    * Each touched file's manifest entry points at the NEW sidecar,
+    * which carries the UNION of the file's prior DV rows and this
+    * commit's matches — a DV ref is always self-contained, so old
+    * sidecars age out with the manifests that reference them (vacuum
+    * treats DV files exactly like data files).  `idCol` must be the
+    * table key and must agree with any existing DVs.  Same optimistic
+    * concurrency + txn idempotence contract as [[merge]]. */
+  def deleteMoR(s: SparkSession, root: String, cond: Column,
+      idCol: String, txnId: Option[String] = None): Int =
+    retryingConflicts(root) { () =>
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("delete from empty table"))
+      val snap = snapshot(s, root, parentV)
+      snap.files.flatMap(_.dv.map(_.key)).distinct.foreach { k =>
+        require(k == idCol,
+          s"existing deletion vectors key on '$k', not '$idCol'")
+      }
+      // LIVE rows: a row already masked must not re-enter the DV
+      // (its file's count would double-subtract)
+      val live = readLiveWithFile(s, snap.files)
+      val matches = live.filter(cond)
+        .select(col("__graft_file").as("path"), col(idCol).as("id"))
+      val perFile = matches.groupBy(col("path"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+      if (perFile.isEmpty)
+        commitManifest(s, root, "delete-mor", Seq.empty, _ => snap.files,
+          txnId, requireParent = Some(parentV))
+      else {
+        val (touched, untouched) = snap.files.partition(f =>
+          perFile.contains(normPath(f.path)))
+        // prior DV rows of the touched files fold into the new sidecar
+        // (semi-join on the touched paths: a shared sidecar may also
+        // carry rows for files this commit does not touch)
+        val oldDvPaths = touched.flatMap(_.dv.map(_.path)).distinct
+        val dvRows =
+          if (oldDvPaths.isEmpty) matches
+          else {
+            import s.implicits._
+            val touchedPaths = touched.map(f => normPath(f.path))
+              .toDF("path")
+            matches.unionByName(
+              s.read.parquet(oldDvPaths: _*)
+                .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
+          }
+        val dvPath = writeDv(s, root, dvRows)
+        val entries = untouched ++ touched.map { f =>
+          val total =
+            f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
+          f.copy(dv = Some(DvRef(dvPath, total, idCol)))
+        }
+        commitManifest(s, root, "delete-mor", Seq.empty, _ => entries,
+          txnId, requireParent = Some(parentV))
+      }
+    }
+
+  /** PURGE: rewrite every file whose deletion-vector dead fraction is
+    * at least `minDeadRatio` into plain (DV-free) files, materializing
+    * the deletes — the maintenance op that bounds merge-on-read's
+    * read-side cost, the same job Delta's `REORG TABLE ... APPLY
+    * (PURGE)` does.  Row-preserving on LIVE rows by construction, so
+    * the new version reads identically.  Files below the threshold
+    * (or with no DV) carry over by reference.  Returns the committed
+    * version (the parent unchanged when nothing qualifies). */
+  def purgeDeletes(s: SparkSession, root: String, idCol: String,
+      numFiles: Int, minDeadRatio: Double = 0.0): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("purge of empty table"))
+      val snap = snapshot(s, root, parentV)
+      val (dead, carry) = snap.files.partition(f =>
+        f.dv.exists(_.rows.toDouble >= minDeadRatio * f.rows))
+      if (dead.isEmpty) parentV
+      else {
+        val newFiles = writeFiles(s, root, readLive(s, dead), idCol,
+          numFiles)
+        commitManifest(s, root, "purge", newFiles, _ => carry,
+          requireParent = Some(parentV))
+      }
+    }
 
   /** OPTIMIZE (small-file compaction): every current file whose row
     * count is below `minRows` is coalesced into `numFiles` fresh
@@ -612,8 +811,9 @@ object VersionedTable {
       // no-op manifest (a scheduled maintenance loop calls this often)
       parentV
     else {
-      val packed =
-        s.read.option("mergeSchema", "true").parquet(small.map(_.path): _*)
+      // readLive: compacting a DV-carrying small file materializes its
+      // deletions — the packed files start DV-free
+      val packed = readLive(s, small)
       val newFiles = writeFiles(s, root, packed, idCol, numFiles)
       commitManifest(s, root, "optimize", newFiles, _ => carry,
         requireParent = Some(parentV))
@@ -739,11 +939,18 @@ object VersionedTable {
       : (DataFrame, DataFrame) = {
     val from = snapshot(s, root, vFrom)
     val to = snapshot(s, root, vTo)
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val onlyFromPaths = from.files.map(_.path).filterNot(toPaths)
-    val onlyToPaths = to.files.map(_.path).filterNot(fromPaths)
-    if (onlyFromPaths.isEmpty && onlyToPaths.isEmpty) {
+    // file identity includes the DV pointer: a merge-on-read delete
+    // carries every data file by reference but changes the touched
+    // entries' DVs, and those files' LIVE row sets differ — they must
+    // be scanned (both sides, live), while (path, dv)-identical
+    // entries still cancel by reference
+    def ident(f: FileEntry): (String, Option[String]) =
+      (f.path, f.dv.map(_.path))
+    val fromIds = from.files.map(ident).toSet
+    val toIds = to.files.map(ident).toSet
+    val onlyFrom = from.files.filterNot(f => toIds(ident(f)))
+    val onlyTo = to.files.filterNot(f => fromIds(ident(f)))
+    if (onlyFrom.isEmpty && onlyTo.isEmpty) {
       val e = emptyLike(s, root, math.max(vFrom, vTo), to)
       return (e, e)
     }
@@ -754,15 +961,16 @@ object VersionedTable {
     // file missing a schema column reads it as null — exactly the
     // evolution semantics of read().
     val schema = s.read.option("mergeSchema", "true")
-      .parquet((onlyFromPaths ++ onlyToPaths): _*).schema
-    def readAligned(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
+      .parquet((onlyFrom ++ onlyTo).map(_.path).distinct: _*).schema
+    def readAligned(entries: Seq[FileEntry]): DataFrame =
+      if (entries.isEmpty)
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else s.read.schema(schema).parquet(paths: _*)
-    val onlyFrom = readAligned(onlyFromPaths)
-    val onlyTo = readAligned(onlyToPaths)
-    (onlyTo.exceptAll(onlyFrom), onlyFrom.exceptAll(onlyTo))
+      else applyDv(s,
+        s.read.schema(schema).parquet(entries.map(_.path): _*), entries)
+    val fromSide = readAligned(onlyFrom)
+    val toSide = readAligned(onlyTo)
+    (toSide.exceptAll(fromSide), fromSide.exceptAll(toSide))
   }
 
   /** Remove data files referenced by NO manifest with version >=
@@ -780,8 +988,12 @@ object VersionedTable {
   def vacuum(s: SparkSession, root: String, keepFrom: Int,
       retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val fs = fileSystem(s, root)
+    // DV sidecars are referenced files too: reclaiming one would break
+    // every kept snapshot whose entries point at it (masked rows would
+    // resurrect) — they live and die with the manifests, like data
     val referenced = versions(s, root).filter(_ >= keepFrom)
-      .flatMap(v => snapshot(s, root, v).files.map(_.path))
+      .flatMap(v => snapshot(s, root, v).files
+        .flatMap(f => f.path +: f.dv.map(_.path).toSeq))
       .map(p => new Path(p).toUri.getPath).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return (0, 0)
