@@ -142,4 +142,40 @@ class ReplicationSpec extends SparkSpec {
     assert(totalChars === exactTotal(), "after delete")
     ()
   }
+
+  test("merge-on-read deletes replicate transparently: the follower " +
+    "sees plain deletes, and a purge commit feeds ZERO rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_repl_mor").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"
+
+    VersionedTable.append(spark, src,
+      (0L until 30L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    // two DV commits and a purge — the CDC consumer must be unable to
+    // tell any of this from copy-on-write deletes
+    VersionedTable.deleteMoR(spark, src,
+      pmod(col("doc_id"), lit(5)) === 0, "doc_id")
+    VersionedTable.deleteMoR(spark, src, col("doc_id") > 27L, "doc_id")
+    VersionedTable.purgeDeletes(spark, src, "doc_id", 2)
+
+    val perVersion =
+      scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    def record(feed: org.apache.spark.sql.DataFrame, v: Int): Unit = {
+      val dels = feed.filter(col("_change_type") === "delete").count()
+      perVersion(v) = (feed.count(), dels)
+      ()
+    }
+    val q = VersionedSource.followChanges(spark, src, chk, "repl_mor",
+      idCol = Some("doc_id"))(record)
+    q.processAllAvailable(); q.stop()
+
+    assert(perVersion(2) === ((6L, 6L)),
+      "v2: six masked rows feed as six plain deletes")
+    assert(perVersion(3) === ((2L, 2L)),
+      "v3: the two rows above 27 feed as two plain deletes")
+    assert(perVersion(4) === ((0L, 0L)),
+      "purge is live-row preserving: its change feed must be EMPTY")
+    ()
+  }
 }
