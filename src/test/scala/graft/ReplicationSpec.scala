@@ -178,4 +178,48 @@ class ReplicationSpec extends SparkSpec {
       "purge is live-row preserving: its change feed must be EMPTY")
     ()
   }
+
+  test("Replication.replicate mirrors a full lifecycle in one call, " +
+    "exactly-once across restarts, with MoR deletes on the mirror") {
+    import spark.implicits._
+    import graft.streaming.Replication
+    val dir = Files.createTempDirectory("graft_repl_lib").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val chk = s"$dir/chk"
+
+    VersionedTable.append(spark, src,
+      (0L until 20L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    VersionedTable.merge(spark, src,
+      (15L until 25L).map(i => (i, s"u$i")).toDF("doc_id", "text"),
+      "doc_id", 2)
+    VersionedTable.delete(spark, src, col("doc_id") < 3L, "doc_id", 2)
+    VersionedTable.deleteMoR(spark, src, col("doc_id") === 20L, "doc_id")
+
+    def mirrorOnce(): Unit = {
+      val q = Replication.replicate(spark, src, dst, chk, "repl_lib",
+        "doc_id")
+      q.processAllAvailable(); q.stop()
+    }
+    def assertMirrored(): Unit = {
+      val a = VersionedTable.read(spark, src)
+      val b = VersionedTable.read(spark, dst)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        "mirror multiset must equal the source head")
+    }
+
+    mirrorOnce(); assertMirrored()
+    // the mirror's delete commits are merge-on-read by default
+    val dstOps = VersionedTable.versions(spark, dst)
+      .map(v => VersionedTable.snapshot(spark, dst, v).op)
+    assert(dstOps.contains("delete-mor"))
+    // restart with nothing new: exactly-once, the mirror doesn't move
+    val before = VersionedTable.versions(spark, dst)
+    mirrorOnce()
+    assert(VersionedTable.versions(spark, dst) === before)
+    // catch up on further source history
+    VersionedTable.merge(spark, src,
+      Seq((30L, "n30")).toDF("doc_id", "text"), "doc_id", 1)
+    mirrorOnce(); assertMirrored()
+    ()
+  }
 }
