@@ -715,7 +715,15 @@ object VersionedTable {
     * sidecars age out with the manifests that reference them (vacuum
     * treats DV files exactly like data files).  `idCol` must be the
     * table key and must agree with any existing DVs.  Same optimistic
-    * concurrency + txn idempotence contract as [[merge]]. */
+    * concurrency + txn idempotence contract as [[merge]].
+    *
+    * Crossover guidance: merge-on-read wins when the deleted fraction
+    * is small (the steady trickle of takedowns / quality culls a
+    * curated corpus absorbs).  A MASS delete — a large fraction of
+    * many files — should use copy-on-write [[delete]] instead: its
+    * rewrite cost approaches what [[purgeDeletes]] would pay anyway,
+    * without growing a table-sized sidecar first (the sidecar is
+    * written as one file, sized by deleted keys). */
   def deleteMoR(s: SparkSession, root: String, cond: Column,
       idCol: String, txnId: Option[String] = None): Int =
     retryingConflicts(root) { () =>
@@ -728,42 +736,47 @@ object VersionedTable {
           s"existing deletion vectors key on '$k', not '$idCol'")
       }
       // LIVE rows: a row already masked must not re-enter the DV
-      // (its file's count would double-subtract)
+      // (its file's count would double-subtract).  persist(): the
+      // match set feeds two actions (per-file counts, sidecar write)
+      // and must not scan the table twice
       val live = readLiveWithFile(s, snap.files)
       val matches = live.filter(cond)
         .select(col("__graft_file").as("path"), col(idCol).as("id"))
-      val perFile = matches.groupBy(col("path"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
-      if (perFile.isEmpty)
-        commitManifest(s, root, "delete-mor", Seq.empty, _ => snap.files,
-          txnId, requireParent = Some(parentV))
-      else {
-        val (touched, untouched) = snap.files.partition(f =>
-          perFile.contains(normPath(f.path)))
-        // prior DV rows of the touched files fold into the new sidecar
-        // (semi-join on the touched paths: a shared sidecar may also
-        // carry rows for files this commit does not touch)
-        val oldDvPaths = touched.flatMap(_.dv.map(_.path)).distinct
-        val dvRows =
-          if (oldDvPaths.isEmpty) matches
-          else {
-            import s.implicits._
-            val touchedPaths = touched.map(f => normPath(f.path))
-              .toDF("path")
-            matches.unionByName(
-              s.read.parquet(oldDvPaths: _*)
-                .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
+        .persist()
+      try {
+        val perFile = matches.groupBy(col("path"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+        if (perFile.isEmpty)
+          commitManifest(s, root, "delete-mor", Seq.empty, _ => snap.files,
+            txnId, requireParent = Some(parentV))
+        else {
+          val (touched, untouched) = snap.files.partition(f =>
+            perFile.contains(normPath(f.path)))
+          // prior DV rows of the touched files fold into the new
+          // sidecar (semi-join on the touched paths: a shared sidecar
+          // may also carry rows for files this commit does not touch)
+          val oldDvPaths = touched.flatMap(_.dv.map(_.path)).distinct
+          val dvRows =
+            if (oldDvPaths.isEmpty) matches
+            else {
+              import s.implicits._
+              val touchedPaths = touched.map(f => normPath(f.path))
+                .toDF("path")
+              matches.unionByName(
+                s.read.parquet(oldDvPaths: _*)
+                  .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
+            }
+          val dvPath = writeDv(s, root, dvRows)
+          val entries = untouched ++ touched.map { f =>
+            val total =
+              f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
+            f.copy(dv = Some(DvRef(dvPath, total, idCol)))
           }
-        val dvPath = writeDv(s, root, dvRows)
-        val entries = untouched ++ touched.map { f =>
-          val total =
-            f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
-          f.copy(dv = Some(DvRef(dvPath, total, idCol)))
+          commitManifest(s, root, "delete-mor", Seq.empty, _ => entries,
+            txnId, requireParent = Some(parentV))
         }
-        commitManifest(s, root, "delete-mor", Seq.empty, _ => entries,
-          txnId, requireParent = Some(parentV))
-      }
+      } finally { matches.unpersist(); () }
     }
 
   /** PURGE: rewrite every file whose deletion-vector dead fraction is
