@@ -222,6 +222,48 @@ class DeletionVectorSpec extends SparkSpec {
       .filter(col("doc_id") < 4L).count() === 0)
   }
 
+  test("deleteMoR racing a merge: optimistic retry serializes both — " +
+    "no lost update, no lost delete, DV arithmetic intact") {
+    val root = freshRoot("race")
+    VersionedTable.append(spark, root, idsDf(0 until 100), "doc_id", 4)
+    // the DV commit's carry list (every file + its new sidecar refs)
+    // is only valid on the parent it was derived from: if the merge
+    // wins first and REWRITES a file the delete planned to mask, the
+    // delete must re-derive (requireParent conflict), not commit a
+    // mask over a superseded file
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try {
+        VersionedTable.deleteMoR(spark, root,
+          pmod(col("doc_id"), lit(10)) === 0, "doc_id")
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    val t2 = new Thread(() =>
+      try {
+        // keys deliberately disjoint from the delete's (no multiple of
+        // 10): the two serial orders then agree on the final state, so
+        // the assertion is race-schedule-independent — while the merge
+        // still rewrites the very FILE the delete masks rows of
+        VersionedTable.merge(spark, root,
+          idsDf(41 until 46).withColumn("text", lit("M")), "doc_id", 1)
+        ()
+      } catch { case t: Throwable => errs.add(t); () })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"race surfaced: ${errs.peek()}")
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
+    val head = VersionedTable.read(spark, root)
+    // serializable outcome in either commit order: every multiple of
+    // 10 deleted (found in the original file or the merge's rewrite),
+    // 41..45 updated (marked live before or carried through the mask)
+    assert(head.count() === 90)
+    assert(head.filter(pmod(col("doc_id"), lit(10)) === 0).count() === 0)
+    assert(head.filter(col("text") === "M").count() === 5)
+    // live-row manifest metadata agrees with the actual read
+    val sn = VersionedTable.snapshot(spark, root, 3)
+    assert(sn.rows === 90)
+    ()
+  }
+
   test("deleteMoR is idempotent under a txnId retry") {
     val root = freshRoot("txn")
     VersionedTable.append(spark, root, idsDf(0 until 10), "doc_id", 1)
