@@ -62,4 +62,74 @@ object VersionedSink {
         ()
       }
       .start()
+
+  /** Apply a CDC EVENT stream — rows tagged `_change_type` in
+    * {insert, update_postimage, update_preimage, delete} — to the
+    * table, exactly-once: the generalization of [[upsertStream]] to
+    * streams that also carry deletes (a Debezium-shaped feed, another
+    * table's change feed, any upstream emitting row-level ops).
+    *
+    * Per micro-batch: `update_preimage` rows are dropped first (they
+    * echo OLD state and must never win a keep-last race against their
+    * own postimage); with `orderCol` the remaining events resolve
+    * keep-last PER KEY ACROSS CHANGE TYPES — a key whose latest event
+    * is a delete deletes, anything else upserts — so one batch may
+    * carry a key's whole insert→update→delete life and land on the
+    * right end state.  Without `orderCol` a key may appear at most
+    * once per batch (loud failure otherwise, like [[upsertStream]]).
+    * Upserts MERGE; deletes apply MERGE-ON-READ by default
+    * ([[VersionedTable.deleteMoR]] — a steady delete trickle must not
+    * rewrite files per batch; schedule [[VersionedTable.purgeDeletes]]
+    * as maintenance), copy-on-write with `morDeletes = false`.  The
+    * batch's merge and delete carry distinct batch-derived txn ids,
+    * so crash-replay re-applies NEITHER half.
+    *
+    * Scale: delete keys pass through the driver to form the delete
+    * predicate — bounded by one micro-batch's deleted keys, the same
+    * commit-sized ceiling as the batch itself. */
+  def applyCdcStream(df: DataFrame, root: String, idCol: String,
+      numFiles: Int, checkpoint: String, queryName: String,
+      orderCol: Option[String] = None, morDeletes: Boolean = true)
+      : StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val s = batch.sparkSession
+        val events = batch
+          .filter(col("_change_type") =!= "update_preimage")
+        val winners = VersionedTable
+          .dedupeKeepLast(events, idCol, orderCol).persist()
+        try {
+          val upserts = winners
+            .filter(col("_change_type") =!= "delete")
+            .drop("_change_type")
+          if (!upserts.isEmpty) {
+            if (VersionedTable.latestVersion(s, root).isEmpty)
+              VersionedTable.append(s, root, upserts, idCol, numFiles,
+                op = "load", txnId = Some(s"$queryName#$batchId#m"))
+            else
+              VersionedTable.merge(s, root, upserts, idCol, numFiles,
+                txnId = Some(s"$queryName#$batchId#m"))
+          }
+          val deleteKeys = winners
+            .filter(col("_change_type") === "delete")
+            .select(col(idCol)).distinct()
+            .collect().map(_.get(0))
+          if (deleteKeys.nonEmpty &&
+            VersionedTable.latestVersion(s, root).isDefined) {
+            val cond = col(idCol).isin(deleteKeys.toIndexedSeq: _*)
+            if (morDeletes)
+              VersionedTable.deleteMoR(s, root, cond, idCol,
+                txnId = Some(s"$queryName#$batchId#d"))
+            else
+              VersionedTable.delete(s, root, cond, idCol, numFiles,
+                txnId = Some(s"$queryName#$batchId#d"))
+          }
+          ()
+        } finally { winners.unpersist(); () }
+      }
+      .start()
 }

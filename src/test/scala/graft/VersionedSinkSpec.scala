@@ -150,4 +150,78 @@ class VersionedSinkSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root)
       .filter(col("text") === "new0").count() === 1)
   }
+
+  test("applyCdcStream: a delete-carrying event stream lands on the " +
+    "right end state per key, keep-last across change types, " +
+    "exactly-once across restarts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cdcsink").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"; val root = s"$dir/table"
+    new java.io.File(src).mkdirs()
+
+    def start() = VersionedSink.applyCdcStream(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, seq LONG, _change_type STRING")
+        .parquet(src),
+      root, "doc_id", 2, chk, "cdcsink", orderCol = Some("seq"))
+
+    def push(rows: Seq[(Long, String, Long, String)]): Unit = {
+      rows.toDF("doc_id", "text", "seq", "_change_type")
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = start(); q.processAllAvailable(); q.stop()
+    }
+
+    // epoch 1: inserts only
+    push((0L until 10L).map(i => (i, s"t$i", 1L, "insert")))
+    assert(VersionedTable.read(spark, root).count() === 10)
+
+    // epoch 2: one batch carrying a key's whole life (insert 20 ->
+    // update 20 -> delete 20), an update pair for 3 (preimage must
+    // never win), a plain delete of 7, and a fresh insert 11
+    push(Seq(
+      (20L, "born", 10L, "insert"),
+      (20L, "grew", 11L, "update_postimage"),
+      (20L, "grew-not", 11L, "update_preimage"),
+      (20L, "gone", 12L, "delete"),
+      (3L, "old3", 20L, "update_preimage"),
+      (3L, "new3", 20L, "update_postimage"),
+      (7L, "x", 21L, "delete"),
+      (11L, "t11", 22L, "insert")))
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 10, "10 - del7 + ins11 = 10; key 20 never lands")
+    assert(head.filter(col("doc_id") === 20L).count() === 0)
+    assert(head.filter(col("doc_id") === 7L).count() === 0)
+    assert(head.filter(col("doc_id") === 3L).select(col("text"))
+      .head.getString(0) === "new3")
+    assert(head.filter(col("doc_id") === 11L).count() === 1)
+    // the delete half applied merge-on-read (no file rewrite per batch)
+    val ops = VersionedTable.versions(spark, root)
+      .map(v => VersionedTable.snapshot(spark, root, v).op)
+    assert(ops.contains("delete-mor"))
+
+    // restart with nothing new: no redelivery, the table doesn't move
+    val versionsBefore = VersionedTable.versions(spark, root)
+    val q = start(); q.processAllAvailable(); q.stop()
+    assert(VersionedTable.versions(spark, root) === versionsBefore)
+
+    // forced redelivery of either HALF of a batch (crash between the
+    // merge and the delete): each half's distinct txn id hits the
+    // ledger independently and returns without applying
+    val mergeHalf = VersionedTable.merge(spark, root,
+      Seq((3L, "REPLAY", 99L)).toDF("doc_id", "text", "seq"),
+      "doc_id", 1, txnId = Some("cdcsink#1#m"))
+    val deleteHalf = VersionedTable.deleteMoR(spark, root,
+      col("doc_id") === 11L, "doc_id", txnId = Some("cdcsink#1#d"))
+    assert(VersionedTable.versions(spark, root) === versionsBefore,
+      "replayed halves must not commit")
+    // each half returns the version IT originally committed (the
+    // delete half was the head commit of its batch)
+    assert(mergeHalf <= versionsBefore.max &&
+      deleteHalf <= versionsBefore.max)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("text") === "REPLAY").count() === 0)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("doc_id") === 11L).count() === 1)
+    ()
+  }
 }
