@@ -60,7 +60,8 @@ object VersionedTable {
   final case class DvRef(path: String, rows: Long, key: String)
 
   final case class FileEntry(path: String, rows: Long, minId: Long,
-      maxId: Long, dv: Option[DvRef] = None) {
+      maxId: Long, dv: Option[DvRef] = None,
+      stats: Map[String, (Long, Long)] = Map.empty) {
     /** Rows a reader actually sees: physical minus DV-masked. */
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
@@ -209,13 +210,21 @@ object VersionedTable {
     val filesNode = node.get("files")
     val entries = (0 until filesNode.size()).map { i =>
       val f = filesNode.get(i)
-      // "dv" is optional: pre-deletion-vector manifests (and files
-      // never touched by a merge-on-read delete) simply lack it
+      // "dv" and "stats" are optional: pre-feature manifests (and
+      // files never touched by a merge-on-read delete / written
+      // before column stats existed) simply lack them
       val dv = Option(f.get("dv")).map(d =>
         DvRef(d.get("path").asText(), d.get("rows").asLong(),
           d.get("key").asText()))
+      val stats = Option(f.get("stats")).map { st =>
+        import scala.jdk.CollectionConverters._
+        st.fieldNames().asScala.map { c =>
+          c -> (st.get(c).get("min").asLong(),
+            st.get(c).get("max").asLong())
+        }.toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("minId").asLong(), f.get("maxId").asLong(), dv)
+        f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats)
     }
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
       entries, Option(node.get("txn")).map(_.asText()))
@@ -299,23 +308,39 @@ object VersionedTable {
 
   /** Read a snapshot (latest when version is None).  `idRange` prunes
     * whole files through the manifest's per-file key range BEFORE Spark
-    * plans the scan — the row-level filter must still be applied by the
-    * caller; pruning only discards files that cannot contain the range. */
+    * plans the scan; `ranges` does the same through the per-file
+    * COLUMN stats (any long column the files carry bounds for — files
+    * without stats for a named column are conservatively kept, so
+    * pre-stats history stays readable).  The row-level filter must
+    * still be applied by the caller; pruning only discards files that
+    * cannot contain the range.  Column-stats pruning pays off when the
+    * layout is clustered on the column — see [[optimizeClusterBy]]. */
   def read(s: SparkSession, root: String, version: Option[Int] = None,
-      idRange: Option[(Long, Long)] = None): DataFrame = {
+      idRange: Option[(Long, Long)] = None,
+      ranges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val v = version.orElse(latestVersion(s, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(s, root, v)
-    val kept = idRange match {
-      case None => snap.files
-      case Some((lo, hi)) =>
-        snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
-    }
+    val kept = statsPrunedFiles(
+      idRange match {
+        case None => snap.files
+        case Some((lo, hi)) =>
+          snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
+      }, ranges)
     if (kept.isEmpty)
       emptyLike(s, root, v, snap)
     else
       readLive(s, kept)
   }
+
+  /** Column-stats file pruning: keep a file unless SOME requested
+    * range provably excludes it (stats present and disjoint). */
+  private[graft] def statsPrunedFiles(files: Seq[FileEntry],
+      ranges: Map[String, (Long, Long)]): Seq[FileEntry] =
+    if (ranges.isEmpty) files
+    else files.filter(f => ranges.forall { case (c, (lo, hi)) =>
+      f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
 
   /** The plan-side twin of [[normPath]]: strip any URI scheme prefix
     * from a path column so `_metadata.file_path` values (`file:/x` or
@@ -413,19 +438,45 @@ object VersionedTable {
     snapshot(s, root, v).files.filter(f => f.maxId >= lo && f.minId <= hi)
 
   /** Write `df` as `numFiles` parquet files under a fresh commit dir and
-    * return their manifest entries (rows + key min/max per file, read
-    * back from the just-written files only). */
+    * return their manifest entries — rows + key min/max per file, PLUS
+    * per-file min/max of every other long-typed column (free at write
+    * time: one readback aggregation already runs; the extra min/max
+    * pairs ride it).  Those column stats are the zone maps
+    * [[read]]'s `ranges` pruning and [[optimizeClusterBy]] trade on —
+    * the same per-column bounds Iceberg manifests and Delta's
+    * Add-file stats carry.  `partitionCol` overrides the range-
+    * partitioning column (clustering); key min/max per file is always
+    * the TABLE KEY's, whatever the layout. */
   private def writeFiles(s: SparkSession, root: String, df: DataFrame,
-      idCol: String, numFiles: Int): Seq[FileEntry] = {
+      idCol: String, numFiles: Int,
+      partitionCol: Option[String] = None): Seq[FileEntry] = {
     val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
-    df.repartitionByRange(numFiles, col(idCol)).write.parquet(dir)
-    s.read.parquet(dir)
+    df.repartitionByRange(numFiles, col(partitionCol.getOrElse(idCol)))
+      .write.parquet(dir)
+    val back = s.read.parquet(dir)
+    val statCols = back.schema.fields.toIndexedSeq
+      .filter(f => f.dataType == org.apache.spark.sql.types.LongType &&
+        f.name != idCol)
+      .map(_.name)
+    val statAggs = statCols.flatMap(c => Seq(
+      min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val aggs = Seq(min(col(idCol)).as("minId"),
+      max(col(idCol)).as("maxId")) ++ statAggs
+    back
       .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(idCol)).as("minId"), max(col(idCol)).as("maxId"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
-      .map(r => FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-        r.getAs[Long]("minId"), r.getAs[Long]("maxId")))
+      .map { r =>
+        // an all-null column in a file has null bounds: no stats entry
+        // (pruning then keeps the file — conservative)
+        val stats = statCols.flatMap { c =>
+          val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
+          if (mn == null || mx == null) None
+          else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+        }.toMap
+        FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+          r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats)
+      }
       .toSeq.sortBy(_.path)
   }
 
@@ -483,6 +534,12 @@ object VersionedTable {
           val dn = o.putObject("dv")
           dn.put("path", d.path); dn.put("rows", d.rows)
           dn.put("key", d.key)
+        }
+        if (f.stats.nonEmpty) {
+          val st = o.putObject("stats")
+          f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
+          }
         }
       }
       val target = manifestPath(root, v)
@@ -832,6 +889,31 @@ object VersionedTable {
         requireParent = Some(parentV))
     }
   }
+
+  /** OPTIMIZE ... CLUSTER BY (1-D): rewrite the CURRENT files
+    * range-partitioned on `clusterCol` instead of the table key — the
+    * single-dimension form of Delta's `OPTIMIZE ... ZORDER BY`.
+    * Afterwards each file covers a narrow `clusterCol` slice, so the
+    * per-file column stats (recorded on every write) turn a
+    * `ranges = Map(clusterCol -> (lo, hi))` read into an O(matching
+    * files) scan — file skipping on a NON-KEY predicate, the lever
+    * that makes "scan last week's shard of 100 TB" cheap when the
+    * cluster column is the one queries filter on.  Row-preserving on
+    * LIVE rows (DVs materialize, like [[optimize]]); key min/max per
+    * file stays exact (now wide — key-range pruning degrades as
+    * cluster-column pruning takes over, the usual layout trade).
+    * Same optimistic-concurrency contract as [[merge]]. */
+  def optimizeClusterBy(s: SparkSession, root: String,
+      clusterCol: String, idCol: String, numFiles: Int): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("cluster of empty table"))
+      val snap = snapshot(s, root, parentV)
+      val newFiles = writeFiles(s, root, readLive(s, snap.files), idCol,
+        numFiles, partitionCol = Some(clusterCol))
+      commitManifest(s, root, "cluster", newFiles, _ => Seq.empty,
+        requireParent = Some(parentV))
+    }
 
   /** RESTORE: make the table head the exact content of an older
     * version, committed as a NEW version (op "restore") whose file list
