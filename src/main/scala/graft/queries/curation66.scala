@@ -73,5 +73,56 @@ object Curation66Queries {
         "is uncorrelated with doc_id).  At 100 TB this is the " +
         "difference between scanning a slice and scanning the table " +
         "for every non-key-range query the corpus serves."),
+
+    QueryDef(
+      "zorder_table_pruned_read",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabz") { r =>
+          VersionedTable.append(s, r, Tables.documents(s, d),
+            "doc_id", 4, op = "load")
+          VersionedTable.optimizeZOrder(s, r, "doc_id", "n_chars",
+            "doc_id", 4)
+          ()
+        }
+        val head = VersionedTable.latestVersion(s, root).get
+        val snap = VersionedTable.snapshot(s, root, head)
+        // the Z-order property, pinned in-band as two STRICT prunes:
+        // a narrow range on the KEY alone (per-file minId/maxId) and
+        // on n_chars alone (column stats) each skip files — 1-D
+        // clustering can only ever serve one of the two
+        val keptId = snap.files
+          .filter(f => f.maxId >= 0L && f.minId <= 49L)
+        val keptChars = VersionedTable.statsPrunedFiles(snap.files,
+          Map("n_chars" -> (0L, 100L)))
+        VersionedTable.read(s, root, idRange = Some((0L, 49L)))
+          .filter(col("doc_id") <= 49L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(snap.op).as("op"),
+            lit(keptId.size < snap.files.size).as("id_prune_strict"),
+            lit(keptChars.size < snap.files.size)
+              .as("chars_prune_strict"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       'zorder' AS op, TRUE AS id_prune_strict,
+        |       TRUE AS chars_prune_strict
+        |FROM documents WHERE doc_id <= 49
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "OPTIMIZE ZORDER BY (doc_id, n_chars) on the versioned table: " +
+        "files are laid out along the Morton interleave of the two " +
+        "columns' grid cells (an exchange-only expression — never " +
+        "written into the files), so each file covers a compact " +
+        "region of the plane and a narrow range on EITHER column " +
+        "alone prunes strictly — pinned in-band for both dimensions " +
+        "simultaneously, which no 1-D layout can satisfy.  The " +
+        "readout itself goes through the key-pruned path and " +
+        "hash-matches the plain filter.  This is the multi-predicate " +
+        "file-skipping layout (Delta's OPTIMIZE ZORDER) that lets a " +
+        "100 TB corpus serve both 'this id shard' and 'short docs' " +
+        "scans from file subsets after ONE layout rewrite."),
   )
 }

@@ -449,9 +449,14 @@ object VersionedTable {
     * the TABLE KEY's, whatever the layout. */
   private def writeFiles(s: SparkSession, root: String, df: DataFrame,
       idCol: String, numFiles: Int,
-      partitionCol: Option[String] = None): Seq[FileEntry] = {
+      partitionCol: Option[String] = None,
+      partitionExpr: Option[Column] = None): Seq[FileEntry] = {
     val dir = s"$root/data/${java.util.UUID.randomUUID().toString}"
-    df.repartitionByRange(numFiles, col(partitionCol.getOrElse(idCol)))
+    // partitionExpr (a pure layout key, e.g. a Morton interleave) is
+    // only ever an exchange key — it is never materialized into the
+    // written files' schema
+    val pcol = partitionExpr.getOrElse(col(partitionCol.getOrElse(idCol)))
+    df.repartitionByRange(numFiles, pcol)
       .write.parquet(dir)
     val back = s.read.parquet(dir)
     val statCols = back.schema.fields.toIndexedSeq
@@ -912,6 +917,50 @@ object VersionedTable {
       val newFiles = writeFiles(s, root, readLive(s, snap.files), idCol,
         numFiles, partitionCol = Some(clusterCol))
       commitManifest(s, root, "cluster", newFiles, _ => Seq.empty,
+        requireParent = Some(parentV))
+    }
+
+  /** OPTIMIZE ... ZORDER BY (two columns): rewrite the current files
+    * range-partitioned on the MORTON INTERLEAVE of the two columns'
+    * 6-bit grid cells (each min-max-quantized over the live data), so
+    * every file covers a compact rectangle-ish region of the
+    * (c1, c2) plane.  The payoff is the Z-order property: a narrow
+    * range on EITHER column alone prunes to ~sqrt-fraction of the
+    * files through the per-file column stats, where 1-D clustering
+    * serves one column perfectly and the other not at all — the
+    * multi-predicate layout Delta's OPTIMIZE ZORDER BY exists for.
+    * Both columns must be long-typed; key min/max and all column
+    * stats are recorded per file as on every write.  Row-preserving
+    * on live rows (DVs materialize).  The interleave key is an
+    * exchange-only expression — it is never written into the files. */
+  def optimizeZOrder(s: SparkSession, root: String, c1: String,
+      c2: String, idCol: String, numFiles: Int): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("zorder of empty table"))
+      val snap = snapshot(s, root, parentV)
+      val live = readLive(s, snap.files)
+      val b = live.agg(min(col(c1)), max(col(c1)),
+        min(col(c2)), max(col(c2))).collect().head
+      if (b.isNullAt(0) || b.isNullAt(2))
+        // empty (or all-null) table: nothing to lay out
+        return parentV
+      val (lo1, hi1) = (b.getLong(0), b.getLong(1))
+      val (lo2, hi2) = (b.getLong(2), b.getLong(3))
+      def cell(c: Column, lo: Long, hi: Long): Column =
+        least(lit(63L),
+          ((c - lit(lo)) * lit(64L)) / lit(math.max(1L, hi - lo + 1L)))
+      // Morton interleave of the two 6-bit cells (same kernel shape as
+      // the standalone zorder_cluster query, queries/curation24.scala)
+      val z = (0 until 6).map { i =>
+        (shiftright(cell(col(c1), lo1, hi1), i).bitwiseAND(lit(1L)) *
+          lit(1L << (2 * i))) +
+          (shiftright(cell(col(c2), lo2, hi2), i).bitwiseAND(lit(1L)) *
+            lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+      val newFiles = writeFiles(s, root, live, idCol, numFiles,
+        partitionExpr = Some(z))
+      commitManifest(s, root, "zorder", newFiles, _ => Seq.empty,
         requireParent = Some(parentV))
     }
 

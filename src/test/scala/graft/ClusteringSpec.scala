@@ -103,6 +103,40 @@ class ClusteringSpec extends SparkSpec {
       .filter(pmod(col("doc_id"), lit(6)) === 0).count() === 0)
   }
 
+  test("optimizeZOrder: a narrow range on EITHER dimension alone " +
+    "prunes to a strict file subset; rows and answers preserved") {
+    import spark.implicits._
+    val root = freshRoot("zorder")
+    // de-correlated 2-D spread (score = i*37 mod 100): 1-D clustering
+    // on either column would leave the other unprunable
+    val df = (0 until 100).map(i =>
+      (i.toLong, s"t$i", ((i * 37) % 100).toLong))
+      .toDF("doc_id", "text", "score")
+    VersionedTable.append(spark, root, df, "doc_id", 4)
+    val v = VersionedTable.optimizeZOrder(spark, root, "doc_id", "score",
+      "doc_id", 4)
+    val snap = VersionedTable.snapshot(spark, root, v)
+    assert(snap.op === "zorder")
+    assert(VersionedTable.read(spark, root).count() === 100)
+    // dimension 1 (the key, via per-file minId/maxId): doc_id < 10
+    // maps to grid cells x < 7 — only quadrant files with x-span
+    // below 32 can intersect
+    val keptId = snap.files.filter(f => f.maxId >= 0L && f.minId <= 9L)
+    assert(keptId.size < snap.files.size,
+      s"id-range prune must be strict, kept ${keptId.size}")
+    // dimension 2 (column stats): score 0..9
+    val keptScore = VersionedTable.statsPrunedFiles(snap.files,
+      Map("score" -> (0L, 9L)))
+    assert(keptScore.size < snap.files.size,
+      s"score-range prune must be strict, kept ${keptScore.size}")
+    // answers through both pruned paths match the plain filters
+    assert(VersionedTable.read(spark, root, idRange = Some((0L, 9L)))
+      .filter(col("doc_id") <= 9L).count() === 10)
+    assert(VersionedTable.read(spark, root,
+      ranges = Map("score" -> (0L, 9L)))
+      .filter(col("score") <= 9L).count() === 10)
+  }
+
   test("stats survive the manifest round-trip and schema evolution " +
     "adds stats for the new column on rewrite") {
     import spark.implicits._
