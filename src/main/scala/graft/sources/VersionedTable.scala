@@ -61,7 +61,8 @@ object VersionedTable {
 
   final case class FileEntry(path: String, rows: Long, minId: Long,
       maxId: Long, dv: Option[DvRef] = None,
-      stats: Map[String, (Long, Long)] = Map.empty) {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      sstats: Map[String, (String, String)] = Map.empty) {
     /** Rows a reader actually sees: physical minus DV-masked. */
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
@@ -81,8 +82,15 @@ object VersionedTable {
     new Path(s"$root/$VersionsDir", f"v$v%06d.json")
 
   /** Scheme-insensitive path identity (input_file_name says
-    * `file:///x`, `_metadata.file_path` says `file:/x`). */
-  private def normPath(p: String): String = new Path(p).toUri.getPath
+    * `file:///x`, `_metadata.file_path` says `file:/x`).  MUST agree
+    * with [[normPathCol]] on every URI spelling a store can produce —
+    * merge/delete/deleteMoR compare plan-side-normalized
+    * `__graft_file` / DV `path` values against THIS function's output,
+    * and a disagreement (e.g. on an authority-bearing
+    * `hdfs://nn:port/...`) makes touched-file detection silently match
+    * nothing: merges duplicate keys, deletes no-op, DV folds resurrect
+    * rows.  PathNormalizerSpec pins the agreement. */
+  private[graft] def normPath(p: String): String = new Path(p).toUri.getPath
 
   /** Atomically claim a manifest slot WITH its full content already in
     * place: the manifest is written to a temp file first, and the claim
@@ -194,14 +202,22 @@ object VersionedTable {
         node = try new ObjectMapper().readTree(in) finally in.close()
       } catch {
         case _: java.io.FileNotFoundException =>
-          // one listing, first miss only: not listed => gone for good
+          // first miss only: not listed => PROBABLY gone for good
           // (vacuum deletes the manifest before anything could re-add
-          // it; versions are never reused).  Listed => publish lag,
+          // it; versions are never reused) — but on an eventually-
+          // consistent store the LISTING can lag the same publish
+          // rename the retry loop tolerates, so a just-committed
+          // version must not be misreported as reclaimed: re-check the
+          // listing once after a short delay and only fast-fail when
+          // it misses twice.  Listed (either time) => publish lag,
           // fall through to the retry loop.
-          if (attempts == 1 && !versions(s, root).contains(v))
-            throw new java.util.NoSuchElementException(
-              s"version v$v of $root does not exist " +
-                "(reclaimed by vacuum or never committed)")
+          if (attempts == 1 && !versions(s, root).contains(v)) {
+            Thread.sleep(50)
+            if (!versions(s, root).contains(v))
+              throw new java.util.NoSuchElementException(
+                s"version v$v of $root does not exist " +
+                  "(reclaimed by vacuum or never committed)")
+          }
       }
     }
     if (node == null || node.get("files") == null)
@@ -223,8 +239,16 @@ object VersionedTable {
             st.get(c).get("max").asLong())
         }.toMap
       }.getOrElse(Map.empty[String, (Long, Long)])
+      val sstats = Option(f.get("sstats")).map { st =>
+        import scala.jdk.CollectionConverters._
+        st.fieldNames().asScala.map { c =>
+          c -> (st.get(c).get("min").asText(),
+            st.get(c).get("max").asText())
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String)])
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats)
+        f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
+        sstats)
     }
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
       entries, Option(node.get("txn")).map(_.asText()))
@@ -309,15 +333,19 @@ object VersionedTable {
   /** Read a snapshot (latest when version is None).  `idRange` prunes
     * whole files through the manifest's per-file key range BEFORE Spark
     * plans the scan; `ranges` does the same through the per-file
-    * COLUMN stats (any long column the files carry bounds for — files
-    * without stats for a named column are conservatively kept, so
-    * pre-stats history stays readable).  The row-level filter must
-    * still be applied by the caller; pruning only discards files that
-    * cannot contain the range.  Column-stats pruning pays off when the
-    * layout is clustered on the column — see [[optimizeClusterBy]]. */
+    * COLUMN stats (any numeric column the files carry bounds for) and
+    * `strRanges` through the per-file STRING stats (a point predicate
+    * `lang = 'fr'` is the range `("fr", "fr")`) — files without stats
+    * for a named column are conservatively kept, so pre-stats history
+    * stays readable.  The row-level filter must still be applied by
+    * the caller; pruning only discards files that cannot contain the
+    * range.  Column-stats pruning pays off when the layout is
+    * clustered on the column — see [[optimizeClusterBy]] /
+    * [[optimizeZOrderBy]]. */
   def read(s: SparkSession, root: String, version: Option[Int] = None,
       idRange: Option[(Long, Long)] = None,
-      ranges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+      ranges: Map[String, (Long, Long)] = Map.empty,
+      strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
     val v = version.orElse(latestVersion(s, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(s, root, v)
@@ -326,7 +354,7 @@ object VersionedTable {
         case None => snap.files
         case Some((lo, hi)) =>
           snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
-      }, ranges)
+      }, ranges, strRanges)
     if (kept.isEmpty)
       emptyLike(s, root, v, snap)
     else
@@ -334,22 +362,40 @@ object VersionedTable {
   }
 
   /** Column-stats file pruning: keep a file unless SOME requested
-    * range provably excludes it (stats present and disjoint). */
+    * range provably excludes it (stats present and disjoint).  String
+    * bounds compare lexicographically — sound against the truncated
+    * upper bounds [[writeFiles]] records, because truncation only ever
+    * WIDENS the recorded interval. */
   private[graft] def statsPrunedFiles(files: Seq[FileEntry],
-      ranges: Map[String, (Long, Long)]): Seq[FileEntry] =
-    if (ranges.isEmpty) files
-    else files.filter(f => ranges.forall { case (c, (lo, hi)) =>
-      f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    })
+      ranges: Map[String, (Long, Long)],
+      strRanges: Map[String, (String, String)] = Map.empty)
+      : Seq[FileEntry] =
+    if (ranges.isEmpty && strRanges.isEmpty) files
+    else files.filter { f =>
+      ranges.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } &&
+      strRanges.forall { case (c, (lo, hi)) =>
+        f.sstats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
 
-  /** The plan-side twin of [[normPath]]: strip any URI scheme prefix
-    * from a path column so `_metadata.file_path` values (`file:/x` or
-    * `file:///x` depending on the scan) compare as one spelling.  DV
-    * sidecars store paths normalized by THIS expression, and every DV
-    * comparison applies it to both sides, so the two normalizers never
-    * need to agree on exotic schemes — only with themselves. */
-  private def normPathCol(c: Column): Column =
-    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+  /** The plan-side twin of [[normPath]]: strip the URI scheme AND any
+    * authority from a path column so `_metadata.file_path` values
+    * (`file:/x`, `file:///x`, `hdfs://nn:port/x`, `s3a://bucket/x`)
+    * all compare as the bare `/x` — exactly what `Path.toUri.getPath`
+    * yields on the driver side.  The agreement is load-bearing, not
+    * cosmetic: merge/delete compare plan-side values against
+    * [[normPath]] output, so a normalizer that kept the authority
+    * (the pre-r11 version stripped only `scheme:/+`) made touched-file
+    * detection silently miss every file on an authority-bearing store.
+    * Grammar: `scheme ":" [ "//" authority ] "/" rest` — the optional
+    * group eats `//nn:port` / `//bucket` / the empty authority of
+    * `file:///`, and the mandatory trailing `/` anchors the rewrite to
+    * absolute paths (PathNormalizerSpec pins all spellings against
+    * [[normPath]]). */
+  private[graft] def normPathCol(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:(//[^/]*)?/", "/")
 
   /** Scan `files` and mask out each file's deletion-vector rows.
     * The mask is a per-(file, key) anti-join — NOT a bare key
@@ -437,16 +483,44 @@ object VersionedTable {
       lo: Long, hi: Long): Seq[FileEntry] =
     snapshot(s, root, v).files.filter(f => f.maxId >= lo && f.minId <= hi)
 
+  /** String-stat upper-bound truncation (the Iceberg
+    * `truncateStringMax` construction): a plain prefix is a valid
+    * LOWER bound (prefix <= original, and truncation is monotone under
+    * lexicographic order) but NOT an upper one — a value can extend
+    * past the cut — so when any value in the file was longer than the
+    * cut, the truncated max is bumped by incrementing its last
+    * incrementable UTF-16 unit and dropping the suffix.  Returns None
+    * when nothing can be incremented (all ￿): the caller drops
+    * the stat and pruning conservatively keeps the file. */
+  private def truncUpper(sTrunc: String,
+      wasTruncated: Boolean): Option[String] =
+    if (!wasTruncated) Some(sTrunc)
+    else {
+      val chars = sTrunc.toCharArray
+      var i = chars.length - 1
+      while (i >= 0 && chars(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(chars, 0, i) + (chars(i) + 1).toChar)
+    }
+
+  /** Cut length for recorded string bounds: long document text must
+    * not bloat the manifest, and 64 UTF-16 units discriminate any
+    * metadata-shaped column (lang, source, domain) exactly. */
+  private val StrStatLen = 64
+
   /** Write `df` as `numFiles` parquet files under a fresh commit dir and
     * return their manifest entries — rows + key min/max per file, PLUS
-    * per-file min/max of every other long-typed column (free at write
-    * time: one readback aggregation already runs; the extra min/max
-    * pairs ride it).  Those column stats are the zone maps
-    * [[read]]'s `ranges` pruning and [[optimizeClusterBy]] trade on —
-    * the same per-column bounds Iceberg manifests and Delta's
-    * Add-file stats carry.  `partitionCol` overrides the range-
-    * partitioning column (clustering); key min/max per file is always
-    * the TABLE KEY's, whatever the layout. */
+    * per-file min/max of every other long-typed column AND truncated
+    * min/max of every string column (free at write time: one readback
+    * aggregation already runs; the extra min/max pairs ride it).
+    * Those column stats are the zone maps [[read]]'s `ranges` /
+    * `strRanges` pruning and [[optimizeClusterBy]] trade on — the same
+    * per-column bounds Iceberg manifests and Delta's Add-file stats
+    * carry, with Iceberg's truncate-and-bump rule keeping string
+    * bounds sound at bounded manifest size ([[truncUpper]]).
+    * `partitionCol` overrides the range-partitioning column
+    * (clustering); key min/max per file is always the TABLE KEY's,
+    * whatever the layout. */
   private def writeFiles(s: SparkSession, root: String, df: DataFrame,
       idCol: String, numFiles: Int,
       partitionCol: Option[String] = None,
@@ -465,8 +539,20 @@ object VersionedTable {
       .map(_.name)
     val statAggs = statCols.flatMap(c => Seq(
       min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val strCols = back.schema.fields.toIndexedSeq
+      .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name != idCol)
+      .map(_.name)
+    // min/max over the TRUNCATED values: truncation is monotone, so
+    // min(trunc) = trunc(min) and max(trunc) = trunc(max) — the agg
+    // never materializes full document text into the aggregation
+    // buffer, and max(length) tells us whether the max needs the bump
+    val strAggs = strCols.flatMap(c => Seq(
+      min(substring(col(c), 1, StrStatLen)).as(s"__smn_$c"),
+      max(substring(col(c), 1, StrStatLen)).as(s"__smx_$c"),
+      max(length(col(c))).as(s"__sln_$c")))
     val aggs = Seq(min(col(idCol)).as("minId"),
-      max(col(idCol)).as("maxId")) ++ statAggs
+      max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs
     back
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
@@ -479,8 +565,18 @@ object VersionedTable {
           if (mn == null || mx == null) None
           else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
         }.toMap
+        val sstats = strCols.flatMap { c =>
+          val mn = r.getAs[String](s"__smn_$c")
+          val mx = r.getAs[String](s"__smx_$c")
+          val ln = r.getAs[Any](s"__sln_$c")
+          if (mn == null || mx == null) None
+          else truncUpper(mx,
+            ln != null && ln.asInstanceOf[Int] > StrStatLen)
+            .map(up => c -> (mn, up))
+        }.toMap
         FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-          r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats)
+          r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats,
+          sstats)
       }
       .toSeq.sortBy(_.path)
   }
@@ -543,6 +639,12 @@ object VersionedTable {
         if (f.stats.nonEmpty) {
           val st = o.putObject("stats")
           f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
+          }
+        }
+        if (f.sstats.nonEmpty) {
+          val st = o.putObject("sstats")
+          f.sstats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
             val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
           }
         }
@@ -713,13 +815,44 @@ object VersionedTable {
     * [[merge]]. */
   def delete(s: SparkSession, root: String, cond: Column,
       idCol: String, numFiles: Int,
-      txnId: Option[String] = None): Int = retryingConflicts(root) { () =>
+      txnId: Option[String] = None): Int =
+    // SQL DELETE semantics on the keep side: only rows where cond is
+    // TRUE go; a NULL condition keeps the row (plain !cond would also
+    // drop NULLs, and only in rewritten files — co-location-dependent
+    // data loss)
+    deleteWhere(s, root, _.filter(cond),
+      _.filter(!coalesce(cond, lit(false))), idCol, numFiles, txnId)
+
+  /** DELETE by KEY SET, copy-on-write, JOIN-BASED: the twin of
+    * [[delete]] for bulk deletes whose key list must never pass
+    * through the driver (a replicated GDPR purge, a retention sweep —
+    * millions of keys in one commit).  `keys` stays a distributed
+    * DataFrame end to end: touched-file discovery and the rewrite's
+    * keep side are semi/anti joins against it, so driver state remains
+    * O(files), never O(keys) — where an `isin` literal predicate would
+    * blow both the driver and the expression tree. */
+  def deleteKeys(s: SparkSession, root: String, keys: DataFrame,
+      idCol: String, numFiles: Int, txnId: Option[String] = None): Int = {
+    val k = keys.select(col(idCol)).distinct()
+    deleteWhere(s, root, _.join(k, Seq(idCol), "left_semi"),
+      _.join(k, Seq(idCol), "left_anti"), idCol, numFiles, txnId)
+  }
+
+  /** The shared copy-on-write DELETE engine: `matchRows` selects the
+    * doomed rows (touched-file discovery), `keepRows` the survivors of
+    * a rewritten file — the two must be complements over non-null
+    * keys.  Files containing no match carry over by reference. */
+  private def deleteWhere(s: SparkSession, root: String,
+      matchRows: DataFrame => DataFrame,
+      keepRows: DataFrame => DataFrame,
+      idCol: String, numFiles: Int,
+      txnId: Option[String]): Int = retryingConflicts(root) { () =>
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
     val snap = snapshot(s, root, parentV)
     val current = readLiveWithFile(s, snap.files)
-    val touched = current.filter(cond)
+    val touched = matchRows(current)
       .select(col("__graft_file").as("f")).distinct()
       .collect().map(r => r.getString(0)).toSet
     val (rewrite, carry) =
@@ -728,12 +861,8 @@ object VersionedTable {
       commitManifest(s, root, "delete", Seq.empty, _ => carry, txnId,
         requireParent = Some(parentV))
     else {
-      // SQL DELETE semantics: only rows where cond is TRUE go; a NULL
-      // condition keeps the row (plain !cond would also drop NULLs, and
-      // only in rewritten files — co-location-dependent data loss).
-      // readLive: the rewrite also materializes any existing DVs.
-      val survivors = readLive(s, rewrite)
-        .filter(!coalesce(cond, lit(false)))
+      // readLive: the rewrite also materializes any existing DVs
+      val survivors = keepRows(readLive(s, rewrite))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
         requireParent = Some(parentV))
@@ -788,6 +917,31 @@ object VersionedTable {
     * written as one file, sized by deleted keys). */
   def deleteMoR(s: SparkSession, root: String, cond: Column,
       idCol: String, txnId: Option[String] = None): Int =
+    deleteMoRWhere(s, root, _.filter(cond), idCol, txnId)
+
+  /** DELETE by KEY SET, merge-on-read, JOIN-BASED: the twin of
+    * [[deleteMoR]] for bulk deletes whose key list must never pass
+    * through the driver (a replicated purge commit, a retention sweep
+    * — millions of keys in one commit).  `keys` stays a distributed
+    * DataFrame: the match set is a semi-join against it, the DV
+    * sidecar is written straight from that join, and driver state
+    * remains O(files) per-file counts — where an `isin` literal
+    * predicate would blow both the driver and the expression tree.
+    * This is the path [[graft.streaming.Replication]] and
+    * [[graft.streaming.VersionedSink.applyCdcStream]] route deletes
+    * through. */
+  def deleteMoRKeys(s: SparkSession, root: String, keys: DataFrame,
+      idCol: String, txnId: Option[String] = None): Int = {
+    val k = keys.select(col(idCol)).distinct()
+    deleteMoRWhere(s, root, _.join(k, Seq(idCol), "left_semi"), idCol,
+      txnId)
+  }
+
+  /** The shared merge-on-read DELETE engine: `matchRows` selects the
+    * rows to mask out of the live scan. */
+  private def deleteMoRWhere(s: SparkSession, root: String,
+      matchRows: DataFrame => DataFrame, idCol: String,
+      txnId: Option[String]): Int =
     retryingConflicts(root) { () =>
       txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
       val parentV = latestVersion(s, root).getOrElse(
@@ -802,7 +956,7 @@ object VersionedTable {
       // match set feeds two actions (per-file counts, sidecar write)
       // and must not scan the table twice
       val live = readLiveWithFile(s, snap.files)
-      val matches = live.filter(cond)
+      val matches = matchRows(live)
         .select(col("__graft_file").as("path"), col(idCol).as("id"))
         .persist()
       try {
@@ -920,49 +1074,131 @@ object VersionedTable {
         requireParent = Some(parentV))
     }
 
-  /** OPTIMIZE ... ZORDER BY (two columns): rewrite the current files
-    * range-partitioned on the MORTON INTERLEAVE of the two columns'
-    * 6-bit grid cells (each min-max-quantized over the live data), so
-    * every file covers a compact rectangle-ish region of the
-    * (c1, c2) plane.  The payoff is the Z-order property: a narrow
-    * range on EITHER column alone prunes to ~sqrt-fraction of the
-    * files through the per-file column stats, where 1-D clustering
-    * serves one column perfectly and the other not at all — the
-    * multi-predicate layout Delta's OPTIMIZE ZORDER BY exists for.
-    * Both columns must be long-typed; key min/max and all column
-    * stats are recorded per file as on every write.  Row-preserving
-    * on live rows (DVs materialize).  The interleave key is an
-    * exchange-only expression — it is never written into the files. */
+  /** Per-row 6-bit grid cell (0..63) for a numeric/timestamp column,
+    * min-max quantized over the live data.  Quantization runs in
+    * DOUBLE precision: the long form `(c - lo) * 64 / range` overflows
+    * the multiply for column ranges wider than Long.MaxValue/64 —
+    * row-preserving (the cell is exchange-only) but the clustering and
+    * its stats-pruning payoff silently break — while a double's 52-bit
+    * mantissa holds a 6-bit cell exactly for any bounds. */
+  private def numericCell(c: Column, lo: Double, hi: Double): Column = {
+    val range = math.max(1.0, hi - lo + 1.0)
+    least(lit(63L),
+      floor((c.cast("double") - lit(lo)) * 64.0 / lit(range)).cast("long"))
+  }
+
+  /** Per-row 6-bit cell for a STRING column: rank-bucket against up to
+    * 63 sorted split points drawn from the column's distinct values —
+    * LEXICOGRAPHIC buckets, not hashes, so each written file covers a
+    * narrow dictionary slice and its per-file string min/max stats
+    * (see [[writeFiles]]) prune string predicates.  Bounded driver
+    * state: distinct values are sampled down to <=16384 before
+    * collecting — exact for the low-cardinality metadata columns
+    * (lang, source, domain) string Z-order exists for, quantile-
+    * approximate above that (the same sampling trade RangePartitioner
+    * makes).  The cell expression is a fold of <=63 comparisons —
+    * plain codegen, no UDF, no join. */
+  private def stringCell(live: DataFrame, c: String): Column = {
+    val distinctVals = live.select(col(c)).na.drop().distinct()
+    val nd = distinctVals.count()
+    val capped =
+      if (nd <= 16384) distinctVals
+      else distinctVals.sample(withReplacement = false, 16384.0 / nd, 42L)
+    val vals = capped.orderBy(col(c)).collect()
+      .map(_.get(0).toString).toIndexedSeq
+    if (vals.size <= 1) lit(0L)
+    else {
+      val splits =
+        if (vals.size <= 64) vals.drop(1)
+        else (1 until 64).map(i => vals((i * vals.size) / 64)).distinct
+      val rank = splits.foldLeft(lit(0L))((acc, b) =>
+        acc + when(col(c) >= lit(b), 1L).otherwise(0L))
+      // scale ranks across the FULL 0..63 cell range: a low-cardinality
+      // column (5 langs -> ranks 0..4) must still reach the high
+      // interleave bits, or its dimension never influences how the
+      // range partitioner splits files and its pruning payoff vanishes
+      (rank * lit(64L)) / lit((splits.size + 1).toLong)
+    }
+  }
+
+  /** OPTIMIZE ... ZORDER BY (two columns) — see [[optimizeZOrderBy]]. */
   def optimizeZOrder(s: SparkSession, root: String, c1: String,
       c2: String, idCol: String, numFiles: Int): Int =
+    optimizeZOrderBy(s, root, Seq(c1, c2), idCol, numFiles)
+
+  /** OPTIMIZE ... ZORDER BY (N columns, N <= 10): rewrite the current
+    * files range-partitioned on the MORTON INTERLEAVE of each column's
+    * 6-bit grid cell, so every file covers a compact hyper-rectangle
+    * of the N-dimensional space.  The payoff is the Z-order property:
+    * a narrow range on ANY single column prunes to a strict fraction
+    * of the files through the per-file column stats, where 1-D
+    * clustering serves one column perfectly and the others not at all
+    * — the multi-predicate layout Delta's OPTIMIZE ZORDER BY exists
+    * for.  Numeric and timestamp columns quantize against their live
+    * min/max in one aggregation pass ([[numericCell]]); STRING columns
+    * are admitted via lexicographic rank-buckets ([[stringCell]]), so
+    * `lang = 'fr'`-shaped predicates prune through the string stats.
+    * Nulls cluster in cell 0.  Key min/max and all column stats are
+    * recorded per file as on every write.  Row-preserving on live rows
+    * (DVs materialize).  The interleave key is an exchange-only
+    * expression — it is never written into the files. */
+  def optimizeZOrderBy(s: SparkSession, root: String, cols: Seq[String],
+      idCol: String, numFiles: Int): Int = {
+    // 6 bits per column, interleaved below bit 63: ten dims max
+    require(cols.nonEmpty && cols.size <= 10,
+      s"Z-order supports 1..10 columns, got ${cols.size}")
     retryingConflicts(root) { () =>
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("zorder of empty table"))
       val snap = snapshot(s, root, parentV)
-      val live = readLive(s, snap.files)
-      val b = live.agg(min(col(c1)), max(col(c1)),
-        min(col(c2)), max(col(c2))).collect().head
-      if (b.isNullAt(0) || b.isNullAt(2))
-        // empty (or all-null) table: nothing to lay out
+      if (snap.rows == 0L)
+        // empty table (manifest metadata — no scan): nothing to lay out
         return parentV
-      val (lo1, hi1) = (b.getLong(0), b.getLong(1))
-      val (lo2, hi2) = (b.getLong(2), b.getLong(3))
-      def cell(c: Column, lo: Long, hi: Long): Column =
-        least(lit(63L),
-          ((c - lit(lo)) * lit(64L)) / lit(math.max(1L, hi - lo + 1L)))
-      // Morton interleave of the two 6-bit cells (same kernel shape as
-      // the standalone zorder_cluster query, queries/curation24.scala)
-      val z = (0 until 6).map { i =>
-        (shiftright(cell(col(c1), lo1, hi1), i).bitwiseAND(lit(1L)) *
-          lit(1L << (2 * i))) +
-          (shiftright(cell(col(c2), lo2, hi2), i).bitwiseAND(lit(1L)) *
-            lit(1L << (2 * i + 1)))
+      val live = readLive(s, snap.files)
+      import org.apache.spark.sql.types._
+      val fieldType = live.schema.fields.map(f => f.name -> f.dataType).toMap
+      val numCols = cols.filter(c => fieldType.get(c) match {
+        case Some(_: NumericType) | Some(TimestampType) => true
+        case _ => false
+      })
+      // all numeric bounds in ONE aggregation pass over the live rows
+      val bounds: Map[String, (Double, Double)] =
+        if (numCols.isEmpty) Map.empty
+        else {
+          val aggs = numCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__lo_$c"),
+            max(col(c).cast("double")).as(s"__hi_$c")))
+          val r = live.agg(aggs.head, aggs.tail: _*).collect().head
+          numCols.flatMap { c =>
+            val lo = r.getAs[Any](s"__lo_$c"); val hi = r.getAs[Any](s"__hi_$c")
+            if (lo == null || hi == null) None
+            else Some(c ->
+              (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+          }.toMap
+        }
+      val cellCols: Seq[Column] = cols.map { c =>
+        fieldType.get(c) match {
+          case Some(StringType) => stringCell(live, c)
+          case Some(_: NumericType) | Some(TimestampType) =>
+            val (lo, hi) = bounds.getOrElse(c, (0.0, 0.0))
+            numericCell(col(c), lo, hi)
+          case other => throw new IllegalArgumentException(
+            s"Z-order on '$c': unsupported type $other (numeric, " +
+              "timestamp and string columns are supported)")
+        }
+      }.map(cc => coalesce(cc, lit(0L)))
+      val n = cols.size
+      val z = (0 until 6).flatMap { i =>
+        cellCols.zipWithIndex.map { case (cc, j) =>
+          shiftright(cc, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+        }
       }.reduce(_ + _)
       val newFiles = writeFiles(s, root, live, idCol, numFiles,
         partitionExpr = Some(z))
       commitManifest(s, root, "zorder", newFiles, _ => Seq.empty,
         requireParent = Some(parentV))
     }
+  }
 
   /** RESTORE: make the table head the exact content of an older
     * version, committed as a NEW version (op "restore") whose file list
@@ -1001,15 +1237,56 @@ object VersionedTable {
       requireParent = Some(observedHead))
   }
 
+  private def clonesDir(root: String): Path =
+    new Path(s"$root/$VersionsDir", "_clones")
+
+  /** Register a clone back-reference at the SOURCE: one tiny JSON file
+    * per clone under `_versions/_clones/` (per-clone files, so two
+    * concurrent clones never read-modify-write a shared ledger).
+    * [[vacuum]] resolves these to the files each clone still
+    * references and refuses to reclaim them. */
+  private def registerClone(s: SparkSession, srcRoot: String,
+      dstRoot: String): Unit = {
+    val fs = fileSystem(s, srcRoot)
+    fs.mkdirs(clonesDir(srcRoot))
+    val out = fs.create(new Path(clonesDir(srcRoot),
+      s"clone-${java.util.UUID.randomUUID()}.json"), false)
+    val node = new ObjectMapper().createObjectNode()
+    node.put("dst", dstRoot)
+    out.write(new ObjectMapper().writeValueAsString(node).getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The clone back-references registered at `root`, as
+    * (entryFile, dstRoot) pairs. */
+  private def readClones(s: SparkSession, root: String)
+      : Seq[(Path, String)] = {
+    val fs = fileSystem(s, root)
+    val dir = clonesDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("clone-"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val node = try new ObjectMapper().readTree(in) finally in.close()
+        st.getPath -> node.get("dst").asText()
+      }
+  }
+
   /** Shallow (zero-copy) CLONE: initialize `dstRoot` with a v1 manifest
     * referencing the SOURCE version's data files by absolute path —
     * nothing is copied, so cloning a 100 TB table is one manifest
     * write.  The clone then evolves independently: its copy-on-write
     * commits land new files under ITS root, and its vacuum only lists
     * its own data dir, so source files can never be deleted from the
-    * clone side.  The one shared-fate hazard (same as Delta/Iceberg
-    * shallow clones): vacuuming the SOURCE can reclaim files a clone
-    * still references — keep source retention >= clone lifetime. */
+    * clone side.  The shared-fate hazard of Delta/Iceberg shallow
+    * clones — vacuuming the SOURCE reclaiming files a clone still
+    * references — is closed here by a clone BACK-REFERENCE registered
+    * at the source ([[registerClone]]): the source's [[vacuum]]
+    * resolves each registered clone's live manifests and keeps every
+    * file they still reference, so a source vacuum can never break a
+    * reachable clone (a clone whose root was deleted garbage-collects
+    * its back-reference on the next source vacuum). */
   def cloneShallow(s: SparkSession, srcRoot: String, dstRoot: String,
       version: Option[Int] = None): Int = {
     val v = version.orElse(latestVersion(s, srcRoot)).getOrElse(
@@ -1019,11 +1296,15 @@ object VersionedTable {
     // sees the current parent on every attempt), not by a check-then-act
     // pre-read — a commit racing onto dstRoot must surface as this
     // exception, never as a clone manifest that silently drops it
-    commitManifest(s, dstRoot, "clone", src.files, {
+    val committed = commitManifest(s, dstRoot, "clone", src.files, {
       case Some(p) => throw new IllegalStateException(
         s"clone target $dstRoot not empty (head v${p.version})")
       case None => Seq.empty
     })
+    // registered AFTER the clone commit wins: a failed clone leaves no
+    // back-reference pinning source files forever
+    registerClone(s, srcRoot, dstRoot)
+    committed
   }
 
   /** Row-level change data feed between two versions, tagged
@@ -1068,6 +1349,68 @@ object VersionedTable {
             .drop("__graft_upd")
         tag(added, "update_postimage", "insert")
           .unionByName(tag(removed, "update_preimage", "delete"))
+    }
+  }
+
+  /** CHANGES BETWEEN two versions as PER-COMMIT feeds: every version
+    * in [startingVersion, endingVersion] contributes its change feed
+    * vs its parent, tagged `_commit_version` — Delta's `readChangeFeed`
+    * window contract (inclusive bounds), where [[changeFeed]] alone
+    * gives the NET diff of two snapshots.  Version 1 (when included)
+    * feeds as the initial load's pure inserts.  Union is by name with
+    * missing-column backfill, so a schema evolution inside the window
+    * reads as nulls on the pre-evolution commits' rows. */
+  def changes(s: SparkSession, root: String, startingVersion: Int,
+      endingVersion: Int, idCol: Option[String] = None): DataFrame = {
+    require(startingVersion >= 1 && startingVersion <= endingVersion,
+      s"bad CHANGES BETWEEN window [$startingVersion, $endingVersion]")
+    (startingVersion to endingVersion).map { v =>
+      val feed =
+        if (v == 1) read(s, root, Some(1))
+          .withColumn("_change_type", lit("insert"))
+        else changeFeed(s, root, v - 1, v, idCol)
+      feed.withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The DataFrameReader-shaped OPTION surface over the table — the
+    * thin `VERSION AS OF` / `CHANGES BETWEEN` reader that rounds out
+    * SQL-parity with Delta's reader options:
+    *
+    *   readOptions(s, root)                                   — head
+    *   readOptions(s, root, Map("versionAsOf" -> "3"))        — time travel
+    *   readOptions(s, root, Map("readChangeFeed" -> "true",
+    *     "startingVersion" -> "2", "endingVersion" -> "4",
+    *     "idCol" -> "doc_id"))                                — CDF window
+    *
+    * `endingVersion` defaults to the head; `idCol` opts into update
+    * pre/post-image pairing ([[changeFeed]]).  Unknown options THROW —
+    * silently ignoring a misspelled "versionAsof" would read the wrong
+    * snapshot, the failure mode option-string surfaces exist to
+    * avoid. */
+  def readOptions(s: SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val known = Set("versionAsOf", "readChangeFeed", "startingVersion",
+      "endingVersion", "idCol")
+    val unknown = options.keySet.diff(known)
+    require(unknown.isEmpty,
+      s"unknown reader options $unknown (known: $known)")
+    if (options.get("readChangeFeed").exists(_.toBoolean)) {
+      require(!options.contains("versionAsOf"),
+        "versionAsOf and readChangeFeed are mutually exclusive")
+      val from = options.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion")).toInt
+      val to = options.get("endingVersion").map(_.toInt)
+        .orElse(latestVersion(s, root)).getOrElse(
+          throw new IllegalStateException(
+            s"no committed version under $root"))
+      changes(s, root, from, to, options.get("idCol"))
+    } else {
+      require(!options.contains("startingVersion") &&
+        !options.contains("endingVersion") && !options.contains("idCol"),
+        "startingVersion/endingVersion/idCol require readChangeFeed=true")
+      read(s, root, options.get("versionAsOf").map(_.toInt))
     }
   }
 
@@ -1135,10 +1478,29 @@ object VersionedTable {
     // DV sidecars are referenced files too: reclaiming one would break
     // every kept snapshot whose entries point at it (masked rows would
     // resurrect) — they live and die with the manifests, like data
-    val referenced = versions(s, root).filter(_ >= keepFrom)
+    val ownRefs = versions(s, root).filter(_ >= keepFrom)
       .flatMap(v => snapshot(s, root, v).files
         .flatMap(f => f.path +: f.dv.map(_.path).toSeq))
       .map(p => new Path(p).toUri.getPath).toSet
+    // clone back-references: every file a REGISTERED shallow clone's
+    // kept manifests still point at is protected too — without this,
+    // vacuuming the source silently bricks its clones (the Delta/
+    // Iceberg shared-fate hazard).  A clone whose root no longer has a
+    // version log is gone: its back-reference file is garbage-collected
+    // here and pins nothing.  Driver cost is O(clone manifests).
+    val cloneRefs = readClones(s, root).flatMap { case (entry, dst) =>
+      val dstVersions =
+        try versions(s, dst) catch { case _: java.io.IOException => Seq.empty }
+      if (dstVersions.isEmpty) {
+        try fs.delete(entry, false)
+        catch { case _: java.io.IOException => () }
+        Seq.empty
+      } else dstVersions.flatMap(v =>
+        snapshot(s, dst, v).files
+          .flatMap(f => f.path +: f.dv.map(_.path).toSeq)
+          .map(p => new Path(p).toUri.getPath))
+    }.toSet
+    val referenced = ownRefs ++ cloneRefs
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return (0, 0)
     val horizon = System.currentTimeMillis() - retainMs

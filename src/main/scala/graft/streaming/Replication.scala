@@ -33,9 +33,11 @@ import graft.sources.VersionedTable
   * Exactly-once: follower delivery is at-least-once under crash
   * replay, so each version's merge and delete carry version-derived
   * txn ids — a replayed feed hits the target's txn ledger and
-  * no-ops.  Delete keys pass through the driver (`collect`) to form
-  * the delete predicate: bounded by one COMMIT's deleted keys, the
-  * same commit-sized ceiling as the feed itself, never table-scale.
+  * no-ops.  Delete keys stay a DISTRIBUTED DataFrame end to end
+  * ([[VersionedTable.deleteMoRKeys]] / [[VersionedTable.deleteKeys]]):
+  * a replicated bulk-delete commit — a GDPR purge or retention sweep
+  * carrying millions of keys in ONE commit — must never materialize
+  * its key set on the driver or as an `isin` literal expression.
   *
   * The source's vacuum retention must exceed the mirror's maximum
   * lag — [[VersionedSource.followChanges]]'s failOnDataLoss contract
@@ -58,10 +60,17 @@ object Replication {
       morDeletes: Boolean): Unit = {
     val f = feed.drop("_bootstrap").persist()
     try {
-      val upserts = f
-        .filter(col("_change_type").isin("insert", "update_postimage"))
-        .drop("_change_type")
-      if (!upserts.isEmpty) {
+      // ONE action over the persisted feed gates both halves — the
+      // per-half `isEmpty` probes were one extra Spark job per
+      // replicated version at high commit rates
+      val typeCounts = f.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUpserts = typeCounts.getOrElse("insert", 0L) +
+        typeCounts.getOrElse("update_postimage", 0L)
+      if (nUpserts > 0L) {
+        val upserts = f
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .drop("_change_type")
         if (VersionedTable.latestVersion(s, dstRoot).isEmpty)
           VersionedTable.append(s, dstRoot, upserts, idCol, numFiles,
             op = "load", txnId = Some(s"repl#$v#m"))
@@ -70,18 +79,19 @@ object Replication {
             txnId = Some(s"repl#$v#m"))
       }
       // paired feed: update halves are typed, so 'delete' rows are
-      // exactly the keys that must go — commit-sized driver state
-      val deleteKeys = f.filter(col("_change_type") === "delete")
-        .select(col(idCol)).distinct()
-        .collect().map(_.get(0))
-      if (deleteKeys.nonEmpty) {
-        val cond = col(idCol).isin(deleteKeys.toIndexedSeq: _*)
+      // exactly the keys that must go.  The key set stays a
+      // DISTRIBUTED frame: a replicated bulk-delete commit (GDPR
+      // purge — millions of keys in one commit) must never pass
+      // through the driver or become an `isin` literal list
+      if (typeCounts.getOrElse("delete", 0L) > 0L) {
+        val deleteKeys = f.filter(col("_change_type") === "delete")
+          .select(col(idCol))
         if (morDeletes)
-          VersionedTable.deleteMoR(s, dstRoot, cond, idCol,
+          VersionedTable.deleteMoRKeys(s, dstRoot, deleteKeys, idCol,
             txnId = Some(s"repl#$v#d"))
         else
-          VersionedTable.delete(s, dstRoot, cond, idCol, numFiles,
-            txnId = Some(s"repl#$v#d"))
+          VersionedTable.deleteKeys(s, dstRoot, deleteKeys, idCol,
+            numFiles, txnId = Some(s"repl#$v#d"))
       }
       ()
     } finally { f.unpersist(); () }

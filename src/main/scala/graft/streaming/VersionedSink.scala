@@ -84,9 +84,12 @@ object VersionedSink {
     * batch's merge and delete carry distinct batch-derived txn ids,
     * so crash-replay re-applies NEITHER half.
     *
-    * Scale: delete keys pass through the driver to form the delete
-    * predicate — bounded by one micro-batch's deleted keys, the same
-    * commit-sized ceiling as the batch itself. */
+    * Scale: delete keys stay a DISTRIBUTED DataFrame end to end
+    * ([[VersionedTable.deleteMoRKeys]] / [[VersionedTable.deleteKeys]])
+    * — a bulk-delete micro-batch (a replayed purge, a retention
+    * sweep's tombstone flood) must never materialize its key set on
+    * the driver or as an `isin` literal expression.  The batch is
+    * persisted and ONE count-by-type action gates both halves. */
   def applyCdcStream(df: DataFrame, root: String, idCol: String,
       numFiles: Int, checkpoint: String, queryName: String,
       orderCol: Option[String] = None, morDeletes: Boolean = true)
@@ -103,10 +106,17 @@ object VersionedSink {
         val winners = VersionedTable
           .dedupeKeepLast(events, idCol, orderCol).persist()
         try {
-          val upserts = winners
-            .filter(col("_change_type") =!= "delete")
-            .drop("_change_type")
-          if (!upserts.isEmpty) {
+          // ONE action over the persisted winners gates both halves —
+          // the separate `isEmpty` probe was an extra Spark job per
+          // micro-batch at high commit rates
+          val typeCounts = winners.groupBy(col("_change_type")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val nUpserts =
+            typeCounts.filterNot(_._1 == "delete").values.sum
+          if (nUpserts > 0L) {
+            val upserts = winners
+              .filter(col("_change_type") =!= "delete")
+              .drop("_change_type")
             if (VersionedTable.latestVersion(s, root).isEmpty)
               VersionedTable.append(s, root, upserts, idCol, numFiles,
                 op = "load", txnId = Some(s"$queryName#$batchId#m"))
@@ -114,19 +124,18 @@ object VersionedSink {
               VersionedTable.merge(s, root, upserts, idCol, numFiles,
                 txnId = Some(s"$queryName#$batchId#m"))
           }
-          val deleteKeys = winners
-            .filter(col("_change_type") === "delete")
-            .select(col(idCol)).distinct()
-            .collect().map(_.get(0))
-          if (deleteKeys.nonEmpty &&
+          // delete keys stay a DISTRIBUTED frame — see the object doc
+          if (typeCounts.getOrElse("delete", 0L) > 0L &&
             VersionedTable.latestVersion(s, root).isDefined) {
-            val cond = col(idCol).isin(deleteKeys.toIndexedSeq: _*)
+            val deleteKeys = winners
+              .filter(col("_change_type") === "delete")
+              .select(col(idCol))
             if (morDeletes)
-              VersionedTable.deleteMoR(s, root, cond, idCol,
+              VersionedTable.deleteMoRKeys(s, root, deleteKeys, idCol,
                 txnId = Some(s"$queryName#$batchId#d"))
             else
-              VersionedTable.delete(s, root, cond, idCol, numFiles,
-                txnId = Some(s"$queryName#$batchId#d"))
+              VersionedTable.deleteKeys(s, root, deleteKeys, idCol,
+                numFiles, txnId = Some(s"$queryName#$batchId#d"))
           }
           ()
         } finally { winners.unpersist(); () }

@@ -72,14 +72,39 @@ object VersionedSource {
   private def progressPath(checkpoint: String): Path =
     new Path(checkpoint, "_graft_max_delivered")
 
+  /** Delivered high-water mark: the sidecar when present and
+    * parseable.  When it is MISSING or torn, infer from the checkpoint
+    * itself: a checkpoint whose `commits/` dir already holds completed
+    * file-source batches belonged to a live follower (created before
+    * this sidecar existed, or a torn write on an object store) — it
+    * must read as MID-STREAM (-1 = "delivered something, exact version
+    * unknown"), never as a fresh start, because a fresh-start misread
+    * on a vacuumed parent would silently ship a `_bootstrap=true`
+    * full-snapshot feed past `failOnDataLoss = true`.  `commits/` (not
+    * `offsets/`) is the right witness: the file source WALs an offset
+    * BEFORE foreachBatch runs, so batch 0 of a genuinely fresh
+    * follower already has an offsets entry, while a commit lands only
+    * AFTER a batch completed — i.e. after something was delivered.
+    * A torn/empty sidecar read parses as None and falls into the same
+    * inference (at-least-once delivery makes the -1 floor safe). */
   private def readProgress(fs: FileSystem, checkpoint: String): Int = {
     val p = progressPath(checkpoint)
-    if (!fs.exists(p)) 0
-    else {
-      val in = fs.open(p)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
-      finally in.close()
+    val parsed: Option[Int] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        scala.util.Try(txt.toInt).toOption
+      }
+    parsed.getOrElse {
+      val commits = new Path(checkpoint, "commits")
+      val anyCompleted = fs.exists(commits) &&
+        fs.listStatus(commits).exists(st =>
+          st.getPath.getName.nonEmpty &&
+            st.getPath.getName.forall(_.isDigit))
+      if (anyCompleted) -1 else 0
     }
   }
 
@@ -144,8 +169,11 @@ object VersionedSource {
               throw new IllegalStateException(
                 s"change-feed data loss following $root: version " +
                   s"v${v - 1}'s manifest was reclaimed by vacuum while " +
-                  s"this follower (delivered through v$maxDelivered) " +
-                  s"was mid-stream, so v$v's true diff — including its " +
+                  "this follower (delivered through " +
+                  (if (maxDelivered < 0)
+                    "an unknown version — pre-upgrade checkpoint"
+                  else s"v$maxDelivered") +
+                  s") was mid-stream, so v$v's true diff — including its " +
                   "deletes — is unrecoverable. Raise the table's vacuum " +
                   "retention above the follower's lag; recover by " +
                   "re-bootstrapping downstream with a fresh checkpoint, " +

@@ -137,6 +137,138 @@ class ClusteringSpec extends SparkSpec {
       .filter(col("score") <= 9L).count() === 10)
   }
 
+  test("every write records truncated per-file STRING min/max: sound " +
+    "bounds (Iceberg truncate-and-bump), manifest-bounded size") {
+    import spark.implicits._
+    val root = freshRoot("sstats")
+    // lang-like short strings plus one column of LONG text (> the
+    // 64-unit stat cut) to exercise the upper-bound bump
+    val langs = IndexedSeq("ar", "de", "en", "fr", "zh")
+    val df = (0 until 100).map { i =>
+      (i.toLong, langs(i % 5), ("x" * 100) + f"tail$i%03d")
+    }.toDF("doc_id", "lang", "text")
+    VersionedTable.append(spark, root, df, "doc_id", 4)
+    val snap = VersionedTable.snapshot(spark, root, 1)
+    snap.files.foreach { f =>
+      // lang is short: exact bounds, within the dictionary
+      val (lmn, lmx) = f.sstats("lang")
+      assert(lmn <= lmx && langs.contains(lmn) && langs.contains(lmx))
+      // text was truncated: recorded bounds are <= 65 units, and the
+      // UPPER bound was bumped so it still dominates every value
+      val (tmn, tmx) = f.sstats("text")
+      assert(tmn.length <= 64 && tmx.length <= 64)
+      assert(tmx > "x" * 100,
+        s"bumped upper bound '$tmx' must dominate the 100-x values")
+    }
+    // string pruning: an impossible lang range prunes every file;
+    // a real one keeps files and the answer matches the plain filter
+    assert(VersionedTable.statsPrunedFiles(snap.files, Map.empty,
+      Map("lang" -> ("zz", "zz"))).isEmpty)
+    val got = VersionedTable.read(spark, root,
+      strRanges = Map("lang" -> ("fr", "fr")))
+      .filter(col("lang") === "fr")
+    assert(got.count() === 20)
+  }
+
+  test("optimizeClusterBy on a STRING column makes lang-predicate " +
+    "pruning strict, with provably sound skips") {
+    import spark.implicits._
+    val root = freshRoot("strclus")
+    val langs = IndexedSeq("ar", "de", "en", "fr", "zh")
+    val df = (0 until 200).map(i => (i.toLong, langs(i % 5), s"t$i"))
+      .toDF("doc_id", "lang", "text")
+    VersionedTable.append(spark, root, df, "doc_id", 4)
+    // key-ranged layout: lang is uniform across files — nothing prunes
+    val before = VersionedTable.statsPrunedFiles(
+      VersionedTable.snapshot(spark, root, 1).files, Map.empty,
+      Map("lang" -> ("fr", "fr")))
+    assert(before.size === 4, "pre-clustering, lang pruning is useless")
+    VersionedTable.optimizeClusterBy(spark, root, "lang", "doc_id", 4)
+    val snap = VersionedTable.snapshot(spark, root, 2)
+    val kept = VersionedTable.statsPrunedFiles(snap.files, Map.empty,
+      Map("lang" -> ("fr", "fr")))
+    assert(kept.size < snap.files.size,
+      s"clustered lang pruning must be strict, kept ${kept.size}")
+    // soundness: every skipped file provably cannot hold 'fr'
+    snap.files.diff(kept).foreach { f =>
+      val (mn, mx) = f.sstats("lang")
+      assert(mn > "fr" || mx < "fr", s"unsound skip: [$mn,$mx]")
+    }
+    val got = VersionedTable.read(spark, root,
+      strRanges = Map("lang" -> ("fr", "fr")))
+      .filter(col("lang") === "fr")
+    assert(got.count() === 40)
+  }
+
+  test("optimizeZOrderBy over THREE columns (long, long, string): a " +
+    "narrow predicate on ANY one dimension prunes strictly") {
+    import spark.implicits._
+    val root = freshRoot("zorder3")
+    val langs = IndexedSeq("ar", "de", "en", "fr", "zh")
+    // three mutually de-correlated dimensions
+    val df = (0 until 512).map { i =>
+      (i.toLong, ((i * 37) % 512).toLong, langs((i * 11) % 5), s"t$i")
+    }.toDF("doc_id", "score", "lang", "text")
+    VersionedTable.append(spark, root, df, "doc_id", 8)
+    // 16 files: N-dim Z-order constrains ~log2(numFiles) interleave
+    // bits TOTAL across the dims, so 8 files over 3 dims leaves the
+    // least-significant dimension unconstrained — the same
+    // files-per-dimension sizing rule Delta's ZORDER docs state
+    val v = VersionedTable.optimizeZOrderBy(spark, root,
+      Seq("doc_id", "score", "lang"), "doc_id", 16)
+    val snap = VersionedTable.snapshot(spark, root, v)
+    assert(snap.op === "zorder")
+    assert(VersionedTable.read(spark, root).count() === 512)
+    val keptId = snap.files.filter(f => f.maxId >= 0L && f.minId <= 63L)
+    assert(keptId.size < snap.files.size, s"id prune kept ${keptId.size}")
+    val keptScore = VersionedTable.statsPrunedFiles(snap.files,
+      Map("score" -> (0L, 63L)))
+    assert(keptScore.size < snap.files.size,
+      s"score prune kept ${keptScore.size}")
+    val keptLang = VersionedTable.statsPrunedFiles(snap.files, Map.empty,
+      Map("lang" -> ("ar", "ar")))
+    assert(keptLang.size < snap.files.size,
+      s"lang prune kept ${keptLang.size}")
+    // answers through all three pruned paths match the plain filters
+    assert(VersionedTable.read(spark, root, idRange = Some((0L, 63L)))
+      .filter(col("doc_id") <= 63L).count() === 64)
+    assert(VersionedTable.read(spark, root,
+      ranges = Map("score" -> (0L, 63L)))
+      .filter(col("score") <= 63L).count() === 64)
+    assert(VersionedTable.read(spark, root,
+      strRanges = Map("lang" -> ("ar", "ar")))
+      .filter(col("lang") === "ar").count() ===
+      (0 until 512).count(i => (i * 11) % 5 == 0))
+  }
+
+  test("a column range wider than Long.MaxValue/64 quantizes without " +
+    "overflow: Z-order cells stay ordered, layout stays clustered") {
+    import spark.implicits._
+    val root = freshRoot("zoverflow")
+    // values spanning nearly the whole long range: the old
+    // (c - lo) * 64 quantizer overflowed here and scrambled the cells
+    val wide = (0 until 64).map { i =>
+      (i.toLong, Long.MinValue / 2 + (Long.MaxValue / 64) * i.toLong)
+    }.toDF("doc_id", "big")
+    VersionedTable.append(spark, root, wide, "doc_id", 2)
+    val v = VersionedTable.optimizeZOrderBy(spark, root, Seq("big"),
+      "doc_id", 4)
+    val snap = VersionedTable.snapshot(spark, root, v)
+    assert(VersionedTable.read(spark, root).count() === 64)
+    // clustered on `big`: the four files' big-ranges must be disjoint
+    // (overflowed cells would interleave them)
+    val spans = snap.files.map(_.stats("big")).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file spans overlap: $spans")
+      case _ => ()
+    }
+    // and a narrow range on one end prunes strictly
+    val kept = VersionedTable.statsPrunedFiles(snap.files,
+      Map("big" -> (Long.MinValue / 2, Long.MinValue / 2 + 10L)))
+    assert(kept.size === 1, s"kept ${kept.size} of ${snap.files.size}")
+  }
+
   test("stats survive the manifest round-trip and schema evolution " +
     "adds stats for the new column on rewrite") {
     import spark.implicits._

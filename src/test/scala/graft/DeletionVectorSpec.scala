@@ -264,6 +264,43 @@ class DeletionVectorSpec extends SparkSpec {
     ()
   }
 
+  test("deleteMoRKeys / deleteKeys (join-based bulk deletes) agree " +
+    "with their predicate twins: same live rows, same DV arithmetic, " +
+    "per-(file,key) masking intact") {
+    import spark.implicits._
+    val rootA = freshRoot("bulkmor"); val rootB = freshRoot("bulkcow")
+    VersionedTable.append(spark, rootA, idsDf(0 until 60), "doc_id", 3)
+    VersionedTable.append(spark, rootB, idsDf(0 until 60), "doc_id", 3)
+    val keys = (0 until 60).filter(_ % 4 == 0).map(_.toLong)
+      .toDF("doc_id")
+    // merge-on-read by key set: zero rewrites, masked live counts
+    VersionedTable.deleteMoRKeys(spark, rootA, keys, "doc_id")
+    val snA = VersionedTable.snapshot(spark, rootA, 2)
+    assert(snA.op === "delete-mor" && snA.rows === 45)
+    assert(snA.files.map(_.path) ===
+      VersionedTable.snapshot(spark, rootA, 1).files.map(_.path),
+      "key-set MoR delete must carry every data file by reference")
+    assert(VersionedTable.read(spark, rootA).count() === 45)
+    assert(VersionedTable.read(spark, rootA)
+      .filter(pmod(col("doc_id"), lit(4)) === 0).count() === 0)
+    // re-insert law still holds through the key-set path
+    VersionedTable.merge(spark, rootA,
+      idsDf(Seq(8)).withColumn("text", lit("back")), "doc_id", 1)
+    assert(VersionedTable.read(spark, rootA)
+      .filter(col("doc_id") === 8L).select(col("text"))
+      .head.getString(0) === "back")
+    // copy-on-write by key set: same surviving multiset
+    VersionedTable.deleteKeys(spark, rootB, keys, "doc_id", 3)
+    val cow = VersionedTable.read(spark, rootB)
+    assert(cow.count() === 45)
+    // a key set with duplicates and misses is harmless (distinct +
+    // semi-join semantics)
+    VersionedTable.deleteMoRKeys(spark, rootA,
+      Seq(9L, 9L, 999L).toDF("doc_id"), "doc_id")
+    assert(VersionedTable.read(spark, rootA).count() === 45) // 45+1-1
+    ()
+  }
+
   test("deleteMoR is idempotent under a txnId retry") {
     val root = freshRoot("txn")
     VersionedTable.append(spark, root, idsDf(0 until 10), "doc_id", 1)

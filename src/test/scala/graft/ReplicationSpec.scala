@@ -179,6 +179,94 @@ class ReplicationSpec extends SparkSpec {
     ()
   }
 
+  test("a replicated BULK-delete commit (1.5e5 keys in one version) " +
+    "mirrors through the join-based delete path — the key set never " +
+    "materializes on the driver or as an isin literal") {
+    import spark.implicits._
+    import graft.streaming.Replication
+    val dir = Files.createTempDirectory("graft_repl_bulk").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val chk = s"$dir/chk"
+
+    val n = 200000L
+    VersionedTable.append(spark, src,
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text")),
+      "doc_id", 4, op = "load")
+    // the purge commit: 150k keys go in ONE version (a GDPR-sweep
+    // shape) — merge-on-read, so the commit is a sidecar + manifest
+    VersionedTable.deleteMoR(spark, src,
+      pmod(col("doc_id"), lit(4)) =!= 0, "doc_id")
+
+    val q = Replication.replicate(spark, src, dst, chk, "repl_bulk",
+      "doc_id", numFiles = 4)
+    q.processAllAvailable(); q.stop()
+
+    assert(VersionedTable.read(spark, dst).count() === n / 4)
+    assert(VersionedTable.read(spark, dst)
+      .filter(pmod(col("doc_id"), lit(4)) =!= 0).count() === 0)
+    // the mirror absorbed the purge as ONE merge-on-read commit:
+    // zero data files rewritten on the delete version
+    val dstVs = VersionedTable.versions(spark, dst)
+    val delV = dstVs.find(v =>
+      VersionedTable.snapshot(spark, dst, v).op == "delete-mor").get
+    val before = VersionedTable.snapshot(spark, dst, delV - 1)
+      .files.map(_.path).toSet
+    val after = VersionedTable.snapshot(spark, dst, delV)
+      .files.map(_.path).toSet
+    assert(after === before,
+      "bulk MoR delete must carry every data file by reference")
+    ()
+  }
+
+  test("the SOURCE evolving its schema mid-stream replicates: the " +
+    "mirror converges with null backfill, and deletes still apply " +
+    "after the evolution") {
+    import spark.implicits._
+    import graft.streaming.Replication
+    val dir = Files.createTempDirectory("graft_repl_evo").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val chk = s"$dir/chk"
+
+    VersionedTable.append(spark, src,
+      (0L until 20L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    def mirrorOnce(): Unit = {
+      val q = Replication.replicate(spark, src, dst, chk, "repl_evo",
+        "doc_id")
+      q.processAllAvailable(); q.stop()
+    }
+    mirrorOnce()
+    assert(VersionedTable.read(spark, dst).columns.toSet ===
+      Set("doc_id", "text"))
+
+    // the source EVOLVES: an upsert batch carries a new column
+    VersionedTable.merge(spark, src,
+      (15L until 25L).map(i => (i, s"u$i", 100L + i))
+        .toDF("doc_id", "text", "quality"),
+      "doc_id", 2)
+    mirrorOnce()
+    val evolved = VersionedTable.read(spark, dst)
+    assert(evolved.columns.toSet === Set("doc_id", "text", "quality"),
+      "mirror must pick up the evolved column")
+    assert(evolved.filter(col("quality").isNull).count() === 15L,
+      "pre-evolution mirror rows read the new column as null")
+    def assertMirrored(): Unit = {
+      val a = VersionedTable.read(spark, src)
+      val b = VersionedTable.read(spark, dst)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        "mirror multiset must equal the source head")
+    }
+    assertMirrored()
+
+    // post-evolution lifecycle keeps replicating: a delete and another
+    // evolved upsert
+    VersionedTable.delete(spark, src, col("doc_id") < 5L, "doc_id", 2)
+    VersionedTable.merge(spark, src,
+      Seq((30L, "n30", 999L)).toDF("doc_id", "text", "quality"),
+      "doc_id", 1)
+    mirrorOnce(); assertMirrored()
+    ()
+  }
+
   test("Replication.replicate mirrors a full lifecycle in one call, " +
     "exactly-once across restarts, with MoR deletes on the mirror") {
     import spark.implicits._

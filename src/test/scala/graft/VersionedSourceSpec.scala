@@ -147,6 +147,58 @@ class VersionedSourceSpec extends SparkSpec {
       s"expected the loud data-loss error, got: ${ex.getMessage}")
   }
 
+  test("a PRE-UPGRADE checkpoint (progress sidecar missing) whose " +
+    "parent was vacuumed reads as mid-stream, not a fresh bootstrap: " +
+    "the commits dir witnesses prior delivery, so failOnDataLoss " +
+    "still throws") {
+    val (root, chk) = midStreamLossFixture("preupgrade")
+    // simulate a checkpoint created before the sidecar existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(chk).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(chk, "_graft_max_delivered"), false),
+      "fixture must have written the sidecar before we remove it")
+    val q = VersionedSource.followChanges(spark, root, chk,
+      "vloss_preupgrade2")((feed, _) => { feed.count(); () })
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("change-feed data loss"))),
+      "a sidecar-less checkpoint with completed batches must NOT " +
+        s"silently bootstrap; got: ${ex.getMessage}")
+  }
+
+  test("a TORN progress sidecar parses as unknown and falls back to " +
+    "the commits witness (mid-stream, loud) — never a " +
+    "NumberFormatException crash-loop") {
+    val (root, chk) = midStreamLossFixture("tornprog")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(chk).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(chk, "_graft_max_delivered"), true)
+    out.write(Array[Byte]()) // torn write: empty file
+    out.close()
+    val q = VersionedSource.followChanges(spark, root, chk,
+      "vloss_tornprog2")((feed, _) => { feed.count(); () })
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("change-feed data loss"))),
+      s"expected the loud data-loss path, got: ${ex.getMessage}")
+    assert(!chain(ex).exists(_.isInstanceOf[NumberFormatException]),
+      "a torn sidecar must never surface as NumberFormatException")
+  }
+
   test("failOnDataLoss=false degrades the lost-parent feed to a " +
     "full-snapshot insert feed tagged _bootstrap=true, then resumes " +
     "true diffs") {

@@ -364,6 +364,47 @@ class VersionedTableSpec extends SparkSpec {
     ()
   }
 
+  test("source vacuum cannot break a registered clone: the clone " +
+    "back-reference pins every file the clone still needs, and a " +
+    "deleted clone's back-reference garbage-collects") {
+    val src = freshRoot("clonevacsrc")
+    VersionedTable.append(spark, src, idsDf(0 until 40), "doc_id", 2)
+    val dst = freshRoot("clonevacdst")
+    VersionedTable.cloneShallow(spark, src, dst)
+    // the source moves on: a full rewrite (merge touching every file)
+    // makes v1's files unreferenced BY THE SOURCE's kept manifests
+    VersionedTable.merge(spark, src,
+      idsDf(0 until 40).withColumn("text", lit("v2")), "doc_id", 2)
+    val (_, deleted) =
+      VersionedTable.vacuum(spark, src, keepFrom = 2, retainMs = 0L)
+    // nothing the clone references may be reclaimed: the clone still
+    // reads its full snapshot byte-identically
+    assert(VersionedTable.read(spark, dst).count() === 40)
+    assert(VersionedTable.read(spark, dst)
+      .filter(col("text") === "v2").count() === 0,
+      "clone must still read the ORIGINAL v1 content")
+    assert(deleted === 0,
+      "every v1 file is clone-referenced; vacuum must reclaim none")
+
+    // delete the clone's version log: the back-reference is stale now
+    def rmrf(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(dst))
+    val (_, deleted2) =
+      VersionedTable.vacuum(spark, src, keepFrom = 2, retainMs = 0L)
+    assert(deleted2 > 0,
+      "with the clone gone, its pinned files must finally reclaim")
+    assert(VersionedTable.read(spark, src).count() === 40)
+    // and the stale back-reference file itself was garbage-collected
+    val clonesDir = new java.io.File(s"$src/_versions/_clones")
+    assert(!clonesDir.exists() ||
+      clonesDir.listFiles().forall(!_.getName.startsWith("clone-")),
+      "stale clone back-reference must be garbage-collected")
+    ()
+  }
+
   test("change feed folds: applying the v1->v2 feed to v1 reproduces v2") {
     val root = freshRoot("cdf")
     VersionedTable.append(spark, root, idsDf(0 until 25), "doc_id", 2)
