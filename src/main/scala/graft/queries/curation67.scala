@@ -139,6 +139,59 @@ object Curation67Queries {
         "then serves id-shard scans, length-slice scans AND " +
         "language-slice scans from file subsets."),
 
+    // ----------------------------------- timestamp stats + clustering
+    QueryDef(
+      "cluster_timestamp_pruned_read",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabts") { r =>
+          VersionedTable.append(s, r, Tables.events(s, d),
+            "event_id", 6, op = "load")
+          VersionedTable.optimizeClusterBy(s, r, "ts", "event_id", 6)
+          ()
+        }
+        val head = VersionedTable.latestVersion(s, root).get
+        val snap = VersionedTable.snapshot(s, root, head)
+        // timestamp stats live in the long map as epoch MICROS
+        // (lossless for parquet timestamp[us]); the cut is the first
+        // three days of the 30-day fixture
+        val hiMicros = java.time.Instant.parse("2024-01-04T00:00:00Z")
+          .toEpochMilli * 1000L - 1L
+        val kept = VersionedTable.statsPrunedFiles(snap.files,
+          Map("ts" -> (0L, hiMicros)))
+        val strict = kept.size < snap.files.size
+        val sound = snap.files.diff(kept)
+          .forall(_.stats("ts")._1 > hiMicros)
+        VersionedTable.read(s, root,
+            ranges = Map("ts" -> (0L, hiMicros)))
+          .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * lit(1000.0)).cast("long"))
+              .as("sum_value_e3"))
+          .select(col("event_type"), col("n_events"),
+            col("sum_value_e3"), lit(snap.op).as("op"),
+            lit(strict).as("ts_prune_strict"),
+            lit(sound).as("skipped_cannot_match"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n_events,
+        |       sum(floor(value * 1000))::BIGINT AS sum_value_e3,
+        |       'cluster' AS op, TRUE AS ts_prune_strict,
+        |       TRUE AS skipped_cannot_match
+        |FROM events WHERE ts < TIMESTAMP '2024-01-04'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "Re-cluster an event table on its TIMESTAMP column, then serve " +
+        "'first three days of the month' through per-file time bounds " +
+        "recorded on every write (epoch micros riding the same long " +
+        "stats map — lossless for parquet timestamp[us]): the answer " +
+        "hash-matches the plain time filter, the read provably plans " +
+        "a strict file subset, and every skipped file's recorded " +
+        "minimum lies past the cut.  This is the retention-scan / " +
+        "last-week-slice shape — the single most common predicate " +
+        "over an event log — turned into an O(matching files) scan; " +
+        "at 100 TB a time-clustered layout with manifest time bounds " +
+        "is the difference between reading a few days and a month."),
+
     // ------------------------- reader-option surface: VERSION AS OF
     QueryDef(
       "time_travel_reader_option",

@@ -67,11 +67,22 @@ object VersionedTable {
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
   final case class Snapshot(version: Int, op: String, files: Seq[FileEntry],
-      txnId: Option[String] = None) {
+      txnId: Option[String] = None,
+      props: Map[String, String] = Map.empty,
+      tsMillis: Long = 0L) {
     /** LIVE rows of the snapshot (deletion-vector-masked rows do not
       * count — they are deleted, just not yet rewritten away). */
     def rows: Long = files.map(_.liveRows).sum
+    /** CHECK constraints carried by this snapshot: name -> SQL
+      * predicate, stored as `constraint.<name>` table properties (the
+      * same encoding Delta uses: `delta.constraints.<name>`). */
+    def constraints: Map[String, String] = props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
   }
+
+  private val ConstraintPrefix = "constraint."
 
   private val VersionsDir = "_versions"
 
@@ -250,8 +261,13 @@ object VersionedTable {
         f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
         sstats)
     }
+    val props = Option(node.get("props")).map { pn =>
+      import scala.jdk.CollectionConverters._
+      pn.fieldNames().asScala.map(k => k -> pn.get(k).asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
-      entries, Option(node.get("txn")).map(_.asText()))
+      entries, Option(node.get("txn")).map(_.asText()), props,
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     if (snapCache.size() < 65536) snapCache.put((root, v), snap)
     snap
   }
@@ -533,12 +549,18 @@ object VersionedTable {
     df.repartitionByRange(numFiles, pcol)
       .write.parquet(dir)
     val back = s.read.parquet(dir)
-    val statCols = back.schema.fields.toIndexedSeq
-      .filter(f => f.dataType == org.apache.spark.sql.types.LongType &&
-        f.name != idCol)
-      .map(_.name)
-    val statAggs = statCols.flatMap(c => Seq(
-      min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    // long columns record raw values; timestamp columns record epoch
+    // MICROS (lossless for parquet timestamp[us]) in the same long
+    // stats map — a `ranges` prune on a timestamp column takes micros
+    val statCols: IndexedSeq[(String, Column)] =
+      back.schema.fields.toIndexedSeq.filter(_.name != idCol).collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType =>
+          f.name -> col(f.name)
+        case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+          f.name -> unix_micros(col(f.name))
+      }
+    val statAggs = statCols.flatMap { case (c, e) => Seq(
+      min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) }
     val strCols = back.schema.fields.toIndexedSeq
       .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
         f.name != idCol)
@@ -560,7 +582,7 @@ object VersionedTable {
       .map { r =>
         // an all-null column in a file has null bounds: no stats entry
         // (pruning then keeps the file — conservative)
-        val stats = statCols.flatMap { c =>
+        val stats = statCols.map(_._1).flatMap { c =>
           val mn = r.getAs[Any](s"__mn_$c"); val mx = r.getAs[Any](s"__mx_$c")
           if (mn == null || mx == null) None
           else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
@@ -586,11 +608,22 @@ object VersionedTable {
     * latest snapshot on every attempt, so a committer that loses the
     * race rebases (e.g. an append carries the winner's files too).
     * Returns the committed version number. */
+  /** `propsOf` derives the new version's table properties from the
+    * parent observed on EACH CAS attempt (default: inherit verbatim —
+    * properties follow the head lineage through every op, including
+    * restore: rolling content back does not roll policy back).  Like
+    * `carryOver` it may throw [[java.util.ConcurrentModificationException]]
+    * when the parent's properties no longer match what the caller
+    * validated against — the metadata-conflict detection every lake
+    * format runs so a write racing an ADD CONSTRAINT cannot slip
+    * unvalidated rows in. */
   private def commitManifest(s: SparkSession, root: String, op: String,
       newFiles: Seq[FileEntry],
       carryOver: Option[Snapshot] => Seq[FileEntry],
       txnId: Option[String] = None,
-      requireParent: Option[Int] = None): Int = {
+      requireParent: Option[Int] = None,
+      propsOf: Option[Snapshot] => Map[String, String] =
+        parent => parent.map(_.props).getOrElse(Map.empty)): Int = {
     val fs = fileSystem(s, root)
     fs.mkdirs(new Path(root, VersionsDir))
     val mapper = new ObjectMapper()
@@ -623,9 +656,18 @@ object VersionedTable {
       }
       val v = parent.map(_.version + 1).getOrElse(1)
       val files = (carryOver(parent) ++ newFiles).sortBy(_.path)
+      val props = propsOf(parent)
       val node = mapper.createObjectNode()
       node.put("version", v); node.put("op", op)
+      // commit wall-clock: powers DESCRIBE HISTORY and time-based
+      // retention; advisory (clock skew across writers is possible),
+      // never used for correctness decisions
+      node.put("ts", System.currentTimeMillis())
       txnId.foreach(node.put("txn", _))
+      if (props.nonEmpty) {
+        val pn = node.putObject("props")
+        props.toSeq.sortBy(_._1).foreach { case (k, pv) => pn.put(k, pv) }
+      }
       val arr = node.putArray("files")
       files.foreach { f =>
         val o = arr.addObject()
@@ -670,9 +712,25 @@ object VersionedTable {
     // pre-check before the expensive write; commitManifest re-checks
     // under the CAS loop for racing duplicates
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    // CHECK constraints gate the batch BEFORE the expensive write
+    // (zero actions when the table has none); if an ADD CONSTRAINT
+    // lands between validation and our commit winning the CAS, the
+    // propsOf hook below sees the changed set on that attempt's parent
+    // and re-validates — no row slips past a racing constraint
+    var validated = constraints(s, root)
+    enforceConstraints(df, validated, s"append to $root")
     val newFiles = writeFiles(s, root, df, idCol, numFiles)
     commitManifest(s, root, op, newFiles,
-      parent => parent.map(_.files).getOrElse(Seq.empty), txnId)
+      parent => parent.map(_.files).getOrElse(Seq.empty), txnId,
+      propsOf = parent => {
+        val pc = parent.map(_.constraints).getOrElse(Map.empty)
+        if (pc != validated) {
+          enforceConstraints(df, pc, s"append to $root (constraints " +
+            "changed mid-commit; re-validated)")
+          validated = pc
+        }
+        parent.map(_.props).getOrElse(Map.empty)
+      })
   }
 
   /** Re-run `op` (which derives file sets against the head snapshot)
@@ -690,6 +748,94 @@ object VersionedTable {
       catch { case _: java.util.ConcurrentModificationException => () }
     }
     out
+  }
+
+  /** One aggregation pass counting, per CHECK constraint, the incoming
+    * rows that VIOLATE it — the predicate evaluates to FALSE; a NULL
+    * (unknown) predicate PASSES, the SQL-standard CHECK semantics
+    * Delta's constraints follow too (`NOT NULL` is therefore spelled
+    * `col IS NOT NULL`, which never evaluates to unknown).  Throws
+    * with per-constraint counts when any row violates.  ZERO Spark
+    * actions when the constraint set is empty — unconstrained tables
+    * pay nothing.  Scale: one distributed aggregation over the batch
+    * being written (never the table), all constraints folded into a
+    * single pass. */
+  private def enforceConstraints(df: DataFrame,
+      cs: Map[String, String], what: String): Unit = if (cs.nonEmpty) {
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map { n =>
+      sum(when(!coalesce(expr(cs(n)).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(s"__viol_$n")
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val bad = names.flatMap { n =>
+      val c = r.getAs[Any](s"__viol_$n")
+      val cnt = if (c == null) 0L else c.asInstanceOf[Long]
+      if (cnt > 0) Some(s"$n [${cs(n)}]: $cnt rows") else None
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation on $what: ${bad.mkString("; ")}")
+  }
+
+  /** The head snapshot's CHECK constraints (empty for a fresh root). */
+  def constraints(s: SparkSession, root: String): Map[String, String] =
+    latestVersion(s, root)
+      .map(v => snapshot(s, root, v).constraints).getOrElse(Map.empty)
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK (predicate): versioned table
+    * metadata, enforced on every row-adding write from this commit on
+    * ([[append]], [[merge]], and everything routed through them —
+    * streaming upserts, CDC ingest, replication).  Existing LIVE rows
+    * are validated first, in one aggregation pass (the same full-scan
+    * validation Delta's ADD CONSTRAINT runs) — a table that already
+    * violates the predicate rejects the constraint, loudly.  The
+    * validation + commit run under the optimistic-concurrency loop
+    * with a parent pin: data committed between validation and the
+    * constraint landing is re-validated on retry, so no row ever
+    * slips in unchecked.  Constraints ride the manifest `props`
+    * (`constraint.<name>`), so they time-travel, clone, and survive
+    * restore with head-lineage semantics (rolling CONTENT back does
+    * not roll POLICY back). */
+  def addConstraint(s: SparkSession, root: String, name: String,
+      predicate: String): Int = {
+    require(name.nonEmpty && !name.contains("."),
+      s"constraint name must be non-empty and dot-free, got '$name'")
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(
+          s"cannot add constraint to empty table $root"))
+      val snap = snapshot(s, root, parentV)
+      enforceConstraints(readLive(s, snap.files),
+        Map(name -> predicate), s"existing rows of $root")
+      commitManifest(s, root, "set-constraint", Seq.empty,
+        _ => snap.files, requireParent = Some(parentV),
+        propsOf = p => p.map(_.props).getOrElse(Map.empty) +
+          (ConstraintPrefix + name -> predicate))
+    }
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: removes the named constraint from
+    * this commit on (older snapshots keep it — metadata is versioned
+    * like everything else).  Dropping an absent name is a no-op
+    * commit-wise only if absent at commit time. */
+  def dropConstraint(s: SparkSession, root: String, name: String): Int =
+    commitManifest(s, root, "drop-constraint", Seq.empty,
+      p => p.map(_.files).getOrElse(Seq.empty),
+      propsOf = p => p.map(_.props).getOrElse(Map.empty) -
+        (ConstraintPrefix + name))
+
+  /** SET TBLPROPERTIES (one key): generic versioned table metadata —
+    * the carrier constraints ride on, exposed for table-level knobs
+    * (comments, owner tags, retention hints).  Keys under
+    * `constraint.` are reserved for [[addConstraint]], which validates
+    * data; setting them here is rejected. */
+  def setProperty(s: SparkSession, root: String, key: String,
+      value: String): Int = {
+    require(!key.startsWith(ConstraintPrefix),
+      s"'$key' is a constraint — use addConstraint, which validates")
+    commitManifest(s, root, "set-property", Seq.empty,
+      p => p.map(_.files).getOrElse(Seq.empty),
+      propsOf = p => p.map(_.props).getOrElse(Map.empty) + (key -> value))
   }
 
   /** Enforce merge's one-update-row-per-key contract.  With `orderCol`:
@@ -777,11 +923,19 @@ object VersionedTable {
     // between retries, so the duplicate-key scan runs once, not per
     // attempt
     val upserts = dedupeKeepLast(updates, idCol, orderCol)
+    // across conflict retries, re-validate only when the constraint
+    // set actually changed (the requireParent pin makes the validated
+    // set exactly the committed-against set)
+    var validatedCs: Option[Map[String, String]] = None
     retryingConflicts(root) { () =>
       txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("merge into empty table"))
       val snap = snapshot(s, root, parentV)
+      if (!validatedCs.contains(snap.constraints)) {
+        enforceConstraints(upserts, snap.constraints, s"merge into $root")
+        validatedCs = Some(snap.constraints)
+      }
       // LIVE rows only (DV-masked rows are deleted: a masked key
       // matching an upsert is an INSERT, and must not force a rewrite
       // of the file that merely still physically holds the dead row)
@@ -1300,7 +1454,7 @@ object VersionedTable {
       case Some(p) => throw new IllegalStateException(
         s"clone target $dstRoot not empty (head v${p.version})")
       case None => Seq.empty
-    })
+    }, propsOf = _ => src.props) // clones inherit source table policy
     // registered AFTER the clone commit wins: a failed clone leaves no
     // back-reference pinning source files forever
     registerClone(s, srcRoot, dstRoot)
@@ -1536,5 +1690,53 @@ object VersionedTable {
       snapCache.remove((root, v))
     }
     (all.size, doomed.size)
+  }
+
+  /** DESCRIBE HISTORY: one row per kept version — (version, ts, op,
+    * txn, num_files, num_live_rows, num_constraints).  Built from the
+    * manifests alone (O(versions) driver work over cached parses, no
+    * data scan); `ts` is the commit's wall-clock, null for manifests
+    * written before commit timestamps existed.  The audit surface
+    * Delta's DESCRIBE HISTORY provides: what changed the table, when,
+    * and under which transaction. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = versions(s, root).map { v =>
+      val sn = snapshot(s, root, v)
+      org.apache.spark.sql.Row(sn.version,
+        if (sn.tsMillis == 0L) null
+        else new java.sql.Timestamp(sn.tsMillis),
+        sn.op, sn.txnId.orNull, sn.files.size.toLong, sn.rows,
+        sn.constraints.size.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("op", StringType, nullable = false),
+      StructField("txn", StringType, nullable = true),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_live_rows", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** TIME-BASED retention vacuum: reclaim history older than
+    * `retentionMs`, keeping (a) every version whose commit timestamp
+    * is inside the horizon, (b) always the head (a quiet table must
+    * stay readable forever), and (c) pre-timestamp manifests only via
+    * the head rule — the `VACUUM ... RETAIN n HOURS` contract, mapped
+    * onto [[vacuum]]'s version cutoff.  Commit timestamps are
+    * single-writer-advisory (clock skew shifts the horizon by the
+    * skew, never breaks a snapshot — vacuum's own referenced-file
+    * union is what protects data). */
+  def vacuumRetain(s: SparkSession, root: String, retentionMs: Long,
+      retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val vs = versions(s, root)
+    if (vs.isEmpty) return (0, 0)
+    val horizon = System.currentTimeMillis() - retentionMs
+    val keepFrom = vs.filter(v => snapshot(s, root, v).tsMillis >= horizon)
+      .headOption.getOrElse(vs.last)
+    vacuum(s, root, keepFrom, retainMs)
   }
 }

@@ -124,13 +124,31 @@ object VersionedSource {
     * later version as its insert/delete change feed vs its parent
     * (update pre/post images when `idCol` is given — see
     * [[VersionedTable.changeFeed]]).  See the object doc for the feed
-    * schema and the `failOnDataLoss` contract. */
+    * schema and the `failOnDataLoss` contract.
+    *
+    * `maxVersionsPerTrigger` rate-limits catch-up: a follower starting
+    * (or restarting) far behind a busy table would otherwise get its
+    * ENTIRE backlog in one micro-batch — one giant transaction
+    * downstream, one retry unit under failure, unbounded peak memory
+    * for the batch's union of touched files.  Bounding versions per
+    * trigger makes catch-up incremental and each batch's cost
+    * proportional to a few commits' touched files — Delta's
+    * `maxFilesPerTrigger` contract, and since this follower's stream
+    * events ARE manifest files (one per version), it maps verbatim
+    * onto the file source's native option: the limit is enforced by
+    * Spark's offset tracking, checkpoint-exact across restarts, not by
+    * application code. */
   def followChanges(s: SparkSession, root: String, checkpoint: String,
       queryName: String, failOnDataLoss: Boolean = true,
-      idCol: Option[String] = None)(process: (DataFrame, Int) => Unit)
+      idCol: Option[String] = None,
+      maxVersionsPerTrigger: Option[Int] = None)
+      (process: (DataFrame, Int) => Unit)
       : StreamingQuery =
     s.readStream
       .schema("version INT, op STRING")
+      .options(maxVersionsPerTrigger
+        .map(n => Map("maxFilesPerTrigger" -> n.toString))
+        .getOrElse(Map.empty))
       .json(s"$root/_versions")
       .writeStream
       .queryName(queryName)

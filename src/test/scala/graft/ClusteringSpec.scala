@@ -269,6 +269,51 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.size === 1, s"kept ${kept.size} of ${snap.files.size}")
   }
 
+  test("every write records TIMESTAMP min/max as epoch micros in the " +
+    "long stats map; time-clustering makes a time-slice prune strict " +
+    "with provably sound skips") {
+    import spark.implicits._
+    val root = freshRoot("tsstats")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // 30 days of events, hour-grained, de-correlated with the key so
+    // the key-ranged initial layout gives time-pruning nothing
+    val df = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        t0.plusSeconds(((i * 97) % 240).toLong * 3 * 3600L)))
+    }.toDF("event_id", "ts")
+    VersionedTable.append(spark, root, df, "event_id", 4)
+    val snap1 = VersionedTable.snapshot(spark, root, 1)
+    // stats recorded, in MICROS, covering the full 30-day span
+    val micros0 = t0.toEpochMilli * 1000L
+    snap1.files.foreach { f =>
+      val (mn, mx) = f.stats("ts")
+      assert(mn >= micros0 && mx <= micros0 + 240L * 3 * 3600L * 1000000L)
+    }
+    // key-ranged layout: every file spans most of the month — nothing
+    // prunes on a 3-day slice
+    val hi = micros0 + 3L * 24 * 3600 * 1000000L - 1
+    val before = VersionedTable.statsPrunedFiles(snap1.files,
+      Map("ts" -> (0L, hi)))
+    assert(before.size === 4, "pre-clustering, time pruning is useless")
+    VersionedTable.optimizeClusterBy(spark, root, "ts", "event_id", 4)
+    val snap2 = VersionedTable.snapshot(spark, root, 2)
+    val kept = VersionedTable.statsPrunedFiles(snap2.files,
+      Map("ts" -> (0L, hi)))
+    assert(kept.size < snap2.files.size,
+      s"time-clustered prune must be strict, kept ${kept.size}")
+    // soundness: every skipped file's recorded min lies past the cut
+    snap2.files.diff(kept).foreach { f =>
+      assert(f.stats("ts")._1 > hi, s"unsound skip: ${f.stats("ts")}")
+    }
+    // the pruned read matches the plain time filter
+    val cut = java.sql.Timestamp.from(t0.plusSeconds(3L * 24 * 3600))
+    val got = VersionedTable.read(spark, root,
+      ranges = Map("ts" -> (0L, hi)))
+      .filter(col("ts") < lit(cut))
+    assert(got.count() ===
+      VersionedTable.read(spark, root).filter(col("ts") < lit(cut)).count())
+  }
+
   test("stats survive the manifest round-trip and schema evolution " +
     "adds stats for the new column on rewrite") {
     import spark.implicits._

@@ -226,4 +226,37 @@ class VersionedSourceSpec extends SparkSpec {
     assert(!delivered(1)._3)
     ()
   }
+
+  test("maxVersionsPerTrigger bounds catch-up batches: a 5-commit " +
+    "backlog arrives over ceil(5/2) rate-limited micro-batches, in " +
+    "order, nothing lost or duplicated") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vsource_rate").toString
+    val root = s"$dir/table"; val chk = s"$dir/chk"
+    VersionedTable.append(spark, root,
+      (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text"),
+      "doc_id", 2, op = "load")
+    (1 to 4).foreach { k =>
+      VersionedTable.merge(spark, root,
+        Seq((k.toLong, s"u$k")).toDF("doc_id", "text"), "doc_id", 2)
+    }
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = VersionedSource.followChanges(spark, root, chk, "vrate",
+      maxVersionsPerTrigger = Some(2)) { (feed, v) =>
+      feed.queryExecution.toRdd.count() // materialize the feed
+      delivered.synchronized { delivered += v; () }
+    }
+    q.processAllAvailable()
+    // the limit is enforced by the file source's own offset tracking:
+    // every micro-batch consumed at most 2 manifests
+    val perBatch = q.recentProgress.toSeq.map(_.numInputRows)
+      .filter(_ > 0)
+    q.stop()
+    assert(delivered.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(perBatch.forall(_ <= 2L),
+      s"a batch exceeded the version rate limit: $perBatch")
+    assert(perBatch.size >= 3, // ceil(5/2): catch-up was incremental
+      s"backlog must span multiple rate-limited batches: $perBatch")
+    ()
+  }
 }
