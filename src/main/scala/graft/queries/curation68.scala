@@ -100,6 +100,64 @@ object Curation68Queries {
         "at zero cost to unconstrained tables (empty set = zero " +
         "actions)."),
 
+    // ------------------------- bloom-filter point-lookup file skipping
+    QueryDef(
+      "bloom_pruned_point_read",
+      (s, d) => {
+        // key-ranged 64-file layout with blooms on `text`: the lookup
+        // column is NOT the layout column, so zone maps cannot help —
+        // exactly the case blooms exist for
+        val root = Scratch.buildOnce(s, d, "vtabbloom") { r =>
+          VersionedTable.append(s, r, Tables.documents(s, d),
+            "doc_id", 4, op = "load")
+          VersionedTable.setProperty(s, r,
+            VersionedTable.BloomColsProp, "text")
+          // rewrite under the property so every file carries blooms;
+          // 64 files keeps rows-per-file in bloom-accurate range at
+          // every fixture scale (sf0.1: ~780 rows/file)
+          VersionedTable.optimizeClusterBy(s, r, "doc_id", "doc_id", 64)
+          ()
+        }
+        val head = VersionedTable.latestVersion(s, root).get
+        val snap = VersionedTable.snapshot(s, root, head)
+        // the needle: doc 7's full text, resolved through the zone map
+        // (one file) — a dedup-shaped "is this exact text already in
+        // the corpus?" probe
+        val needle = VersionedTable.read(s, root, idRange = Some((7L, 7L)))
+          .filter(col("doc_id") === 7L)
+          .select(col("text")).head().getString(0)
+        val kept = VersionedTable.bloomPrunedFiles(snap.files,
+          Map("text" -> needle))
+        val strict = kept.size < snap.files.size
+        VersionedTable.read(s, root, eqs = Map("text" -> needle))
+          .filter(col("text") === lit(needle))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), lit(strict).as("bloom_prune_strict"),
+            lit(snap.files.forall(_.blooms.contains("text")))
+              .as("all_files_bloomed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+        |       TRUE AS bloom_prune_strict, TRUE AS all_files_bloomed
+        |FROM documents
+        |WHERE text = (SELECT text FROM documents WHERE doc_id = 7)
+        |ORDER BY doc_id""".stripMargin),
+      "Per-file BLOOM FILTERS (4096 bits x 4 xxhash64 probes per " +
+        "value, ~700 manifest bytes per file-column, enrolled by the " +
+        "bloom.cols table property) answer point-equality predicates " +
+        "on columns the layout is NOT clustered by — the role of " +
+        "Delta's bloom index and parquet's bloom pages.  The query " +
+        "probes the corpus for one document's exact text on a " +
+        "key-ranged layout: the in-band pins prove every file carries " +
+        "a bloom and the lookup planned a strict file subset, and the " +
+        "answer hash-matches the plain equality scan (no false " +
+        "negatives by construction — the driver-side lookup evaluates " +
+        "the SAME Catalyst hash expression the write-side projection " +
+        "used).  At 100 TB this is the exact-dedup / by-content-lookup " +
+        "primitive: 'is this text already in the corpus' costs a few " +
+        "false-positive file reads instead of a full scan, on any " +
+        "layout, for KBs of manifest."),
+
     // ------------------------------------- DESCRIBE HISTORY audit
     QueryDef(
       "table_history_audit",

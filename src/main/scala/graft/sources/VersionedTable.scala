@@ -62,10 +62,22 @@ object VersionedTable {
   final case class FileEntry(path: String, rows: Long, minId: Long,
       maxId: Long, dv: Option[DvRef] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
-      sstats: Map[String, (String, String)] = Map.empty) {
+      sstats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, IndexedSeq[Long]] = Map.empty) {
     /** Rows a reader actually sees: physical minus DV-masked. */
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
+
+  /** Bloom geometry: 4096 bits (64 words) x 4 hashes per value — ~0.1%
+    * false-positive rate at 500 rows/file, ~8% at 800; size the file
+    * count so rows-per-file stays in that range for the columns you
+    * bloom.  Encoded in the manifest as ~700 base64 chars per (file,
+    * column): bounded, like the truncated string stats. */
+  private val BloomBits = 4096
+  private val BloomWords = BloomBits / 64
+  private val BloomHashes = 4
+  /** Table property naming the columns to bloom on every write. */
+  val BloomColsProp = "bloom.cols"
   final case class Snapshot(version: Int, op: String, files: Seq[FileEntry],
       txnId: Option[String] = None,
       props: Map[String, String] = Map.empty,
@@ -257,9 +269,17 @@ object VersionedTable {
             st.get(c).get("max").asText())
         }.toMap
       }.getOrElse(Map.empty[String, (String, String)])
+      val blooms = Option(f.get("bloom")).map { bn =>
+        import scala.jdk.CollectionConverters._
+        bn.fieldNames().asScala.map { c =>
+          val bb = java.nio.ByteBuffer.wrap(
+            java.util.Base64.getDecoder.decode(bn.get(c).asText()))
+          c -> IndexedSeq.fill(BloomWords)(bb.getLong())
+        }.toMap
+      }.getOrElse(Map.empty[String, IndexedSeq[Long]])
       FileEntry(f.get("path").asText(), f.get("rows").asLong(),
         f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
-        sstats)
+        sstats, blooms)
     }
     val props = Option(node.get("props")).map { pn =>
       import scala.jdk.CollectionConverters._
@@ -357,20 +377,24 @@ object VersionedTable {
     * the caller; pruning only discards files that cannot contain the
     * range.  Column-stats pruning pays off when the layout is
     * clustered on the column — see [[optimizeClusterBy]] /
-    * [[optimizeZOrderBy]]. */
+    * [[optimizeZOrderBy]].  `eqs` prunes through the per-file BLOOM
+    * filters (for columns the `bloom.cols` property enrolls) — point
+    * lookups skip files on ANY layout, no clustering needed; the
+    * caller still applies the row filter. */
   def read(s: SparkSession, root: String, version: Option[Int] = None,
       idRange: Option[(Long, Long)] = None,
       ranges: Map[String, (Long, Long)] = Map.empty,
-      strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
+      strRanges: Map[String, (String, String)] = Map.empty,
+      eqs: Map[String, Any] = Map.empty): DataFrame = {
     val v = version.orElse(latestVersion(s, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val snap = snapshot(s, root, v)
-    val kept = statsPrunedFiles(
+    val kept = bloomPrunedFiles(statsPrunedFiles(
       idRange match {
         case None => snap.files
         case Some((lo, hi)) =>
           snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
-      }, ranges, strRanges)
+      }, ranges, strRanges), eqs)
     if (kept.isEmpty)
       emptyLike(s, root, v, snap)
     else
@@ -393,6 +417,50 @@ object VersionedTable {
       } &&
       strRanges.forall { case (c, (lo, hi)) =>
         f.sstats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+
+  /** The driver-side twin of the plan-side position projection in
+    * [[writeFiles]]: MUST compute the identical 4 positions for a
+    * lookup value, so it evaluates the very same Catalyst expression —
+    * `pmod(xxhash64(v, i), 4096)` — over literals (BloomSpec pins the
+    * agreement through data).  Supported value types mirror the bloom
+    * column types: String and Long. */
+  private def bloomPositions(v: Any): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    (0 until BloomHashes).map { i =>
+      val h = new XxHash64(Seq(CLit(v), CLit(i)))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+  }
+
+  /** Bloom file pruning for POINT-equality predicates: keep a file
+    * unless some looked-up value's bloom provably excludes it (all
+    * four positions must be set for the file to stay).  No false
+    * negatives ever — a file containing the value always keeps all
+    * its bits — so skipping is exact-sound; false positives only cost
+    * an extra file read.  Files without a bloom for a named column
+    * are conservatively kept (pre-property history stays readable).
+    * This is the unclustered-point-lookup lever: zone maps need the
+    * layout sorted by the column, a bloom answers `text = ?` /
+    * `user_id = ?` on ANY layout at ~700 bytes of manifest per
+    * (file, column). */
+  private[graft] def bloomPrunedFiles(files: Seq[FileEntry],
+      eqs: Map[String, Any]): Seq[FileEntry] =
+    if (eqs.isEmpty) files
+    else {
+      val posByCol = eqs.map { case (c, v) =>
+        require(v != null, s"bloom lookup of NULL on '$c' (null never " +
+          "matches an equality predicate; filter it explicitly)")
+        c -> bloomPositions(v)
+      }
+      files.filter { f =>
+        posByCol.forall { case (c, ps) =>
+          f.blooms.get(c).forall(words =>
+            ps.forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L))
+        }
       }
     }
 
@@ -573,9 +641,46 @@ object VersionedTable {
       min(substring(col(c), 1, StrStatLen)).as(s"__smn_$c"),
       max(substring(col(c), 1, StrStatLen)).as(s"__smx_$c"),
       max(length(col(c))).as(s"__sln_$c")))
+    // per-file BLOOM FILTERS for the columns the `bloom.cols` table
+    // property names (string/long only): point-predicate file skipping
+    // without clustering — the role of Delta's bloom index / parquet's
+    // bloom pages.  Positions are projected ONCE per row (4 xxhash64
+    // calls), then the 64 word aggregates are plain bit arithmetic
+    // over those positions, riding the same single stats pass.
+    val bloomCols: Seq[String] = {
+      val wanted = latestVersion(s, root)
+        .map(v0 => snapshot(s, root, v0).props
+          .getOrElse(BloomColsProp, ""))
+        .getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      back.schema.fields.toIndexedSeq.filter(f => wanted(f.name) &&
+        (f.dataType == org.apache.spark.sql.types.StringType ||
+         f.dataType == org.apache.spark.sql.types.LongType))
+        .map(_.name)
+    }
+    val enriched = bloomCols.foldLeft(back) { (acc, c) =>
+      (0 until BloomHashes).foldLeft(acc) { (a, i) =>
+        // null contributes no bits (a null can never be looked up);
+        // -1 falls outside every word comparison below
+        a.withColumn(s"__pos_${c}_$i",
+          when(col(c).isNull, lit(-1L))
+            .otherwise(pmod(xxhash64(col(c), lit(i)),
+              lit(BloomBits.toLong))))
+      }
+    }
     val aggs = Seq(min(col(idCol)).as("minId"),
-      max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs
-    back
+      max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs ++
+      bloomCols.flatMap { c =>
+        (0 until BloomWords).map { w =>
+          val contrib = (0 until BloomHashes).map { i =>
+            when(shiftright(col(s"__pos_${c}_$i"), 6) === lit(w.toLong),
+              expr(s"shiftleft(1L, cast(__pos_${c}_$i % 64 as int))"))
+              .otherwise(lit(0L))
+          }.reduce(_ bitwiseOR _)
+          bit_or(contrib).as(s"__bf_${c}_$w")
+        }
+      }
+    enriched
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
@@ -596,9 +701,18 @@ object VersionedTable {
             ln != null && ln.asInstanceOf[Int] > StrStatLen)
             .map(up => c -> (mn, up))
         }.toMap
+        val blooms = bloomCols.flatMap { c =>
+          val words = (0 until BloomWords).map { w =>
+            val x = r.getAs[Any](s"__bf_${c}_$w")
+            if (x == null) 0L else x.asInstanceOf[Long]
+          }
+          // an all-null column leaves an empty filter: every lookup
+          // would prune the file, which is CORRECT (no value matches)
+          Some(c -> words)
+        }.toMap
         FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
           r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats,
-          sstats)
+          sstats, blooms)
       }
       .toSeq.sortBy(_.path)
   }
@@ -688,6 +802,14 @@ object VersionedTable {
           val st = o.putObject("sstats")
           f.sstats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
             val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
+          }
+        }
+        if (f.blooms.nonEmpty) {
+          val bn = o.putObject("bloom")
+          f.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
+            val bb = java.nio.ByteBuffer.allocate(BloomWords * 8)
+            words.foreach(bb.putLong)
+            bn.put(c, java.util.Base64.getEncoder.encodeToString(bb.array()))
           }
         }
       }
@@ -1544,14 +1666,16 @@ object VersionedTable {
     * avoid. */
   def readOptions(s: SparkSession, root: String,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val known = Set("versionAsOf", "readChangeFeed", "startingVersion",
-      "endingVersion", "idCol")
+    val known = Set("versionAsOf", "timestampAsOf", "readChangeFeed",
+      "startingVersion", "endingVersion", "idCol")
     val unknown = options.keySet.diff(known)
     require(unknown.isEmpty,
       s"unknown reader options $unknown (known: $known)")
     if (options.get("readChangeFeed").exists(_.toBoolean)) {
-      require(!options.contains("versionAsOf"),
-        "versionAsOf and readChangeFeed are mutually exclusive")
+      require(!options.contains("versionAsOf") &&
+        !options.contains("timestampAsOf"),
+        "versionAsOf/timestampAsOf and readChangeFeed are mutually " +
+          "exclusive")
       val from = options.getOrElse("startingVersion",
         throw new IllegalArgumentException(
           "readChangeFeed requires startingVersion")).toInt
@@ -1564,8 +1688,32 @@ object VersionedTable {
       require(!options.contains("startingVersion") &&
         !options.contains("endingVersion") && !options.contains("idCol"),
         "startingVersion/endingVersion/idCol require readChangeFeed=true")
-      read(s, root, options.get("versionAsOf").map(_.toInt))
+      require(!(options.contains("versionAsOf") &&
+        options.contains("timestampAsOf")),
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      val v = options.get("versionAsOf").map(_.toInt)
+        .orElse(options.get("timestampAsOf").map(t =>
+          versionAtTimestamp(s, root, t)))
+      read(s, root, v)
     }
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `t` (ISO-8601 instant like `2026-08-15T12:00:00Z`, or
+    * epoch millis) — Delta's contract.  Versions from before commit
+    * timestamps existed (ts = 0) resolve only for a genuinely ancient
+    * probe, which is the conservative reading of an unknown commit
+    * time.  Throws when the timestamp precedes the first kept commit —
+    * the caller asked for state this table cannot reconstruct. */
+  private def versionAtTimestamp(s: SparkSession, root: String,
+      t: String): Int = {
+    val millis = scala.util.Try(t.toLong).getOrElse(
+      java.time.Instant.parse(t).toEpochMilli)
+    val vs = versions(s, root)
+    vs.filter(v => snapshot(s, root, v).tsMillis <= millis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf $t precedes the first kept commit of $root " +
+          s"(earliest: v${vs.headOption.getOrElse(0)})"))
   }
 
   /** Snapshot diff as (added, removed) row multisets, manifest-aware:
