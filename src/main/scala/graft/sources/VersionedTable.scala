@@ -78,10 +78,31 @@ object VersionedTable {
   private val BloomHashes = 4
   /** Table property naming the columns to bloom on every write. */
   val BloomColsProp = "bloom.cols"
+
+  /** Table property opting into TWO-LEVEL manifests: entries per file
+    * group (0/absent = classic single-level root listing).  Size it so
+    * a typical commit touches few groups: with 10^6 files and groups
+    * of 10^4, a 3-file merge rewrites one ~10^4-entry group and a
+    * ~100-ref root instead of a 10^6-entry manifest. */
+  val ManifestGroupSizeProp = "manifest.groupSize"
+  /** A reference to an immutable FILE GROUP: a sidecar under
+    * `_versions/_groups/` listing up to `manifest.groupSize` manifest
+    * entries.  The two-level layout (Iceberg's manifest-list over
+    * manifests) bounds what a COMMIT writes: untouched groups carry
+    * into the child manifest by reference — a merge touching 3 of 10^6
+    * files rewrites 3 data files, ~1 group, and a root manifest of
+    * group refs, instead of re-listing a million entries.  `rows`,
+    * `minId`, `maxId` aggregate the group for future group-level
+    * pruning; groups are content-immutable, so parses cache
+    * process-wide like manifests. */
+  final case class GroupRef(path: String, n: Int, rows: Long,
+      minId: Long, maxId: Long)
+
   final case class Snapshot(version: Int, op: String, files: Seq[FileEntry],
       txnId: Option[String] = None,
       props: Map[String, String] = Map.empty,
-      tsMillis: Long = 0L) {
+      tsMillis: Long = 0L,
+      groups: Seq[(GroupRef, Seq[FileEntry])] = Seq.empty) {
     /** LIVE rows of the snapshot (deletion-vector-masked rows do not
       * count — they are deleted, just not yet rewritten away). */
     def rows: Long = files.map(_.liveRows).sum
@@ -247,49 +268,138 @@ object VersionedTable {
       throw new IllegalStateException(
         s"manifest v$v under $root unreadable after $attempts attempts")
     val filesNode = node.get("files")
-    val entries = (0 until filesNode.size()).map { i =>
-      val f = filesNode.get(i)
-      // "dv" and "stats" are optional: pre-feature manifests (and
-      // files never touched by a merge-on-read delete / written
-      // before column stats existed) simply lack them
-      val dv = Option(f.get("dv")).map(d =>
-        DvRef(d.get("path").asText(), d.get("rows").asLong(),
-          d.get("key").asText()))
-      val stats = Option(f.get("stats")).map { st =>
-        import scala.jdk.CollectionConverters._
-        st.fieldNames().asScala.map { c =>
-          c -> (st.get(c).get("min").asLong(),
-            st.get(c).get("max").asLong())
-        }.toMap
-      }.getOrElse(Map.empty[String, (Long, Long)])
-      val sstats = Option(f.get("sstats")).map { st =>
-        import scala.jdk.CollectionConverters._
-        st.fieldNames().asScala.map { c =>
-          c -> (st.get(c).get("min").asText(),
-            st.get(c).get("max").asText())
-        }.toMap
-      }.getOrElse(Map.empty[String, (String, String)])
-      val blooms = Option(f.get("bloom")).map { bn =>
-        import scala.jdk.CollectionConverters._
-        bn.fieldNames().asScala.map { c =>
-          val bb = java.nio.ByteBuffer.wrap(
-            java.util.Base64.getDecoder.decode(bn.get(c).asText()))
-          c -> IndexedSeq.fill(BloomWords)(bb.getLong())
-        }.toMap
-      }.getOrElse(Map.empty[String, IndexedSeq[Long]])
-      FileEntry(f.get("path").asText(), f.get("rows").asLong(),
-        f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
-        sstats, blooms)
-    }
+    val loose = (0 until filesNode.size()).map(i =>
+      parseEntry(filesNode.get(i)))
+    val groups = Option(node.get("groups")).map { gn =>
+      (0 until gn.size()).map { i =>
+        val g = gn.get(i)
+        val ref = GroupRef(g.get("path").asText(), g.get("n").asInt(),
+          g.get("rows").asLong(), g.get("minId").asLong(),
+          g.get("maxId").asLong())
+        ref -> readGroup(s, root, ref.path)
+      }.toSeq
+    }.getOrElse(Seq.empty)
     val props = Option(node.get("props")).map { pn =>
       import scala.jdk.CollectionConverters._
       pn.fieldNames().asScala.map(k => k -> pn.get(k).asText()).toMap
     }.getOrElse(Map.empty[String, String])
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
-      entries, Option(node.get("txn")).map(_.asText()), props,
-      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+      loose ++ groups.flatMap(_._2),
+      Option(node.get("txn")).map(_.asText()), props,
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L), groups)
     if (snapCache.size() < 65536) snapCache.put((root, v), snap)
     snap
+  }
+
+  /** Parse one manifest/group file entry.  "dv", "stats", "sstats" and
+    * "bloom" are optional: pre-feature manifests (and files never
+    * touched by the respective feature) simply lack them. */
+  private def parseEntry(f: com.fasterxml.jackson.databind.JsonNode)
+      : FileEntry = {
+    val dv = Option(f.get("dv")).map(d =>
+      DvRef(d.get("path").asText(), d.get("rows").asLong(),
+        d.get("key").asText()))
+    val stats = Option(f.get("stats")).map { st =>
+      import scala.jdk.CollectionConverters._
+      st.fieldNames().asScala.map { c =>
+        c -> (st.get(c).get("min").asLong(),
+          st.get(c).get("max").asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    val sstats = Option(f.get("sstats")).map { st =>
+      import scala.jdk.CollectionConverters._
+      st.fieldNames().asScala.map { c =>
+        c -> (st.get(c).get("min").asText(),
+          st.get(c).get("max").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String)])
+    val blooms = Option(f.get("bloom")).map { bn =>
+      import scala.jdk.CollectionConverters._
+      bn.fieldNames().asScala.map { c =>
+        val bb = java.nio.ByteBuffer.wrap(
+          java.util.Base64.getDecoder.decode(bn.get(c).asText()))
+        c -> IndexedSeq.fill(BloomWords)(bb.getLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, IndexedSeq[Long]])
+    FileEntry(f.get("path").asText(), f.get("rows").asLong(),
+      f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
+      sstats, blooms)
+  }
+
+  /** Serialize one entry into a manifest/group "files" array. */
+  private def writeEntry(
+      arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      f: FileEntry): Unit = {
+    val o = arr.addObject()
+    o.put("path", f.path); o.put("rows", f.rows)
+    o.put("minId", f.minId); o.put("maxId", f.maxId)
+    f.dv.foreach { d =>
+      val dn = o.putObject("dv")
+      dn.put("path", d.path); dn.put("rows", d.rows)
+      dn.put("key", d.key)
+    }
+    if (f.stats.nonEmpty) {
+      val st = o.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
+      }
+    }
+    if (f.sstats.nonEmpty) {
+      val st = o.putObject("sstats")
+      f.sstats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
+      }
+    }
+    if (f.blooms.nonEmpty) {
+      val bn = o.putObject("bloom")
+      f.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
+        val bb = java.nio.ByteBuffer.allocate(BloomWords * 8)
+        words.foreach(bb.putLong)
+        bn.put(c, java.util.Base64.getEncoder.encodeToString(bb.array()))
+      }
+    }
+  }
+
+  private def groupsDir(root: String): Path =
+    new Path(s"$root/$VersionsDir", "_groups")
+
+  /** Group parses cache process-wide: group files are content-
+    * immutable (a new grouping writes NEW files), like manifests. */
+  private val groupCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[FileEntry]]()
+
+  private def readGroup(s: SparkSession, root: String,
+      path: String): IndexedSeq[FileEntry] = {
+    val cached = groupCache.get(path)
+    if (cached != null) return cached
+    val fs = fileSystem(s, root)
+    val in = fs.open(new Path(path))
+    val node = try new ObjectMapper().readTree(in) finally in.close()
+    val arr = node.get("entries")
+    val entries = (0 until arr.size()).map(i => parseEntry(arr.get(i)))
+    if (groupCache.size() < 65536) groupCache.put(path, entries)
+    entries
+  }
+
+  /** Write one immutable group sidecar; plain create (unique name), no
+    * atomicity needed — a group is referenced only by a manifest that
+    * commits AFTER it is fully written, and an orphan from a lost CAS
+    * race is reclaimed by vacuum's group GC. */
+  private def writeGroup(s: SparkSession, root: String,
+      entries: Seq[FileEntry]): GroupRef = {
+    val fs = fileSystem(s, root)
+    fs.mkdirs(groupsDir(root))
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("entries")
+    entries.foreach(writeEntry(arr, _))
+    val p = new Path(groupsDir(root),
+      s"g-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(p, false)
+    out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    out.close()
+    GroupRef(p.toString, entries.size, entries.map(_.liveRows).sum,
+      entries.map(_.minId).min, entries.map(_.maxId).max)
   }
 
   /** The committed version carrying this transaction id, if any — the
@@ -771,6 +881,30 @@ object VersionedTable {
       val v = parent.map(_.version + 1).getOrElse(1)
       val files = (carryOver(parent) ++ newFiles).sortBy(_.path)
       val props = propsOf(parent)
+      // TWO-LEVEL layout when `manifest.groupSize` is set: reuse every
+      // parent group whose entries ALL survive unchanged (FileEntry
+      // equality includes the DV pointer, stats and blooms, so any
+      // mutation of a member forces its group to rewrite), pack the
+      // rest into fresh groups, and keep a sub-group remainder loose
+      // in the root.  What a commit WRITES is then O(touched groups +
+      // new files), not O(all files) — the manifest-size ceiling the
+      // single-level layout documented.
+      val groupSize = props.get(ManifestGroupSizeProp)
+        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0)
+      val (looseOut, groupsOut) =
+        if (groupSize <= 0) (files, Seq.empty[GroupRef])
+        else {
+          val fileSet = files.toSet
+          val reused = parent.map(_.groups).getOrElse(Seq.empty)
+            .filter { case (_, entries) =>
+              entries.nonEmpty && entries.forall(fileSet.contains) }
+          val covered = reused.flatMap(_._2).toSet
+          val rest = files.filterNot(covered.contains)
+          val (full, partial) = rest.grouped(groupSize).toSeq
+            .partition(_.size == groupSize)
+          (partial.flatten,
+            reused.map(_._1) ++ full.map(g => writeGroup(s, root, g)))
+        }
       val node = mapper.createObjectNode()
       node.put("version", v); node.put("op", op)
       // commit wall-clock: powers DESCRIBE HISTORY and time-based
@@ -783,34 +917,13 @@ object VersionedTable {
         props.toSeq.sortBy(_._1).foreach { case (k, pv) => pn.put(k, pv) }
       }
       val arr = node.putArray("files")
-      files.foreach { f =>
-        val o = arr.addObject()
-        o.put("path", f.path); o.put("rows", f.rows)
-        o.put("minId", f.minId); o.put("maxId", f.maxId)
-        f.dv.foreach { d =>
-          val dn = o.putObject("dv")
-          dn.put("path", d.path); dn.put("rows", d.rows)
-          dn.put("key", d.key)
-        }
-        if (f.stats.nonEmpty) {
-          val st = o.putObject("stats")
-          f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-            val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
-          }
-        }
-        if (f.sstats.nonEmpty) {
-          val st = o.putObject("sstats")
-          f.sstats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-            val cn = st.putObject(c); cn.put("min", mn); cn.put("max", mx)
-          }
-        }
-        if (f.blooms.nonEmpty) {
-          val bn = o.putObject("bloom")
-          f.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
-            val bb = java.nio.ByteBuffer.allocate(BloomWords * 8)
-            words.foreach(bb.putLong)
-            bn.put(c, java.util.Base64.getEncoder.encodeToString(bb.array()))
-          }
+      looseOut.foreach(writeEntry(arr, _))
+      if (groupsOut.nonEmpty) {
+        val gn = node.putArray("groups")
+        groupsOut.foreach { g =>
+          val o = gn.addObject()
+          o.put("path", g.path); o.put("n", g.n); o.put("rows", g.rows)
+          o.put("minId", g.minId); o.put("maxId", g.maxId)
         }
       }
       val target = manifestPath(root, v)
@@ -1836,6 +1949,29 @@ object VersionedTable {
     doomedVersions.foreach { v =>
       fs.delete(manifestPath(root, v), false)
       snapCache.remove((root, v))
+    }
+    // GROUP GC: a group sidecar referenced by no kept manifest (its
+    // manifests were reclaimed above, or it was orphaned by a lost CAS
+    // race) is dead weight.  Same retainMs guard as data files — a
+    // committer that wrote groups but has not yet won its CAS must not
+    // lose them under its feet.  Clone manifests reference only their
+    // OWN roots' groups (cloning re-groups at the destination), so the
+    // kept-manifest union here is complete.
+    val gdir = groupsDir(root)
+    if (fs.exists(gdir)) {
+      val keptGroups = versions(s, root)
+        .flatMap(v => snapshot(s, root, v).groups.map(_._1.path))
+        .map(p => new Path(p).toUri.getPath).toSet
+      fs.listStatus(gdir).foreach { st =>
+        val norm = st.getPath.toUri.getPath
+        if (st.isFile && st.getPath.getName.startsWith("g-") &&
+          !keptGroups.contains(norm) &&
+          st.getModificationTime <= horizon) {
+          fs.delete(st.getPath, false)
+          groupCache.remove(st.getPath.toString)
+          ()
+        }
+      }
     }
     (all.size, doomed.size)
   }

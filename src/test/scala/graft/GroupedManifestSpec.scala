@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Laws of TWO-LEVEL manifests (`manifest.groupSize`): grouping
+  * round-trips the exact file set, a small commit REUSES untouched
+  * groups by reference (commit writes are O(touched groups), not
+  * O(all files)), every lifecycle op keeps working over grouped
+  * snapshots, and vacuum garbage-collects unreferenced group
+  * sidecars without ever breaking a kept or cloned snapshot. */
+class GroupedManifestSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_grpspec_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"t$i", (i % 9).toLong))
+      .toDF("doc_id", "text", "score")
+  }
+
+  private def grouped(kind: String, n: Int, files: Int,
+      size: Int): String = {
+    val root = freshRoot(kind)
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.ManifestGroupSizeProp, size.toString)
+    VersionedTable.append(spark, root, docs(n), "doc_id", files)
+    root
+  }
+
+  test("grouping round-trips the exact file set: snapshot.files under " +
+    "groups equals the ungrouped listing, and reads are identical") {
+    val root = grouped("roundtrip", 160, 16, 4)
+    val snap = VersionedTable.snapshot(spark, root, 2)
+    assert(snap.groups.size === 4 && snap.groups.forall(_._1.n == 4))
+    assert(snap.files.size === 16)
+    // group aggregates match their entries
+    snap.groups.foreach { case (ref, entries) =>
+      assert(ref.rows === entries.map(_.liveRows).sum)
+      assert(ref.minId === entries.map(_.minId).min)
+      assert(ref.maxId === entries.map(_.maxId).max)
+    }
+    assert(VersionedTable.read(spark, root).count() === 160)
+    // the ROOT manifest itself lists refs, not entries (loose empty)
+    assert(snap.files.toSet === snap.groups.flatMap(_._2).toSet)
+  }
+
+  test("a small merge REUSES untouched groups by reference and " +
+    "rewrites only the touched one; answers stay exact") {
+    import spark.implicits._
+    val root = grouped("reuse", 160, 16, 4)
+    val before = VersionedTable.snapshot(spark, root, 2)
+    VersionedTable.merge(spark, root,
+      Seq((0L, "edited", 100L)).toDF("doc_id", "text", "score"),
+      "doc_id", 1)
+    val after = VersionedTable.snapshot(spark, root, 3)
+    val reused = after.groups.map(_._1.path).toSet
+      .intersect(before.groups.map(_._1.path).toSet)
+    assert(reused.size === 3,
+      s"3 of 4 groups must carry by reference, got ${reused.size}")
+    assert(after.files.size === 16)
+    assert(VersionedTable.read(spark, root).count() === 160)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("text") === "edited").count() === 1)
+    // time travel across the grouping boundary still resolves
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 160)
+    assert(VersionedTable.read(spark, root, Some(2))
+      .filter(col("text") === "edited").count() === 0)
+  }
+
+  test("deletes, MoR deletes, change feeds and restore work over " +
+    "grouped snapshots") {
+    val root = grouped("ops", 160, 16, 4)
+    // ids 0..3 live in ONE file (one group): a DV on it must rewrite
+    // exactly that group and carry the other three by reference
+    VersionedTable.deleteMoR(spark, root, col("doc_id") < 4, "doc_id")
+    assert(VersionedTable.read(spark, root).count() === 156)
+    val v2 = VersionedTable.snapshot(spark, root, 2)
+    val v3 = VersionedTable.snapshot(spark, root, 3)
+    assert(v3.groups.map(_._1.path).toSet
+      .intersect(v2.groups.map(_._1.path).toSet).size === 3,
+      "a one-file DV must reuse the three untouched groups")
+    val feed = VersionedTable.changeFeed(spark, root, 2, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() === 4)
+    VersionedTable.delete(spark, root, col("doc_id") === 10L, "doc_id", 1)
+    assert(VersionedTable.read(spark, root).count() === 155)
+    VersionedTable.restore(spark, root, 2)
+    assert(VersionedTable.read(spark, root).count() === 160)
+  }
+
+  test("vacuum GCs group sidecars referenced by no kept manifest and " +
+    "keeps the referenced ones; clones survive a source vacuum") {
+    val root = grouped("gc", 160, 16, 4)
+    // three churn commits, each rewriting one group
+    import spark.implicits._
+    (1 to 3).foreach { k =>
+      VersionedTable.merge(spark, root,
+        Seq((k.toLong, s"e$k", 0L)).toDF("doc_id", "text", "score"),
+        "doc_id", 1)
+    }
+    val clone = freshRoot("gc_clone")
+    VersionedTable.cloneShallow(spark, root, clone)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val gdir = new org.apache.hadoop.fs.Path(s"$root/_versions/_groups")
+    val beforeGc = fs.listStatus(gdir).count(_.getPath.getName
+      .startsWith("g-"))
+    VersionedTable.vacuum(spark, root, keepFrom = 5, retainMs = 0)
+    val afterGc = fs.listStatus(gdir).count(_.getPath.getName
+      .startsWith("g-"))
+    assert(afterGc < beforeGc, "dropped versions' groups must GC")
+    // the head still reads, and every kept group resolves
+    assert(VersionedTable.read(spark, root).count() === 160)
+    // the clone (which re-grouped under its own root) is untouched
+    assert(VersionedTable.read(spark, clone).count() === 160)
+  }
+}
