@@ -100,6 +100,74 @@ object Curation68Queries {
         "at zero cost to unconstrained tables (empty set = zero " +
         "actions)."),
 
+    // ------------------- the graft-table Spark relation (connector)
+    QueryDef(
+      "connector_pruned_read",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabconn") { r =>
+          VersionedTable.append(s, r, Tables.documents(s, d),
+            "doc_id", 8, op = "load")
+          VersionedTable.optimizeClusterBy(s, r, "n_chars", "doc_id", 8)
+          ()
+        }
+        // the whole lakehouse layer behind a PLAIN spark.read.format:
+        // Catalyst hands the filter to the manifest FileIndex, which
+        // prunes through the per-file n_chars stats
+        val df = s.read.format("graft-table").load(root)
+          .filter(col("n_chars") < 150L)
+        // in-band pin: the planned file count (scan metric, read after
+        // one probe execution OF THIS dataframe's own physical plan —
+        // count() would build a separate query execution whose scan
+        // metrics never fire) is a strict subset and agrees with the
+        // manifest's own stats predicate
+        df.queryExecution.toRdd.count()
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p +: (p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => flatten(a.executedPlan)
+            case other => other.children.flatMap(flatten)
+          })
+        val scanned = flatten(df.queryExecution.executedPlan)
+          .collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numFiles").value
+          }.getOrElse(-1L)
+        val head = VersionedTable.latestVersion(s, root).get
+        val snap = VersionedTable.snapshot(s, root, head)
+        val manifestKept = VersionedTable.statsPrunedFiles(snap.files,
+          Map("n_chars" -> (Long.MinValue, 149L))).size
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("source"), col("n_docs"), col("sum_n_chars"),
+            lit(scanned < snap.files.size).as("scan_pruned_strict"),
+            lit(scanned == manifestKept.toLong)
+              .as("scan_matches_manifest_prune"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       TRUE AS scan_pruned_strict,
+        |       TRUE AS scan_matches_manifest_prune
+        |FROM documents WHERE n_chars < 150
+        |GROUP BY source ORDER BY source""".stripMargin),
+      "The versioned table as a NATIVE Spark relation " +
+        "(spark.read.format(\"graft-table\"), Delta's architecture: a " +
+        "HadoopFsRelation over Spark's vectorized parquet scan with a " +
+        "manifest-backed FileIndex): a plain .filter(n_chars < 150) " +
+        "reaches the manifest as a Catalyst data filter and the index " +
+        "skips files through per-file column stats — no library call, " +
+        "no reader options, whole-stage codegen and parquet row-group " +
+        "pushdown intact.  In-band pins read the scan's own numFiles " +
+        "metric: it planned a strict subset AND exactly the file set " +
+        "the manifest's stats predicate computes (zone maps, string " +
+        "stats and bloom probes ride the same translation; versionAsOf " +
+        "/ timestampAsOf ride reader options).  At 100 TB this is the " +
+        "difference between 'a format only its own library can read' " +
+        "and a table any Spark job, SQL view or BI connector scans " +
+        "with file skipping for free."),
+
     // ----------------------------- two-level (grouped) manifests
     QueryDef(
       "manifest_grouped_read",

@@ -79,6 +79,11 @@ object VersionedTable {
   /** Table property naming the columns to bloom on every write. */
   val BloomColsProp = "bloom.cols"
 
+  /** Table property recording the TABLE KEY column (written once by
+    * the first append): per-file minId/maxId are this column's bounds,
+    * and manifest-only readers need the name to use them. */
+  val TableKeyProp = "table.key"
+
   /** Table property opting into TWO-LEVEL manifests: entries per file
     * group (0/absent = classic single-level root listing).  Size it so
     * a typical commit touches few groups: with 10^6 files and groups
@@ -574,6 +579,77 @@ object VersionedTable {
       }
     }
 
+  /** Manifest pruning from COMPARISON CONJUNCTS `(column, op, value)`
+    * with op in =, >, >=, <, <= and value a raw Catalyst literal
+    * (UTF8String for strings, Long for longs AND timestamps — catalyst
+    * timestamps are epoch micros, exactly what the stats record).
+    * Each conjunct consults every structure that can rule a file out:
+    * the key zone map (when `keyCol` names the conjunct's column),
+    * long/timestamp column stats, truncated string stats, and — for
+    * equality — bloom probes.  Unknown columns/missing stats keep the
+    * file; the caller's row-level filter always still runs.  This is
+    * the translation layer the graft-table connector's FileIndex feeds
+    * with Catalyst data filters. */
+  private[graft] def pruneWithBounds(snap: Snapshot,
+      keyCol: Option[String],
+      bounds: Seq[(String, String, Any)]): Seq[FileEntry] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case sh: Short => Some(sh.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def asStr(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case st: String => Some(st)
+      case _ => None
+    }
+    def rangeOk(mn: Long, mx: Long, op: String, x: Long): Boolean =
+      op match {
+        case "=" => mn <= x && mx >= x
+        case ">" => mx > x
+        case ">=" => mx >= x
+        case "<" => mn < x
+        case "<=" => mn <= x
+      }
+    def srangeOk(mn: String, mx: String, op: String, x: String): Boolean =
+      op match {
+        case "=" => mn <= x && mx >= x
+        case ">" => mx > x
+        case ">=" => mx >= x
+        case "<" => mn < x
+        case "<=" => mn <= x
+      }
+    snap.files.filter { f =>
+      bounds.forall { case (c, op, v) =>
+        val longV = asLong(v); val strV = asStr(v)
+        val keyOk = longV match {
+          case Some(x) if keyCol.contains(c) => rangeOk(f.minId, f.maxId, op, x)
+          case _ => true
+        }
+        val statOk = longV match {
+          case Some(x) =>
+            f.stats.get(c).forall { case (mn, mx) => rangeOk(mn, mx, op, x) }
+          case None => true
+        }
+        val sstatOk = strV match {
+          case Some(x) =>
+            f.sstats.get(c).forall { case (mn, mx) => srangeOk(mn, mx, op, x) }
+          case None => true
+        }
+        val bloomOk =
+          if (op == "=" && (strV.isDefined || longV.isDefined))
+            f.blooms.get(c).forall { words =>
+              bloomPositions(strV.map(x => x: Any).getOrElse(longV.get))
+                .forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
+            }
+          else true
+        keyOk && statOk && sstatOk && bloomOk
+      }
+    }
+  }
+
   /** The plan-side twin of [[normPath]]: strip the URI scheme AND any
     * authority from a path column so `_metadata.file_path` values
     * (`file:/x`, `file:///x`, `hdfs://nn:port/x`, `s3a://bucket/x`)
@@ -964,7 +1040,12 @@ object VersionedTable {
             "changed mid-commit; re-validated)")
           validated = pc
         }
-        parent.map(_.props).getOrElse(Map.empty)
+        val inherited = parent.map(_.props).getOrElse(Map.empty)
+        // self-describing manifests: record the table key once so
+        // readers that only see the root (the graft-table connector's
+        // FileIndex) can map key predicates onto minId/maxId pruning
+        if (inherited.contains(TableKeyProp)) inherited
+        else inherited + (TableKeyProp -> idCol)
       })
   }
 

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Laws of the `graft-table` Spark relation: same rows as the library
+  * read path (on Spark's own vectorized parquet scan), time travel via
+  * reader options, and MANIFEST-DRIVEN file skipping from Catalyst
+  * data filters — zone maps, column stats, string stats and blooms all
+  * reachable from a plain `.filter(...)`, conservatively (answers
+  * never change, only the planned file count). */
+class GraftTableSourceSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_gts_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, s"unique text $i", ((i * 37) % n).toLong))
+      .toDF("doc_id", "text", "score")
+  }
+
+  /** numFiles of the (single) parquet scan feeding `df`. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case other => other.children.flatMap(flatten)
+      })
+    flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec =>
+        f.metrics("numFiles").value }
+      .getOrElse(fail("no FileSourceScanExec in the plan"))
+  }
+
+  test("format(graft-table) serves the snapshot exactly (same rows " +
+    "and schema as the library read), on the stock parquet scan") {
+    val root = freshRoot("parity")
+    VersionedTable.append(spark, root, docs(100), "doc_id", 4)
+    val viaFmt = spark.read.format("graft-table").load(root)
+    val viaLib = VersionedTable.read(spark, root)
+    assert(viaFmt.schema === viaLib.schema)
+    assert(viaFmt.count() === 100)
+    assert(viaFmt.exceptAll(viaLib).count() === 0 &&
+      viaLib.exceptAll(viaFmt).count() === 0)
+  }
+
+  test("versionAsOf / timestampAsOf reader options time-travel") {
+    import spark.implicits._
+    val root = freshRoot("tt")
+    VersionedTable.append(spark, root, docs(10), "doc_id", 2)
+    Thread.sleep(5)
+    VersionedTable.merge(spark, root,
+      (10L until 15L).map(i => (i, s"u$i", 0L))
+        .toDF("doc_id", "text", "score"), "doc_id", 2)
+    assert(spark.read.format("graft-table")
+      .option("versionAsOf", "1").load(root).count() === 10)
+    assert(spark.read.format("graft-table").load(root).count() === 15)
+    val t1 = VersionedTable.snapshot(spark, root, 1).tsMillis
+    assert(spark.read.format("graft-table")
+      .option("timestampAsOf", t1.toString).load(root).count() === 10)
+  }
+
+  test("a plain .filter on the KEY prunes files through the zone map " +
+    "(table.key rides the manifest); answers unchanged") {
+    val root = freshRoot("keyprune")
+    VersionedTable.append(spark, root, docs(400), "doc_id", 8)
+    val df = spark.read.format("graft-table").load(root)
+    assert(scannedFiles(df) === 8)
+    val narrow = df.filter(col("doc_id") < 50L)
+    assert(narrow.count() === 50)
+    assert(scannedFiles(narrow) === 1,
+      "a 1/8th key slice must plan exactly one file")
+  }
+
+  test("column-stats and string-stats pruning reach a plain .filter " +
+    "after clustering; unsupported filter shapes stay safe") {
+    import spark.implicits._
+    val root = freshRoot("statprune")
+    val langs = IndexedSeq("ar", "de", "en", "fr", "zh")
+    val df0 = (0 until 400).map(i =>
+      (i.toLong, langs(i % 5), ((i * 37) % 400).toLong))
+      .toDF("doc_id", "lang", "score")
+    VersionedTable.append(spark, root, df0, "doc_id", 8)
+    VersionedTable.optimizeClusterBy(spark, root, "score", "doc_id", 8)
+    val df = spark.read.format("graft-table").load(root)
+    val byScore = df.filter(col("score") <= 49L)
+    assert(byScore.count() === 50)
+    assert(scannedFiles(byScore) < 8, "score slice must skip files")
+    // string clustering: lang predicate prunes through sstats
+    VersionedTable.optimizeClusterBy(spark, root, "lang", "doc_id", 5)
+    val df2 = spark.read.format("graft-table").load(root)
+    val byLang = df2.filter(col("lang") === "fr")
+    assert(byLang.count() === 80)
+    assert(scannedFiles(byLang) < 5, "lang slice must skip files")
+    // a shape the manifest cannot act on (contains) keeps everything
+    // and stays correct
+    val weird = df2.filter(col("lang").contains("f"))
+    assert(weird.count() === 80)
+    assert(scannedFiles(weird) === 5)
+  }
+
+  test("equality on a bloom-enrolled column prunes on an UNCLUSTERED " +
+    "layout through a plain .filter") {
+    val root = freshRoot("bloomprune")
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.BloomColsProp, "text")
+    VersionedTable.append(spark, root, docs(800), "doc_id", 8)
+    val df = spark.read.format("graft-table").load(root)
+    val hit = df.filter(col("text") === "unique text 7")
+    assert(hit.count() === 1)
+    assert(scannedFiles(hit) < 8, "bloom equality must skip files")
+  }
+
+  test("deletion-vector snapshots are rejected loudly (a raw parquet " +
+    "scan cannot mask DVs); purging restores service") {
+    val root = freshRoot("dv")
+    VersionedTable.append(spark, root, docs(40), "doc_id", 2)
+    VersionedTable.deleteMoR(spark, root, col("doc_id") < 4, "doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").load(root).count()
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    VersionedTable.purgeDeletes(spark, root, "doc_id", 2)
+    assert(spark.read.format("graft-table").load(root).count() === 36)
+  }
+}
