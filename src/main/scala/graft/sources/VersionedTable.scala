@@ -1049,6 +1049,33 @@ object VersionedTable {
       })
   }
 
+  /** INSERT OVERWRITE: commit a version whose file list REPLACES the
+    * head's entirely — previous versions stay time-travelable and
+    * vacuum-governed, exactly Delta's overwrite mode.  CHECK
+    * constraints validate the incoming batch the same way [[append]]
+    * does (an overwrite is still a row-adding write); table properties
+    * follow head lineage, so policy survives the content swap. */
+  def overwrite(s: SparkSession, root: String, df: DataFrame,
+      idCol: String, numFiles: Int,
+      txnId: Option[String] = None): Int = {
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    var validated = constraints(s, root)
+    enforceConstraints(df, validated, s"overwrite of $root")
+    val newFiles = writeFiles(s, root, df, idCol, numFiles)
+    commitManifest(s, root, "overwrite", newFiles, _ => Seq.empty, txnId,
+      propsOf = parent => {
+        val pc = parent.map(_.constraints).getOrElse(Map.empty)
+        if (pc != validated) {
+          enforceConstraints(df, pc, s"overwrite of $root (constraints " +
+            "changed mid-commit; re-validated)")
+          validated = pc
+        }
+        val inherited = parent.map(_.props).getOrElse(Map.empty)
+        if (inherited.contains(TableKeyProp)) inherited
+        else inherited + (TableKeyProp -> idCol)
+      })
+  }
+
   /** Re-run `op` (which derives file sets against the head snapshot)
     * until its commit lands on the parent it was derived from — the
     * optimistic-concurrency loop every lake format runs for mutations

@@ -1,12 +1,12 @@
 package graft.sources.v2
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.VersionedTable
@@ -44,8 +44,51 @@ import graft.sources.VersionedTable
   * footers (up to 8 sampled files merged — schema evolution within a
   * snapshot surfaces added columns; older files read them as null
   * through the same mergeSchema semantics as the library path). */
-class GraftTableSource extends RelationProvider with DataSourceRegister {
+class GraftTableSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** WRITE half: `df.write.format("graft-table").mode(...).save(root)`.
+    * Append = [[VersionedTable.append]] (constraints enforced, stats/
+    * blooms recorded, table.key self-described); Overwrite = a new
+    * version whose file list REPLACES the head — the previous history
+    * stays time-travelable, exactly Delta's overwrite; ErrorIfExists /
+    * Ignore follow their SaveMode contracts against the table's
+    * existence.  Options: `keyCol` (required for the FIRST write of a
+    * table; later writes default to the recorded `table.key`) and
+    * `numFiles` (default 8). */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val s = ctx.sparkSession
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table needs a path"))
+    val exists = VersionedTable.latestVersion(s, root).isDefined
+    val keyCol = parameters.get("keyCol")
+      .orElse(if (exists)
+        VersionedTable.snapshot(s, root,
+          VersionedTable.latestVersion(s, root).get)
+          .props.get(VersionedTable.TableKeyProp)
+      else None)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table write needs option keyCol (none recorded yet)"))
+    val numFiles = parameters.get("numFiles").map(_.toInt).getOrElse(8)
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.append(s, root, data, keyCol, numFiles)
+      case SaveMode.Overwrite =>
+        VersionedTable.overwrite(s, root, data, keyCol, numFiles)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-table at $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        VersionedTable.append(s, root, data, keyCol, numFiles)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.append(s, root, data, keyCol, numFiles)
+        else VersionedTable.latestVersion(s, root).get
+    }
+    createRelation(ctx, Map("path" -> root))
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -120,6 +120,40 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(scannedFiles(hit) < 8, "bloom equality must skip files")
   }
 
+  test("df.write.format(graft-table): Append versions, Overwrite " +
+    "replaces content but keeps history and policy, ErrorIfExists " +
+    "and the recorded keyCol behave") {
+    val root = freshRoot("write")
+    // first write needs keyCol; it is then recorded and inherited
+    docs(40).write.format("graft-table").option("keyCol", "doc_id")
+      .option("numFiles", "2").mode("append").save(root)
+    assert(VersionedTable.read(spark, root).count() === 40)
+    docs(10).select(col("doc_id") + 1000L as "doc_id", col("text"),
+      col("score")).write.format("graft-table").mode("append").save(root)
+    assert(VersionedTable.read(spark, root).count() === 50)
+    // constraints gate the connector write path too
+    VersionedTable.addConstraint(spark, root, "nonneg", "score >= 0")
+    intercept[IllegalStateException] {
+      docs(5).select(col("doc_id") + 2000L as "doc_id", col("text"),
+        negate(col("score") + 1L) as "score")
+        .write.format("graft-table").mode("append").save(root)
+    }
+    assert(VersionedTable.read(spark, root).count() === 50)
+    // overwrite: new content, history + key + constraints survive
+    docs(7).write.format("graft-table").mode("overwrite").save(root)
+    assert(VersionedTable.read(spark, root).count() === 7)
+    val head = VersionedTable.latestVersion(spark, root).get
+    assert(VersionedTable.snapshot(spark, root, head).op === "overwrite")
+    assert(VersionedTable.read(spark, root, Some(head - 1))
+      .count() === 50, "overwrite must keep history time-travelable")
+    assert(VersionedTable.constraints(spark, root).nonEmpty)
+    intercept[IllegalStateException] {
+      docs(40).write.format("graft-table").mode("errorifexists").save(root)
+    }
+    // and the round trip reads back through the same format
+    assert(spark.read.format("graft-table").load(root).count() === 7)
+  }
+
   test("deletion-vector snapshots are rejected loudly (a raw parquet " +
     "scan cannot mask DVs); purging restores service") {
     val root = freshRoot("dv")
