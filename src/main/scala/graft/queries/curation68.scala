@@ -279,6 +279,50 @@ object Curation68Queries {
         "false-positive file reads instead of a full scan, on any " +
         "layout, for KBs of manifest."),
 
+    // -------------------- connector write path: overwrite + reread
+    QueryDef(
+      "connector_write_roundtrip",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabconnw") { r =>
+          // Append then history-preserving Overwrite, both through the
+          // public DataFrameWriter surface
+          Tables.documents(s, d).filter(col("doc_id") < 10)
+            .write.format("graft-table").option("keyCol", "doc_id")
+            .option("numFiles", "2").mode("append").save(r)
+          Tables.documents(s, d)
+            .write.format("graft-table").mode("overwrite").save(r)
+          ()
+        }
+        val head = VersionedTable.latestVersion(s, root).get
+        val snap = VersionedTable.snapshot(s, root, head)
+        val v1Rows = VersionedTable.snapshot(s, root, 1).rows
+        s.read.format("graft-table").load(root)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(snap.op).as("op"),
+            lit(v1Rows == 10L).as("history_time_travels"),
+            lit(snap.props.get(VersionedTable.TableKeyProp)
+              .contains("doc_id")).as("key_recorded"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       'overwrite' AS op, TRUE AS history_time_travels,
+        |       TRUE AS key_recorded
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "The connector WRITE path end to end through the public " +
+        "DataFrameWriter surface: an Append creates the table " +
+        "(recording its key as the table.key property), a mode= " +
+        "overwrite commits a version whose file list replaces the " +
+        "head, and the reread through the same format hash-matches " +
+        "the corpus — while the in-band pins prove the pre-overwrite " +
+        "version is still time-travelable (Delta's overwrite: content " +
+        "swaps, history and policy stay).  A user of the reference " +
+        "can produce AND consume the table format with nothing but " +
+        "spark.read/write.format calls."),
+
     // ------------------------------------- DESCRIBE HISTORY audit
     QueryDef(
       "table_history_audit",

@@ -107,7 +107,8 @@ class ConstraintSpec extends SparkSpec {
     VersionedTable.setProperty(spark, root, "owner", "curation") // v3
     assert(VersionedTable.snapshot(spark, root, 1).constraints.isEmpty)
     assert(VersionedTable.snapshot(spark, root, 3).props ===
-      Map("constraint.nonneg" -> "score >= 0", "owner" -> "curation"))
+      Map("constraint.nonneg" -> "score >= 0", "owner" -> "curation",
+        "table.key" -> "doc_id")) // table.key self-recorded by append
     // restore to v1: content of v1, but the constraint STAYS in force
     VersionedTable.restore(spark, root, 1) // v4
     assert(VersionedTable.read(spark, root).count() === 10)
