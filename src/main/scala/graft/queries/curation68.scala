@@ -5,16 +5,22 @@ import org.apache.spark.sql.SparkSession
 import graft.{QueryDef, Scratch, Tables}
 import graft.sources.VersionedTable
 
-/** Batch 68: table GOVERNANCE on the versioned table — CHECK
-  * constraints as versioned manifest metadata enforced on every
-  * row-adding write, and the DESCRIBE HISTORY audit surface over
-  * commit metadata.  The 100 TB story: a curated training corpus is
-  * written by many pipelines; the TABLE, not each writer's good
-  * intentions, must be what rejects a batch of negative lengths or
-  * null languages (Delta's CHECK constraints exist for exactly this),
-  * and the audit trail of what changed it — op, counts, constraint
-  * cardinality per version — must be one manifest-only query, never a
-  * data scan. */
+/** Batch 68: table GOVERNANCE and NATIVE-SPARK ACCESS on the
+  * versioned table — CHECK constraints as versioned manifest metadata
+  * enforced on every row-adding write, the DESCRIBE HISTORY audit
+  * surface over commit metadata, per-file bloom filters for
+  * unclustered point lookups, two-level (grouped) manifests bounding
+  * commit I/O, and the graft-table Spark relation (read with
+  * manifest-driven file skipping from plain .filter predicates, write
+  * with history-preserving overwrite).  The 100 TB story: a curated
+  * training corpus is written by many pipelines — the TABLE, not each
+  * writer's good intentions, must reject a batch of negative lengths
+  * (Delta's CHECK constraints exist for exactly this); the audit
+  * trail must cost manifest reads, never scans; point lookups must
+  * skip files on any layout; commits must write what changed, not
+  * re-list a million entries; and any Spark job must be able to read
+  * and write the format without this library on its classpath beyond
+  * the connector. */
 object Curation68Queries {
 
   /** documents loaded under two CHECK constraints. */
