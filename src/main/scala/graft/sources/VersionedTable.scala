@@ -296,6 +296,49 @@ object VersionedTable {
     snap
   }
 
+  /** GROUP-LEVEL pruned snapshot resolution: parse the root manifest
+    * and resolve ONLY the groups whose key-range aggregate intersects
+    * `idRange` — the read-side payoff of the two-level layout.  A
+    * key-sliced read of a 10^6-file table then opens the root plus
+    * the few intersecting group sidecars instead of all ~100: driver
+    * I/O proportional to the slice, not the table
+    * (GroupedManifestSpec proves it by DELETING the irrelevant group
+    * files and reading anyway).  Sound because a group's minId/maxId
+    * bound every member's (writeGroup computes them from the
+    * entries); files the slice cannot touch are simply absent from
+    * the partial snapshot, exactly like file-level zone-map pruning.
+    * The result is NOT cached (it is not the full snapshot). */
+  def snapshotPruned(s: SparkSession, root: String, v: Int,
+      idLo: Long, idHi: Long): Snapshot = {
+    val fs = fileSystem(s, root)
+    val in = fs.open(manifestPath(root, v))
+    val node = try new ObjectMapper().readTree(in) finally in.close()
+    val filesNode = node.get("files")
+    val loose = (0 until filesNode.size()).map(i =>
+      parseEntry(filesNode.get(i)))
+      .filter(f => f.maxId >= idLo && f.minId <= idHi)
+    val groups = Option(node.get("groups")).map { gn =>
+      (0 until gn.size()).flatMap { i =>
+        val g = gn.get(i)
+        val ref = GroupRef(g.get("path").asText(), g.get("n").asInt(),
+          g.get("rows").asLong(), g.get("minId").asLong(),
+          g.get("maxId").asLong())
+        if (ref.maxId >= idLo && ref.minId <= idHi)
+          Some(ref -> readGroup(s, root, ref.path)
+            .filter(f => f.maxId >= idLo && f.minId <= idHi))
+        else None
+      }.toSeq
+    }.getOrElse(Seq.empty)
+    val props = Option(node.get("props")).map { pn =>
+      import scala.jdk.CollectionConverters._
+      pn.fieldNames().asScala.map(k => k -> pn.get(k).asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    Snapshot(node.get("version").asInt(), node.get("op").asText(),
+      loose ++ groups.flatMap(_._2),
+      Option(node.get("txn")).map(_.asText()), props,
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L), groups)
+  }
+
   /** Parse one manifest/group file entry.  "dv", "stats", "sstats" and
     * "bloom" are optional: pre-feature manifests (and files never
     * touched by the respective feature) simply lack them. */
@@ -503,7 +546,20 @@ object VersionedTable {
       eqs: Map[String, Any] = Map.empty): DataFrame = {
     val v = version.orElse(latestVersion(s, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val snap = snapshot(s, root, v)
+    // a key-sliced read of a two-level table resolves only the GROUPS
+    // the slice can touch (group refs carry key aggregates) — unless
+    // the full snapshot is already parsed and cached, in which case
+    // filtering the cache is free
+    val snap = idRange match {
+      case Some((lo, hi)) if snapCache.get((root, v)) == null =>
+        // fall back to the retrying full resolver if the manifest is
+        // still publishing (the pruned path is an I/O optimization,
+        // never a change in read semantics)
+        try snapshotPruned(s, root, v, lo, hi)
+        catch { case _: java.io.FileNotFoundException =>
+          snapshot(s, root, v) }
+      case _ => snapshot(s, root, v)
+    }
     val kept = bloomPrunedFiles(statsPrunedFiles(
       idRange match {
         case None => snap.files

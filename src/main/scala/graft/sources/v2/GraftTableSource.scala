@@ -45,8 +45,35 @@ import graft.sources.VersionedTable
   * snapshot surfaces added columns; older files read them as null
   * through the same mergeSchema semantics as the library path). */
 class GraftTableSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** STREAMING sink half: `df.writeStream.format("graft-table")` —
+    * every micro-batch upserts as one table version, exactly-once
+    * through the table's transaction ledger (txn id derived from the
+    * CHECKPOINT location + batch id, so a restart from the same
+    * checkpoint re-committing a batch is a no-op, while a different
+    * query writing the same table keeps its own id space).  The first
+    * batch on a fresh root loads the table; `orderCol` opts into
+    * keep-last resolution of multi-event-per-key batches, exactly
+    * [[graft.streaming.VersionedSink.upsertStream]]'s contract behind
+    * the standard writeStream surface. */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table needs a path"))
+    val keyCol = parameters.getOrElse("keyCol",
+      throw new IllegalArgumentException(
+        "graft-table streaming sink needs option keyCol"))
+    val numFiles = parameters.get("numFiles").map(_.toInt).getOrElse(8)
+    val ns = parameters.getOrElse("checkpointLocation", root)
+    new GraftStreamSink(root, keyCol, numFiles, ns,
+      parameters.get("orderCol"))
+  }
 
   /** WRITE half: `df.write.format("graft-table").mode(...).save(root)`.
     * Append = [[VersionedTable.append]] (constraints enforced, stats/
@@ -128,6 +155,39 @@ class GraftTableSource extends RelationProvider
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"timestampAsOf $t precedes the first kept commit of $root"))
   }
+}
+
+/** The per-batch commit half of the streaming sink: upsert the
+  * micro-batch with a checkpoint-derived txn id, so Structured
+  * Streaming's at-least-once replay meets the table's exactly-once
+  * ledger — the same construction as
+  * [[graft.streaming.VersionedSink.upsertStream]]. */
+final class GraftStreamSink(root: String, keyCol: String,
+    numFiles: Int, txnNamespace: String, orderCol: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val s = data.sparkSession
+    // `data` carries the micro-batch behind a STREAMING logical plan;
+    // planning new queries over it (the merge's joins) would trip the
+    // batch-query checker, so rebase the ALREADY-PLANNED execution
+    // onto a batch LogicalRDD first — the same conversion
+    // ForeachBatchSink applies before handing users their DataFrame
+    val batch = org.apache.spark.sql.GraftShims
+      .streamingBatchToBatchDF(data)
+    val txn = Some(s"graft-table#$txnNamespace#$batchId")
+    if (!batch.isEmpty) {
+      if (VersionedTable.latestVersion(s, root).isEmpty)
+        VersionedTable.append(s, root,
+          VersionedTable.dedupeKeepLast(batch, keyCol, orderCol),
+          keyCol, numFiles, op = "load", txnId = txn)
+      else
+        VersionedTable.merge(s, root, batch, keyCol, numFiles,
+          txnId = txn, orderCol = orderCol)
+      ()
+    }
+  }
+  override def toString: String = s"GraftStreamSink($root)"
 }
 
 /** One snapshot's manifest as a [[FileIndex]]: `listFiles` receives

@@ -154,6 +154,46 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-table").load(root).count() === 7)
   }
 
+  test("df.writeStream.format(graft-table): micro-batches become " +
+    "versions exactly-once across restarts, through the standard " +
+    "writeStream surface") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gts_stream").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"; val root = s"$dir/table"
+    new java.io.File(src).mkdirs()
+    def start() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+      .writeStream.format("graft-table")
+      .option("path", root).option("keyCol", "doc_id")
+      .option("numFiles", "2")
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(VersionedTable.read(spark, root).count() === 10)
+    // restart + overlapping keys: upsert, no double-apply
+    (5L until 15L).map(i => (i, s"u$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val head = VersionedTable.read(spark, root)
+    assert(head.count() === 15)
+    assert(head.filter(col("text").startsWith("u")).count() === 10)
+    // the committed batch carries a checkpoint-derived txn id, so a
+    // replay of the same txn is a no-op
+    val v = VersionedTable.latestVersion(spark, root).get
+    val txn = VersionedTable.snapshot(spark, root, v).txnId.get
+    assert(txn.startsWith("graft-table#"))
+    assert(VersionedTable.merge(spark, root,
+      Seq((5L, "REPLAY")).toDF("doc_id", "text"), "doc_id", 2,
+      txnId = Some(txn)) === v)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("text") === "REPLAY").count() === 0)
+    ()
+  }
+
   test("deletion-vector snapshots are rejected loudly (a raw parquet " +
     "scan cannot mask DVs); purging restores service") {
     val root = freshRoot("dv")

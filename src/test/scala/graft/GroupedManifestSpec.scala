@@ -91,6 +91,46 @@ class GroupedManifestSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 160)
   }
 
+  test("GROUP-LEVEL pruning: a key-sliced read resolves only the " +
+    "intersecting group sidecars — proven by deleting the others " +
+    "from disk and reading the slice anyway") {
+    val root = grouped("gprune", 160, 16, 4)
+    // refs straight from the manifest JSON — resolving via snapshot()
+    // here would cache every group and mask a broken pruner
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      s"$root/_versions/v000002.json"))
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(in) finally in.close()
+    val gn = node.get("groups")
+    val refs = (0 until gn.size()).map { i =>
+      val g = gn.get(i)
+      (g.get("path").asText(), g.get("minId").asLong(),
+        g.get("maxId").asLong())
+    }
+    // the slice [0, 9] intersects exactly one group; physically
+    // DELETE every other group's sidecar — an eager resolver crashes
+    val (touch, others) = refs.partition { case (_, mn, mx) =>
+      mx >= 0L && mn <= 9L }
+    assert(touch.size === 1 && others.size === 3)
+    others.foreach { case (p, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false) }
+    // the sliced read works end-to-end (read() routes an idRange on
+    // an uncached snapshot through snapshotPruned)
+    assert(VersionedTable.read(spark, root, idRange = Some((0L, 9L)))
+      .filter(col("doc_id") <= 9L).count() === 10)
+    val pruned = VersionedTable.snapshotPruned(spark, root, 2, 0L, 9L)
+    assert(pruned.groups.size === 1 &&
+      pruned.files.forall(f => f.maxId >= 0L && f.minId <= 9L))
+    // and the FULL resolution really would have needed the deleted
+    // sidecars — the pruner demonstrably never opened them
+    intercept[java.io.FileNotFoundException] {
+      VersionedTable.snapshot(spark, root, 2)
+    }
+  }
+
   test("vacuum GCs group sidecars referenced by no kept manifest and " +
     "keeps the referenced ones; clones survive a source vacuum") {
     val root = grouped("gc", 160, 16, 4)
