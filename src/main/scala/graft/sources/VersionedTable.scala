@@ -313,6 +313,12 @@ object VersionedTable {
     val fs = fileSystem(s, root)
     val in = fs.open(manifestPath(root, v))
     val node = try new ObjectMapper().readTree(in) finally in.close()
+    if (node == null || node.get("files") == null)
+      // still publishing on a store without atomic rename visibility:
+      // surface as not-found so the caller falls back to the RETRYING
+      // full resolver rather than half-parsing
+      throw new java.io.FileNotFoundException(
+        s"manifest v$v of $root not fully visible yet")
     val filesNode = node.get("files")
     val loose = (0 until filesNode.size()).map(i =>
       parseEntry(filesNode.get(i)))
