@@ -308,8 +308,20 @@ object VersionedTable {
     * entries); files the slice cannot touch are simply absent from
     * the partial snapshot, exactly like file-level zone-map pruning.
     * The result is NOT cached (it is not the full snapshot). */
-  def snapshotPruned(s: SparkSession, root: String, v: Int,
-      idLo: Long, idHi: Long): Snapshot = {
+  /** The parsed ROOT of a manifest with group entries UNRESOLVED —
+    * cached like snapshots (manifests are immutable), so repeated
+    * sliced reads re-pay neither the root parse nor (via
+    * [[groupCache]]) any group they already touched. */
+  private final case class ManifestRoot(version: Int, op: String,
+      loose: IndexedSeq[FileEntry], refs: IndexedSeq[GroupRef],
+      txnId: Option[String], props: Map[String, String], tsMillis: Long)
+  private val rootCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), ManifestRoot]()
+
+  private def manifestRoot(s: SparkSession, root: String, v: Int)
+      : ManifestRoot = {
+    val cached = rootCache.get((root, v))
+    if (cached != null) return cached
     val fs = fileSystem(s, root)
     val in = fs.open(manifestPath(root, v))
     val node = try new ObjectMapper().readTree(in) finally in.close()
@@ -322,27 +334,48 @@ object VersionedTable {
     val filesNode = node.get("files")
     val loose = (0 until filesNode.size()).map(i =>
       parseEntry(filesNode.get(i)))
-      .filter(f => f.maxId >= idLo && f.minId <= idHi)
-    val groups = Option(node.get("groups")).map { gn =>
-      (0 until gn.size()).flatMap { i =>
+    val refs = Option(node.get("groups")).map { gn =>
+      (0 until gn.size()).map { i =>
         val g = gn.get(i)
-        val ref = GroupRef(g.get("path").asText(), g.get("n").asInt(),
+        GroupRef(g.get("path").asText(), g.get("n").asInt(),
           g.get("rows").asLong(), g.get("minId").asLong(),
           g.get("maxId").asLong())
-        if (ref.maxId >= idLo && ref.minId <= idHi)
-          Some(ref -> readGroup(s, root, ref.path)
-            .filter(f => f.maxId >= idLo && f.minId <= idHi))
-        else None
-      }.toSeq
-    }.getOrElse(Seq.empty)
+      }
+    }.getOrElse(IndexedSeq.empty)
     val props = Option(node.get("props")).map { pn =>
       import scala.jdk.CollectionConverters._
       pn.fieldNames().asScala.map(k => k -> pn.get(k).asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    Snapshot(node.get("version").asInt(), node.get("op").asText(),
-      loose ++ groups.flatMap(_._2),
+    val parsed = ManifestRoot(node.get("version").asInt(),
+      node.get("op").asText(), loose, refs,
       Option(node.get("txn")).map(_.asText()), props,
-      Option(node.get("ts")).map(_.asLong()).getOrElse(0L), groups)
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
+    if (rootCache.size() < 65536) rootCache.put((root, v), parsed)
+    parsed
+  }
+
+  def snapshotPruned(s: SparkSession, root: String, v: Int,
+      idLo: Long, idHi: Long): Snapshot = {
+    // a fully-resolved cached snapshot filters for free
+    val full = snapCache.get((root, v))
+    if (full != null)
+      return Snapshot(full.version, full.op,
+        full.files.filter(f => f.maxId >= idLo && f.minId <= idHi),
+        full.txnId, full.props, full.tsMillis,
+        full.groups.collect {
+          case (ref, entries) if ref.maxId >= idLo && ref.minId <= idHi =>
+            ref -> entries.filter(f => f.maxId >= idLo && f.minId <= idHi)
+        })
+    val mr = manifestRoot(s, root, v)
+    val loose = mr.loose.filter(f => f.maxId >= idLo && f.minId <= idHi)
+    val groups = mr.refs.flatMap { ref =>
+      if (ref.maxId >= idLo && ref.minId <= idHi)
+        Some(ref -> readGroup(s, root, ref.path)
+          .filter(f => f.maxId >= idLo && f.minId <= idHi))
+      else None
+    }
+    Snapshot(mr.version, mr.op, loose ++ groups.flatMap(_._2),
+      mr.txnId, mr.props, mr.tsMillis, groups.toSeq)
   }
 
   /** Parse one manifest/group file entry.  "dv", "stats", "sstats" and
@@ -2119,6 +2152,7 @@ object VersionedTable {
     doomedVersions.foreach { v =>
       fs.delete(manifestPath(root, v), false)
       snapCache.remove((root, v))
+      rootCache.remove((root, v))
     }
     // GROUP GC: a group sidecar referenced by no kept manifest (its
     // manifests were reclaimed above, or it was orphaned by a lost CAS
