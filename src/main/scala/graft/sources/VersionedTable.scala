@@ -84,6 +84,44 @@ object VersionedTable {
     * and manifest-only readers need the name to use them. */
   val TableKeyProp = "table.key"
 
+  /** Table property carrying the table's LOGICAL SCHEMA as JSON,
+    * maintained by every row-adding write (evolution widens it by
+    * appending new fields, mergeSchema-style).  Manifest-only readers
+    * — the graft-table connector above all — get the exact schema in
+    * O(1) instead of a footer sweep over every data file; Delta keeps
+    * the schema in its log for the same reason. */
+  val TableSchemaProp = "table.schema"
+
+  /** Widen the recorded schema with any fields `df` adds (never
+    * narrows: a projection-shaped batch must not hide columns from
+    * readers — old files still carry them). */
+  private def schemaProp(inherited: Map[String, String],
+      df: DataFrame): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    // record the NULLABLE form: a parquet roundtrip reads every field
+    // nullable (and evolution null-backfills old files), so this is
+    // the schema readers actually observe
+    def nullify(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        ArrayType(nullify(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(nullify(mt.keyType), nullify(mt.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    val incoming = nullify(df.schema).asInstanceOf[StructType]
+    val merged = inherited.get(TableSchemaProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .map { old =>
+        StructType(old.fields ++
+          incoming.fields.filterNot(f => old.fieldNames.contains(f.name)))
+      }
+      .getOrElse(incoming)
+    inherited + (TableSchemaProp -> merged.json)
+  }
+
   /** Table property opting into TWO-LEVEL manifests: entries per file
     * group (0/absent = classic single-level root listing).  Size it so
     * a typical commit touches few groups: with 10^6 files and groups
@@ -1138,9 +1176,11 @@ object VersionedTable {
         val inherited = parent.map(_.props).getOrElse(Map.empty)
         // self-describing manifests: record the table key once so
         // readers that only see the root (the graft-table connector's
-        // FileIndex) can map key predicates onto minId/maxId pruning
-        if (inherited.contains(TableKeyProp)) inherited
-        else inherited + (TableKeyProp -> idCol)
+        // FileIndex) can map key predicates onto minId/maxId pruning,
+        // and keep the logical schema current (widened on evolution)
+        schemaProp(
+          if (inherited.contains(TableKeyProp)) inherited
+          else inherited + (TableKeyProp -> idCol), df)
       })
   }
 
@@ -1166,8 +1206,9 @@ object VersionedTable {
           validated = pc
         }
         val inherited = parent.map(_.props).getOrElse(Map.empty)
-        if (inherited.contains(TableKeyProp)) inherited
-        else inherited + (TableKeyProp -> idCol)
+        schemaProp(
+          if (inherited.contains(TableKeyProp)) inherited
+          else inherited + (TableKeyProp -> idCol), df)
       })
   }
 
@@ -1397,7 +1438,10 @@ object VersionedTable {
           .unionByName(upserts, allowMissingColumns = true)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
-        requireParent = Some(parentV))
+        requireParent = Some(parentV),
+        // an evolved upsert batch widens the recorded schema
+        propsOf = p => schemaProp(
+          p.map(_.props).getOrElse(Map.empty), upserts))
     }
   }
 

@@ -40,10 +40,11 @@ import graft.sources.VersionedTable
   * DELETION-VECTOR snapshots are rejected loudly: a raw parquet scan
   * cannot mask DV'd rows (Delta needed a custom FileFormat for
   * exactly this), so the connector demands `purgeDeletes` first or
-  * the library read path.  Schema comes from the snapshot's parquet
-  * footers (up to 8 sampled files merged — schema evolution within a
-  * snapshot surfaces added columns; older files read them as null
-  * through the same mergeSchema semantics as the library path). */
+  * the library read path.  Schema comes from the manifest's
+  * `table.schema` property in O(1) (maintained by every row-adding
+  * commit, widened on evolution so older files surface added columns
+  * as null); pre-property history falls back to a mergeSchema footer
+  * sweep. */
 class GraftTableSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
@@ -122,17 +123,9 @@ class GraftTableSource extends RelationProvider
     val s = ctx.sparkSession
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table needs a path"))
-    val df = VersionedTable.readOptions(s, root,
-      parameters.filter { case (k, _) =>
-        k == "versionAsOf" || k == "timestampAsOf" })
-    // readOptions resolved the version for us; re-derive it for the
-    // index (cheap, cached) rather than threading internals out
     val v = parameters.get("versionAsOf").map(_.toInt)
-      .orElse(parameters.get("timestampAsOf").map(_ =>
-        // timestampAsOf resolution is deterministic; recompute via the
-        // public surface by matching the resolved row count is fragile —
-        // resolve again through readOptions' own rule
-        resolveTs(s, root, parameters("timestampAsOf"))))
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        resolveTs(s, root, t)))
       .orElse(VersionedTable.latestVersion(s, root))
       .getOrElse(throw new IllegalStateException(
         s"no committed version under $root"))
@@ -141,8 +134,20 @@ class GraftTableSource extends RelationProvider
       s"graft-table cannot serve v$v of $root: snapshot carries " +
         "deletion vectors a raw parquet scan cannot mask — run " +
         "purgeDeletes first or read via VersionedTable.read")
+    // schema: O(1) from the manifest's table.schema property (written
+    // by every row-adding commit, widened on evolution); pre-property
+    // history falls back to a full mergeSchema footer sweep — correct,
+    // just not O(1)
+    val schema = snap.props.get(VersionedTable.TableSchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse {
+        if (snap.files.isEmpty) new StructType()
+        else s.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(_.path): _*).schema
+      }
     val index = new GraftFileIndex(s, root, snap)
-    HadoopFsRelation(index, new StructType(), df.schema, None,
+    HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(),
       Map("mergeSchema" -> "true"))(s)
   }

@@ -106,9 +106,12 @@ class ConstraintSpec extends SparkSpec {
     VersionedTable.addConstraint(spark, root, "nonneg", "score >= 0") // v2
     VersionedTable.setProperty(spark, root, "owner", "curation") // v3
     assert(VersionedTable.snapshot(spark, root, 1).constraints.isEmpty)
-    assert(VersionedTable.snapshot(spark, root, 3).props ===
-      Map("constraint.nonneg" -> "score >= 0", "owner" -> "curation",
-        "table.key" -> "doc_id")) // table.key self-recorded by append
+    val p3 = VersionedTable.snapshot(spark, root, 3).props
+    assert(p3("constraint.nonneg") === "score >= 0")
+    assert(p3("owner") === "curation")
+    assert(p3("table.key") === "doc_id") // self-recorded by append
+    assert(p3.contains("table.schema")) // self-recorded schema JSON
+    assert(p3.size === 4, s"unexpected extra props: ${p3.keySet}")
     // restore to v1: content of v1, but the constraint STAYS in force
     VersionedTable.restore(spark, root, 1) // v4
     assert(VersionedTable.read(spark, root).count() === 10)

@@ -120,6 +120,27 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(scannedFiles(hit) < 8, "bloom equality must skip files")
   }
 
+  test("the manifest carries the logical schema: O(1) for the " +
+    "connector, widened by an evolved merge, old rows null-backfilled") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    VersionedTable.append(spark, root, docs(20), "doc_id", 2)
+    val recorded = VersionedTable.snapshot(spark, root, 1)
+      .props(VersionedTable.TableSchemaProp)
+    assert(org.apache.spark.sql.types.DataType.fromJson(recorded)
+      === VersionedTable.read(spark, root).schema)
+    // evolved merge adds a column -> recorded schema widens
+    VersionedTable.merge(spark, root,
+      Seq((0L, "e0", 1L, 9L)).toDF("doc_id", "text", "score", "quality"),
+      "doc_id", 1)
+    val df = spark.read.format("graft-table").load(root)
+    assert(df.schema.fieldNames.contains("quality"))
+    assert(df.count() === 20)
+    assert(df.filter(col("quality").isNull).count() === 19,
+      "pre-evolution rows must read the new column as null")
+    assert(df.filter(col("quality") === 9L).count() === 1)
+  }
+
   test("df.write.format(graft-table): Append versions, Overwrite " +
     "replaces content but keeps history and policy, ErrorIfExists " +
     "and the recorded keyCol behave") {
