@@ -73,7 +73,9 @@ class GraftTableSource extends RelationProvider
     val numFiles = parameters.get("numFiles").map(_.toInt).getOrElse(8)
     val ns = parameters.getOrElse("checkpointLocation", root)
     new GraftStreamSink(root, keyCol, numFiles, ns,
-      parameters.get("orderCol"))
+      parameters.get("orderCol"),
+      parameters.get("autoCompactEvery").map(_.toInt),
+      parameters.get("autoCompactMinRows").map(_.toLong))
   }
 
   /** WRITE half: `df.write.format("graft-table").mode(...).save(root)`.
@@ -168,7 +170,9 @@ class GraftTableSource extends RelationProvider
   * ledger — the same construction as
   * [[graft.streaming.VersionedSink.upsertStream]]. */
 final class GraftStreamSink(root: String, keyCol: String,
-    numFiles: Int, txnNamespace: String, orderCol: Option[String])
+    numFiles: Int, txnNamespace: String, orderCol: Option[String],
+    autoCompactEvery: Option[Int] = None,
+    autoCompactMinRows: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
@@ -189,6 +193,18 @@ final class GraftStreamSink(root: String, keyCol: String,
       else
         VersionedTable.merge(s, root, batch, keyCol, numFiles,
           txnId = txn, orderCol = orderCol)
+      // AUTO-COMPACTION (Delta's autoCompact, opt-in): a steady
+      // micro-batch trickle writes small files forever; every Nth
+      // batch bin-packs files under the threshold back to the target
+      // count.  Runs AFTER the batch's commit (never blocks its txn),
+      // is itself a normal commit under the optimistic-concurrency
+      // loop, and is idempotent by construction — optimize on an
+      // already-compact table is a no-op that commits nothing.
+      autoCompactEvery.foreach { n =>
+        if (n > 0 && batchId % n == (n - 1))
+          VersionedTable.optimize(s, root,
+            autoCompactMinRows.getOrElse(1000L), keyCol, numFiles)
+      }
       ()
     }
   }

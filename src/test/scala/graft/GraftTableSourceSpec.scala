@@ -215,6 +215,43 @@ class GraftTableSourceSpec extends SparkSpec {
     ()
   }
 
+  test("streaming autoCompact bounds the small-file count: a trickle " +
+    "of tiny batches stays at the target file count, rows exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_gts_compact").toString
+    val src = s"$dir/src"; val chk = s"$dir/chk"; val root = s"$dir/table"
+    new java.io.File(src).mkdirs()
+    def start() = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(src)
+      .writeStream.format("graft-table")
+      .option("path", root).option("keyCol", "doc_id")
+      .option("numFiles", "2")
+      .option("autoCompactEvery", "3")
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    val q = start()
+    // 6 tiny single-file batches: without compaction the table would
+    // accrete ~12 small files; every 3rd batch bin-packs to 2
+    (0 until 6).foreach { k =>
+      (k * 10 until (k + 1) * 10).map(i => (i.toLong, s"t$i"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(VersionedTable.read(spark, root).count() === 60)
+    val head = VersionedTable.latestVersion(spark, root).get
+    val files = VersionedTable.snapshot(spark, root, head).files
+    assert(files.size <= 4,
+      s"autoCompact must bound the file count, got ${files.size}")
+    // compaction commits appear in the history as 'optimize'
+    assert(VersionedTable.history(spark, root)
+      .filter(col("op") === "optimize").count() >= 1)
+    ()
+  }
+
   test("deletion-vector snapshots are rejected loudly (a raw parquet " +
     "scan cannot mask DVs); purging restores service") {
     val root = freshRoot("dv")
