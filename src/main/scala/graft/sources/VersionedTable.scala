@@ -59,11 +59,18 @@ object VersionedTable {
     * table key column the masked values belong to. */
   final case class DvRef(path: String, rows: Long, key: String)
 
+  /** `bytes` is the data file's on-disk size, recorded at write time
+    * (0 for pre-feature manifests): split planning and the connector's
+    * FileIndex need lengths, and reading them from the manifest is
+    * O(0) filesystem RPCs where a per-file getFileStatus sweep is
+    * O(files) round-trips — Delta records `size` per AddFile for the
+    * same reason. */
   final case class FileEntry(path: String, rows: Long, minId: Long,
       maxId: Long, dv: Option[DvRef] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
       sstats: Map[String, (String, String)] = Map.empty,
-      blooms: Map[String, IndexedSeq[Long]] = Map.empty) {
+      blooms: Map[String, IndexedSeq[Long]] = Map.empty,
+      bytes: Long = 0L) {
     /** Rows a reader actually sees: physical minus DV-masked. */
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
@@ -448,7 +455,8 @@ object VersionedTable {
     }.getOrElse(Map.empty[String, IndexedSeq[Long]])
     FileEntry(f.get("path").asText(), f.get("rows").asLong(),
       f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
-      sstats, blooms)
+      sstats, blooms,
+      Option(f.get("bytes")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Serialize one entry into a manifest/group "files" array. */
@@ -458,6 +466,7 @@ object VersionedTable {
     val o = arr.addObject()
     o.put("path", f.path); o.put("rows", f.rows)
     o.put("minId", f.minId); o.put("maxId", f.maxId)
+    if (f.bytes > 0L) o.put("bytes", f.bytes)
     f.dv.foreach { d =>
       val dn = o.putObject("dv")
       dn.put("path", d.path); dn.put("rows", d.rows)
@@ -987,6 +996,16 @@ object VersionedTable {
               lit(BloomBits.toLong))))
       }
     }
+    // one directory listing for the just-written files' sizes (split
+    // planning and the connector FileIndex read them from the
+    // manifest; a per-file status sweep would be O(files) RPCs)
+    val sizes: Map[String, Long] = {
+      val fs = fileSystem(s, root)
+      fs.listStatus(new Path(dir)).toSeq.filter(_.isFile)
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .map(st => normPath(st.getPath.toString) -> st.getLen).toMap
+    }
     val aggs = Seq(min(col(idCol)).as("minId"),
       max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs ++
       bloomCols.flatMap { c =>
@@ -1031,7 +1050,8 @@ object VersionedTable {
         }.toMap
         FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
           r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats,
-          sstats, blooms)
+          sstats, blooms,
+          sizes.getOrElse(normPath(r.getAs[String]("path")), 0L))
       }
       .toSeq.sortBy(_.path)
   }

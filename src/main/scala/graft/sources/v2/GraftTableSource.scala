@@ -220,12 +220,18 @@ final class GraftFileIndex(s: SparkSession, root: String,
   private val keyCol: Option[String] = snap.props.get(
     VersionedTable.TableKeyProp)
 
-  // one status probe per file, memoized: sizeInBytes and the scan's
-  // split planning both need lengths
+  // file lengths come from the MANIFEST (recorded at write time), so
+  // relation build costs ZERO per-file filesystem RPCs; pre-feature
+  // entries (bytes = 0) fall back to one memoized status probe each
   private lazy val statuses: Map[String, FileStatus] = {
-    val fs = FileSystem.get(new Path(root).toUri,
+    lazy val fs = FileSystem.get(new Path(root).toUri,
       s.sparkContext.hadoopConfiguration)
-    snap.files.map(f => f.path -> fs.getFileStatus(new Path(f.path))).toMap
+    snap.files.map { f =>
+      f.path -> (if (f.bytes > 0L)
+        new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L,
+          new Path(f.path))
+      else fs.getFileStatus(new Path(f.path)))
+    }.toMap
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))

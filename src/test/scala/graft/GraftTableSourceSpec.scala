@@ -51,6 +51,15 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(viaFmt.count() === 100)
     assert(viaFmt.exceptAll(viaLib).count() === 0 &&
       viaLib.exceptAll(viaFmt).count() === 0)
+    // manifest-recorded file sizes match the filesystem, so split
+    // planning needs zero per-file status RPCs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    VersionedTable.snapshot(spark, root, 1).files.foreach { f =>
+      assert(f.bytes === fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(f.path)).getLen)
+    }
   }
 
   test("versionAsOf / timestampAsOf reader options time-travel") {
