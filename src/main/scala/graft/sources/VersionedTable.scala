@@ -1262,11 +1262,23 @@ object VersionedTable {
   private def enforceConstraints(df: DataFrame,
       cs: Map[String, String], what: String): Unit = if (cs.nonEmpty) {
     val names = cs.keys.toSeq.sorted
+    // a constraint may reference a column this batch does not carry
+    // (a pre-evolution-shaped append to a table whose constraint names
+    // an evolved column): the column reads as NULL for these rows, so
+    // the predicate is UNKNOWN and PASSES — null-fill the missing
+    // references instead of throwing AnalysisException, matching what
+    // the same rows evaluate to after they land
+    val referenced = names.flatMap(n =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(cs(n)).references.map(_.name)).distinct
+    val present = df.columns.toSet
+    val padded = referenced.filterNot(present).foldLeft(df)(
+      (acc, c) => acc.withColumn(c, lit(null)))
     val aggs = names.map { n =>
       sum(when(!coalesce(expr(cs(n)).cast("boolean"), lit(true)), 1L)
         .otherwise(0L)).as(s"__viol_$n")
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val r = padded.agg(aggs.head, aggs.tail: _*).collect().head
     val bad = names.flatMap { n =>
       val c = r.getAs[Any](s"__viol_$n")
       val cnt = if (c == null) 0L else c.asInstanceOf[Long]

@@ -98,6 +98,31 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("a constraint on an EVOLUTION-ADDED column: batches not " +
+    "carrying the column pass (their rows read it as NULL), batches " +
+    "carrying violations still fail") {
+    import spark.implicits._
+    val root = freshRoot("evocons")
+    VersionedTable.append(spark, root, docs(10), "doc_id", 2)
+    // evolve: add `quality`, then constrain it
+    VersionedTable.merge(spark, root,
+      Seq((0L, "e", 1L, 5L)).toDF("doc_id", "text", "score", "quality"),
+      "doc_id", 1)
+    VersionedTable.addConstraint(spark, root, "qpos", "quality >= 0")
+    // a pre-evolution-shaped batch (no quality column): its rows land
+    // with quality = NULL -> UNKNOWN -> passes, like Delta
+    VersionedTable.append(spark, root,
+      docs(3).withColumn("doc_id", col("doc_id") + 100L), "doc_id", 1)
+    assert(VersionedTable.read(spark, root).count() === 13)
+    // a batch CARRYING a violation still fails
+    intercept[IllegalStateException] {
+      VersionedTable.append(spark, root,
+        Seq((200L, "bad", 1L, -1L))
+          .toDF("doc_id", "text", "score", "quality"), "doc_id", 1)
+    }
+    assert(VersionedTable.read(spark, root).count() === 13)
+  }
+
   test("constraints are VERSIONED metadata: time travel sees the old " +
     "set, restore keeps head policy (content rolls back, policy " +
     "does not), clones inherit the source's set") {
