@@ -97,6 +97,14 @@ class BloomSpec extends SparkSpec {
     val kept2 = VersionedTable.bloomPrunedFiles(snap.files,
       Map("text" -> "unique text 7", "grp" -> (7L % 7)))
     assert(kept2.size <= kept.size)
+    // LONG bloom lookups are complete too (driver hash == plan hash
+    // for LongType literals): the eqs read returns every matching row
+    val expect = VersionedTable.read(spark, root)
+      .filter(col("grp") === 3L).count()
+    assert(expect > 0)
+    assert(VersionedTable.read(spark, root, eqs = Map("grp" -> 3L))
+      .filter(col("grp") === 3L).count() === expect,
+      "long-column bloom pruning must never drop a matching row")
     // null lookups are rejected loudly, not silently all-pruned
     intercept[IllegalArgumentException] {
       VersionedTable.bloomPrunedFiles(snap.files, Map("text" -> null))
