@@ -2285,6 +2285,33 @@ object VersionedTable {
       s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** DESCRIBE DETAIL: one row about the HEAD snapshot — version, op,
+    * file/row counts, total bytes (summed from the manifest's recorded
+    * sizes — no filesystem sweep), the table key, group count, and
+    * constraint cardinality.  Manifest metadata only, O(1) data I/O,
+    * like [[history]]. */
+  def detail(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val sn = snapshot(s, root, v)
+    val schema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_live_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("key_col", StringType, nullable = true),
+      StructField("num_groups", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        sn.version, sn.op, sn.files.size.toLong, sn.rows,
+        sn.files.map(_.bytes).sum,
+        sn.props.get(TableKeyProp).orNull,
+        sn.groups.size.toLong, sn.constraints.size.toLong)), 1), schema)
+  }
+
   /** TIME-BASED retention vacuum: reclaim history older than
     * `retentionMs`, keeping (a) every version whose commit timestamp
     * is inside the horizon, (b) always the head (a quiet table must

@@ -179,6 +179,23 @@ class ConstraintSpec extends SparkSpec {
       case Array(a, b) => !b.before(a); case _ => true })
   }
 
+  test("detail(): one manifest-only row about the head — counts, " +
+    "recorded bytes, key, groups, constraints") {
+    val root = freshRoot("detail")
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.ManifestGroupSizeProp, "2")
+    VersionedTable.append(spark, root, docs(40), "doc_id", 4)
+    VersionedTable.addConstraint(spark, root, "nonneg", "score >= 0")
+    val d = VersionedTable.detail(spark, root).collect().head
+    assert(d.getAs[String]("op") === "set-constraint")
+    assert(d.getAs[Long]("num_files") === 4L)
+    assert(d.getAs[Long]("num_live_rows") === 40L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("key_col") === "doc_id")
+    assert(d.getAs[Long]("num_groups") === 2L)
+    assert(d.getAs[Long]("num_constraints") === 1L)
+  }
+
   test("vacuumRetain reclaims history past the horizon but always " +
     "keeps the head; kept snapshots stay readable") {
     val root = freshRoot("retain")
