@@ -821,6 +821,12 @@ object VersionedTable {
     * column was added (schema evolution) — older files surface the new
     * column as null, and a time-travel read of an all-old snapshot
     * simply lacks the column. */
+  /** Read a specific file subset live (DV-masked), for callers inside
+    * graft that already hold manifest entries — the streaming source's
+    * added-files-only append feeds. */
+  private[graft] def readFilesOf(s: SparkSession,
+      files: Seq[FileEntry]): DataFrame = readLive(s, files)
+
   private def readLive(s: SparkSession, files: Seq[FileEntry]): DataFrame = {
     val raw =
       s.read.option("mergeSchema", "true").parquet(files.map(_.path): _*)
@@ -944,6 +950,13 @@ object VersionedTable {
     val pcol = partitionExpr.getOrElse(col(partitionCol.getOrElse(idCol)))
     df.repartitionByRange(numFiles, pcol)
       .write.parquet(dir)
+    // an all-empty write (every input partition empty — e.g. a MERGE
+    // whose rewrite deleted every row and inserted none) leaves no
+    // part files; reading the bare directory back would throw, and the
+    // correct manifest contribution is simply "no new files"
+    if (!fileSystem(s, root).listStatus(new Path(dir))
+        .exists(st => st.isFile && st.getPath.getName.startsWith("part-")))
+      return Seq.empty
     val back = s.read.parquet(dir)
     // long columns record raw values; timestamp columns record epoch
     // MICROS (lossless for parquet timestamp[us]) in the same long
@@ -1477,6 +1490,175 @@ object VersionedTable {
     }
   }
 
+  /** One WHEN clause of a conditional [[mergeInto]].  Conditions and
+    * assignment/insert values are Columns over the merge's joined row,
+    * where the target side is aliased `t` and the source side `s` —
+    * write `col("t.n_chars")` / `col("s.text")`.  A clause with no
+    * condition always applies when its match class is reached; within
+    * a class, FIRST MATCH WINS (SQL:2003 / Delta MERGE semantics). */
+  sealed trait MergeClause { def cond: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET ...  Unassigned columns
+    * keep their target values. */
+  final case class MatchedUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(cond: Option[Column] = None)
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT ...  Columns absent from
+    * `values` insert as NULL (give every column for INSERT *). */
+  final case class NotMatchedInsert(values: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...
+    * (conditions/values here may reference only `t.*` — the source
+    * side is absent by definition, so `s.*` reads NULL). */
+  final case class NotMatchedBySourceUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class NotMatchedBySourceDelete(cond: Option[Column] = None)
+      extends MergeClause
+
+  /** Conditional MERGE INTO — the full SQL:2003 / Delta clause surface
+    * over the versioned table, of which [[merge]] is the pure-upsert
+    * special case:
+    *
+    * {{{
+    * mergeInto(s, root, source, "doc_id", Seq(
+    *   MatchedUpdate(Map("text" -> col("s.text")),
+    *     cond = Some(col("s.n_chars") > col("t.n_chars"))),
+    *   MatchedDelete(cond = Some(col("t.lang") === "de")),
+    *   NotMatchedInsert(srcCols),
+    *   NotMatchedBySourceDelete(cond = Some(col("t.stale")))), 4)
+    * }}}
+    *
+    * Semantics (all standard):
+    *  - rows join on key equality (`t.idCol = s.idCol`);
+    *  - per match class, clauses evaluate in the given order and the
+    *    FIRST whose condition holds (conditions are three-valued: NULL
+    *    = not taken) decides the row; no clause hit = target rows keep,
+    *    source rows drop;
+    *  - a target row matched by MORE THAN ONE source row is an error
+    *    (Delta's `DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW` —
+    *    which source row wins would be nondeterministic; pre-aggregate
+    *    the source, or use [[merge]] with `orderCol` for keep-last);
+    *  - output schema is exactly the target schema (insert/update
+    *    values are cast to it); use [[merge]] for evolving upserts.
+    *
+    * Scale shape: copy-on-write at FILE granularity.  Without
+    * NOT-MATCHED-BY-SOURCE clauses the rewrite set is only the files
+    * that contain a matched key (one semi-join collecting file paths —
+    * O(files) driver state, the same touched-file discovery Delta's
+    * MERGE runs); WITH them every file is in scope, necessarily — any
+    * row anywhere may change, which is why Delta docs tell you to add
+    * a `t`-side prune condition, and ours can ride the same clause
+    * conditions.  The source is never collected; all clause logic is
+    * one full-outer join evaluated as when/otherwise chains inside
+    * whole-stage codegen.  CHECK constraints gate the post-images of
+    * changed/inserted rows before anything is written.  Same
+    * optimistic-concurrency + txn idempotence contract as [[merge]].
+    * Returns the committed version. */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      idCol: String, clauses: Seq[MergeClause], numFiles: Int,
+      txnId: Option[String] = None): Int = {
+    require(clauses.nonEmpty, "mergeInto needs at least one clause")
+    require(source.columns.contains(idCol),
+      s"merge source must carry the key column '$idCol'")
+    clauses.foreach {
+      case MatchedUpdate(set, _) => require(!set.contains(idCol),
+        s"MERGE UPDATE must not assign the table key '$idCol' — a key " +
+          "change is a delete + insert")
+      case NotMatchedBySourceUpdate(set, _) => require(!set.contains(idCol),
+        s"MERGE UPDATE must not assign the table key '$idCol'")
+      case _ => ()
+    }
+    val matchedIdx = clauses.zipWithIndex.collect {
+      case (c: MatchedUpdate, i) => (c.cond, i + 1)
+      case (c: MatchedDelete, i) => (c.cond, i + 1) }
+    val insertIdx = clauses.zipWithIndex.collect {
+      case (c: NotMatchedInsert, i) => (c.cond, i + 1) }
+    val nmbsIdx = clauses.zipWithIndex.collect {
+      case (c: NotMatchedBySourceUpdate, i) => (c.cond, i + 1)
+      case (c: NotMatchedBySourceDelete, i) => (c.cond, i + 1) }
+    val dropActs = clauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i + 1
+      case (_: NotMatchedBySourceDelete, i) => i + 1 }
+    // first-match-wins chain: when(c1, i1).otherwise(when(c2, i2)...)
+    def chainOf(pairs: Seq[(Option[Column], Int)], dflt: Int): Column =
+      pairs.foldRight(lit(dflt)) { case ((c, i), acc) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(acc) }
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    val src = source.persist() // keys pass, dup guard, join: one scan
+    try retryingConflicts(root) { () =>
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("merge into empty table"))
+      val snap = snapshot(s, root, parentV)
+      val current = readLiveWithFile(s, snap.files)
+      // multiple-source-rows-per-matched-target guard (see Scaladoc)
+      if (matchedIdx.nonEmpty) {
+        val dup = src.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select(col(idCol))
+          .join(current.select(col(idCol)), Seq(idCol), "left_semi")
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"mergeInto: multiple source rows match target $idCol=" +
+            s"${dup.head.get(0)} — nondeterministic; de-duplicate the " +
+            "source or use merge(orderCol) for keep-last upserts")
+      }
+      val touched: Set[String] =
+        if (nmbsIdx.nonEmpty) snap.files.map(f => normPath(f.path)).toSet
+        else current.select(col(idCol), col("__graft_file").as("f"))
+          .join(src.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .select(col("f")).distinct()
+          .collect().map(_.getString(0)).toSet
+      val (rewrite, carry) =
+        snap.files.partition(f => touched.contains(normPath(f.path)))
+      val tgtSchema = current.drop("__graft_file").schema
+      val tgtRows =
+        if (rewrite.isEmpty)
+          current.drop("__graft_file").filter(lit(false))
+        else readLive(s, rewrite)
+      val j = tgtRows.withColumn("__t", lit(true)).alias("t")
+        .join(src.withColumn("__s", lit(true)).alias("s"),
+          col(s"t.$idCol") === col(s"s.$idCol"), "full_outer")
+      val tHere = coalesce(col("t.__t"), lit(false))
+      val sHere = coalesce(col("s.__s"), lit(false))
+      // 0 = keep target row unchanged; -1 = drop; >0 = clause index
+      val act = when(tHere && sHere, chainOf(matchedIdx, 0))
+        .when(tHere, chainOf(nmbsIdx, 0))
+        .otherwise(chainOf(insertIdx, -1))
+      def finalVal(f: org.apache.spark.sql.types.StructField): Column = {
+        val cases: Seq[(Int, Column)] = clauses.zipWithIndex.collect {
+          case (MatchedUpdate(set, _), i) if set.contains(f.name) =>
+            (i + 1, set(f.name).cast(f.dataType))
+          case (NotMatchedInsert(vs, _), i) =>
+            // an unlisted KEY defaults to the source key, never NULL —
+            // a null-key insert would fall outside every zone map and
+            // break row identity for CDC pairing
+            (i + 1, vs.getOrElse(f.name,
+              if (f.name == idCol) col(s"s.$idCol") else lit(null))
+              .cast(f.dataType))
+          case (NotMatchedBySourceUpdate(set, _), i)
+              if set.contains(f.name) =>
+            (i + 1, set(f.name).cast(f.dataType))
+        }
+        cases.foldRight(col(s"t.${f.name}")) { case ((i, v), acc) =>
+          when(col("__graft_act") === i, v).otherwise(acc) }.as(f.name)
+      }
+      val outCols = tgtSchema.fields.toIndexedSeq.map(finalVal)
+      val kept = j.withColumn("__graft_act", act)
+        .filter(col("__graft_act") =!= -1 &&
+          (if (dropActs.isEmpty) lit(true)
+           else !col("__graft_act").isInCollection(dropActs)))
+      enforceConstraints(
+        kept.filter(col("__graft_act") > 0).select(outCols: _*),
+        snap.constraints, s"merge into $root")
+      val survivors = kept.select(outCols: _*)
+      val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
+      commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
+        requireParent = Some(parentV))
+    } finally { src.unpersist(); () }
+  }
+
   /** DELETE WHERE: files containing no matching row carry over by
     * reference; the rest are rewritten without the matching rows.
     * Same optimistic-concurrency + txn idempotence contract as
@@ -1662,6 +1844,164 @@ object VersionedTable {
         }
       } finally { matches.unpersist(); () }
     }
+
+  /** Apply SQL UPDATE assignment semantics to `df`: rows where `cond`
+    * is TRUE take the `set` expressions, every other row (FALSE *and*
+    * NULL — SQL three-valued semantics) stays verbatim.  Every
+    * assignment sees the PRE-update row (one `select`, not chained
+    * `withColumn`s — `SET a = b, b = a` swaps, as SQL requires), and
+    * the result must keep the schema: UPDATE never evolves a table. */
+  private def applyAssignments(df: DataFrame, cond: Column,
+      set: Map[String, Column]): DataFrame = {
+    val missing = set.keySet.diff(df.columns.toSet)
+    require(missing.isEmpty,
+      s"UPDATE assigns to unknown column(s) $missing " +
+        s"(table columns: ${df.columns.mkString(", ")})")
+    val out = df.select(df.schema.fields.toIndexedSeq.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(coalesce(cond, lit(false)),
+          v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    out
+  }
+
+  /** UPDATE ... SET ... WHERE, copy-on-write: rows where `cond` is
+    * TRUE get the `set` assignments applied (each value expression may
+    * reference any pre-update column of the row); files containing no
+    * such row carry over by reference, so write amplification is
+    * O(touched files) like [[delete]] — never O(table).  A NULL
+    * condition leaves the row alone (SQL UPDATE semantics).
+    *
+    * The table KEY cannot be assigned: key identity is what zone maps,
+    * deletion vectors and the CDC pairing contract all hang off — a
+    * key rewrite is a delete + insert and should be expressed as one
+    * (or as a [[merge]]).  CHECK constraints are enforced on the
+    * POST-image of the updated rows only, before anything is written
+    * (untouched rows already passed at their own write time).  Same
+    * optimistic-concurrency + txn idempotence contract as [[merge]].
+    * Returns the committed version. */
+  def update(s: SparkSession, root: String, cond: Column,
+      set: Map[String, Column], idCol: String, numFiles: Int,
+      txnId: Option[String] = None): Int = {
+    require(!set.contains(idCol),
+      s"UPDATE must not assign the table key '$idCol' — a key change " +
+        "is a delete + insert (or a merge), not an in-place update")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    retryingConflicts(root) { () =>
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("update of empty table"))
+      val snap = snapshot(s, root, parentV)
+      val current = readLiveWithFile(s, snap.files)
+      val touched = current.filter(coalesce(cond, lit(false)))
+        .select(col("__graft_file").as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (rewrite, carry) =
+        snap.files.partition(f => touched.contains(normPath(f.path)))
+      if (rewrite.isEmpty)
+        commitManifest(s, root, "update", Seq.empty, _ => carry, txnId,
+          requireParent = Some(parentV))
+      else {
+        // readLive: rewriting a DV-carrying file materializes its
+        // deletions, exactly as merge/delete rewrites do.  The match
+        // marker is computed BEFORE assignments apply — the condition
+        // references pre-update values, and an assignment may change
+        // the very column the condition reads (SET n = n + 100 WHERE
+        // n < 100: filtering post-images by the raw condition would
+        // miss every updated row, and the constraint check with it)
+        val marked = readLive(s, rewrite)
+          .withColumn("__graft_upd", coalesce(cond, lit(false)))
+        val updatedM = applyAssignments(marked, col("__graft_upd"), set)
+        enforceConstraints(
+          updatedM.filter(col("__graft_upd")).drop("__graft_upd"),
+          snap.constraints, s"update of $root")
+        val updated = updatedM.drop("__graft_upd")
+        val newFiles = writeFiles(s, root, updated, idCol, numFiles)
+        commitManifest(s, root, "update", newFiles, _ => carry, txnId,
+          requireParent = Some(parentV))
+      }
+    }
+  }
+
+  /** UPDATE, merge-on-read: instead of rewriting every touched file
+    * ([[update]] — O(touched data) write amplification), mask the
+    * matched rows behind a deletion-vector sidecar and append their
+    * POST-images as fresh files — one commit, O(updated rows) total
+    * I/O, zero data files rewritten.  This is Delta's DV-based UPDATE
+    * / Hudi's merge-on-read upsert economics: updating 0.01% of a
+    * 100 TB table writes KBs of sidecar plus the new rows.  The change
+    * feed sees the masked and re-added key on both diff sides, so CDC
+    * consumers get proper update_preimage/update_postimage pairs with
+    * no knowledge of the encoding.  Read-side cost (the DV anti-join)
+    * grows with un-purged masks; [[purgeDeletes]] bounds it, exactly
+    * as for [[deleteMoR]].  Same key-assignment prohibition as
+    * [[update]], same optimistic-concurrency + txn contract. */
+  def updateMoR(s: SparkSession, root: String, cond: Column,
+      set: Map[String, Column], idCol: String, numFiles: Int = 1,
+      txnId: Option[String] = None): Int = {
+    require(!set.contains(idCol),
+      s"UPDATE must not assign the table key '$idCol'")
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    retryingConflicts(root) { () =>
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("update of empty table"))
+      val snap = snapshot(s, root, parentV)
+      snap.files.flatMap(_.dv.map(_.key)).distinct.foreach { k =>
+        require(k == idCol,
+          s"existing deletion vectors key on '$k', not '$idCol'")
+      }
+      // LIVE rows only: an already-masked row must not re-enter the DV
+      // (double-subtracted live counts) nor produce a post-image
+      val matched = readLiveWithFile(s, snap.files)
+        .filter(coalesce(cond, lit(false))).persist()
+      try {
+        val perFile = matched.groupBy(col("__graft_file"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+        if (perFile.isEmpty)
+          commitManifest(s, root, "update-mor", Seq.empty,
+            _ => snap.files, txnId, requireParent = Some(parentV))
+        else {
+          val post = applyAssignments(
+            matched.drop("__graft_file"), lit(true), set)
+          enforceConstraints(post, snap.constraints,
+            s"update-mor of $root")
+          val masks = matched.select(
+            col("__graft_file").as("path"), col(idCol).as("id"))
+          val (touched, untouched) = snap.files.partition(f =>
+            perFile.contains(normPath(f.path)))
+          // prior DV rows of the touched files fold into the new
+          // sidecar so every DV ref stays self-contained (same law as
+          // deleteMoRWhere)
+          val oldDvPaths = touched.flatMap(_.dv.map(_.path)).distinct
+          val dvRows =
+            if (oldDvPaths.isEmpty) masks
+            else {
+              import s.implicits._
+              val touchedPaths = touched.map(f => normPath(f.path))
+                .toDF("path")
+              masks.unionByName(
+                s.read.parquet(oldDvPaths: _*)
+                  .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
+            }
+          val dvPath = writeDv(s, root, dvRows)
+          val entries = untouched ++ touched.map { f =>
+            val total =
+              f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
+            f.copy(dv = Some(DvRef(dvPath, total, idCol)))
+          }
+          val newFiles = writeFiles(s, root, post, idCol, numFiles)
+          commitManifest(s, root, "update-mor", newFiles, _ => entries,
+            txnId, requireParent = Some(parentV))
+        }
+      } finally { matched.unpersist(); () }
+    }
+  }
 
   /** PURGE: rewrite every file whose deletion-vector dead fraction is
     * at least `minDeadRatio` into plain (DV-free) files, materializing
