@@ -1,7 +1,7 @@
 package graft.sources.v2
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -48,8 +48,67 @@ import graft.sources.VersionedTable
 class GraftTableSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** STREAMING source half: `spark.readStream.format("graft-table")` —
+    * the table's commit log as a pull-based stream, Delta's streaming
+    * source contract.  Offsets ARE version numbers (the commit log is
+    * the write-ahead log; nothing else to invent), so the engine's
+    * offset tracking gives exactly-once delivery per version across
+    * restarts for free.
+    *
+    * Two modes:
+    *  - default: each APPEND commit streams its new rows (the feed
+    *    reads ONLY the commit's added files, discovered from the
+    *    manifest — no diff scan).  Row-preserving maintenance commits
+    *    (optimize/cluster/zorder/purge) stream nothing.  An update/
+    *    delete commit fails the stream loudly unless
+    *    `ignoreChanges=true` (then: its added-side rows ship, deletes
+    *    are silently dropped) — Delta's exact semantics.
+    *  - `readChangeFeed=true`: every commit streams its row-level
+    *    change feed tagged `_change_type` + `_commit_version`
+    *    (update pre/post pairing via `idCol`, defaulting to the
+    *    recorded table key).
+    *
+    * Options: `startingVersion` (default: earliest live version;
+    * that version feeds as a full-snapshot insert batch),
+    * `maxVersionsPerTrigger` (bounds catch-up per micro-batch),
+    * `failOnDataLoss` (default true: a vacuumed-away parent manifest
+    * mid-stream throws; false degrades the affected version to a
+    * full-snapshot insert feed), `ignoreChanges`, `idCol`. */
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-table streaming source derives its schema from the " +
+        "table manifest; a user-specified schema is not supported")
+    (shortName(), GraftTableSource.streamSchema(ctx.sparkSession,
+      parameters))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val s = ctx.sparkSession
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table needs a path"))
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val idCol =
+      if (!cdf) None
+      else parameters.get("idCol").orElse(
+        VersionedTable.latestVersion(s, root).flatMap(v =>
+          VersionedTable.snapshot(s, root, v).props
+            .get(VersionedTable.TableKeyProp)))
+    new GraftTableStreamSource(s, root,
+      GraftTableSource.streamSchema(s, parameters), cdf, idCol,
+      parameters.get("startingVersion").map(_.toInt),
+      parameters.get("failOnDataLoss").forall(_.toBoolean),
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+  }
 
   /** STREAMING sink half: `df.writeStream.format("graft-table")` —
     * every micro-batch upserts as one table version, exactly-once
@@ -125,6 +184,35 @@ class GraftTableSource extends RelationProvider
     val s = ctx.sparkSession
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table needs a path"))
+    // CHANGE DATA FEED read: .option("readChangeFeed", "true") serves
+    // the per-commit change window instead of a snapshot — Delta's
+    // reader contract.  The feed is a computed diff (per-commit
+    // multiset cancellation over only the files each commit touched),
+    // not a file list, so it rides a TableScan relation handing Spark
+    // the already-planned rows; snapshot reads below keep the
+    // full vectorized-scan + file-skipping path.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "versionAsOf/timestampAsOf and readChangeFeed are mutually " +
+          "exclusive")
+      val opts = Seq("startingVersion", "endingVersion", "idCol")
+        .flatMap(k => parameters.get(k).map(k -> _)).toMap +
+        ("readChangeFeed" -> "true")
+      val feed = VersionedTable.readOptions(s, root, opts)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = feed.schema
+        // needConversion=false: hand back the InternalRow RDD the
+        // planned feed already produces (the standard internal-rows
+        // contract for relations that wrap a DataFrame)
+        override def needConversion: Boolean = false
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          feed.queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
+    }
     val v = parameters.get("versionAsOf").map(_.toInt)
       .orElse(parameters.get("timestampAsOf").map(t =>
         resolveTs(s, root, t)))
@@ -162,6 +250,179 @@ class GraftTableSource extends RelationProvider
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"timestampAsOf $t precedes the first kept commit of $root"))
   }
+}
+
+object GraftTableSource {
+  /** The streaming source's declared schema: the manifest-recorded
+    * logical schema (O(1)), plus the CDF tag columns in feed mode.
+    * Fixed at query start; a mid-stream evolution's new columns appear
+    * after a restart (Delta's contract), older commits' feeds
+    * null-backfill. */
+  private[v2] def streamSchema(s: SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table needs a path"))
+    val v = VersionedTable.latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-table streaming source needs an existing table at $root"))
+    val snap = VersionedTable.snapshot(s, root, v)
+    val base = snap.props.get(VersionedTable.TableSchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse {
+        require(snap.files.nonEmpty,
+          s"cannot derive a schema for $root: empty snapshot and no " +
+            "recorded table.schema")
+        s.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(_.path): _*).schema
+      }
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      base.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.IntegerType)
+    else base
+  }
+
+  /** Commit ops that are row-preserving by construction: their feeds
+    * are empty in append mode without any diff scan (Delta's
+    * `dataChange = false` exemption). */
+  private[v2] val RowPreservingOps =
+    Set("optimize", "cluster", "zorder", "purge")
+}
+
+/** The pull-based V1 [[org.apache.spark.sql.execution.streaming.Source]]
+  * over a versioned table's commit log.  Offsets are version numbers
+  * ([[LongOffset]]); `getBatch(a, b)` feeds versions (a, b] in commit
+  * order.  See [[GraftTableSource.createSource]] for the option
+  * contract.  All feed derivation is manifest-driven: an append
+  * commit's batch reads ONLY its added files; a CDF batch reads only
+  * the files each commit touched (multiset cancellation inside
+  * [[VersionedTable.diff]]) — per-trigger cost is proportional to the
+  * commits' own writes, never to table size, which is what lets a
+  * follower tail a 100 TB table from a laptop-sized driver. */
+final class GraftTableStreamSource(s: SparkSession, root: String,
+    override val schema: StructType, cdf: Boolean, idCol: Option[String],
+    startingVersion: Option[Int], failOnDataLoss: Boolean,
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Int])
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  // rate-limiting floor: the highest version this source has planned
+  // (getOffset) or replayed (getBatch).  After a restart it re-learns
+  // from the first getBatch; until then a capped getOffset may lag the
+  // engine's committed offset for a trigger or two, which only delays
+  // — never duplicates or drops — versions (offset tracking is the
+  // engine's, not ours).
+  @volatile private var lastPlanned: Int = -1
+
+  private def toV(o: org.apache.spark.sql.execution.streaming.Offset)
+      : Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case ser: SerializedOffset => LongOffset(ser).offset.toInt
+    case other => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val live = VersionedTable.versions(s, root)
+    if (live.isEmpty) None
+    else {
+      val first = startingVersion.getOrElse(live.min)
+      val latest = live.max
+      if (latest < first) None
+      else {
+        val floor = if (lastPlanned >= 0) lastPlanned else first - 1
+        val capped = maxVersionsPerTrigger match {
+          case Some(n) => math.min(latest, floor + math.max(n, 1))
+          case None => latest
+        }
+        lastPlanned = math.max(lastPlanned, capped)
+        if (capped < first) None else Some(LongOffset(capped.toLong))
+      }
+    }
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val endV = toV(end)
+    lastPlanned = math.max(lastPlanned, endV)
+    val live = VersionedTable.versions(s, root)
+    val liveSet = live.toSet
+    val first = start.map(toV(_) + 1)
+      .getOrElse(startingVersion.getOrElse(if (live.isEmpty) 1 else live.min))
+    val freshStart = start.isEmpty
+    val feeds = (first to endV).filter(liveSet.contains).map { v =>
+      val isInitial = v == 1 ||
+        (freshStart && v == first && !liveSet.contains(v - 1))
+      val snap = VersionedTable.snapshot(s, root, v)
+      def snapshotInserts(): DataFrame = {
+        val full = VersionedTable.read(s, root, Some(v))
+        if (cdf) full.withColumn("_change_type", lit("insert")) else full
+      }
+      val feed: DataFrame =
+        if (isInitial) snapshotInserts()
+        else if (!liveSet.contains(v - 1)) {
+          if (failOnDataLoss) throw new IllegalStateException(
+            s"graft-table stream data loss at $root: v${v - 1}'s " +
+              s"manifest was reclaimed by vacuum mid-stream, so v$v's " +
+              "true feed is unrecoverable. Raise vacuum retention " +
+              "above the stream's lag, restart from a fresh " +
+              "checkpoint, or set failOnDataLoss=false to accept a " +
+              "full-snapshot insert feed.")
+          snapshotInserts()
+        } else if (cdf)
+          VersionedTable.changeFeed(s, root, v - 1, v, idCol)
+        else if (GraftTableSource.RowPreservingOps.contains(snap.op))
+          // compaction/clustering: row-preserving, nothing to stream
+          VersionedTable.read(s, root, Some(v)).filter(lit(false))
+        else {
+          // append mode: manifest-level append detection — every
+          // parent file present with an unchanged DV pointer
+          val parent = VersionedTable.snapshot(s, root, v - 1)
+          val childIdent = snap.files
+            .map(f => f.path -> f.dv.map(_.path)).toSet
+          val appendOnly = parent.files
+            .forall(f => childIdent((f.path, f.dv.map(_.path))))
+          if (appendOnly) {
+            val parentPaths = parent.files.map(_.path).toSet
+            VersionedTable.readFilesOf(s,
+              snap.files.filterNot(f => parentPaths(f.path)))
+          } else if (ignoreChanges)
+            // Delta's ignoreChanges: the commit's added side ships
+            // (updated rows re-deliver), its deletes drop silently
+            VersionedTable.diff(s, root, v - 1, v)._1
+          else throw new IllegalStateException(
+            s"graft-table stream at $root: v$v is a data-changing " +
+              s"'${snap.op}' commit (update/delete), which an " +
+              "append-mode stream cannot represent. Use " +
+              "readChangeFeed=true for row-level changes, or " +
+              "ignoreChanges=true to re-deliver updated rows and " +
+              "drop deletes.")
+        }
+      if (cdf) feed.withColumn("_commit_version", lit(v)) else feed
+    }
+    val out =
+      if (feeds.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      else {
+        val unioned = feeds.reduce(
+          _.unionByName(_, allowMissingColumns = true))
+        // conform to the DECLARED schema: evolved columns a feed lacks
+        // null-backfill; columns newer than the declared schema wait
+        // for a restart (Delta's fixed-schema stream contract)
+        val have = unioned.columns.toSet
+        unioned.select(schema.fields.toIndexedSeq.map { f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name) }: _*)
+      }
+    org.apache.spark.sql.GraftShims.batchToStreamingDF(out)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftTableStreamSource($root, cdf=$cdf)"
 }
 
 /** The per-batch commit half of the streaming sink: upsert the

@@ -19,4 +19,30 @@ object GraftShims {
       LogicalRDD.fromDataset(classic.queryExecution.toRdd, classic,
         isStreaming = false))
   }
+
+  /** The inverse doorway, for the DSv1 streaming SOURCE: a V1
+    * `Source.getBatch` must return a DataFrame whose logical plan is
+    * flagged streaming (the engine rejects batch plans inside a
+    * streaming query), while the change-feed derivation itself is an
+    * ordinary batch computation.  Rebase the planned batch execution
+    * onto a streaming-flagged `LogicalRDD` — the exact construction
+    * Spark's own V1 sources use. */
+  def batchToStreamingDF(data: DataFrame): DataFrame = {
+    val classic = data.asInstanceOf[ClassicDataset[Row]]
+    ClassicDataset.ofRows(classic.sparkSession,
+      LogicalRDD.fromDataset(classic.queryExecution.toRdd, classic,
+        isStreaming = true))
+  }
+
+  /** DataFrame over an explicit logical plan — lets library code apply
+    * an analyzer-phase rewrite (graft.sources.v2.GraftSqlResolution)
+    * to an already-analyzed plan on sessions built WITHOUT
+    * `spark.sql.extensions` (the shared test session), where the
+    * injected resolution rule never ran.  On extension-enabled
+    * sessions the rewrite is a no-op and this is `Dataset.ofRows`. */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    ClassicDataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -273,4 +273,40 @@ class GraftTableSourceSpec extends SparkSpec {
     VersionedTable.purgeDeletes(spark, root, "doc_id", 2)
     assert(spark.read.format("graft-table").load(root).count() === 36)
   }
+
+  test("readChangeFeed through the connector equals the library CDF " +
+    "and rejects conflicting/snapshot-only options") {
+    val root = freshRoot("cdf")
+    VersionedTable.append(spark, root, docs(30), "doc_id", 2)
+    VersionedTable.delete(spark, root, col("doc_id") < 3, "doc_id", 2)
+    VersionedTable.update(spark, root, col("doc_id") === 10,
+      Map("text" -> lit("changed")), "doc_id", 2)
+    val viaConnector = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .option("idCol", "doc_id")
+      .load(root)
+      .orderBy("_commit_version", "_change_type", "doc_id").collect()
+    val viaLibrary = VersionedTable.readOptions(spark, root, Map(
+        "readChangeFeed" -> "true", "startingVersion" -> "2",
+        "endingVersion" -> "3", "idCol" -> "doc_id"))
+      .orderBy("_commit_version", "_change_type", "doc_id").collect()
+    assert(viaConnector === viaLibrary)
+    // the update commit pairs; the delete commit is plain deletes
+    val types = viaConnector.map(r =>
+      (r.getAs[Int]("_commit_version"),
+        r.getAs[String]("_change_type"))).toSeq
+    assert(types.count(_ == ((2, "delete"))) === 3)
+    assert(types.count(_ == ((3, "update_preimage"))) === 1)
+    assert(types.count(_ == ((3, "update_postimage"))) === 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table")
+        .option("readChangeFeed", "true").option("versionAsOf", "2")
+        .load(root)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table")
+        .option("readChangeFeed", "true").load(root) // no startingVersion
+    }
+  }
 }
