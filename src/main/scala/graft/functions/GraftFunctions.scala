@@ -187,5 +187,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL face of the versioned table: swap the GraftCatalog's v2
+    // relation for the connector's V1 HadoopFsRelation (see
+    // GraftSqlResolution) — Delta's catalog-to-v1 bridge
+    ext.injectResolutionRule(s => graft.sources.v2.GraftSqlResolution(s))
   }
 }

@@ -1,0 +1,218 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.VersionedTable
+
+/** The SQL face of the versioned table — a path-based
+  * [[TableCatalog]], Delta's `delta.`/path/to/table`` architecture:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.v2.GraftCatalog")
+  *   spark.sql("SELECT * FROM graft.`/data/corpus`")
+  *   spark.sql("SELECT * FROM graft.`/data/corpus` VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.`/data/corpus` TIMESTAMP AS OF
+  *     '2026-08-15 12:00:00'")
+  * }}}
+  *
+  * The identifier IS the table root (one backquoted name part, no
+  * namespaces — a lakehouse table is its directory).  `loadTable`
+  * returns a thin [[GraftSqlTable]] carrying the root and any
+  * time-travel pin; [[GraftSqlResolution]] (injected by
+  * `graft.functions.GraftExtensions`) then swaps the analyzer's
+  * `DataSourceV2Relation` over it for the SAME V1
+  * `HadoopFsRelation` the `graft-table` connector serves — stock
+  * vectorized parquet scan under a manifest-backed FileIndex with
+  * zone-map/stats/bloom file skipping — preserving the v2 relation's
+  * output attribute ids so references above the swap stay resolved.
+  * This is exactly how Delta bridges its catalog to a v1 relation;
+  * SQL time travel rides the engine's own `VERSION AS OF` /
+  * `TIMESTAMP AS OF` parse, which hands the catalog
+  * `loadTable(ident, version)` / `loadTable(ident, timestampMicros)`.
+  *
+  * Read-only by design: writes go through
+  * `df.write.format("graft-table")` / the library DML
+  * (UPDATE/DELETE/MERGE), which carry the key/constraint contracts a
+  * bare INSERT cannot express. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"$catalogName catalog identifiers are bare backquoted table " +
+        s"roots like $catalogName.`/path/to/table`; got namespace " +
+        s"[${ident.namespace().mkString(".")}]")
+    ident.name()
+  }
+
+  private def tableAt(ident: Identifier,
+      opts: Map[String, String]): Table = {
+    // any resolution failure (no namespace support, missing directory,
+    // no committed version) surfaces as the catalog-standard
+    // NoSuchTableException so SQL error reporting stays uniform
+    val exists = scala.util.Try {
+      VersionedTable.latestVersion(SparkSession.active,
+        rootOf(ident)).isDefined
+    }.getOrElse(false)
+    if (!exists) throw new NoSuchTableException(ident)
+    new GraftSqlTable(rootOf(ident), opts)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tableAt(ident, Map.empty)
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Map("versionAsOf" -> version))
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableAt(ident, Map("timestampAsOf" -> (timestamp / 1000L).toString))
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.latestVersion(SparkSession.active,
+      rootOf(ident)).isDefined
+
+  // path-based: tables are directories, not an enumerable namespace
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER via SQL is not supported; use the VersionedTable API " +
+        "(addConstraint/setProperty/optimize*)")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP via SQL is not supported; a graft table is its directory")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME via SQL is not supported; a graft table is its directory")
+}
+
+/** One resolved (root, time-travel pin) — enough for
+  * [[GraftSqlResolution]] to build the V1 relation before any
+  * planning happens, so the table object itself stays a thin
+  * descriptor (Delta's DeltaTableV2 plays the same role). */
+final class GraftSqlTable(val root: String,
+    val readOpts: Map[String, String]) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  /** Never called on a correctly-configured session: analysis requires
+    * the SupportsRead TRAIT (hence this implementation), but the
+    * relation is swapped for the V1 vectorized-scan relation by
+    * [[GraftSqlResolution]] before any scan is built.  Reaching here
+    * means the resolution rule is not installed. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"graft.`$root` resolves through GraftSqlResolution; set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions (or " +
+        "apply the rule to the analyzed plan) so the catalog relation " +
+        "is served by the graft-table vectorized scan")
+
+  override def name(): String = s"graft.`$root`"
+
+  override def schema(): StructType = {
+    val s = SparkSession.active
+    val v = readOpts.get("versionAsOf").map(_.toInt)
+      .orElse(readOpts.get("timestampAsOf").map(t =>
+        GraftSqlTable.versionAt(s, root, t.toLong)))
+      .orElse(VersionedTable.latestVersion(s, root))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version under $root"))
+    val snap = VersionedTable.snapshot(s, root, v)
+    snap.props.get(VersionedTable.TableSchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse {
+        require(snap.files.nonEmpty,
+          s"cannot derive a schema for $root at v$v")
+        s.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(_.path): _*).schema
+      }
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+}
+
+object GraftSqlTable {
+  private[v2] def versionAt(s: SparkSession, root: String,
+      millis: Long): Int =
+    VersionedTable.versions(s, root)
+      .filter(v => VersionedTable.snapshot(s, root, v).tsMillis <= millis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF $millis precedes the first kept commit of " +
+          root))
+}
+
+/** Analyzer rule (injected via `GraftExtensions`): replace the
+  * `DataSourceV2Relation` the catalog resolution produced over a
+  * [[GraftSqlTable]] with the V1 `HadoopFsRelation` the `graft-table`
+  * connector builds — keeping the v2 relation's OUTPUT attribute ids,
+  * so every reference already resolved against it stays valid (the
+  * same swap Delta's `DeltaAnalysis.fromV2Relation` performs).
+  *
+  * `spark.sql.extensions` is a STATIC conf: it binds when the JVM's
+  * FIRST session is built and cannot be added to a later session on
+  * the same context.  For sessions built without it, [[GraftSql.sql]]
+  * applies the same swap to the already-analyzed plan via
+  * [[applyManually]] (`transformUp` — the resolve* family no-ops on
+  * plans already marked analyzed, by design). */
+final case class GraftSqlResolution(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def swap(rel: DataSourceV2Relation,
+      t: GraftSqlTable): LogicalPlan = {
+    val v1 = new GraftTableSource().createRelation(
+      session.sqlContext, t.readOpts + ("path" -> t.root))
+    require(v1.schema.length == rel.output.length,
+      s"graft SQL relation schema drift for ${t.root}")
+    new LogicalRelation(v1,
+      rel.output.map(_.asInstanceOf[AttributeReference]),
+      None, false, None)
+  }
+
+  /** Analyzer-phase form (the injected hook). */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+        swap(rel, t)
+    }
+
+  /** Post-analysis form, for plans whose session never installed the
+    * extension (resolveOperatorsUp skips analyzed subtrees). */
+  def applyManually(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+        swap(rel, t)
+    }
+}
+
+/** SQL entry point that works on ANY session: `spark.sql` when the
+  * extension is installed (the swap already happened during analysis,
+  * applyManually is a no-op), and parse -> analyze -> swap -> replan
+  * when it is not (shared sessions built before graft was on the
+  * classpath, notebooks without static-conf control). */
+object GraftSql {
+  def sql(s: SparkSession, sqlText: String)
+      : org.apache.spark.sql.DataFrame = {
+    val analyzed = s.sql(sqlText).queryExecution.analyzed
+    org.apache.spark.sql.GraftShims.ofRows(s,
+      GraftSqlResolution(s).applyManually(analyzed))
+  }
+}
