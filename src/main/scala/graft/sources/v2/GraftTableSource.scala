@@ -134,7 +134,9 @@ class GraftTableSource extends RelationProvider
     new GraftStreamSink(root, keyCol, numFiles, ns,
       parameters.get("orderCol"),
       parameters.get("autoCompactEvery").map(_.toInt),
-      parameters.get("autoCompactMinRows").map(_.toLong))
+      parameters.get("autoCompactMinRows").map(_.toLong),
+      cdc = parameters.get("cdc").exists(_.toBoolean),
+      morDeletes = parameters.get("morDeletes").forall(_.toBoolean))
   }
 
   /** WRITE half: `df.write.format("graft-table").mode(...).save(root)`.
@@ -433,7 +435,8 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
 final class GraftStreamSink(root: String, keyCol: String,
     numFiles: Int, txnNamespace: String, orderCol: Option[String],
     autoCompactEvery: Option[Int] = None,
-    autoCompactMinRows: Option[Long] = None)
+    autoCompactMinRows: Option[Long] = None,
+    cdc: Boolean = false, morDeletes: Boolean = true)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
       data: org.apache.spark.sql.DataFrame): Unit = {
@@ -447,7 +450,16 @@ final class GraftStreamSink(root: String, keyCol: String,
       .streamingBatchToBatchDF(data)
     val txn = Some(s"graft-table#$txnNamespace#$batchId")
     if (!batch.isEmpty) {
-      if (VersionedTable.latestVersion(s, root).isEmpty)
+      if (cdc)
+        // CDC mode (`option("cdc", "true")`): `_change_type`-tagged
+        // events apply as upserts + deletes with per-half txn ids —
+        // the connector sink half of pure-connector replication
+        // (readStream readChangeFeed -> writeStream cdc), sharing
+        // VersionedSink.applyCdcStream's batch engine
+        graft.streaming.VersionedSink.applyCdcBatch(batch, root,
+          keyCol, numFiles, s"graft-table#$txnNamespace#$batchId",
+          orderCol, morDeletes)
+      else if (VersionedTable.latestVersion(s, root).isEmpty)
         VersionedTable.append(s, root,
           VersionedTable.dedupeKeepLast(batch, keyCol, orderCol),
           keyCol, numFiles, op = "load", txnId = txn)

@@ -99,46 +99,58 @@ object VersionedSink {
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions._
-        val s = batch.sparkSession
-        val events = batch
-          .filter(col("_change_type") =!= "update_preimage")
-        val winners = VersionedTable
-          .dedupeKeepLast(events, idCol, orderCol).persist()
-        try {
-          // ONE action over the persisted winners gates both halves —
-          // the separate `isEmpty` probe was an extra Spark job per
-          // micro-batch at high commit rates
-          val typeCounts = winners.groupBy(col("_change_type")).count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          val nUpserts =
-            typeCounts.filterNot(_._1 == "delete").values.sum
-          if (nUpserts > 0L) {
-            val upserts = winners
-              .filter(col("_change_type") =!= "delete")
-              .drop("_change_type")
-            if (VersionedTable.latestVersion(s, root).isEmpty)
-              VersionedTable.append(s, root, upserts, idCol, numFiles,
-                op = "load", txnId = Some(s"$queryName#$batchId#m"))
-            else
-              VersionedTable.merge(s, root, upserts, idCol, numFiles,
-                txnId = Some(s"$queryName#$batchId#m"))
-          }
-          // delete keys stay a DISTRIBUTED frame — see the object doc
-          if (typeCounts.getOrElse("delete", 0L) > 0L &&
-            VersionedTable.latestVersion(s, root).isDefined) {
-            val deleteKeys = winners
-              .filter(col("_change_type") === "delete")
-              .select(col(idCol))
-            if (morDeletes)
-              VersionedTable.deleteMoRKeys(s, root, deleteKeys, idCol,
-                txnId = Some(s"$queryName#$batchId#d"))
-            else
-              VersionedTable.deleteKeys(s, root, deleteKeys, idCol,
-                numFiles, txnId = Some(s"$queryName#$batchId#d"))
-          }
-          ()
-        } finally { winners.unpersist(); () }
+        applyCdcBatch(batch, root, idCol, numFiles,
+          s"$queryName#$batchId", orderCol, morDeletes)
       }
       .start()
+
+  /** One CDC micro-batch's apply — the body shared by
+    * [[applyCdcStream]] and the graft-table connector sink's
+    * `cdc=true` mode.  `txnPrefix` must be unique per (query, batch):
+    * the merge and delete halves commit under `<prefix>#m` /
+    * `<prefix>#d`, so crash-replay re-applies neither. */
+  def applyCdcBatch(batch: DataFrame, root: String, idCol: String,
+      numFiles: Int, txnPrefix: String,
+      orderCol: Option[String], morDeletes: Boolean): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = batch.sparkSession
+    val events = batch
+      .filter(col("_change_type") =!= "update_preimage")
+    val winners = VersionedTable
+      .dedupeKeepLast(events, idCol, orderCol).persist()
+    try {
+      // ONE action over the persisted winners gates both halves —
+      // a separate `isEmpty` probe would be an extra Spark job per
+      // micro-batch at high commit rates
+      val typeCounts = winners.groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUpserts =
+        typeCounts.filterNot(_._1 == "delete").values.sum
+      if (nUpserts > 0L) {
+        val upserts = winners
+          .filter(col("_change_type") =!= "delete")
+          .drop("_change_type")
+        if (VersionedTable.latestVersion(s, root).isEmpty)
+          VersionedTable.append(s, root, upserts, idCol, numFiles,
+            op = "load", txnId = Some(s"$txnPrefix#m"))
+        else
+          VersionedTable.merge(s, root, upserts, idCol, numFiles,
+            txnId = Some(s"$txnPrefix#m"))
+      }
+      // delete keys stay a DISTRIBUTED frame — see the object doc
+      if (typeCounts.getOrElse("delete", 0L) > 0L &&
+        VersionedTable.latestVersion(s, root).isDefined) {
+        val deleteKeys = winners
+          .filter(col("_change_type") === "delete")
+          .select(col(idCol))
+        if (morDeletes)
+          VersionedTable.deleteMoRKeys(s, root, deleteKeys, idCol,
+            txnId = Some(s"$txnPrefix#d"))
+        else
+          VersionedTable.deleteKeys(s, root, deleteKeys, idCol,
+            numFiles, txnId = Some(s"$txnPrefix#d"))
+      }
+      ()
+    } finally { winners.unpersist(); () }
+  }
 }
