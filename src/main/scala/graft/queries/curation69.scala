@@ -28,7 +28,7 @@ import graft.sources.VersionedTable.{MatchedDelete, MatchedUpdate, NotMatchedByS
   *                    post-image file — ZERO existing files rewritten
   *   v4 merge-into  = conditional MERGE: source = (doc_id % 7 == 0
   *                    'u '-prefixed, n_chars+2) ∪ (doc_id % 5 == 1
-  *                    re-keyed +10M); matched & s.doc_id % 14 == 0 →
+  *                    re-keyed +1e9, clear of any x100 probe replica's id range); matched & s.doc_id % 14 == 0 →
   *                    UPDATE from source; else matched & t.lang='de' →
   *                    DELETE; not-matched & s.lang≠'it' → INSERT;
   *                    not-matched-by-source & t.lang='fr' &
@@ -58,7 +58,7 @@ object Curation69Queries {
       |up AS (SELECT doc_id, 'u ' || text AS text, lang, source,
       |         n_chars + 2 AS n_chars
       |       FROM documents WHERE doc_id % 7 = 0),
-      |ins AS (SELECT doc_id + 10000000 AS doc_id, text, lang, source,
+      |ins AS (SELECT doc_id + 1000000000 AS doc_id, text, lang, source,
       |          n_chars
       |        FROM documents WHERE doc_id % 5 = 1),
       |m4t AS (SELECT t.doc_id,
@@ -102,7 +102,7 @@ object Curation69Queries {
       .withColumn("text", concat(lit("u "), col("text")))
       .withColumn("n_chars", col("n_chars") + 2L)
       .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .withColumn("doc_id", col("doc_id") + 10000000L))
+        .withColumn("doc_id", col("doc_id") + 1000000000L))
     VersionedTable.mergeInto(s, root, src, "doc_id", Seq(
       MatchedUpdate(Map("text" -> col("s.text"),
         "n_chars" -> col("s.n_chars")),
