@@ -120,6 +120,30 @@ object Curation69Queries {
   private def table(s: SparkSession, d: String): String =
     Scratch.buildOnce(s, d, "vtabdml")(root => buildDml(s, d, root))
 
+  /** Incremental-clustering fixture: cluster by n_chars, append a
+    * batch confined to the bottom quarter of the n_chars range (keyed
+    * +2e9, clear of ×100 probe replicas), then restore disjointness
+    * incrementally — only the overlapped component may rewrite. */
+  private[queries] def buildInc(s: SparkSession, d: String,
+      root: String): Unit = {
+    val docs = Tables.documents(s, d)
+    VersionedTable.append(s, root, docs, "doc_id", 4, op = "load")
+    VersionedTable.optimizeClusterBy(s, root, "n_chars", "doc_id", 4)
+    val mx = docs.agg(max(col("n_chars"))).head.getLong(0)
+    val inc = docs
+      .filter(pmod(col("doc_id"), lit(11)) === 5 &&
+        col("n_chars") * 4 <= mx)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    VersionedTable.append(s, root, inc, "doc_id", 1)
+    val rows = docs.count()
+    VersionedTable.optimizeClusterIncremental(s, root, "n_chars",
+      "doc_id", targetRowsPerFile = math.max(1L, rows / 4L))
+    ()
+  }
+
+  private def incTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "vtabinc")(root => buildInc(s, d, root))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------ copy-on-write UPDATE WHERE
@@ -360,5 +384,55 @@ object Curation69Queries {
         "parquet relation the connector serves (output attribute ids " +
         "preserved), and the result hash-matches the logical v2 " +
         "state.  SQL users get snapshot isolation, time travel and " +
-        "manifest file-skipping with zero library imports."))
+        "manifest file-skipping with zero library imports."),
+
+    // --------------------------------------- incremental re-clustering
+    QueryDef(
+      "cluster_incremental_pruned_read",
+      (s, d) => {
+        val root = incTable(s, d)
+        val head = VersionedTable.latestVersion(s, root).get
+        val v2 = VersionedTable.snapshot(s, root, 2) // full cluster
+        val v4 = VersionedTable.snapshot(s, root, head)
+        val carried = v2.files.map(_.path).toSet
+          .intersect(v4.files.map(_.path).toSet).nonEmpty
+        val ranges = v4.files.flatMap(_.stats.get("n_chars"))
+          .sortBy(_._1)
+        val disjointAfter = ranges.size == v4.files.size &&
+          ranges.sliding(2).forall {
+            case Seq((_, h1), (l2, _)) => l2 > h1
+            case _ => true
+          }
+        VersionedTable.read(s, root, Some(head))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(carried).as("files_carried"),
+            lit(disjointAfter).as("disjoint_after"),
+            lit(v4.op).as("op"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH mxc AS (SELECT max(n_chars) AS m FROM documents),
+        |inc AS (SELECT doc_id + 2000000000 AS doc_id, text, lang,
+        |          source, n_chars
+        |        FROM documents WHERE doc_id % 11 = 5
+        |          AND n_chars * 4 <= (SELECT m FROM mxc)),
+        |st AS (SELECT * FROM documents UNION ALL SELECT * FROM inc)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       TRUE AS files_carried, TRUE AS disjoint_after,
+        |       'cluster' AS op
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin),
+      "INCREMENTAL re-clustering: a clustered-by-n_chars table takes " +
+        "an appended batch confined to the bottom quarter of the " +
+        "range, and optimizeClusterIncremental restores a pairwise-" +
+        "DISJOINT layout by rewriting ONLY the overlapped interval " +
+        "component — the in-band pins prove untouched clustered files " +
+        "carried by reference and the post-layout is disjoint on the " +
+        "recorded bounds, while the readout hash-matches the logical " +
+        "union.  At 100 TB this is the difference between O(table) " +
+        "and O(overlapping files) per maintenance pass — the steady-" +
+        "state cost model of Iceberg's rewrite_data_files and " +
+        "incremental OPTIMIZE."))
 }

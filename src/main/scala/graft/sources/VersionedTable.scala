@@ -2082,6 +2082,92 @@ object VersionedTable {
         requireParent = Some(parentV))
     }
 
+  /** INCREMENTAL re-clustering: restore a pairwise-DISJOINT layout on
+    * `clusterCol` by rewriting only the connected components of the
+    * file-interval overlap graph that hold more than one file; every
+    * file already disjoint from all others carries by reference.
+    *
+    * This is the maintenance shape a clustered 100 TB table actually
+    * needs: [[optimizeClusterBy]] is a FULL rewrite (right once, at
+    * layout adoption), but the steady state is a trickle of appended
+    * batches, each overlapping a handful of resident files' ranges —
+    * re-clustering must cost O(overlapping files), not O(table)
+    * (Iceberg's rewrite_data_files binpack/sort with min-input-files,
+    * Databricks' incremental OPTIMIZE).  Components are computed on
+    * the manifest's recorded per-file bounds (key zone map when
+    * `clusterCol` is the key, long/timestamp column stats, else the
+    * truncated string stats), sorted-sweep, O(files log files) driver
+    * work.  Each multi-file component rewrites range-partitioned on
+    * `clusterCol` into ceil(liveRows / targetRowsPerFile) files;
+    * component hulls are disjoint by construction, so the
+    * post-condition holds globally.  A file with NO recorded bound for
+    * `clusterCol` (all-null, pre-stats history) could overlap
+    * anything: the pass degrades, conservatively, to one full rewrite.
+    *
+    * Row-preserving (pure layout; DVs of rewritten files materialize,
+    * carried files keep their masks), commits op "cluster" (streams
+    * treat it as no data change), and is a NO-OP returning the parent
+    * version when the layout is already disjoint — so it is idempotent
+    * for numeric/timestamp/key cluster columns.  String columns
+    * compare at the recorded [[StrStatLen]]-truncated resolution:
+    * files whose bounds tie on a shared 64-char prefix read as
+    * overlapping and may re-merge; prefer numeric keys for clustering.
+    * Same optimistic-concurrency contract as [[merge]]. */
+  def optimizeClusterIncremental(s: SparkSession, root: String,
+      clusterCol: String, idCol: String,
+      targetRowsPerFile: Long = 1000000L): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("cluster of empty table"))
+      val snap = snapshot(s, root, parentV)
+
+      def componentsOf[T](ranges: Seq[(FileEntry, Option[(T, T)])])(
+          implicit ord: Ordering[T]): Seq[Seq[FileEntry]] =
+        if (ranges.exists(_._2.isEmpty))
+          // unbounded file: could overlap anything — full rewrite
+          Seq(ranges.map(_._1))
+        else {
+          val sorted = ranges
+            .map { case (f, r) => (f, r.get._1, r.get._2) }
+            .sortBy(t => (t._2, t._3))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(scala.collection.mutable.ArrayBuffer[FileEntry], T)]
+          sorted.foreach { case (f, lo, hi) =>
+            if (out.nonEmpty && ord.lteq(lo, out.last._2)) {
+              out.last._1 += f
+              if (ord.lt(out.last._2, hi))
+                out(out.size - 1) = (out.last._1, hi)
+            } else out += ((
+              scala.collection.mutable.ArrayBuffer(f), hi))
+          }
+          out.map(_._1.toSeq).toSeq
+        }
+
+      val comps: Seq[Seq[FileEntry]] =
+        if (clusterCol == idCol)
+          componentsOf(snap.files.map(f =>
+            f -> Option((f.minId, f.maxId))))
+        else if (snap.files.exists(_.stats.contains(clusterCol)))
+          componentsOf(snap.files.map(f => f -> f.stats.get(clusterCol)))
+        else
+          componentsOf(snap.files.map(f => f -> f.sstats.get(clusterCol)))
+
+      val rewriteComps = comps.filter(_.size > 1)
+      if (rewriteComps.isEmpty) parentV // already disjoint: no commit
+      else {
+        val carry = comps.filter(_.size == 1).flatten
+        val newFiles = rewriteComps.flatMap { comp =>
+          val rows = math.max(1L, comp.map(_.liveRows).sum)
+          val n = ((rows + targetRowsPerFile - 1L) / targetRowsPerFile)
+            .toInt.max(1)
+          writeFiles(s, root, readLive(s, comp), idCol, n,
+            partitionCol = Some(clusterCol))
+        }
+        commitManifest(s, root, "cluster", newFiles, _ => carry,
+          requireParent = Some(parentV))
+      }
+    }
+
   /** Per-row 6-bit grid cell (0..63) for a numeric/timestamp column,
     * min-max quantized over the live data.  Quantization runs in
     * DOUBLE precision: the long form `(c - lo) * 64 / range` overflows

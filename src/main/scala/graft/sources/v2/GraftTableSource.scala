@@ -164,18 +164,34 @@ class GraftTableSource extends RelationProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-table write needs option keyCol (none recorded yet)"))
     val numFiles = parameters.get("numFiles").map(_.toInt).getOrElse(8)
+    // IDEMPOTENT writes (Delta's txnAppId/txnVersion): an application
+    // that may retry a batch write tags it
+    // .option("txnAppId", app).option("txnVersion", n) — the pair
+    // becomes a table-ledger txn id, so a retried (or replayed) write
+    // commits at most once.  Both or neither must be given.
+    val txn: Option[String] =
+      (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+        case (Some(a), Some(v)) => Some(s"graft-write#$a#$v")
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "txnAppId and txnVersion must be set together")
+      }
     mode match {
       case SaveMode.Append =>
-        VersionedTable.append(s, root, data, keyCol, numFiles)
+        VersionedTable.append(s, root, data, keyCol, numFiles,
+          txnId = txn)
       case SaveMode.Overwrite =>
-        VersionedTable.overwrite(s, root, data, keyCol, numFiles)
+        VersionedTable.overwrite(s, root, data, keyCol, numFiles,
+          txnId = txn)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft-table at $root already exists (SaveMode.ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        VersionedTable.append(s, root, data, keyCol, numFiles)
+        VersionedTable.append(s, root, data, keyCol, numFiles,
+          txnId = txn)
       case SaveMode.Ignore =>
-        if (!exists) VersionedTable.append(s, root, data, keyCol, numFiles)
+        if (!exists) VersionedTable.append(s, root, data, keyCol,
+          numFiles, txnId = txn)
         else VersionedTable.latestVersion(s, root).get
     }
     createRelation(ctx, Map("path" -> root))

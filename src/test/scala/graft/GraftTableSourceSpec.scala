@@ -274,6 +274,27 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-table").load(root).count() === 36)
   }
 
+  test("idempotent batch writes: the same (txnAppId, txnVersion) pair " +
+    "commits at most once across retries; half-set options throw") {
+    val root = freshRoot("txnwrite")
+    def write(n: Int): Unit =
+      docs(40).write.format("graft-table").mode("append")
+        .option("keyCol", "doc_id")
+        .option("txnAppId", "loader").option("txnVersion", n.toString)
+        .save(root)
+    write(1); write(1) // retry of the same logical write: a no-op
+    assert(VersionedTable.latestVersion(spark, root) === Some(1))
+    assert(spark.read.format("graft-table").load(root).count() === 40)
+    write(2) // the next logical write commits normally
+    assert(VersionedTable.latestVersion(spark, root) === Some(2))
+    assert(spark.read.format("graft-table").load(root).count() === 80)
+    intercept[IllegalArgumentException] {
+      docs(1).write.format("graft-table").mode("append")
+        .option("keyCol", "doc_id").option("txnAppId", "loader")
+        .save(root)
+    }
+  }
+
   test("readChangeFeed through the connector equals the library CDF " +
     "and rejects conflicting/snapshot-only options") {
     val root = freshRoot("cdf")
