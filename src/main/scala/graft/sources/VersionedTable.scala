@@ -2485,7 +2485,8 @@ object VersionedTable {
   def readOptions(s: SparkSession, root: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     val known = Set("versionAsOf", "timestampAsOf", "readChangeFeed",
-      "startingVersion", "endingVersion", "idCol")
+      "startingVersion", "endingVersion", "idCol",
+      "startingTimestamp", "endingTimestamp")
     val unknown = options.keySet.diff(known)
     require(unknown.isEmpty,
       s"unknown reader options $unknown (known: $known)")
@@ -2494,18 +2495,33 @@ object VersionedTable {
         !options.contains("timestampAsOf"),
         "versionAsOf/timestampAsOf and readChangeFeed are mutually " +
           "exclusive")
-      val from = options.getOrElse("startingVersion",
-        throw new IllegalArgumentException(
-          "readChangeFeed requires startingVersion")).toInt
+      require(!(options.contains("startingVersion") &&
+        options.contains("startingTimestamp")),
+        "startingVersion and startingTimestamp are mutually exclusive")
+      require(!(options.contains("endingVersion") &&
+        options.contains("endingTimestamp")),
+        "endingVersion and endingTimestamp are mutually exclusive")
+      val from = options.get("startingVersion").map(_.toInt)
+        // Delta's CDF timestamp bound: the FIRST commit at or after
+        .orElse(options.get("startingTimestamp").map(t =>
+          versionAtOrAfter(s, root, t)))
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion or " +
+            "startingTimestamp"))
       val to = options.get("endingVersion").map(_.toInt)
+        .orElse(options.get("endingTimestamp").map(t =>
+          versionAtTimestamp(s, root, t)))
         .orElse(latestVersion(s, root)).getOrElse(
           throw new IllegalStateException(
             s"no committed version under $root"))
       changes(s, root, from, to, options.get("idCol"))
     } else {
       require(!options.contains("startingVersion") &&
-        !options.contains("endingVersion") && !options.contains("idCol"),
-        "startingVersion/endingVersion/idCol require readChangeFeed=true")
+        !options.contains("endingVersion") &&
+        !options.contains("startingTimestamp") &&
+        !options.contains("endingTimestamp") &&
+        !options.contains("idCol"),
+        "starting/ending bounds and idCol require readChangeFeed=true")
       require(!(options.contains("versionAsOf") &&
         options.contains("timestampAsOf")),
         "versionAsOf and timestampAsOf are mutually exclusive")
@@ -2532,6 +2548,21 @@ object VersionedTable {
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"timestampAsOf $t precedes the first kept commit of $root " +
           s"(earliest: v${vs.headOption.getOrElse(0)})"))
+  }
+
+  /** `startingTimestamp` resolution for CDF windows: the FIRST kept
+    * commit at or after `t` — the lower-bound dual of
+    * [[versionAtTimestamp]], Delta's contract.  Throws when `t` lies
+    * beyond the last commit (the requested window is empty and the
+    * caller should know, not silently read nothing). */
+  private def versionAtOrAfter(s: SparkSession, root: String,
+      t: String): Int = {
+    val millis = scala.util.Try(t.toLong).getOrElse(
+      java.time.Instant.parse(t).toEpochMilli)
+    versions(s, root)
+      .find(v => snapshot(s, root, v).tsMillis >= millis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"startingTimestamp $t is after the last commit of $root"))
   }
 
   /** Snapshot diff as (added, removed) row multisets, manifest-aware:
@@ -2592,6 +2623,67 @@ object VersionedTable {
     * never touched (Delta's retention-check plays the same role); the
     * default comfortably exceeds any commit's write-to-CAS window.
     * Tests pass 0 for determinism in a single-process world. */
+  /** [[fsck]]'s findings: manifest references whose backing storage
+    * is gone.  `missingData` = data files the head references that the
+    * filesystem no longer holds; `missingDv` = deletion-vector
+    * sidecars likewise (their files' masks are unreconstructable). */
+  final case class FsckReport(missingData: Seq[String],
+      missingDv: Seq[String]) {
+    def clean: Boolean = missingData.isEmpty && missingDv.isEmpty
+  }
+
+  /** FSCK: audit the HEAD snapshot's storage integrity — does every
+    * referenced data file and deletion-vector sidecar still exist?
+    * (Delta's `FSCK REPAIR TABLE` diagnosis half.)  External deletion
+    * of a referenced file — an aggressive lifecycle rule, a fat-
+    * fingered rm, an eventual-consistency hole — otherwise surfaces
+    * only as a task-time FileNotFound deep inside a scan.  ONE
+    * recursive listing of the data directory (O(files) driver work,
+    * zero per-file RPCs) is diffed against the resolved manifest. */
+  def fsck(s: SparkSession, root: String): FsckReport = {
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"fsck of empty table $root"))
+    val snap = snapshot(s, root, v)
+    val fs = fileSystem(s, root)
+    val dataDir = new Path(root, "data")
+    val present = scala.collection.mutable.HashSet.empty[String]
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) present += normPath(it.next().getPath.toString)
+    }
+    FsckReport(
+      snap.files.map(_.path).filterNot(p => present(normPath(p))),
+      snap.files.flatMap(_.dv.map(_.path)).distinct
+        .filterNot(p => present(normPath(p))))
+  }
+
+  /** FSCK REPAIR: commit a new version that drops every head entry
+    * whose data file is gone, and every entry whose deletion-vector
+    * sidecar is gone (the mask cannot be reconstructed, and serving
+    * the file unmasked would RESURRECT deleted rows — losing the
+    * file's live rows loudly beats silently un-deleting; the report
+    * names them).  Returns the parent version unchanged when the
+    * audit is clean.  History stays intact: older manifests still
+    * reference the lost files and their reads fail exactly as before
+    * — repair fixes the HEAD, vacuum governs the past. */
+  def fsckRepair(s: SparkSession, root: String): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"fsck of empty table $root"))
+      val report = fsck(s, root)
+      if (report.clean) parentV
+      else {
+        val badData = report.missingData.map(normPath).toSet
+        val badDv = report.missingDv.map(normPath).toSet
+        val snap = snapshot(s, root, parentV)
+        val keep = snap.files.filter(f =>
+          !badData(normPath(f.path)) &&
+            f.dv.forall(d => !badDv(normPath(d.path))))
+        commitManifest(s, root, "fsck", Seq.empty, _ => keep,
+          requireParent = Some(parentV))
+      }
+    }
+
   def vacuum(s: SparkSession, root: String, keepFrom: Int,
       retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val fs = fileSystem(s, root)

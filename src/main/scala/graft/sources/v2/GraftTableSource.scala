@@ -102,12 +102,27 @@ class GraftTableSource extends RelationProvider
         VersionedTable.latestVersion(s, root).flatMap(v =>
           VersionedTable.snapshot(s, root, v).props
             .get(VersionedTable.TableKeyProp)))
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val startV = parameters.get("startingVersion").map(_.toInt)
+      .orElse(parameters.get("startingTimestamp").map { t =>
+        // first commit at or after the probe (Delta's stream contract)
+        val millis = scala.util.Try(t.toLong).getOrElse(
+          java.time.Instant.parse(t).toEpochMilli)
+        VersionedTable.versions(s, root)
+          .find(v => VersionedTable.snapshot(s, root, v)
+            .tsMillis >= millis)
+          .getOrElse(throw new IllegalArgumentException(
+            s"startingTimestamp $t is after the last commit of $root"))
+      })
     new GraftTableStreamSource(s, root,
       GraftTableSource.streamSchema(s, parameters), cdf, idCol,
-      parameters.get("startingVersion").map(_.toInt),
+      startV,
       parameters.get("failOnDataLoss").forall(_.toBoolean),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toInt))
+      parameters.get("maxVersionsPerTrigger").map(_.toInt),
+      parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
 
   /** STREAMING sink half: `df.writeStream.format("graft-table")` —
@@ -214,7 +229,8 @@ class GraftTableSource extends RelationProvider
         !parameters.contains("timestampAsOf"),
         "versionAsOf/timestampAsOf and readChangeFeed are mutually " +
           "exclusive")
-      val opts = Seq("startingVersion", "endingVersion", "idCol")
+      val opts = Seq("startingVersion", "endingVersion", "idCol",
+          "startingTimestamp", "endingTimestamp")
         .flatMap(k => parameters.get(k).map(k -> _)).toMap +
         ("readChangeFeed" -> "true")
       val feed = VersionedTable.readOptions(s, root, opts)
@@ -320,7 +336,8 @@ object GraftTableSource {
 final class GraftTableStreamSource(s: SparkSession, root: String,
     override val schema: StructType, cdf: Boolean, idCol: Option[String],
     startingVersion: Option[Int], failOnDataLoss: Boolean,
-    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Int])
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Int],
+    ignoreDeletes: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -402,11 +419,21 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
             .map(f => f.path -> f.dv.map(_.path)).toSet
           val appendOnly = parent.files
             .forall(f => childIdent((f.path, f.dv.map(_.path))))
+          // delete-only at FILE granularity: the commit added no new
+          // paths (entries vanished or their DV masks grew).  Delta's
+          // ignoreDeletes covers exactly this shape; a copy-on-write
+          // delete REWRITES survivors into new files and stays a
+          // data-changing commit (shipping the rewrite would
+          // re-deliver surviving rows).
+          val parentPaths = parent.files.map(_.path).toSet
+          val deleteOnly =
+            snap.files.forall(f => parentPaths(f.path))
           if (appendOnly) {
-            val parentPaths = parent.files.map(_.path).toSet
             VersionedTable.readFilesOf(s,
               snap.files.filterNot(f => parentPaths(f.path)))
-          } else if (ignoreChanges)
+          } else if (deleteOnly && ignoreDeletes)
+            VersionedTable.read(s, root, Some(v)).filter(lit(false))
+          else if (ignoreChanges)
             // Delta's ignoreChanges: the commit's added side ships
             // (updated rows re-deliver), its deletes drop silently
             VersionedTable.diff(s, root, v - 1, v)._1
@@ -414,7 +441,8 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
             s"graft-table stream at $root: v$v is a data-changing " +
               s"'${snap.op}' commit (update/delete), which an " +
               "append-mode stream cannot represent. Use " +
-              "readChangeFeed=true for row-level changes, or " +
+              "readChangeFeed=true for row-level changes, " +
+              "ignoreDeletes=true to skip delete-only commits, or " +
               "ignoreChanges=true to re-deliver updated rows and " +
               "drop deletes.")
         }

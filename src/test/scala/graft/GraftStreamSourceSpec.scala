@@ -197,6 +197,53 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(readSorted(dst) === before)
   }
 
+  test("ignoreDeletes skips delete-only commits (MoR masks, no new " +
+    "paths) but a copy-on-write delete still fails loudly") {
+    val root = freshRoot("igdel")
+    VersionedTable.append(spark, root, docs(0 until 20), "doc_id", 2)
+    VersionedTable.deleteMoR(spark, root, col("doc_id") < 2, "doc_id")
+    VersionedTable.append(spark, root, docs(20 until 30), "doc_id", 1)
+    val q = spark.readStream.format("graft-table")
+      .option("ignoreDeletes", "true").load(root)
+      .writeStream.format("memory").queryName("gss_igdel")
+      .option("checkpointLocation", freshRoot("igdelckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // v1 snapshot (20) + v2 MoR delete (skipped) + v3 append (10)
+    assert(spark.table("gss_igdel").count() === 30)
+    // CoW delete rewrites survivors into NEW files: not delete-only
+    VersionedTable.delete(spark, root, col("doc_id") === 5, "doc_id", 1)
+    val q2 = spark.readStream.format("graft-table")
+      .option("ignoreDeletes", "true").load(root)
+      .writeStream.format("memory").queryName("gss_igdel2")
+      .option("checkpointLocation", freshRoot("igdelckpt2"))
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(ex.getMessage.contains("append-mode") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-mode")))
+  }
+
+  test("startingTimestamp opens the stream at the first commit at or " +
+    "after the probe") {
+    val root = freshRoot("ts")
+    VersionedTable.append(spark, root, docs(0 until 5), "doc_id", 1)
+    VersionedTable.append(spark, root, docs(5 until 12), "doc_id", 1)
+    val t2 = VersionedTable.snapshot(spark, root, 2).tsMillis
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t2.toString)
+      .load(root)
+      .writeStream.format("memory").queryName("gss_ts")
+      .option("checkpointLocation", freshRoot("tsckpt"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gss_ts")
+    assert(got.count() === 7) // only v2's feed
+    assert(got.select("_commit_version").distinct().head().getInt(0) === 2)
+  }
+
   test("source schema derives from the manifest; user schemas and " +
     "missing tables are rejected") {
     val root = freshRoot("schema")

@@ -65,4 +65,35 @@ class ReaderOptionsSpec extends SparkSpec {
           "timestampAsOf" -> "0"))
     }
   }
+
+  test("CDF timestamp bounds: startingTimestamp = first commit at or " +
+    "after, endingTimestamp = last commit at or before; mixing a " +
+    "bound's version and timestamp forms throws") {
+    import spark.implicits._
+    val root = freshRoot("cdfts")
+    def batch(r: Range) =
+      r.map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    VersionedTable.append(spark, root, batch(0 until 4), "doc_id", 1,
+      op = "load")
+    VersionedTable.append(spark, root, batch(4 until 9), "doc_id", 1)
+    VersionedTable.append(spark, root, batch(9 until 15), "doc_id", 1)
+    val t2 = VersionedTable.snapshot(spark, root, 2).tsMillis
+    val got = VersionedTable.readOptions(spark, root, Map(
+        "readChangeFeed" -> "true",
+        "startingTimestamp" -> t2.toString,
+        "endingTimestamp" -> t2.toString))
+    assert(got.count() === 5) // exactly v2's feed
+    assert(got.select("_commit_version").distinct().head().getInt(0) === 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readOptions(spark, root, Map(
+        "readChangeFeed" -> "true", "startingVersion" -> "1",
+        "startingTimestamp" -> t2.toString))
+    }
+    intercept[IllegalArgumentException] { // beyond the last commit
+      VersionedTable.readOptions(spark, root, Map(
+        "readChangeFeed" -> "true",
+        "startingTimestamp" -> (System.currentTimeMillis() +
+          3600000L).toString))
+    }
+  }
 }
