@@ -434,5 +434,44 @@ object Curation69Queries {
         "union.  At 100 TB this is the difference between O(table) " +
         "and O(overlapping files) per maintenance pass — the steady-" +
         "state cost model of Iceberg's rewrite_data_files and " +
-        "incremental OPTIMIZE."))
+        "incremental OPTIMIZE."),
+
+    // ----------------------------------------------- CONVERT TO GRAFT
+    QueryDef(
+      "convert_in_place_read",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabconv") { r =>
+          val dir = s"$r/plain"
+          Tables.documents(s, d)
+            .repartitionByRange(4, col("doc_id")).write.parquet(dir)
+          VersionedTable.convert(s, r, dir, "doc_id")
+          ()
+        }
+        val snap = VersionedTable.snapshot(s, root, 1)
+        // the adoption pins: zero engine-managed files (nothing was
+        // copied), every entry carries recorded stats and sizes
+        val inPlace = snap.files.forall(f =>
+          !f.path.contains("/data/") && f.bytes > 0L &&
+            f.stats.contains("n_chars"))
+        VersionedTable.read(s, root, Some(1))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(inPlace).as("in_place"), lit(snap.op).as("op"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       TRUE AS in_place, 'convert' AS op
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "CONVERT TO GRAFT: a plain parquet directory adopted as version " +
+        "1 IN PLACE — the readout hash-matches the original corpus, " +
+        "and the in-band pins prove zero rows were copied (no " +
+        "engine-managed files) while every imported file already " +
+        "carries the zone map, column stats and recorded size a " +
+        "native write would have.  Onboarding a 100 TB corpus into " +
+        "snapshot isolation, time travel, DML and the connector costs " +
+        "one metadata pass, exactly Delta's CONVERT TO DELTA " +
+        "economics."))
 }

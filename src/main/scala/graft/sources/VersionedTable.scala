@@ -957,6 +957,17 @@ object VersionedTable {
     if (!fileSystem(s, root).listStatus(new Path(dir))
         .exists(st => st.isFile && st.getPath.getName.startsWith("part-")))
       return Seq.empty
+    entriesFromDir(s, root, dir, idCol)
+  }
+
+  /** Manifest entries for every parquet part file under `dir`: one
+    * readback pass computes per-file rows, key zone map, long/
+    * timestamp/string column stats and any enrolled blooms, and one
+    * directory listing records sizes.  Shared by [[writeFiles]] (for
+    * files the engine just wrote) and [[convert]] (for files imported
+    * IN PLACE from a plain parquet directory). */
+  private def entriesFromDir(s: SparkSession, root: String,
+      dir: String, idCol: String): Seq[FileEntry] = {
     val back = s.read.parquet(dir)
     // long columns record raw values; timestamp columns record epoch
     // MICROS (lossless for parquet timestamp[us]) in the same long
@@ -1183,6 +1194,34 @@ object VersionedTable {
     * re-derived from the CURRENT head on every CAS attempt.  `txnId`
     * makes the commit idempotent (a retry of the same transaction
     * returns the already-committed version instead of appending twice). */
+  /** CONVERT TO GRAFT: adopt a plain parquet DIRECTORY as version 1
+    * of a table IN PLACE — zero rows copied or rewritten, the
+    * onboarding move Delta ships as `CONVERT TO DELTA`.  One readback
+    * pass records the same per-file metadata a native write would
+    * (row counts, key zone map, long/timestamp/string column stats,
+    * file sizes), so time travel, stats-pruned reads, the connector,
+    * DML and the streaming source all work immediately; every later
+    * commit is ordinary.  The imported files live wherever they
+    * already are (typically outside `root/data`), which keeps them
+    * out of vacuum's reclaim set — OPTIMIZE/cluster rewrites migrate
+    * rows into engine-managed files over time, after which the
+    * originals are simply no longer referenced.  `root` may be the
+    * directory itself (`convert(s, dir, dir, key)`) for a true
+    * in-place adoption.  Fails if `root` already has commits. */
+  def convert(s: SparkSession, root: String, dir: String,
+      idCol: String): Int = {
+    require(latestVersion(s, root).isEmpty,
+      s"convert target $root already has commits")
+    val entries = entriesFromDir(s, root, dir, idCol)
+    require(entries.nonEmpty, s"no parquet part files under $dir")
+    commitManifest(s, root, "convert", entries, _ => Seq.empty, None,
+      propsOf = parent => {
+        val inherited = parent.map(_.props).getOrElse(Map.empty)
+        schemaProp(inherited + (TableKeyProp -> idCol),
+          s.read.parquet(dir))
+      })
+  }
+
   def append(s: SparkSession, root: String, df: DataFrame,
       idCol: String, numFiles: Int, op: String = "append",
       txnId: Option[String] = None): Int = {
@@ -2651,10 +2690,18 @@ object VersionedTable {
       val it = fs.listFiles(dataDir, true)
       while (it.hasNext) present += normPath(it.next().getPath.toString)
     }
+    val dataPrefix = normPath(dataDir.toString) + "/"
+    // CONVERTed files live outside root/data: probe those individually
+    // (bounded by the import, and only until maintenance rewrites
+    // migrate their rows into engine-managed files)
+    def missing(p: String): Boolean = {
+      val n = normPath(p)
+      if (n.startsWith(dataPrefix)) !present(n)
+      else !fs.exists(new Path(p))
+    }
     FsckReport(
-      snap.files.map(_.path).filterNot(p => present(normPath(p))),
-      snap.files.flatMap(_.dv.map(_.path)).distinct
-        .filterNot(p => present(normPath(p))))
+      snap.files.map(_.path).filter(missing),
+      snap.files.flatMap(_.dv.map(_.path)).distinct.filter(missing))
   }
 
   /** FSCK REPAIR: commit a new version that drops every head entry
