@@ -473,5 +473,36 @@ object Curation69Queries {
         "native write would have.  Onboarding a 100 TB corpus into " +
         "snapshot isolation, time travel, DML and the connector costs " +
         "one metadata pass, exactly Delta's CONVERT TO DELTA " +
-        "economics."))
+        "economics."),
+
+    // --------------------- DV snapshot served through the connector
+    QueryDef(
+      "connector_masked_read",
+      (s, d) => {
+        val root = table(s, d)
+        val v3 = VersionedTable.snapshot(s, root, 3)
+        val masked = v3.files.exists(_.dv.isDefined)
+        s.read.format("graft-table").option("versionAsOf", "3")
+          .load(root)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(masked).as("dv_masked"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $dmlStateSql
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars, TRUE AS dv_masked
+        |FROM u3 GROUP BY lang ORDER BY lang""".stripMargin),
+      "A DELETION-VECTOR snapshot read through the standard connector " +
+        "(spark.read.format(\"graft-table\").option(\"versionAsOf\", " +
+        "3)): the masked relation applies the DV anti-join above the " +
+        "vectorized inner scan while column pruning and translated " +
+        "filters still push through Catalyst — hash-matched against " +
+        "the logical post-update state, with the in-band pin proving " +
+        "the snapshot really carries masks.  A table with outstanding " +
+        "merge-on-read deletes stays fully readable to SQL and " +
+        "DataFrame users; purging remains a maintenance choice, not a " +
+        "service requirement."))
 }

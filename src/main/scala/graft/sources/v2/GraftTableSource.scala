@@ -254,10 +254,18 @@ class GraftTableSource extends RelationProvider
       .getOrElse(throw new IllegalStateException(
         s"no committed version under $root"))
     val snap = VersionedTable.snapshot(s, root, v)
-    require(snap.files.forall(_.dv.isEmpty),
-      s"graft-table cannot serve v$v of $root: snapshot carries " +
-        "deletion vectors a raw parquet scan cannot mask — run " +
-        "purgeDeletes first or read via VersionedTable.read")
+    // DELETION-VECTOR snapshots: a raw parquet scan cannot mask DV'd
+    // rows (Delta needed a custom FileFormat for exactly this), so
+    // they are served through a PrunedFilteredScan over the library's
+    // masked read — column pruning and the common filter shapes still
+    // reach the inner parquet scan through Catalyst, the DV anti-join
+    // rides on top, and Spark re-evaluates every filter row-level
+    // (unhandledFilters default), so partial translation is safe.
+    // DV-free snapshots keep the vectorized HadoopFsRelation fast
+    // path below.
+    if (snap.files.exists(_.dv.isDefined))
+      return new GraftMaskedRelation(ctx,
+        VersionedTable.read(s, root, Some(v)))
     // schema: O(1) from the manifest's table.schema property (written
     // by every row-adding commit, widened on evolution); pre-property
     // history falls back to a full mergeSchema footer sweep — correct,
@@ -469,6 +477,52 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
   override def stop(): Unit = ()
   override def toString: String =
     s"GraftTableStreamSource($root, cdf=$cdf)"
+}
+
+/** Deletion-vector snapshots through the connector: a
+  * [[org.apache.spark.sql.sources.PrunedFilteredScan]] over the
+  * library's DV-masked read.  Column pruning and translated filters
+  * reach the INNER parquet scan via Catalyst (the anti-join mask sits
+  * above them); untranslatable filters are simply not pushed — Spark
+  * re-applies every filter row-level, so translation can never change
+  * an answer. */
+final class GraftMaskedRelation(ctx: SQLContext, df: DataFrame)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{functions => F, sources => sf}
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def needConversion: Boolean = false
+
+  private def toColumn(f: sf.Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case sf.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+      case sf.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+      case sf.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+      case sf.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+      case sf.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+      case sf.In(a, vs) => Some(F.col(a).isInCollection(vs.toSeq))
+      case sf.IsNull(a) => Some(F.col(a).isNull)
+      case sf.IsNotNull(a) => Some(F.col(a).isNotNull)
+      case sf.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+      case sf.And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case _ => None // stays with Spark's row-level re-evaluation
+    }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn(_))
+      .foldLeft(df)((acc, c) => acc.filter(c))
+    // empty requiredColumns (COUNT(*)-shaped): a zero-field projection
+    // still produces one InternalRow per surviving row
+    val pruned =
+      filtered.select(requiredColumns.map(F.col(_)).toIndexedSeq: _*)
+    pruned.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
 }
 
 /** The per-batch commit half of the streaming sink: upsert the

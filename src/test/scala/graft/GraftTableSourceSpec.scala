@@ -261,17 +261,32 @@ class GraftTableSourceSpec extends SparkSpec {
     ()
   }
 
-  test("deletion-vector snapshots are rejected loudly (a raw parquet " +
-    "scan cannot mask DVs); purging restores service") {
+  test("deletion-vector snapshots serve through the masked relation: " +
+    "rows identical to the library read, filters and projections " +
+    "still correct; purging returns to the vectorized fast path") {
     val root = freshRoot("dv")
     VersionedTable.append(spark, root, docs(40), "doc_id", 2)
     VersionedTable.deleteMoR(spark, root, col("doc_id") < 4, "doc_id")
-    val ex = intercept[IllegalArgumentException] {
-      spark.read.format("graft-table").load(root).count()
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
+    val viaConnector = spark.read.format("graft-table").load(root)
+    assert(viaConnector.count() === 36)
+    assert(viaConnector.filter(col("doc_id") < 10).count() === 6)
+    assert(viaConnector.select("text").distinct().count() ===
+      VersionedTable.read(spark, root).select("text").distinct().count())
+    assert(viaConnector.orderBy("doc_id").collect() ===
+      VersionedTable.read(spark, root).orderBy("doc_id").collect())
+    // masked path in use (no FileSourceScanExec leaf)
+    assert(viaConnector.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .isEmpty)
+    // DV-free snapshots keep the vectorized relation
     VersionedTable.purgeDeletes(spark, root, "doc_id", 2)
-    assert(spark.read.format("graft-table").load(root).count() === 36)
+    val purged = spark.read.format("graft-table").load(root)
+    assert(purged.count() === 36)
+    assert(purged.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .isDefined)
   }
 
   test("idempotent batch writes: the same (txnAppId, txnVersion) pair " +
