@@ -33,6 +33,10 @@ import graft.sources.VersionedTable.{MatchedDelete, MatchedUpdate, NotMatchedByS
   *                    DELETE; not-matched & s.lang≠'it' → INSERT;
   *                    not-matched-by-source & t.lang='fr' &
   *                    t.doc_id % 3 == 0 → DELETE
+  *   v5 replace-where = the re-keyed (+1e9) slice rebuilt in one
+  *                    commit from a re-derivation ('r '-prefixed,
+  *                    n_chars+5); the slice is key-contiguous, so
+  *                    bottom-range files carry by reference
   *
   * The oracle mirrors the four logical states as CTE algebra over
   * `documents`, so DuckDB hash-checks CoW update semantics (including
@@ -76,7 +80,13 @@ object Curation69Queries {
       |m4 AS (SELECT doc_id, text, lang, source, n_chars FROM m4t
       |       UNION ALL
       |       SELECT doc_id, text, lang, source, n_chars FROM ins
-      |       WHERE lang <> 'it')"""
+      |       WHERE lang <> 'it'),
+      |m5 AS (SELECT * FROM m4 WHERE doc_id < 1000000000
+      |       UNION ALL
+      |       SELECT doc_id + 1000000000 AS doc_id,
+      |              'r ' || text AS text, lang, source,
+      |              n_chars + 5 AS n_chars
+      |       FROM documents WHERE doc_id % 5 = 1 AND lang <> 'it')"""
       .stripMargin
 
   private[queries] def buildDml(s: SparkSession, d: String,
@@ -114,6 +124,18 @@ object Curation69Queries {
         cond = Some(col("s.lang") =!= "it")),
       NotMatchedBySourceDelete(cond = Some(col("t.lang") === "fr" &&
         pmod(col("t.doc_id"), lit(3)) === 0))), 4)
+    // v5: REPLACE WHERE — rebuild the re-keyed (+1e9) slice from a
+    // re-derivation (one commit: slice out, batch in).  The slice is
+    // key-contiguous, so it lives in the top range file only and the
+    // bottom files carry by reference — the partition-reload shape.
+    VersionedTable.replaceWhere(s, root,
+      col("doc_id") >= 1000000000L,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 1 &&
+          col("lang") =!= "it")
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+        .withColumn("text", concat(lit("r "), col("text")))
+        .withColumn("n_chars", col("n_chars") + 5L),
+      "doc_id", 2)
     ()
   }
 
@@ -504,5 +526,37 @@ object Curation69Queries {
         "the snapshot really carries masks.  A table with outstanding " +
         "merge-on-read deletes stays fully readable to SQL and " +
         "DataFrame users; purging remains a maintenance choice, not a " +
-        "service requirement."))
+        "service requirement."),
+
+    // -------------------------------------------------- REPLACE WHERE
+    QueryDef(
+      "replace_where_read",
+      (s, d) => {
+        val root = table(s, d)
+        val v4 = VersionedTable.snapshot(s, root, 4)
+        val v5 = VersionedTable.snapshot(s, root, 5)
+        val carried = v4.files.map(_.path).toSet
+          .intersect(v5.files.map(_.path).toSet).nonEmpty
+        VersionedTable.read(s, root, Some(5))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_n_chars"))
+          .select(col("lang"), col("n_docs"), col("sum_n_chars"),
+            lit(carried).as("files_carried"), lit(v5.op).as("op"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $dmlStateSql
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       TRUE AS files_carried, 'replace-where' AS op
+        |FROM m5 GROUP BY lang ORDER BY lang""".stripMargin),
+      "REPLACE WHERE doc_id >= 1e9: the key-contiguous slice is " +
+        "rebuilt from a re-derivation in ONE commit — matching rows " +
+        "out, batch in — while every bottom-range file carries by " +
+        "reference (pinned in-band).  The incoming batch is " +
+        "validated to lie INSIDE the predicate before anything is " +
+        "written, so a retried reload can never leak rows outside the " +
+        "slice it owns: the idempotent partition-reload unit every " +
+        "scheduled pipeline needs, at O(slice) cost instead of a " +
+        "table overwrite."))
 }

@@ -1194,6 +1194,59 @@ object VersionedTable {
     * re-derived from the CURRENT head on every CAS attempt.  `txnId`
     * makes the commit idempotent (a retry of the same transaction
     * returns the already-committed version instead of appending twice). */
+  /** REPLACE WHERE (predicate-scoped overwrite, Delta's
+    * `option("replaceWhere", ...)` semantics): one commit that deletes
+    * every current row matching `cond` and inserts `df` — the
+    * idempotent reload unit for a partition-shaped slice ("rebuild
+    * yesterday's crawl", "re-redact source X") that a full overwrite
+    * would turn into a table rewrite.  Every INCOMING row must itself
+    * satisfy `cond` (validated in one aggregation before anything is
+    * written — Delta's constraint): otherwise a retried reload could
+    * leak rows outside the slice it claims to own, and two
+    * slice-owners could silently overwrite each other.  Copy-on-write
+    * at file granularity: files with no matching row carry by
+    * reference; a NULL condition keeps the row (SQL semantics, as in
+    * [[delete]]).  CHECK constraints gate `df`.  Same optimistic-
+    * concurrency + txn idempotence contract as [[merge]]. */
+  def replaceWhere(s: SparkSession, root: String, cond: Column,
+      df: DataFrame, idCol: String, numFiles: Int,
+      txnId: Option[String] = None): Int = {
+    txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+    // outside-slice guard: one job, before the conflict loop (the
+    // batch never changes across retries)
+    val outside = df.agg(sum(when(!coalesce(cond, lit(false)), 1L)
+      .otherwise(0L)).as("n")).head().getAs[Any]("n")
+    val nOutside =
+      if (outside == null) 0L else outside.asInstanceOf[Long]
+    require(nOutside == 0L,
+      s"replaceWhere: $nOutside incoming rows do not satisfy the " +
+        "replacement predicate — the batch would write outside the " +
+        "slice it replaces")
+    retryingConflicts(root) { () =>
+      txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("replaceWhere on empty table"))
+      val snap = snapshot(s, root, parentV)
+      enforceConstraints(df, snap.constraints, s"replaceWhere on $root")
+      val current = readLiveWithFile(s, snap.files)
+      val touched = current.filter(coalesce(cond, lit(false)))
+        .select(col("__graft_file").as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (rewrite, carry) =
+        snap.files.partition(f => touched.contains(normPath(f.path)))
+      val survivors =
+        if (rewrite.isEmpty) df
+        else readLive(s, rewrite)
+          .filter(!coalesce(cond, lit(false)))
+          .unionByName(df, allowMissingColumns = true)
+      val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
+      commitManifest(s, root, "replace-where", newFiles, _ => carry,
+        txnId, requireParent = Some(parentV),
+        propsOf = p => schemaProp(
+          p.map(_.props).getOrElse(Map.empty), df))
+    }
+  }
+
   /** CONVERT TO GRAFT: adopt a plain parquet DIRECTORY as version 1
     * of a table IN PLACE — zero rows copied or rewritten, the
     * onboarding move Delta ships as `CONVERT TO DELTA`.  One readback

@@ -195,6 +195,14 @@ class GraftTableSource extends RelationProvider
       case SaveMode.Append =>
         VersionedTable.append(s, root, data, keyCol, numFiles,
           txnId = txn)
+      // predicate-scoped overwrite (Delta's replaceWhere): only the
+      // slice matching the SQL predicate is replaced, and the batch
+      // must stay inside it
+      case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
+        VersionedTable.replaceWhere(s, root,
+          org.apache.spark.sql.functions.expr(
+            parameters("replaceWhere")),
+          data, keyCol, numFiles, txnId = txn)
       case SaveMode.Overwrite =>
         VersionedTable.overwrite(s, root, data, keyCol, numFiles,
           txnId = txn)

@@ -265,6 +265,69 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("replaceWhere: one commit swaps the slice, untouched files " +
+    "carry, outside-slice batches are rejected, NULL-condition rows " +
+    "keep, and txnId makes retries exactly-once") {
+    import spark.implicits._
+    val root = freshRoot("rw")
+    val d = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None, 30L), (60L, Some("a"), 60L), (70L, Some("b"), 70L))
+      .toDF("id", "grp", "x")
+    VersionedTable.append(spark, root,
+      d.repartitionByRange(2, col("id")), "id", 2)
+    val v1 = VersionedTable.snapshot(spark, root, 1)
+    // outside-slice row (grp='b') rejected before anything commits
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(spark, root, col("grp") === "a",
+        Seq((9L, Some("b"), 0L)).toDF("id", "grp", "x"), "id", 1)
+    }
+    assert(VersionedTable.latestVersion(spark, root) === Some(1))
+    // replace grp='a' (ids 1 and 60, in BOTH files) with one new row;
+    // two output files so the next slice-replace has something to carry
+    val batch = Seq((100L, Some("a"), 1L)).toDF("id", "grp", "x")
+    val v = VersionedTable.replaceWhere(spark, root, col("grp") === "a",
+      batch, "id", 2, txnId = Some("rw#1"))
+    assert(VersionedTable.snapshot(spark, root, v).op === "replace-where")
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, Option[String], Long)].collect()
+    // NULL grp (id 3) kept — SQL three-valued semantics
+    assert(got === Array((2L, Some("b"), 20L), (3L, None, 30L),
+      (70L, Some("b"), 70L), (100L, Some("a"), 1L)))
+    // retry is a no-op
+    assert(VersionedTable.replaceWhere(spark, root, col("grp") === "a",
+      batch, "id", 2, txnId = Some("rw#1")) === v)
+    assert(VersionedTable.latestVersion(spark, root) === Some(v))
+    // a slice confined to the high-range file leaves the low one
+    // carried by reference
+    val v3 = VersionedTable.replaceWhere(spark, root, col("id") >= 60,
+      Seq((80L, Some("z"), 0L)).toDF("id", "grp", "x"), "id", 1)
+    val s3 = VersionedTable.snapshot(spark, root, v3)
+    assert(VersionedTable.snapshot(spark, root, v).files.map(_.path)
+      .toSet.intersect(s3.files.map(_.path).toSet).nonEmpty)
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, Option[String], Long)].collect() ===
+      Array((2L, Some("b"), 20L), (3L, None, 30L),
+        (80L, Some("z"), 0L)))
+  }
+
+  test("replaceWhere through the connector: mode(overwrite) + " +
+    "option(replaceWhere, sqlPredicate)") {
+    import spark.implicits._
+    val root = freshRoot("rwconn")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")
+      .write.format("graft-table").option("keyCol", "id").save(root)
+    Seq((10L, "a")).toDF("id", "grp")
+      .write.format("graft-table").mode("overwrite")
+      .option("replaceWhere", "grp = 'a'").save(root)
+    val got = VersionedTable.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(got === Array((2L, "b"), (10L, "a")))
+    // plain overwrite still replaces everything
+    Seq((5L, "c")).toDF("id", "grp")
+      .write.format("graft-table").mode("overwrite").save(root)
+    assert(VersionedTable.read(spark, root).count() === 1)
+  }
+
   test("updateMoR CDC: the change feed across the commit is pure " +
     "update pairs keyed to the masked rows") {
     val root = freshRoot("updmorcdc")
