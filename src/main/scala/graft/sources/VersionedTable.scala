@@ -2784,8 +2784,20 @@ object VersionedTable {
       }
     }
 
-  def vacuum(s: SparkSession, root: String, keepFrom: Int,
-      retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+  /** VACUUM DRY RUN: the exact file set a [[vacuum]] with the same
+    * arguments would reclaim, deleting nothing — the look-before-you-
+    * leap half of Delta's `VACUUM ... DRY RUN`.  An operator checks
+    * the list (count, bytes, anything referenced by an out-of-band
+    * consumer) before committing to the real pass. */
+  def vacuumDryRun(s: SparkSession, root: String, keepFrom: Int,
+      retainMs: Long = 24L * 3600 * 1000): Seq[String] =
+    vacuumDoomed(s, root, keepFrom, retainMs)._2.map(_.toString)
+
+  /** The reclaim set shared by [[vacuum]] and [[vacuumDryRun]]: every
+    * file under `root/data` referenced by no kept manifest (own or
+    * registered clones') and older than the retention horizon. */
+  private def vacuumDoomed(s: SparkSession, root: String, keepFrom: Int,
+      retainMs: Long): (Int, Seq[Path]) = {
     val fs = fileSystem(s, root)
     // DV sidecars are referenced files too: reclaiming one would break
     // every kept snapshot whose entries point at it (masked rows would
@@ -2814,7 +2826,7 @@ object VersionedTable {
     }.toSet
     val referenced = ownRefs ++ cloneRefs
     val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return (0, 0)
+    if (!fs.exists(dataDir)) return (0, Seq.empty)
     val horizon = System.currentTimeMillis() - retainMs
     val all = scala.collection.mutable.ArrayBuffer.empty[Path]
     val young = scala.collection.mutable.Set.empty[String]
@@ -2828,10 +2840,18 @@ object VersionedTable {
           young += st.getPath.toUri.getPath
       }
     }
-    val doomed = all.filterNot { p =>
+    (all.size, all.filterNot { p =>
       val norm = p.toUri.getPath
       referenced.contains(norm) || young.contains(norm)
-    }
+    }.toSeq)
+  }
+
+  def vacuum(s: SparkSession, root: String, keepFrom: Int,
+      retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val fs = fileSystem(s, root)
+    if (!fs.exists(new Path(root, "data"))) return (0, 0)
+    val horizon = System.currentTimeMillis() - retainMs
+    val (nAll, doomed) = vacuumDoomed(s, root, keepFrom, retainMs)
     doomed.foreach(p => fs.delete(p, false))
     val doomedVersions = versions(s, root).filter(_ < keepFrom)
     // Manifests about to be reclaimed may carry txn ids; compact them
@@ -2871,7 +2891,7 @@ object VersionedTable {
         }
       }
     }
-    (all.size, doomed.size)
+    (nAll, doomed.size)
   }
 
   /** DESCRIBE HISTORY: one row per kept version — (version, ts, op,

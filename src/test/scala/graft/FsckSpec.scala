@@ -31,6 +31,24 @@ class FsckSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, root) === Some(1))
   }
 
+  test("vacuum dry run names exactly the files the real pass then " +
+    "reclaims, and deletes nothing itself") {
+    val root = freshRoot("dryrun")
+    VersionedTable.append(spark, root, docs(0 until 20), "doc_id", 2)
+    VersionedTable.overwrite(spark, root, docs(20 until 30), "doc_id", 1)
+    val planned = VersionedTable.vacuumDryRun(spark, root,
+      keepFrom = 2, retainMs = 0L)
+    // v1's two files are unreferenced by the kept head
+    assert(planned.size === 2)
+    // nothing was deleted: v1 still reads
+    assert(VersionedTable.read(spark, root, Some(1)).count() === 20)
+    VersionedTable.vacuum(spark, root, keepFrom = 2, retainMs = 0L)
+    val fsys = fs(root)
+    planned.foreach(p =>
+      assert(!fsys.exists(new Path(p)), s"$p should be reclaimed"))
+    assert(VersionedTable.read(spark, root).count() === 10)
+  }
+
   test("an externally deleted data file is reported and repair drops " +
     "exactly its entry; the rest of the table keeps serving") {
     val root = freshRoot("data")
