@@ -558,5 +558,51 @@ object Curation69Queries {
         "written, so a retried reload can never leak rows outside the " +
         "slice it owns: the idempotent partition-reload unit every " +
         "scheduled pipeline needs, at O(slice) cost instead of a " +
-        "table overwrite."))
+        "table overwrite."),
+
+    // -------------------------------------------- null-count pruning
+    QueryDef(
+      "null_stats_pruned_read",
+      (s, d) => {
+        val root = Scratch.buildOnce(s, d, "vtabnull") { r =>
+          val docs = Tables.documents(s, d)
+          VersionedTable.append(s, r,
+            docs.withColumn("opt", col("n_chars")), "doc_id", 3,
+            op = "load")
+          VersionedTable.append(s, r,
+            docs.withColumn("doc_id", col("doc_id") + 3000000000L)
+              .withColumn("opt", lit(null).cast("long")), "doc_id", 2)
+          ()
+        }
+        val snap = VersionedTable.snapshot(s, root, 2)
+        val kept = VersionedTable.pruneWithBounds(snap, Some("doc_id"),
+          Seq(("opt", "isnotnull", null)))
+        // strict prune + soundness, pinned in-band: exactly the
+        // all-null files skipped, and every skipped file's recorded
+        // null count equals its rows (cannot hold a match)
+        val strict = kept.size == 3 && snap.files.size == 5
+        val sound = snap.files.filterNot(kept.toSet).forall(f =>
+          f.nulls.get("opt").contains(f.rows))
+        s.read.format("graft-table").load(root)
+          .filter(col("opt").isNotNull)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("opt")).as("sum_opt"))
+          .select(col("lang"), col("n_docs"), col("sum_opt"),
+            lit(strict).as("prune_strict"),
+            lit(sound).as("skipped_cannot_match"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_opt,
+        |       TRUE AS prune_strict, TRUE AS skipped_cannot_match
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "NULL-COUNT statistics (Iceberg's null_value_counts): a corpus " +
+        "whose second ingest carries an all-null `opt` column reads " +
+        "`opt IS NOT NULL` by planning ONLY the populated files — the " +
+        "in-band pins prove the prune is strict (3 of 5 files) and " +
+        "sound (every skipped file's recorded null count equals its " +
+        "row count).  Because Spark injects IsNotNull under nearly " +
+        "every comparison, pre-backfill evolution shapes — the normal " +
+        "state of a growing 100 TB corpus — drop out of most scans " +
+        "for free."))
 }

@@ -65,12 +65,20 @@ object VersionedTable {
     * O(0) filesystem RPCs where a per-file getFileStatus sweep is
     * O(files) round-trips — Delta records `size` per AddFile for the
     * same reason. */
+  /** `nulls` records the NULL COUNT of every stats-eligible column at
+    * write time (Iceberg's null_value_counts): `IS NOT NULL` prunes a
+    * file whose count equals its rows, `IS NULL` one whose count is
+    * zero — and since Spark injects IsNotNull under almost every
+    * comparison, all-null files (pre-backfill evolution shapes) drop
+    * out of most scans for free.  Absent entries (pre-feature
+    * manifests) prune nothing. */
   final case class FileEntry(path: String, rows: Long, minId: Long,
       maxId: Long, dv: Option[DvRef] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
       sstats: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, IndexedSeq[Long]] = Map.empty,
-      bytes: Long = 0L) {
+      bytes: Long = 0L,
+      nulls: Map[String, Long] = Map.empty) {
     /** Rows a reader actually sees: physical minus DV-masked. */
     def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
   }
@@ -453,10 +461,14 @@ object VersionedTable {
         c -> IndexedSeq.fill(BloomWords)(bb.getLong())
       }.toMap
     }.getOrElse(Map.empty[String, IndexedSeq[Long]])
+    val nulls = Option(f.get("nulls")).map { nn =>
+      import scala.jdk.CollectionConverters._
+      nn.fieldNames().asScala.map(c => c -> nn.get(c).asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     FileEntry(f.get("path").asText(), f.get("rows").asLong(),
       f.get("minId").asLong(), f.get("maxId").asLong(), dv, stats,
       sstats, blooms,
-      Option(f.get("bytes")).map(_.asLong()).getOrElse(0L))
+      Option(f.get("bytes")).map(_.asLong()).getOrElse(0L), nulls)
   }
 
   /** Serialize one entry into a manifest/group "files" array. */
@@ -491,6 +503,10 @@ object VersionedTable {
         words.foreach(bb.putLong)
         bn.put(c, java.util.Base64.getEncoder.encodeToString(bb.array()))
       }
+    }
+    if (f.nulls.nonEmpty) {
+      val nn = o.putObject("nulls")
+      f.nulls.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n) }
     }
   }
 
@@ -787,7 +803,14 @@ object VersionedTable {
                 .forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)
             }
           else true
-        keyOk && statOk && sstatOk && bloomOk
+        // null-count pruning: physical counts, so DV masks (which only
+        // REMOVE rows) can never make a skip unsound
+        val nullOk = op match {
+          case "isnotnull" => f.nulls.get(c).forall(_ < f.rows)
+          case "isnull" => f.nulls.get(c).forall(_ > 0L)
+          case _ => true
+        }
+        keyOk && statOk && sstatOk && bloomOk && nullOk
       }
     }
   }
@@ -1030,8 +1053,12 @@ object VersionedTable {
           st.getPath.getName.startsWith("."))
         .map(st => normPath(st.getPath.toString) -> st.getLen).toMap
     }
+    // null counts for every stats-eligible column (Iceberg's
+    // null_value_counts): count(col) rides the same single pass
+    val nullCols = (statCols.map(_._1) ++ strCols).distinct
+    val nullAggs = nullCols.map(c => count(col(c)).as(s"__cnt_$c"))
     val aggs = Seq(min(col(idCol)).as("minId"),
-      max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs ++
+      max(col(idCol)).as("maxId")) ++ statAggs ++ strAggs ++ nullAggs ++
       bloomCols.flatMap { c =>
         (0 until BloomWords).map { w =>
           val contrib = (0 until BloomHashes).map { i =>
@@ -1072,10 +1099,13 @@ object VersionedTable {
           // would prune the file, which is CORRECT (no value matches)
           Some(c -> words)
         }.toMap
-        FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+        val rowsN = r.getAs[Long]("rows")
+        val nulls = nullCols.map { c =>
+          c -> (rowsN - r.getAs[Long](s"__cnt_$c")) }.toMap
+        FileEntry(r.getAs[String]("path"), rowsN,
           r.getAs[Long]("minId"), r.getAs[Long]("maxId"), None, stats,
           sstats, blooms,
-          sizes.getOrElse(normPath(r.getAs[String]("path")), 0L))
+          sizes.getOrElse(normPath(r.getAs[String]("path")), 0L), nulls)
       }
       .toSeq.sortBy(_.path)
   }

@@ -32,15 +32,19 @@ import graft.sources.VersionedTable
   *   - long/timestamp comparisons -> per-file column stats,
   *   - string comparisons -> truncated string stats,
   *   - equality on bloom-enrolled columns -> bloom probes,
+  *   - IS NULL / IS NOT NULL -> per-file null counts (and Spark
+  *     injects IsNotNull under almost every comparison, so all-null
+  *     files drop out of most scans for free),
   * all conservatively (a file without the stat is kept; every
   * comparison shape the index cannot prove stays with Spark's
   * row-level filters, which always still run — skipping is never
   * allowed to change an answer, only the file count).
   *
-  * DELETION-VECTOR snapshots are rejected loudly: a raw parquet scan
-  * cannot mask DV'd rows (Delta needed a custom FileFormat for
-  * exactly this), so the connector demands `purgeDeletes` first or
-  * the library read path.  Schema comes from the manifest's
+  * DELETION-VECTOR snapshots serve through [[GraftMaskedRelation]]
+  * (a raw parquet scan cannot mask DV'd rows — Delta needed a custom
+  * FileFormat for exactly this): the anti-join mask rides above the
+  * vectorized inner scan, so the table stays readable with
+  * outstanding merge-on-read deletes.  Schema comes from the manifest's
   * `table.schema` property in O(1) (maintained by every row-adding
   * commit, widened on evolution so older files surface added columns
   * as null); pre-property history falls back to a mergeSchema footer
@@ -649,6 +653,10 @@ object GraftPruning {
       Seq((a.name, "<=", v))
     case LessThanOrEqual(Literal(v, _), a: Attribute) =>
       Seq((a.name, ">=", v))
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: Attribute) => Seq((a.name, "isnotnull", null))
+    case org.apache.spark.sql.catalyst.expressions.IsNull(
+        a: Attribute) => Seq((a.name, "isnull", null))
     case _ => Seq.empty // unsupported shape: Spark's row filter handles it
   }
 }

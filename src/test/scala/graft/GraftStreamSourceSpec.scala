@@ -244,6 +244,23 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got.select("_commit_version").distinct().head().getInt(0) === 2)
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates — the " +
+    "scheduled-batch-job shape for CDC consumers") {
+    val root = freshRoot("avnow")
+    VersionedTable.append(spark, root, docs(0 until 6), "doc_id", 1)
+    VersionedTable.append(spark, root, docs(6 until 10), "doc_id", 1)
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("gss_avnow")
+      .option("checkpointLocation", freshRoot("avnowckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query did not terminate")
+    assert(spark.table("gss_avnow").count() === 10)
+  }
+
   test("source schema derives from the manifest; user schemas and " +
     "missing tables are rejected") {
     val root = freshRoot("schema")

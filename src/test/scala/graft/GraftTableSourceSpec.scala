@@ -289,6 +289,42 @@ class GraftTableSourceSpec extends SparkSpec {
       .isDefined)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL file-level: an " +
+    "all-null file drops from NOT NULL scans, a no-null file from " +
+    "NULL scans; answers unchanged; pre-feature entries stay safe") {
+    import spark.implicits._
+    val root = freshRoot("nullstats")
+    val withVal = (0 until 30).map(i =>
+      (i.toLong, s"t$i", Some(i.toLong * 2)))
+      .toDF("doc_id", "text", "opt")
+    val allNull = (100 until 120).map(i =>
+      (i.toLong, s"t$i", Option.empty[Long]))
+      .toDF("doc_id", "text", "opt")
+    VersionedTable.append(spark, root, withVal, "doc_id", 2)
+    VersionedTable.append(spark, root, allNull, "doc_id", 1)
+    def scanFiles(df: DataFrame): Long = {
+      df.collect() // materialize so the metric is final
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val notNull = spark.read.format("graft-table").load(root)
+      .filter(col("opt").isNotNull)
+    assert(notNull.count() === 30)
+    assert(scanFiles(notNull) === 2) // the all-null file skipped
+    val isNull = spark.read.format("graft-table").load(root)
+      .filter(col("opt").isNull)
+    assert(isNull.count() === 20)
+    assert(scanFiles(isNull) === 1) // both no-null files skipped
+    // a comparison filter implies IsNotNull: the all-null file skips
+    // even though it has no opt min/max stats at all
+    val cmp = spark.read.format("graft-table").load(root)
+      .filter(col("opt") >= 0L)
+    assert(cmp.count() === 30)
+    assert(scanFiles(cmp) === 2)
+  }
+
   test("idempotent batch writes: the same (txnAppId, txnVersion) pair " +
     "commits at most once across retries; half-set options throw") {
     val root = freshRoot("txnwrite")
