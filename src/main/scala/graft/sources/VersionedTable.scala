@@ -99,6 +99,16 @@ object VersionedTable {
     * and manifest-only readers need the name to use them. */
   val TableKeyProp = "table.key"
 
+  /** Manifest FORMAT VERSION this engine reads and writes.  Every
+    * commit stamps `format.version`; [[snapshot]] refuses manifests
+    * declaring a HIGHER version — a reader that cannot know what a
+    * future format means (new mask encodings, different stats
+    * semantics) must fail loudly rather than serve a silent misread.
+    * Delta's minReaderVersion/minWriterVersion protocol, collapsed to
+    * the one dimension this format needs today. */
+  val FormatVersionProp = "format.version"
+  val SupportedFormatVersion = 1
+
   /** Table property carrying the table's LOGICAL SCHEMA as JSON,
     * maintained by every row-adding write (evolution widens it by
     * appending new fields, mergeSchema-style).  Manifest-only readers
@@ -341,6 +351,19 @@ object VersionedTable {
       import scala.jdk.CollectionConverters._
       pn.fieldNames().asScala.map(k => k -> pn.get(k).asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    // FORMAT GATE: refuse manifests written under a newer format than
+    // this engine understands — a silent misread of a future encoding
+    // (different mask semantics, new stats meaning) is the one failure
+    // a storage format must never allow.  Absent = 1 (pre-gate
+    // history).
+    val fv = props.get(FormatVersionProp)
+      .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(1)
+    if (fv > SupportedFormatVersion)
+      throw new IllegalStateException(
+        s"v$v of $root declares format.version $fv, newer than this " +
+          s"engine's $SupportedFormatVersion — upgrade the reader " +
+          "(older versions of the table may still be readable by " +
+          "time travel if they predate the format bump)")
     val snap = Snapshot(node.get("version").asInt(), node.get("op").asText(),
       loose ++ groups.flatMap(_._2),
       Option(node.get("txn")).map(_.asText()), props,
@@ -1163,7 +1186,16 @@ object VersionedTable {
       }
       val v = parent.map(_.version + 1).getOrElse(1)
       val files = (carryOver(parent) ++ newFiles).sortBy(_.path)
-      val props = propsOf(parent)
+      // every manifest declares the FORMAT VERSION it was written
+      // under (inherited explicitly, stamped on first commit): the
+      // reader-side gate in snapshot() turns "a newer engine wrote
+      // this table" into a clear refusal instead of a silent misread —
+      // Delta's protocol action
+      val props = {
+        val p0 = propsOf(parent)
+        if (p0.contains(FormatVersionProp)) p0
+        else p0 + (FormatVersionProp -> SupportedFormatVersion.toString)
+      }
       // TWO-LEVEL layout when `manifest.groupSize` is set: reuse every
       // parent group whose entries ALL survive unchanged (FileEntry
       // equality includes the DV pointer, stats and blooms, so any

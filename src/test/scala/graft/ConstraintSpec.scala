@@ -136,7 +136,8 @@ class ConstraintSpec extends SparkSpec {
     assert(p3("owner") === "curation")
     assert(p3("table.key") === "doc_id") // self-recorded by append
     assert(p3.contains("table.schema")) // self-recorded schema JSON
-    assert(p3.size === 4, s"unexpected extra props: ${p3.keySet}")
+    assert(p3("format.version") === "1") // stamped by every commit
+    assert(p3.size === 5, s"unexpected extra props: ${p3.keySet}")
     // restore to v1: content of v1, but the constraint STAYS in force
     VersionedTable.restore(spark, root, 1) // v4
     assert(VersionedTable.read(spark, root).count() === 10)

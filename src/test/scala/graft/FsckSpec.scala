@@ -49,6 +49,24 @@ class FsckSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 10)
   }
 
+  test("the format gate: a manifest declaring a newer format.version " +
+    "refuses to load; older versions stay time-travelable") {
+    val root = freshRoot("fmt")
+    VersionedTable.append(spark, root, docs(0 until 10), "doc_id", 1)
+    val snap = VersionedTable.snapshot(spark, root, 1)
+    assert(snap.props.get(VersionedTable.FormatVersionProp)
+      === Some("1"))
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.FormatVersionProp,
+      (VersionedTable.SupportedFormatVersion + 1).toString)
+    val ex = intercept[IllegalStateException] {
+      VersionedTable.read(spark, root).count()
+    }
+    assert(ex.getMessage.contains("format.version"))
+    // the pre-bump version still reads
+    assert(VersionedTable.read(spark, root, Some(1)).count() === 10)
+  }
+
   test("an externally deleted data file is reported and repair drops " +
     "exactly its entry; the rest of the table keeps serving") {
     val root = freshRoot("data")
