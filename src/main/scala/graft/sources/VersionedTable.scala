@@ -994,7 +994,14 @@ object VersionedTable {
     // only ever an exchange key — it is never materialized into the
     // written files' schema
     val pcol = partitionExpr.getOrElse(col(partitionCol.getOrElse(idCol)))
+    // sortWithinPartitions: rows inside each file arrive ordered by
+    // the layout key, so parquet's OWN per-row-group min/max (which
+    // the vectorized scan consults below our file-level skipping) get
+    // tight ranges too — file skipping prunes files, row-group stats
+    // then prune WITHIN the survivors.  Cost: one in-memory sort per
+    // task over data it already holds
     df.repartitionByRange(numFiles, pcol)
+      .sortWithinPartitions(pcol)
       .write.parquet(dir)
     // an all-empty write (every input partition empty — e.g. a MERGE
     // whose rewrite deleted every row and inserted none) leaves no

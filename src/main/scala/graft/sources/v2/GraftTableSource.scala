@@ -109,7 +109,13 @@ class GraftTableSource extends RelationProvider
     require(!(parameters.contains("startingVersion") &&
       parameters.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
-    val startV = parameters.get("startingVersion").map(_.toInt)
+    val startV = parameters.get("startingVersion").map {
+        // "latest" (Delta's contract): stream only commits that land
+        // AFTER the query starts — the head itself does not replay
+        case "latest" =>
+          VersionedTable.latestVersion(s, root).getOrElse(0) + 1
+        case n => n.toInt
+      }
       .orElse(parameters.get("startingTimestamp").map { t =>
         // first commit at or after the probe (Delta's stream contract)
         val millis = scala.util.Try(t.toLong).getOrElse(

@@ -244,6 +244,27 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got.select("_commit_version").distinct().head().getInt(0) === 2)
   }
 
+  test("startingVersion=latest streams only commits made AFTER the " +
+    "query starts — the head never replays") {
+    val root = freshRoot("latest")
+    VersionedTable.append(spark, root, docs(0 until 50), "doc_id", 2)
+    VersionedTable.append(spark, root, docs(50 until 60), "doc_id", 1)
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "latest")
+      .load(root)
+      .writeStream.format("memory").queryName("gss_latest")
+      .option("checkpointLocation", freshRoot("latestckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_latest").count() === 0) // nothing replays
+      VersionedTable.append(spark, root, docs(60 until 65), "doc_id", 1)
+      q.processAllAvailable()
+      assert(spark.table("gss_latest").count() === 5) // only the new commit
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates — the " +
     "scheduled-batch-job shape for CDC consumers") {
     val root = freshRoot("avnow")
