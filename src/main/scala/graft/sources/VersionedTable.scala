@@ -2231,6 +2231,35 @@ object VersionedTable {
     * file stays exact (now wide — key-range pruning degrades as
     * cluster-column pruning takes over, the usual layout trade).
     * Same optimistic-concurrency contract as [[merge]]. */
+  /** OPTIMIZE by SIZE: bin-pack every current file smaller than
+    * `minBytes` into ~`targetBytes` outputs, using the manifest's
+    * RECORDED sizes (zero filesystem RPCs to plan) — the byte-domain
+    * twin of [[optimize]]'s row-count form, and the more faithful one
+    * at scale: a streaming table's files vary in row width, and what
+    * scan efficiency actually cares about is bytes per task.  Files at
+    * or above the threshold (or with no recorded size) carry by
+    * reference; a single small file is left alone (rewriting it buys
+    * nothing).  Row-preserving; DVs of rewritten files materialize.
+    * Same optimistic-concurrency contract as [[merge]]. */
+  def optimizeBySize(s: SparkSession, root: String, minBytes: Long,
+      idCol: String, targetBytes: Long): Int =
+    retryingConflicts(root) { () =>
+      val parentV = latestVersion(s, root).getOrElse(
+        throw new IllegalStateException("optimize of empty table"))
+      val snap = snapshot(s, root, parentV)
+      val (small, carry) = snap.files.partition(f =>
+        f.bytes > 0L && f.bytes < minBytes)
+      if (small.size < 2) parentV
+      else {
+        val total = small.map(_.bytes).sum
+        val n = math.max(1L,
+          (total + targetBytes - 1L) / targetBytes).toInt
+        val newFiles = writeFiles(s, root, readLive(s, small), idCol, n)
+        commitManifest(s, root, "optimize", newFiles, _ => carry,
+          requireParent = Some(parentV))
+      }
+    }
+
   def optimizeClusterBy(s: SparkSession, root: String,
       clusterCol: String, idCol: String, numFiles: Int): Int =
     retryingConflicts(root) { () =>

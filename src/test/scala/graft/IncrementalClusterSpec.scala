@@ -96,6 +96,37 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 101)
   }
 
+  test("optimizeBySize bin-packs sub-threshold files from recorded " +
+    "sizes, carries big and unknown-size files, is row-preserving " +
+    "and idempotent") {
+    val root = freshRoot("bysize")
+    // one big-ish commit and a trickle of tiny ones
+    VersionedTable.append(spark, root, rows(0 until 2000), "id", 1)
+    (0 until 4).foreach { i =>
+      VersionedTable.append(spark, root,
+        rows(3000 + i * 10 until 3000 + i * 10 + 10), "id", 1)
+    }
+    val before = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(before.files.size === 5)
+    val bigBytes = before.files.map(_.bytes).max
+    val rowsBefore = VersionedTable.read(spark, root)
+      .orderBy("id").collect()
+    // threshold below the big file: only the 4 tiny ones pack
+    val v = VersionedTable.optimizeBySize(spark, root,
+      minBytes = bigBytes, idCol = "id", targetBytes = Long.MaxValue)
+    val after = VersionedTable.snapshot(spark, root, v)
+    assert(after.op === "optimize")
+    assert(after.files.size === 2) // big carried + one packed file
+    assert(after.files.map(_.path).toSet
+      .intersect(before.files.map(_.path).toSet).size === 1)
+    assert(VersionedTable.read(spark, root).orderBy("id").collect()
+      === rowsBefore)
+    // idempotent: one small file left is not worth a rewrite
+    assert(VersionedTable.optimizeBySize(spark, root, bigBytes, "id",
+      Long.MaxValue) === v)
+  }
+
   test("deletion vectors: rewritten components materialize their " +
     "masks, carried files keep them; read identity holds") {
     val root = freshRoot("dv")
