@@ -364,10 +364,48 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
     startingVersion: Option[Int], failOnDataLoss: Boolean,
     ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Int],
     ignoreDeletes: Boolean = false)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
   import org.apache.spark.sql.functions.{col, lit}
+
+  // Trigger.AvailableNow (via SupportsAdmissionControl): the engine
+  // calls prepareForTriggerAvailableNow once, then drains batches
+  // until latestOffset stops advancing — the cap freezes "available"
+  // at the head observed at query start, so a busy upstream cannot
+  // keep the drain alive forever, and maxVersionsPerTrigger keeps
+  // applying per batch (the fallback path the engine uses for plain
+  // V1 sources is a SINGLE batch, which silently ignores the rate
+  // limit's window boundaries — hence the real implementation).
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(
+      VersionedTable.versions(s, root).lastOption.getOrElse(0))
+    ()
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val live = VersionedTable.versions(s, root)
+    if (live.isEmpty) null
+    else {
+      val first = startingVersion.getOrElse(live.min)
+      val floor = Option(start).map(o => toV(o)).getOrElse(first - 1)
+      val latest = availableNowCap
+        .map(c => math.min(c, live.max)).getOrElse(live.max)
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) => math.min(latest, floor + math.max(n, 1))
+        case None => latest
+      }
+      lastPlanned = math.max(lastPlanned, capped)
+      if (capped <= floor) null else LongOffset(capped.toLong)
+    }
+  }
 
   // rate-limiting floor: the highest version this source has planned
   // (getOffset) or replayed (getBatch).  After a restart it re-learns
@@ -377,12 +415,13 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
   // engine's, not ours).
   @volatile private var lastPlanned: Int = -1
 
-  private def toV(o: org.apache.spark.sql.execution.streaming.Offset)
-      : Int = o match {
-    case l: LongOffset => l.offset.toInt
-    case ser: SerializedOffset => LongOffset(ser).offset.toInt
-    case other => other.json.trim.toInt
-  }
+  private def toV(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o match {
+      case l: LongOffset => l.offset.toInt
+      case ser: SerializedOffset => LongOffset(ser).offset.toInt
+      case other => other.json.trim.toInt
+    }
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val live = VersionedTable.versions(s, root)
