@@ -694,8 +694,23 @@ object VersionedTable {
     if (kept.isEmpty)
       emptyLike(s, root, v, snap)
     else
-      readLive(s, kept)
+      conformToRecorded(s, snap, readLive(s, kept))
   }
+
+  /** Pad a read to the manifest-RECORDED schema: columns the data
+    * files do not yet carry (an [[addColumn]] before any write, an
+    * evolved append none of the kept files saw) surface as NULL, so
+    * the library read and the connector (which always serves the
+    * recorded schema) agree.  No-op when the schemas already match. */
+  private def conformToRecorded(s: SparkSession,
+      snap: Snapshot, df: DataFrame): DataFrame =
+    snap.props.get(TableSchemaProp).map { j =>
+      val recorded = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val have = df.columns.toSet
+      recorded.fields.filterNot(f => have(f.name)).foldLeft(df)(
+        (acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    }.getOrElse(df)
 
   /** Column-stats file pruning: keep a file unless SOME requested
     * range provably excludes it (stats present and disjoint).  String
@@ -1481,6 +1496,36 @@ object VersionedTable {
     * (`constraint.<name>`), so they time-travel, clone, and survive
     * restore with head-lineage semantics (rolling CONTENT back does
     * not roll POLICY back). */
+  /** ALTER TABLE ADD COLUMN: a METADATA-ONLY commit that widens the
+    * recorded logical schema with a new nullable column — no file is
+    * touched, and until data arrives every reader (library and
+    * connector both serve the recorded schema) sees NULL, exactly the
+    * mergeSchema semantics an evolved append would produce.  The
+    * column must not already exist; the op rebases onto whatever head
+    * wins the CAS (pure metadata conflicts with nothing).  Delta's
+    * ALTER TABLE ADD COLUMNS. */
+  def addColumn(s: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    require(latestVersion(s, root).isDefined,
+      s"addColumn on empty table $root")
+    val dummy = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true))))
+    commitManifest(s, root, "add-column", Seq.empty,
+      parent => parent.map(_.files).getOrElse(Seq.empty),
+      propsOf = parent => {
+        val inherited = parent.map(_.props).getOrElse(Map.empty)
+        val exists = inherited.get(TableSchemaProp).exists(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains(name))
+        require(!exists, s"column '$name' already exists on $root")
+        schemaProp(inherited, dummy)
+      })
+  }
+
   def addConstraint(s: SparkSession, root: String, name: String,
       predicate: String): Int = {
     require(name.nonEmpty && !name.contains("."),
@@ -2518,7 +2563,20 @@ object VersionedTable {
       txnId: Option[String] = None): Int = {
     val target = snapshot(s, root, toVersion)
     commitManifest(s, root, "restore", Seq.empty, _ => target.files, txnId,
-      requireParent = Some(observedHead))
+      requireParent = Some(observedHead),
+      // POLICY follows the head lineage (constraints, bloom enrollment,
+      // properties survive the rollback), but the recorded SCHEMA
+      // describes CONTENT, and the content is now the target's — keep
+      // the head's wider schema and a restore past an evolution would
+      // serve phantom null columns forever (Delta's RESTORE rolls the
+      // schema back with the data for the same reason)
+      propsOf = parent => {
+        val inherited = parent.map(_.props).getOrElse(Map.empty)
+        target.props.get(TableSchemaProp) match {
+          case Some(ts) => inherited + (TableSchemaProp -> ts)
+          case None => inherited - TableSchemaProp
+        }
+      })
   }
 
   private def clonesDir(root: String): Path =

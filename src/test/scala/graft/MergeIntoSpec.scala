@@ -328,6 +328,37 @@ class MergeIntoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 1)
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only widen — zero files " +
+    "touched, library and connector both read NULL until data " +
+    "arrives, later writes fill it, duplicates throw") {
+    import spark.implicits._
+    val root = freshRoot("addcol")
+    VersionedTable.append(spark, root, df(0 until 20), "id", 2)
+    val before = VersionedTable.snapshot(spark, root, 1)
+    val v = VersionedTable.addColumn(spark, root, "tag",
+      org.apache.spark.sql.types.StringType)
+    val after = VersionedTable.snapshot(spark, root, v)
+    assert(after.op === "add-column")
+    assert(after.files.map(_.path) === before.files.map(_.path))
+    val lib = VersionedTable.read(spark, root)
+    assert(lib.columns.contains("tag"))
+    assert(lib.filter(col("tag").isNotNull).count() === 0)
+    val conn = spark.read.format("graft-table").load(root)
+    assert(conn.columns.contains("tag"))
+    assert(conn.filter(col("tag").isNotNull).count() === 0)
+    // new data fills it; old rows stay null
+    VersionedTable.append(spark, root,
+      Seq((100L, 1L, "x", "tagged")).toDF("id", "a", "b", "tag"),
+      "id", 1)
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("tag") === "tagged").count() === 1)
+    assert(got.filter(col("tag").isNull).count() === 20)
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumn(spark, root, "tag",
+        org.apache.spark.sql.types.StringType)
+    }
+  }
+
   test("updateMoR CDC: the change feed across the commit is pure " +
     "update pairs keyed to the masked rows") {
     val root = freshRoot("updmorcdc")
