@@ -2554,6 +2554,14 @@ object VersionedTable {
     restoreFrom(s, root, toVersion, head, txnId)
   }
 
+  /** RESTORE to the state as of a TIMESTAMP (ISO-8601 instant or
+    * epoch millis) — resolves the latest commit at or before the
+    * probe, then restores to it; Delta's `RESTORE ... TO TIMESTAMP AS
+    * OF`.  Same conflict/txn contract as [[restore]]. */
+  def restoreToTimestamp(s: SparkSession, root: String, t: String,
+      txnId: Option[String] = None): Int =
+    restore(s, root, versionAtTimestamp(s, root, t), txnId)
+
   /** The commit half of [[restore]] against an explicitly observed
     * head — split out so the conflict contract is testable without a
     * thread race: a commit landing after `observedHead` was read makes

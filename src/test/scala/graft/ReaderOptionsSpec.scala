@@ -66,6 +66,22 @@ class ReaderOptionsSpec extends SparkSpec {
     }
   }
 
+  test("restoreToTimestamp rolls back to the latest commit at or " +
+    "before the probe") {
+    import spark.implicits._
+    val root = freshRoot("restorets")
+    def batch(r: Range) =
+      r.map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    VersionedTable.append(spark, root, batch(0 until 4), "doc_id", 1,
+      op = "load")
+    VersionedTable.append(spark, root, batch(4 until 9), "doc_id", 1)
+    val t1 = VersionedTable.snapshot(spark, root, 1).tsMillis
+    VersionedTable.restoreToTimestamp(spark, root, t1.toString)
+    assert(VersionedTable.read(spark, root).count() === 4)
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "restore")
+  }
+
   test("CDF timestamp bounds: startingTimestamp = first commit at or " +
     "after, endingTimestamp = last commit at or before; mixing a " +
     "bound's version and timestamp forms throws") {
