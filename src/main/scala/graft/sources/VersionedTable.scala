@@ -692,7 +692,11 @@ object VersionedTable {
           snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
       }, ranges, strRanges), eqs)
     if (kept.isEmpty)
-      emptyLike(s, root, v, snap)
+      // conform the EMPTY branch too: a fully-pruned read of a table
+      // with a metadata-added column must carry the same schema as a
+      // non-empty one, or unions/writes over sliced reads break on
+      // the empty slice
+      conformToRecorded(s, snap, emptyLike(s, root, v, snap))
     else
       conformToRecorded(s, snap, readLive(s, kept))
   }
