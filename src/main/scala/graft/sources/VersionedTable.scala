@@ -1802,9 +1802,50 @@ object VersionedTable {
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("merge into empty table"))
       val snap = snapshot(s, root, parentV)
+      // INSERT-ONLY merge (no WHEN MATCHED / BY SOURCE clause — Delta's
+      // insert-only shape): no clause can change a target row, so
+      // matched target files are NOT rewritten and target rows never
+      // flow through a join.  The new rows are the source anti-joined
+      // against the table's key set (a column-pruned scan), run through
+      // the insert-clause chain, and APPENDED — which also removes the
+      // silent-duplication hazard the dup guard below exists for
+      // (duplicate UNMATCHED source keys legitimately insert once per
+      // source row, exactly SQL MERGE's semantics).
+      if (matchedIdx.isEmpty && nmbsIdx.isEmpty) {
+        val tgtSchema = readLive(s, snap.files).schema
+        val fresh = src.alias("s").join(
+          readLive(s, snap.files).select(col(idCol)),
+          Seq(idCol), "left_anti")
+        def insVal(f: org.apache.spark.sql.types.StructField): Column = {
+          val cases: Seq[(Int, Column)] = clauses.zipWithIndex.collect {
+            case (NotMatchedInsert(vs, _), i) =>
+              (i + 1, vs.getOrElse(f.name,
+                if (f.name == idCol) col(s"s.$idCol") else lit(null))
+                .cast(f.dataType))
+          }
+          cases.foldRight(lit(null).cast(f.dataType): Column) {
+            case ((i, v), acc) =>
+              when(col("__graft_act") === i, v).otherwise(acc)
+          }.as(f.name)
+        }
+        val inserts = fresh
+          .withColumn("__graft_act", chainOf(insertIdx, -1))
+          .filter(col("__graft_act") =!= -1)
+          .select(tgtSchema.fields.toIndexedSeq.map(insVal): _*)
+        enforceConstraints(inserts, snap.constraints, s"merge into $root")
+        val newFiles = writeFiles(s, root, inserts, idCol, numFiles)
+        return commitManifest(s, root, "merge", newFiles, _ => snap.files,
+          txnId, requireParent = Some(parentV))
+      }
       val current = readLiveWithFile(s, snap.files)
-      // multiple-source-rows-per-matched-target guard (see Scaladoc)
-      if (matchedIdx.nonEmpty) {
+      // multiple-source-rows-per-matched-target guard (see Scaladoc).
+      // Runs for EVERY remaining clause shape, not just WHEN MATCHED:
+      // with only NOT MATCHED BY SOURCE clauses the matched target
+      // files still rewrite through the full-outer join, where a
+      // target row matched by 2+ source rows joins once per source
+      // row, each copy gets act=0 (keep), and the row would silently
+      // write twice — the loud error here is the guard's whole point.
+      locally {
         val dup = src.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).select(col(idCol))
           .join(current.select(col(idCol)), Seq(idCol), "left_semi")

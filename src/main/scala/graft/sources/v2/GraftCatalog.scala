@@ -61,13 +61,17 @@ class GraftCatalog extends TableCatalog {
 
   private def tableAt(ident: Identifier,
       opts: Map[String, String]): Table = {
-    // any resolution failure (no namespace support, missing directory,
-    // no committed version) surfaces as the catalog-standard
-    // NoSuchTableException so SQL error reporting stays uniform
-    val exists = scala.util.Try {
-      VersionedTable.latestVersion(SparkSession.active,
-        rootOf(ident)).isDefined
-    }.getOrElse(false)
+    // Only the genuinely-not-a-table shapes map to the catalog-standard
+    // NoSuchTableException: a namespaced identifier (this catalog has
+    // no namespaces, so nothing can exist there) and a missing
+    // directory / no committed version (latestVersion returns None for
+    // both, it never throws for them).  Everything else — filesystem
+    // IO errors, a corrupt manifest, the format.version reader gate —
+    // PROPAGATES: wrapping it in "table not found" would mask real
+    // failures, including the fail-loudly contract of the format gate.
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val exists = VersionedTable.latestVersion(SparkSession.active,
+      rootOf(ident)).isDefined
     if (!exists) throw new NoSuchTableException(ident)
     new GraftSqlTable(rootOf(ident), opts)
   }
@@ -180,8 +184,19 @@ final case class GraftSqlResolution(session: SparkSession)
       t: GraftSqlTable): LogicalPlan = {
     val v1 = new GraftTableSource().createRelation(
       session.sqlContext, t.readOpts + ("path" -> t.root))
-    require(v1.schema.length == rel.output.length,
-      s"graft SQL relation schema drift for ${t.root}")
+    // positional NAME + TYPE agreement, not just arity: the catalog
+    // schema and the connector schema are derived independently, and a
+    // drift between them would silently misbind every column to the
+    // wrong attribute id — fail loudly instead
+    val drift = v1.schema.fields.length != rel.output.length ||
+      v1.schema.fields.iterator.zip(rel.output.iterator).exists {
+        case (f, a) => f.name != a.name || f.dataType != a.dataType }
+    require(!drift,
+      s"graft SQL relation schema drift for ${t.root}: catalog " +
+        s"[${rel.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString(",")}] vs connector " +
+        s"[${v1.schema.fields.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(",")}]")
     new LogicalRelation(v1,
       rel.output.map(_.asInstanceOf[AttributeReference]),
       None, false, None)

@@ -605,15 +605,26 @@ final class GraftStreamSink(root: String, keyCol: String,
       .streamingBatchToBatchDF(data)
     val txn = Some(s"graft-table#$txnNamespace#$batchId")
     if (!batch.isEmpty) {
-      if (cdc)
+      if (cdc) {
         // CDC mode (`option("cdc", "true")`): `_change_type`-tagged
         // events apply as upserts + deletes with per-half txn ids —
         // the connector sink half of pure-connector replication
         // (readStream readChangeFeed -> writeStream cdc), sharing
-        // VersionedSink.applyCdcStream's batch engine
+        // VersionedSink.applyCdcStream's batch engine.  A CDF feed
+        // carries `_commit_version`, which is exactly the keep-last
+        // order a catch-up batch spanning several commits of one key
+        // needs — default orderCol to it, so pure-connector
+        // replication works without the user naming a column the
+        // upstream invented (applyCdcBatch drops the bookkeeping
+        // columns after dedupe, so the replica schema stays clean)
+        val effOrder = orderCol.orElse(
+          if (batch.columns.contains("_commit_version"))
+            Some("_commit_version")
+          else None)
         graft.streaming.VersionedSink.applyCdcBatch(batch, root,
           keyCol, numFiles, s"graft-table#$txnNamespace#$batchId",
-          orderCol, morDeletes)
+          effOrder, morDeletes)
+      }
       else if (VersionedTable.latestVersion(s, root).isEmpty)
         VersionedTable.append(s, root,
           VersionedTable.dedupeKeepLast(batch, keyCol, orderCol),

@@ -127,9 +127,13 @@ object VersionedSink {
       val nUpserts =
         typeCounts.filterNot(_._1 == "delete").values.sum
       if (nUpserts > 0L) {
+        // _commit_version is CDF BOOKKEEPING (present when the feed
+        // came from a readChangeFeed stream): it orders keep-last
+        // dedupe above, but must never merge into the replica's
+        // schema — drop it with the change-type tag
         val upserts = winners
           .filter(col("_change_type") =!= "delete")
-          .drop("_change_type")
+          .drop("_change_type", "_commit_version")
         if (VersionedTable.latestVersion(s, root).isEmpty)
           VersionedTable.append(s, root, upserts, idCol, numFiles,
             op = "load", txnId = Some(s"$txnPrefix#m"))

@@ -154,14 +154,16 @@ class GraftStreamSourceSpec extends SparkSpec {
       Map("text" -> lit("v2")), "doc_id", 2)
     VersionedTable.delete(spark, src, col("doc_id") >= 25, "doc_id", 2)
     def replicateOnce(): Unit = {
-      // one version per trigger: within a single commit's feed a key
-      // appears at most once after preimages drop, so no orderCol is
-      // needed and the mirror keeps the source schema
+      // NO rate limit and NO manual column hygiene: a catch-up batch
+      // spans several commits of the same key (7 inserts in v1 then
+      // updates in v2; 25.. insert in v1 then delete in v3), which the
+      // cdc sink resolves keep-last by DEFAULTING orderCol to
+      // _commit_version — and it drops the CDF bookkeeping columns
+      // after dedupe, so the mirror keeps the source schema without
+      // the stream having to know the feed's internals
       val q = spark.readStream.format("graft-table")
         .option("readChangeFeed", "true")
-        .option("maxVersionsPerTrigger", "1")
         .load(src)
-        .drop("_commit_version")
         .writeStream.format("graft-table")
         .option("cdc", "true").option("keyCol", "doc_id")
         .option("checkpointLocation", ckpt)

@@ -216,6 +216,55 @@ class MergeIntoSpec extends SparkSpec {
     assert(got === Array((200L, 1L, None))) // 201 gated out; b NULL
   }
 
+  test("mergeInto insert-only: matched target files are never " +
+    "rewritten (every parent file carries by reference), matched " +
+    "source rows — even DUPLICATE matched keys — are ignored, and " +
+    "duplicate UNMATCHED keys insert once per source row") {
+    import spark.implicits._
+    val root = freshRoot("miinsonly")
+    buildTarget(root)
+    val v1 = VersionedTable.snapshot(spark, root, 1)
+    // ids 5 and 5 MATCH (duplicate matched key: legal in insert-only —
+    // no target row flows through any join, nothing can duplicate);
+    // 300 appears twice UNMATCHED: SQL MERGE inserts one row per
+    // unmatched source row
+    val src = Seq((5L, 1L, "x"), (5L, 2L, "y"),
+      (300L, 3L, "p"), (300L, 4L, "q")).toDF("id", "a", "b")
+    VersionedTable.mergeInto(spark, root, src, "id", Seq(
+      NotMatchedInsert(Map("a" -> col("s.a"), "b" -> col("s.b")))), 1)
+    val v2 = VersionedTable.snapshot(spark, root, 2)
+    // append-shaped: EVERY parent file carried by reference
+    assert(v1.files.map(_.path).toSet
+      .subsetOf(v2.files.map(_.path).toSet))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() === 102)
+    // target row 5 untouched; both unmatched source rows landed
+    assert(got.filter(col("id") === 5).select("a").head()
+      .getLong(0) === 50L)
+    assert(got.filter(col("id") === 300).count() === 2)
+  }
+
+  test("mergeInto: duplicate matched source keys throw for EVERY " +
+    "shape that rewrites matched files — including NOT MATCHED BY " +
+    "SOURCE merges with no WHEN MATCHED clause (a silent double-write " +
+    "otherwise)") {
+    import spark.implicits._
+    val root = freshRoot("midupnmbs")
+    buildTarget(root)
+    val dupMatched = Seq((5L, 1L, "x"), (5L, 2L, "y"))
+      .toDF("id", "a", "b")
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root, dupMatched, "id", Seq(
+        NotMatchedBySourceUpdate(Map("b" -> lit("stale")))), 1)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root, dupMatched, "id", Seq(
+        NotMatchedInsert(Map("a" -> col("s.a"))),
+        NotMatchedBySourceDelete()), 1)
+    }
+    assert(VersionedTable.latestVersion(spark, root) === Some(1))
+  }
+
   test("mergeInto: a rewrite that deletes every surviving row and " +
     "inserts nothing still commits, and the table reads back") {
     import spark.implicits._
