@@ -52,42 +52,51 @@ object Bench {
         node.fieldNames().asScala
           .map(k => k -> node.get(k).asDouble()).toMap
       } catch { case _: Throwable => Map.empty }
-    val attempts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Two timed runs, report the min: this host takes multi-minute
-      // stalls that land on whichever query is executing (BASELINE.md);
-      // a stall must hit BOTH runs of the same query to survive into
-      // the number, while steady-state cost is unaffected.
-      // A failed run returns None — failures must NOT fold their fast-fail
-      // elapsed time into the total (round 4: 98 fixture-broken queries
-      // appeared as phantom ~0.05 s entries, silently over-claiming
-      // coverage). They go to an explicit "errors" list instead.
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Queries that persist() shared subtrees (dedup family) must not
-        // leave blocks behind: accumulated storage across the registry
-        // starves execution memory for everything after them (GC/eviction
-        // thrash was worth >5x on the full-run total at local[4]/8g).
-        spark.catalog.clearCache()
-        if (ok) Some(t) else None
-      }
-      val two = Seq(once(), once()).flatten
-      var sec = if (two.isEmpty) None else Some(two.min)
-      // No query in the registry exceeds ~6 s steady-state at local[4]
-      // on sf0.1; a min-of-2 above 10 s means a host stall landed on
-      // BOTH runs (observed in round 2: 117 s reported for a 3 s query).
-      // One more run is cheap insurance against that double hit.
-      if (sec.exists(_ > 10.0)) sec = (sec.toSeq ++ once().toSeq).minOption
+    // A failed run returns None — failures must NOT fold their fast-fail
+    // elapsed time into the total (round 4: 98 fixture-broken queries
+    // appeared as phantom ~0.05 s entries, silently over-claiming
+    // coverage). They go to an explicit "errors" list instead.
+    def once(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() shared subtrees (dedup family) must not
+      // leave blocks behind: accumulated storage across the registry
+      // starves execution memory for everything after them (GC/eviction
+      // thrash was worth >5x on the full-run total at local[4]/8g).
+      spark.catalog.clearCache()
+      if (ok) Some(t) else None
+    }
+    // TWO FULL INTERLEAVED PASSES over the registry, per-query min:
+    // this host takes multi-minute stalls that land on whichever query
+    // is executing (BASELINE.md).  Back-to-back samples of the same
+    // query (the pre-r12 shape) all fall inside one stall window, so
+    // the min didn't decorrelate — r11's driver bench reported 15
+    // queries at 2-17x their recorded floor on UNCHANGED code, every
+    // one disproven by a second same-HEAD run.  With the two samples
+    // of each query separated by a full registry pass (~minutes), a
+    // stall would have to span BOTH passes to survive into a number.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> once(fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> once(fn) }
+    val p2 = pass2.toMap
+    val attempts = pass1.map { case (name, s1) =>
+      var sec = (s1.toSeq ++ p2(name).toSeq).minOption
       // Floor check: >1.5x the recorded steady-state floor on a query
       // whose cost is big enough to matter (>0.3 s) is this host's
       // stall signature, not a regression — one more run decides.
       // A REAL regression survives all three runs and still reports.
-      floor.get(name).foreach { f =>
-        if (sec.exists(v => v > 1.5 * f && v > 0.3))
-          sec = (sec.toSeq ++ once().toSeq).minOption
+      // (The >10 s guard covers queries without a recorded floor.)
+      val suspect =
+        floor.get(name)
+          .exists(f => sec.exists(v => v > 1.5 * f && v > 0.3)) ||
+          (floor.get(name).isEmpty && sec.exists(_ > 10.0))
+      if (suspect) {
+        val fn = SparkEntry.queries(name)
+        sec = (sec.toSeq ++ once(fn).toSeq).minOption
       }
       name -> sec
     }

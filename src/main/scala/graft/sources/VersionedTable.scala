@@ -2899,8 +2899,21 @@ object VersionedTable {
     // silently cancel rows differing only in the evolved column.  A
     // file missing a schema column reads it as null — exactly the
     // evolution semantics of read().
-    val schema = s.read.option("mergeSchema", "true")
-      .parquet((onlyFrom ++ onlyTo).map(_.path).distinct: _*).schema
+    //
+    // FAST PATH: when both snapshots RECORD the same logical schema
+    // (every commit pair except ones straddling an evolution or a
+    // schema-rolling restore), use it directly — the recorded schema
+    // covers every column any referenced file carries, so alignment
+    // is identical, and the mergeSchema footer sweep (a driver-side
+    // datasource resolution over all differing paths, per diff call)
+    // is skipped.  An incremental consumer calling changeFeed per
+    // commit pays O(1) driver work instead of O(differing files).
+    val recorded = to.props.get(TableSchemaProp)
+      .filter(j => from.props.get(TableSchemaProp).contains(j))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val schema = recorded.getOrElse(s.read.option("mergeSchema", "true")
+      .parquet((onlyFrom ++ onlyTo).map(_.path).distinct: _*).schema)
     def readAligned(entries: Seq[FileEntry]): DataFrame =
       if (entries.isEmpty)
         s.createDataFrame(
