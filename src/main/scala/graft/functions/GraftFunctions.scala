@@ -187,9 +187,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteBoundedTopK)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // SQL face of the versioned table: swap the GraftCatalog's v2
-    // relation for the connector's V1 HadoopFsRelation (see
-    // GraftSqlResolution) — Delta's catalog-to-v1 bridge
+    // SQL DML face of the versioned table FIRST (INSERT / UPDATE /
+    // DELETE / MERGE convert into library-DML commands during
+    // analysis — Delta's DeltaAnalysis construction), then the read
+    // swap: GraftCatalog's v2 relation -> the connector's V1
+    // HadoopFsRelation (see GraftSqlResolution), Delta's
+    // catalog-to-v1 bridge.  Order matters: a DML target must still
+    // be a v2 relation when GraftDmlRule fires (the swap also guards
+    // against touching write targets itself).
+    ext.injectResolutionRule(s => graft.sources.v2.GraftDmlRule(s))
     ext.injectResolutionRule(s => graft.sources.v2.GraftSqlResolution(s))
   }
 }

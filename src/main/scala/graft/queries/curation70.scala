@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Scratch, Tables}
+import graft.sources.v2.GraftSql
+
+/** Batch 70: the SQL WRITE/DML surface of the versioned table — the
+  * half round 11's read-only catalog left out.  Every mutation here
+  * is issued as SQL TEXT (`INSERT INTO` / `UPDATE` / `MERGE INTO` /
+  * `DELETE FROM` over `graft.`/root``), converted during analysis by
+  * [[graft.sources.v2.GraftDmlRule]] (extension sessions) or at parse
+  * level by [[GraftSql.sql]] (any session) into the SAME library DML
+  * commands the programmatic API runs — manifest commits, CHECK
+  * constraints, stats/bloom recording and optimistic concurrency
+  * included.  A SQL-only user can now operate the table end to end:
+  * reference-pipeline workflows (re-crawl appends, redaction updates,
+  * contamination deletes, dedup merges) all express as the four
+  * statements a lakehouse operator already knows.
+  *
+  * The shared five-version table (built ONCE per session+dataset,
+  * every commit after the seed pure SQL):
+  *
+  *   v1 seed    = documents через the connector (keyCol doc_id)
+  *   v2 INSERT  = `INSERT INTO ... SELECT doc_id + 10000000, ...
+  *                WHERE doc_id % 11 = 0` (a re-crawl shard)
+  *   v3 UPDATE  = `UPDATE ... SET text = 'S ' || text,
+  *                n_chars = n_chars + 50 WHERE lang = 'en' AND
+  *                doc_id % 4 = 1` (assignments see pre-update rows)
+  *   v4 MERGE   = conditional clause census: matched 'de' source rows
+  *                DELETE (first match wins), other matched rows
+  *                UPDATE from source, unmatched source rows >= 2e7
+  *                INSERT, NOT MATCHED BY SOURCE 'zh' even-key rows
+  *                DELETE
+  *   v5 DELETE  = `DELETE FROM ... WHERE lang = 'it' AND
+  *                doc_id % 3 = 0`
+  *
+  * The DuckDB oracle mirrors all five states as CTE algebra over
+  * `documents`, so the whole SQL DML stack — parser interception,
+  * side attribution of merge references, positional INSERT alignment,
+  * the library commit protocol — hash-checks end to end. */
+object Curation70Queries {
+
+  /** CTE mirror of the five SQL-built states. */
+  private val sqlStateSql =
+    """s2 AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |s3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' AND doc_id % 4 = 1
+      |         THEN 'S ' || text ELSE text END AS text,
+      |    lang, source,
+      |    CASE WHEN lang = 'en' AND doc_id % 4 = 1
+      |         THEN n_chars + 50 ELSE n_chars END AS n_chars
+      |  FROM s2),
+      |msrc AS (
+      |  SELECT doc_id, 'M ' || text AS text, lang, source,
+      |         n_chars + 7 AS n_chars
+      |  FROM documents WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 9 = 2),
+      |s4 AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN m.doc_id IS NOT NULL THEN m.text ELSE t.text END
+      |      AS text,
+      |    t.lang, t.source,
+      |    CASE WHEN m.doc_id IS NOT NULL THEN m.n_chars
+      |         ELSE t.n_chars END AS n_chars
+      |  FROM s3 t LEFT JOIN msrc m ON t.doc_id = m.doc_id
+      |  WHERE NOT (m.doc_id IS NOT NULL AND m.lang = 'de')
+      |    AND NOT (m.doc_id IS NULL AND t.lang = 'zh'
+      |             AND t.doc_id % 2 = 0)
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars FROM msrc
+      |  WHERE doc_id >= 20000000),
+      |s5 AS (
+      |  SELECT * FROM s4
+      |  WHERE NOT (lang = 'it' AND doc_id % 3 = 0))""".stripMargin
+
+  /** Build the five-version table once per (session, dataset); every
+    * commit after the connector seed is SQL text. */
+  private def table(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqldmltab") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      val docs = Tables.documents(s, d)
+      docs.write.format("graft-table").option("keyCol", "doc_id")
+        .option("numFiles", "4").save(root)
+      docs.createOrReplaceTempView("graft_sqldml_docs")
+      GraftSql.sql(s,
+        s"""INSERT INTO graft.`$root`
+           |SELECT doc_id + 10000000, text, lang, source, n_chars
+           |FROM graft_sqldml_docs WHERE doc_id % 11 = 0""".stripMargin)
+      GraftSql.sql(s,
+        s"""UPDATE graft.`$root`
+           |SET text = 'S ' || text, n_chars = n_chars + 50
+           |WHERE lang = 'en' AND doc_id % 4 = 1""".stripMargin)
+      GraftSql.sql(s,
+        s"""MERGE INTO graft.`$root` AS t USING (
+           |  SELECT doc_id, 'M ' || text AS text, lang, source,
+           |         n_chars + 7 AS n_chars
+           |  FROM graft_sqldml_docs WHERE doc_id % 6 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 20000000 AS doc_id, text, lang, source,
+           |         n_chars
+           |  FROM graft_sqldml_docs WHERE doc_id % 9 = 2) AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.lang = 'de' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = s.text,
+           |  n_chars = s.n_chars
+           |WHEN NOT MATCHED AND s.doc_id >= 20000000 THEN
+           |  INSERT (doc_id, text, lang, source, n_chars)
+           |  VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars)
+           |WHEN NOT MATCHED BY SOURCE AND t.lang = 'zh'
+           |  AND t.doc_id % 2 = 0 THEN DELETE""".stripMargin)
+      GraftSql.sql(s,
+        s"DELETE FROM graft.`$root` " +
+          "WHERE lang = 'it' AND doc_id % 3 = 0")
+      ()
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "sql_dml_lifecycle",
+      (s, d) => {
+        val root = table(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+      },
+      Some(s"""WITH $sqlStateSql
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM s5 GROUP BY lang ORDER BY lang""".stripMargin),
+      "The whole DML lifecycle driven by SQL TEXT — INSERT INTO " +
+        "(positional, from a SELECT), UPDATE with pre-image " +
+        "assignment semantics, a four-clause conditional MERGE INTO " +
+        "(first-match-wins, side-attributed references, NMBS " +
+        "deletes), and DELETE FROM — each statement one manifest " +
+        "commit through the same library DML the programmatic API " +
+        "runs.  The readout is itself SQL over the catalog, and the " +
+        "oracle reconstructs all five states as CTE algebra, so the " +
+        "parser-to-commit pipeline hash-checks end to end.  The " +
+        "round-11 catalog could only read; a SQL-only operator can " +
+        "now run every workflow the reference pipeline needs."),
+
+    QueryDef(
+      "sql_dml_history_read",
+      (s, d) => {
+        val root = table(s, d)
+        (1 to 5).map(v => GraftSql.sql(s,
+          s"SELECT CAST($v AS BIGINT) AS version, " +
+            s"count(*) AS n_rows FROM graft.`$root` VERSION AS OF $v"))
+          .reduce(_ unionByName _)
+          .orderBy(col("version"))
+      },
+      Some(s"""WITH $sqlStateSql
+        |SELECT 1::BIGINT AS version,
+        |       (SELECT count(*) FROM documents)::BIGINT AS n_rows
+        |UNION ALL SELECT 2, (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3, (SELECT count(*) FROM s3)::BIGINT
+        |UNION ALL SELECT 4, (SELECT count(*) FROM s4)::BIGINT
+        |UNION ALL SELECT 5, (SELECT count(*) FROM s5)::BIGINT
+        |ORDER BY version""".stripMargin),
+      "Time travel ACROSS the SQL-driven DML history: one `VERSION " +
+        "AS OF` count per lifecycle commit, all through SQL.  Every " +
+        "intermediate state a SQL statement produced stays " +
+        "addressable — the INSERT's append, the UPDATE's " +
+        "copy-on-write rewrite (row-count preserving), the MERGE's " +
+        "clause census and the DELETE — pinning that SQL writes get " +
+        "the same snapshot-isolation + history semantics as library " +
+        "writes, because they ARE library writes."),
+  )
+}

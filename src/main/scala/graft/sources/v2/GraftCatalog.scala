@@ -112,7 +112,8 @@ class GraftCatalog extends TableCatalog {
   * descriptor (Delta's DeltaTableV2 plays the same role). */
 final class GraftSqlTable(val root: String,
     val readOpts: Map[String, String]) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** Never called on a correctly-configured session: analysis requires
     * the SupportsRead TRAIT (hence this implementation), but the
@@ -127,6 +128,19 @@ final class GraftSqlTable(val root: String,
         "spark.sql.extensions=graft.functions.GraftExtensions (or " +
         "apply the rule to the analyzed plan) so the catalog relation " +
         "is served by the graft-table vectorized scan")
+
+  /** Same story for writes: [[GraftDmlRule]] converts INSERT / DML
+    * into library commands during analysis, so a correctly-configured
+    * session never builds a v2 write.  The trait + capability exist
+    * so analysis accepts the statement and a missing extension fails
+    * HERE with instructions, not with a generic capability error. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"graft.`$root` writes resolve through GraftDmlRule; set " +
+        "spark.sql.extensions=graft.functions.GraftExtensions or run " +
+        "the statement through graft.sources.v2.GraftSql.sql")
 
   override def name(): String = s"graft.`$root`"
 
@@ -151,7 +165,8 @@ final class GraftSqlTable(val root: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 }
 
 object GraftSqlTable {
@@ -202,32 +217,79 @@ final case class GraftSqlResolution(session: SparkSession)
       None, false, None)
   }
 
+  /** Relations that are the TARGET of a DML/write statement must stay
+    * v2 until [[GraftDmlRule]] converts the statement — swapping them
+    * early would let InsertIntoStatement fall through to
+    * InsertIntoHadoopFsRelationCommand, which writes parquet with NO
+    * manifest commit.  Collected by object identity, since the same
+    * table legitimately appears as an ordinary read elsewhere in the
+    * plan (e.g. MERGE's source). */
+  private def writeTargets(plan: LogicalPlan)
+      : java.util.IdentityHashMap[LogicalPlan, Boolean] = {
+    val m = new java.util.IdentityHashMap[LogicalPlan, Boolean]()
+    def relOf(p: LogicalPlan): Unit = p match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        relOf(a.child)
+      case r: DataSourceV2Relation => m.put(r, true); ()
+      case _ => ()
+    }
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement => relOf(i.table)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        relOf(u.table)
+      case d: org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable => relOf(d.table)
+      case mg: org.apache.spark.sql.catalyst.plans.logical
+          .MergeIntoTable => relOf(mg.targetTable)
+      case _ => ()
+    }
+    m
+  }
+
   /** Analyzer-phase form (the injected hook). */
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val targets = writeTargets(plan)
     plan.resolveOperatorsUp {
-      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _)
+          if !targets.containsKey(rel) =>
         swap(rel, t)
     }
+  }
 
   /** Post-analysis form, for plans whose session never installed the
     * extension (resolveOperatorsUp skips analyzed subtrees). */
-  def applyManually(plan: LogicalPlan): LogicalPlan =
+  def applyManually(plan: LogicalPlan): LogicalPlan = {
+    val targets = writeTargets(plan)
     plan.transformUp {
-      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _) =>
+      case rel @ DataSourceV2Relation(t: GraftSqlTable, _, _, _, _, _)
+          if !targets.containsKey(rel) =>
         swap(rel, t)
     }
+  }
 }
 
 /** SQL entry point that works on ANY session: `spark.sql` when the
   * extension is installed (the swap already happened during analysis,
   * applyManually is a no-op), and parse -> analyze -> swap -> replan
   * when it is not (shared sessions built before graft was on the
-  * classpath, notebooks without static-conf control). */
+  * classpath, notebooks without static-conf control).  DML statements
+  * (INSERT / UPDATE / DELETE / MERGE over `graft.`/root``) are
+  * intercepted at PARSE level and converted by [[GraftDml]] — eager
+  * command analysis would otherwise reject them before the swap could
+  * run. */
 object GraftSql {
   def sql(s: SparkSession, sqlText: String)
       : org.apache.spark.sql.DataFrame = {
-    val analyzed = s.sql(sqlText).queryExecution.analyzed
-    org.apache.spark.sql.GraftShims.ofRows(s,
-      GraftSqlResolution(s).applyManually(analyzed))
+    val parsed = org.apache.spark.sql.GraftShims.parsePlan(s, sqlText)
+    GraftDml.fromParsed(s, parsed) match {
+      case Some(cmd) =>
+        // commands execute eagerly on Dataset construction
+        org.apache.spark.sql.GraftShims.ofRows(s, cmd)
+      case None =>
+        val analyzed = s.sql(sqlText).queryExecution.analyzed
+        org.apache.spark.sql.GraftShims.ofRows(s,
+          GraftSqlResolution(s).applyManually(analyzed))
+    }
   }
 }

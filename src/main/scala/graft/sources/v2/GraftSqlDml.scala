@@ -1,0 +1,527 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{BooleanType, StructType}
+import org.apache.spark.sql.GraftShims
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.{MatchedDelete, MatchedUpdate, MergeClause, NotMatchedBySourceDelete, NotMatchedBySourceUpdate, NotMatchedInsert}
+
+/** The SQL WRITE/DML face of the versioned table — the half the
+  * round-11 catalog left out.  `INSERT INTO` / `INSERT OVERWRITE` /
+  * `UPDATE` / `DELETE FROM` / `MERGE INTO` over `graft.`/root``
+  * identifiers convert, during analysis, into [[LeafRunnableCommand]]s
+  * that run the library DML (`append` / `overwrite` / `update` /
+  * `delete` / `mergeInto`) — the same construction Delta uses
+  * (DeltaAnalysis turning DeleteFromTable/UpdateTable/MergeIntoTable
+  * into Delta commands), so every SQL write gets the manifest commit
+  * protocol, CHECK constraints, stats/bloom recording and the
+  * optimistic-concurrency loop for free.  Nothing row-level is
+  * re-implemented here: this file is pure plan translation.
+  *
+  * Two entry modes share one converter:
+  *  - [[GraftDmlRule]], injected via `graft.functions.GraftExtensions`
+  *    (`spark.sql.extensions`): plain `spark.sql("UPDATE ...")` works.
+  *    The rule fires on RESOLVED DML nodes (the analyzer has already
+  *    bound column references against the catalog relation).
+  *  - [[GraftSql.sql]] on sessions without the extension: the
+  *    statement is intercepted at PARSE level (eager command analysis
+  *    would otherwise reject DML on a non-row-level-operation table)
+  *    and converted from the unresolved tree, resolving column
+  *    references by name.  Parse-level limitations are explicit:
+  *    top-level columns only, no subqueries in conditions.
+  *
+  * Scale: identical to the library DML the commands delegate to —
+  * driver state is O(files touched), the key set of a MERGE source
+  * stays distributed, and INSERT inherits append's stats/bloom
+  * recording pass. */
+object GraftDml {
+
+  /** (root, alias) when `p` references a graft table, at ANY
+    * resolution stage: the unresolved `graft.`/x`` identifier, the
+    * catalog's v2 relation, or the v1 relation
+    * [[GraftSqlResolution]] may already have swapped in. */
+  def target(s: SparkSession, p: LogicalPlan)
+      : Option[(String, Option[String])] = p match {
+    case sa: SubqueryAlias =>
+      target(s, sa.child).map { case (r, _) =>
+        (r, Some(sa.identifier.name)) }
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable =>
+        // a time-travel-pinned relation is never a DML target (the
+        // parser cannot produce one, but stay defensive)
+        if (t.readOpts.isEmpty) Some((t.root, None)) else None
+      case _ => None
+    }
+    case lr: LogicalRelation => lr.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location match {
+          case i: GraftFileIndex => Some((i.tableRoot, None))
+          case _ => None
+        }
+      case m: GraftMaskedRelation => Some((m.tableRoot, None))
+      case _ => None
+    }
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          GraftShims.catalogOf(s, u.multipartIdentifier.head)
+            .exists(_.isInstanceOf[GraftCatalog]) =>
+      Some((u.multipartIdentifier(1), None))
+    case _ => None
+  }
+
+  /** The table's recorded key column — every graft write records it,
+    * and SQL DML is meaningless without one. */
+  private def keyOf(s: SparkSession, root: String): String =
+    VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft SQL DML on $root needs a recorded table.key property " +
+          "(write the table through the graft-table connector or the " +
+          "library API first)"))
+
+  /** The table's recorded logical schema (the same derivation the
+    * catalog's `GraftSqlTable.schema()` uses). */
+  private def tableSchema(s: SparkSession, root: String): StructType =
+    new GraftSqlTable(root, Map.empty).schema()
+
+  private def noSubquery(e: Expression, what: String): Unit =
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft SQL $what does not support subqueries in this release; " +
+        "compute the subquery into a column or use the library API")
+
+  /** Strip the (single-table) qualifier off a column reference. */
+  private def bareName(parts: Seq[String], alias: Option[String],
+      root: String): String = parts match {
+    case Seq(n) => n
+    case Seq(q, n) if alias.contains(q) || q == root => n
+    case _ => throw new IllegalArgumentException(
+      s"unsupported column reference `${parts.mkString(".")}` in graft " +
+        "SQL DML (top-level columns of the target table only)")
+  }
+
+  /** Expression -> Column for single-table DML (UPDATE / DELETE):
+    * resolved attribute references and parse-level unresolved ones
+    * both rewrite to bare by-name references, which the library DML
+    * resolves against its own scan of the table. */
+  private def singleTableColumn(e: Expression, alias: Option[String],
+      root: String, what: String): Column = {
+    noSubquery(e, what)
+    GraftShims.columnOf(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      case u: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(bareName(u.nameParts, alias, root)))
+    })
+  }
+
+  /** An assignment's target must be a top-level column. */
+  private def assignName(e: Expression, alias: Option[String],
+      root: String): String = e match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => bareName(u.nameParts, alias, root)
+    case other => throw new IllegalArgumentException(
+      s"graft SQL DML assignment target must be a top-level column, " +
+        s"got ${other.sql}")
+  }
+
+  private[v2] def updateCommand(root: String, alias: Option[String],
+      assignments: Seq[Assignment], cond: Option[Expression])
+      : GraftUpdateCommand = {
+    val set = assignments.map(a =>
+      assignName(a.key, alias, root) ->
+        singleTableColumn(a.value, alias, root, "UPDATE")).toMap
+    require(set.size == assignments.size,
+      "duplicate assignment targets in UPDATE")
+    GraftUpdateCommand(root, set,
+      cond.map(singleTableColumn(_, alias, root, "UPDATE")))
+  }
+
+  private[v2] def deleteCommand(root: String, alias: Option[String],
+      cond: Expression): GraftDeleteCommand =
+    GraftDeleteCommand(root, cond match {
+      case Literal(true, BooleanType) => lit(true)
+      case c => singleTableColumn(c, alias, root, "DELETE")
+    })
+
+  private[v2] def insertCommand(s: SparkSession, root: String,
+      i: InsertIntoStatement): GraftInsertCommand = {
+    require(i.partitionSpec.isEmpty,
+      "graft tables use clustering + file stats instead of hive-style " +
+        "partitions; INSERT ... PARTITION is not supported")
+    require(!i.ifPartitionNotExists,
+      "IF NOT EXISTS on INSERT is not supported for graft tables")
+    GraftInsertCommand(root, i.query, i.overwrite,
+      i.userSpecifiedCols, i.byName, preAligned = false)
+  }
+
+  // ------------------------------------------------------------- MERGE
+
+  /** Convert a MergeIntoTable.  `resolvedMode` decides how column
+    * references are attributed to a side: by attribute identity when
+    * the analyzer already bound them, by alias qualifier + schema
+    * lookup at parse level. */
+  private[v2] def mergeCommand(s: SparkSession, root: String,
+      tAlias: Option[String], m: MergeIntoTable): GraftMergeCommand = {
+    require(!m.withSchemaEvolution,
+      "MERGE ... WITH SCHEMA EVOLUTION is not supported for graft " +
+        "tables; ALTER TABLE ADD COLUMN first")
+    val resolvedMode =
+      m.targetTable.resolved && m.sourceTable.resolved
+    // the source plan the command will execute: analyzed (and, for
+    // sessions without the extension, re-based onto the v1 relation)
+    val srcPlan: LogicalPlan =
+      if (resolvedMode) m.sourceTable
+      else {
+        val analyzed = GraftShims.ofRows(s, m.sourceTable)
+          .queryExecution.analyzed
+        GraftSqlResolution(s).applyManually(analyzed)
+      }
+    val sAlias: Option[String] = m.sourceTable match {
+      case sa: SubqueryAlias => Some(sa.identifier.name)
+      case _ => None
+    }
+    val tCols: Set[String] =
+      if (resolvedMode) m.targetTable.output.map(_.name).toSet
+      else tableSchema(s, root).fieldNames.toSet
+    val sCols: Set[String] = srcPlan.output.map(_.name).toSet
+    val tSet: AttributeSet = if (resolvedMode)
+      m.targetTable.outputSet else AttributeSet.empty
+    val sSet: AttributeSet = if (resolvedMode)
+      m.sourceTable.outputSet else AttributeSet.empty
+
+    // which side does a reference belong to? -> ("t"|"s", bare name)
+    def side(e: Expression): Option[(String, String)] = e match {
+      case a: AttributeReference if resolvedMode =>
+        if (tSet.contains(a)) Some(("t", a.name))
+        else if (sSet.contains(a)) Some(("s", a.name))
+        else None
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, n) if tAlias.contains(q) => Some(("t", n))
+        case Seq(q, n) if sAlias.contains(q) => Some(("s", n))
+        case Seq(n) =>
+          val inT = tCols(n); val inS = sCols(n)
+          if (inT && inS) throw new IllegalArgumentException(
+            s"ambiguous column `$n` in MERGE (exists on both sides); " +
+              "qualify it with the target/source alias")
+          else if (inS) Some(("s", n))
+          else if (inT) Some(("t", n))
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+    def sideColumn(e: Expression, what: String): Column = {
+      noSubquery(e, what)
+      GraftShims.columnOf(e.transform {
+        case a: AttributeReference =>
+          val (q, n) = side(a).getOrElse(throw new IllegalArgumentException(
+            s"cannot attribute `${a.name}` to the MERGE target or source"))
+          UnresolvedAttribute(Seq(q, n))
+        case u: UnresolvedAttribute =>
+          val (q, n) = side(u).getOrElse(throw new IllegalArgumentException(
+            s"cannot attribute `${u.nameParts.mkString(".")}` to the " +
+              "MERGE target or source (qualify with an alias, top-level " +
+              "columns only)"))
+          UnresolvedAttribute(Seq(q, n))
+      })
+    }
+    // assignment target: a target-side top-level column.  Unqualified
+    // names resolve against the TARGET directly — SQL's UPDATE SET /
+    // INSERT column lists always name target columns, so the
+    // both-sides ambiguity rule for VALUE expressions does not apply.
+    def tgtName(e: Expression): String = e match {
+      case a: AttributeReference if resolvedMode && tSet.contains(a) =>
+        a.name
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(n) if tCols(n) => n
+        case Seq(q, n) if tAlias.contains(q) && tCols(n) => n
+        case _ => throw new IllegalArgumentException(
+          s"MERGE assignment target `${u.nameParts.mkString(".")}` " +
+            "must be a column of the target table")
+      }
+      case other => throw new IllegalArgumentException(
+        s"MERGE assignment target must be a top-level column, got " +
+          other.sql)
+    }
+
+    val key = keyOf(s, root)
+    // the merge condition must be one equality binding the table key
+    // to a source column — the join shape the library merge executes
+    val (tKeyName, sKeyName) = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        (side(l), side(r)) match {
+          case (Some(("t", tn)), Some(("s", sn))) => (tn, sn)
+          case (Some(("s", sn)), Some(("t", tn))) => (tn, sn)
+          case _ => throw new IllegalArgumentException(
+            "MERGE ON must equate a target column with a source column")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft MERGE supports a single-equality ON clause on the " +
+          s"table key `$key` (got: ${m.mergeCondition.sql}); fold " +
+          "extra predicates into the WHEN clause conditions")
+    }
+    require(tKeyName == key,
+      s"MERGE ON must join on the table key `$key` (got `$tKeyName`)")
+
+    def starSet(exceptKey: Boolean): Map[String, Column] = {
+      val names = tableSchema(s, root).fieldNames.toSeq
+        .filter(n => !exceptKey || n != key)
+      val missing = names.filterNot(n =>
+        sCols(n) || n == sKeyName || (n == key))
+      require(missing.isEmpty,
+        s"MERGE * needs every target column on the source; missing: " +
+          missing.mkString(", "))
+      names.map { n =>
+        val sn = if (n == key) sKeyName else n
+        n -> col(s"s.$sn")
+      }.toMap
+    }
+    def assignMap(as: Seq[Assignment]): Map[String, Column] = {
+      val set = as.map(a =>
+        tgtName(a.key) -> sideColumn(a.value, "MERGE")).toMap
+      require(set.size == as.size, "duplicate MERGE assignment targets")
+      set
+    }
+    val matched: Seq[MergeClause] = m.matchedActions.map {
+      case u: UpdateAction =>
+        MatchedUpdate(assignMap(u.assignments),
+          u.condition.map(sideColumn(_, "MERGE")))
+      case u: UpdateStarAction =>
+        MatchedUpdate(starSet(exceptKey = true),
+          u.condition.map(sideColumn(_, "MERGE")))
+      case d: DeleteAction =>
+        MatchedDelete(d.condition.map(sideColumn(_, "MERGE")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched: Seq[MergeClause] = m.notMatchedActions.map {
+      case i: InsertAction =>
+        NotMatchedInsert(assignMap(i.assignments),
+          i.condition.map(sideColumn(_, "MERGE")))
+      case i: InsertStarAction =>
+        NotMatchedInsert(starSet(exceptKey = false),
+          i.condition.map(sideColumn(_, "MERGE")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val nmbs: Seq[MergeClause] = m.notMatchedBySourceActions.map {
+      case u: UpdateAction =>
+        NotMatchedBySourceUpdate(assignMap(u.assignments),
+          u.condition.map(sideColumn(_, "MERGE")))
+      case d: DeleteAction =>
+        NotMatchedBySourceDelete(d.condition.map(sideColumn(_, "MERGE")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    GraftMergeCommand(root, key, sKeyName, srcPlan,
+      matched ++ notMatched ++ nmbs)
+  }
+
+  /** Parse-level DML dispatch for [[GraftSql.sql]] — Some(command)
+    * when `plan` is a DML statement over a graft table, None when the
+    * statement should take the ordinary read path. */
+  def fromParsed(s: SparkSession, plan: LogicalPlan)
+      : Option[LogicalPlan] = plan match {
+    case u @ UpdateTable(t, assigns, cond) =>
+      target(s, t).map { case (root, alias) =>
+        updateCommand(root, alias, assigns, cond) }
+    case DeleteFromTable(t, cond) =>
+      target(s, t).map { case (root, alias) =>
+        deleteCommand(root, alias, cond) }
+    case m: MergeIntoTable =>
+      target(s, m.targetTable).map { case (root, alias) =>
+        mergeCommand(s, root, alias, m) }
+    case i: InsertIntoStatement =>
+      target(s, i.table).map { case (root, _) =>
+        insertCommand(s, root, i) }
+    case _ => None
+  }
+}
+
+/** Analyzer rule (injected via `GraftExtensions`, BEFORE the read
+  * swap): convert resolved SQL DML over graft catalog relations into
+  * runnable commands.  Fires only when the referenced expressions are
+  * resolved, so column binding is the analyzer's, not ours. */
+final case class GraftDmlRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case UpdateTable(t, assigns, cond)
+          if GraftDml.target(session, t).isDefined &&
+            assigns.forall(a => a.key.resolved && a.value.resolved) &&
+            cond.forall(_.resolved) =>
+        val (root, alias) = GraftDml.target(session, t).get
+        GraftDml.updateCommand(root, alias, assigns, cond)
+
+      case DeleteFromTable(t, cond)
+          if GraftDml.target(session, t).isDefined && cond.resolved =>
+        val (root, alias) = GraftDml.target(session, t).get
+        GraftDml.deleteCommand(root, alias, cond)
+
+      case m: MergeIntoTable
+          if GraftDml.target(session, m.targetTable).isDefined &&
+            m.targetTable.resolved && m.sourceTable.resolved &&
+            m.mergeCondition.resolved &&
+            (m.matchedActions ++ m.notMatchedActions ++
+              m.notMatchedBySourceActions).forall(actionResolved) =>
+        val (root, alias) = GraftDml.target(session, m.targetTable).get
+        GraftDml.mergeCommand(session, root, alias, m)
+
+      // INSERT INTO resolved through the v2 path: ResolveInsertInto
+      // has already turned the statement into AppendData /
+      // OverwriteByExpression with the query reconciled to the table
+      // schema (casts + positional names), so the command skips its
+      // own alignment
+      case a @ AppendData(r: DataSourceV2Relation, query, _, _, _, _)
+          if r.table.isInstanceOf[GraftSqlTable] && a.query.resolved &&
+            a.outputResolved =>
+        GraftInsertCommand(r.table.asInstanceOf[GraftSqlTable].root,
+          query, overwrite = false, Nil, byName = false,
+          preAligned = true)
+
+      case o @ OverwriteByExpression(r: DataSourceV2Relation,
+          Literal(true, BooleanType), query, _, _, _, _)
+          if r.table.isInstanceOf[GraftSqlTable] && o.query.resolved &&
+            o.outputResolved =>
+        GraftInsertCommand(r.table.asInstanceOf[GraftSqlTable].root,
+          query, overwrite = true, Nil, byName = false,
+          preAligned = true)
+
+      // belt-and-braces: an InsertIntoStatement that survived to us
+      // (e.g. the relation was already swapped to v1 by a prior pass)
+      // must NOT fall through to InsertIntoHadoopFsRelationCommand,
+      // which would write parquet without a manifest commit
+      case i: InsertIntoStatement
+          if GraftDml.target(session, i.table).isDefined &&
+            i.query.resolved =>
+        val (root, _) = GraftDml.target(session, i.table).get
+        GraftDml.insertCommand(session, root, i)
+    }
+
+  private def actionResolved(a: MergeAction): Boolean =
+    a.condition.forall(_.resolved) && (a match {
+      case u: UpdateAction =>
+        u.assignments.forall(x => x.key.resolved && x.value.resolved)
+      case i: InsertAction =>
+        i.assignments.forall(x => x.key.resolved && x.value.resolved)
+      case _ => true
+    })
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE`: the query's rows append to /
+  * overwrite the table through the library write path (constraints,
+  * stats, blooms, manifest commit). */
+final case class GraftInsertCommand(root: String, query: LogicalPlan,
+    overwrite: Boolean, userCols: Seq[String], byName: Boolean,
+    preAligned: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(s: SparkSession): Seq[Row] = {
+    val analyzed = GraftShims.ofRows(s, query).queryExecution.analyzed
+    val df0 = GraftShims.ofRows(s,
+      GraftSqlResolution(s).applyManually(analyzed))
+    val schema = new GraftSqlTable(root, Map.empty).schema()
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"INSERT into $root needs a recorded table.key"))
+    val out: DataFrame =
+      if (preAligned) df0
+      else if (byName || userCols.nonEmpty) {
+        val names =
+          if (userCols.nonEmpty) userCols else df0.columns.toSeq
+        require(names.length == df0.columns.length,
+          s"INSERT column list names ${names.length} columns but the " +
+            s"query produces ${df0.columns.length}")
+        require(names.distinct.length == names.length,
+          "duplicate columns in INSERT column list")
+        val known = schema.fieldNames.toSet
+        val unknown = names.filterNot(known)
+        require(unknown.isEmpty,
+          s"INSERT names unknown columns: ${unknown.mkString(", ")}")
+        require(names.contains(key),
+          s"INSERT must provide the table key column `$key`")
+        val named = df0.toDF(names: _*)
+        named.select(schema.fields.toIndexedSeq.map { f =>
+          if (names.contains(f.name)) col(f.name).cast(f.dataType)
+            .as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      } else {
+        require(df0.columns.length == schema.length,
+          s"INSERT by position needs ${schema.length} columns " +
+            s"(${schema.fieldNames.mkString(", ")}), got " +
+            df0.columns.length)
+        df0.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    if (overwrite) VersionedTable.overwrite(s, root, out, key, 8)
+    else VersionedTable.append(s, root, out, key, 8)
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE graft.`/root`` — delegates to the copy-on-write
+  * library update (same semantics as `UPDATE` on any lakehouse). */
+final case class GraftUpdateCommand(root: String,
+    set: Map[String, Column], cond: Option[Column])
+    extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE on $root needs a recorded table.key"))
+    VersionedTable.update(s, root, cond.getOrElse(lit(true)), set,
+      key, 8)
+    Seq.empty
+  }
+}
+
+/** SQL `DELETE FROM graft.`/root``. */
+final case class GraftDeleteCommand(root: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE on $root needs a recorded table.key"))
+    VersionedTable.delete(s, root, cond, key, 8)
+    Seq.empty
+  }
+}
+
+/** SQL `MERGE INTO graft.`/root`` — conditions and assignments carry
+  * `t.`/`s.`-qualified by-name references matching the library
+  * merge's internal aliases; the source plan executes as-is and, when
+  * its key column is named differently from the table key, gains the
+  * table-key name before the merge. */
+final case class GraftMergeCommand(root: String, key: String,
+    sourceKeyName: String, source: LogicalPlan,
+    clauses: Seq[MergeClause]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(s: SparkSession): Seq[Row] = {
+    var src = GraftShims.ofRows(s, source)
+    if (sourceKeyName != key) {
+      require(!src.columns.contains(key),
+        s"MERGE source carries a column named `$key` that is not the " +
+          s"join key (`$sourceKeyName` is); rename one of them")
+      src = src.withColumn(key, col(sourceKeyName))
+    }
+    VersionedTable.mergeInto(s, root, src, key, clauses, 8)
+    Seq.empty
+  }
+}

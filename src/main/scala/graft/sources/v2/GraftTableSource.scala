@@ -283,7 +283,7 @@ class GraftTableSource extends RelationProvider
     // path below.
     if (snap.files.exists(_.dv.isDefined))
       return new GraftMaskedRelation(ctx,
-        VersionedTable.read(s, root, Some(v)))
+        VersionedTable.read(s, root, Some(v)), root)
     // schema: O(1) from the manifest's table.schema property (written
     // by every row-adding commit, widened on evolution); pre-property
     // history falls back to a full mergeSchema footer sweep — correct,
@@ -543,8 +543,8 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
   * above them); untranslatable filters are simply not pushed — Spark
   * re-applies every filter row-level, so translation can never change
   * an answer. */
-final class GraftMaskedRelation(ctx: SQLContext, df: DataFrame)
-    extends BaseRelation
+final class GraftMaskedRelation(ctx: SQLContext, df: DataFrame,
+    val tableRoot: String) extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.{functions => F, sources => sf}
 
@@ -655,6 +655,10 @@ final class GraftStreamSink(root: String, keyCol: String,
   * file subset the manifest cannot rule out. */
 final class GraftFileIndex(s: SparkSession, root: String,
     snap: VersionedTable.Snapshot) extends FileIndex {
+
+  /** The table root this index serves — how the SQL DML converter
+    * recovers the table from an already-swapped v1 relation. */
+  def tableRoot: String = root
 
   private val keyCol: Option[String] = snap.props.get(
     VersionedTable.TableKeyProp)

@@ -45,4 +45,29 @@ object GraftShims {
       : DataFrame =
     ClassicDataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column over a raw Catalyst expression — the doorway the SQL DML
+    * converter (graft.sources.v2.GraftDml) uses to hand parsed /
+    * analyzed WHERE clauses and SET expressions to the library DML,
+    * which speaks the public Column API. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Parse SQL text to an (unresolved) logical plan — lets
+    * [[graft.sources.v2.GraftSql.sql]] intercept DML statements on
+    * sessions built without `spark.sql.extensions`, BEFORE eager
+    * command analysis would reject them. */
+  def parsePlan(s: SparkSession, sqlText: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sqlText)
+
+  /** The registered catalog plugin under `name`, if any — used to
+    * recognize `graft.&#96;/root&#96;` identifiers at parse level. */
+  def catalogOf(s: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    scala.util.Try(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager.catalog(name)).toOption
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import graft.sources.v2.GraftSql
+
+/** The SQL WRITE/DML face: INSERT / UPDATE / DELETE / MERGE over
+  * `graft.`/root`` identifiers.  The shared test session has no
+  * extensions, so these tests drive [[GraftSql.sql]]'s parse-level
+  * interception — the extension-installed path (plain `spark.sql`)
+  * runs end-to-end in a child JVM (SqlDmlChild), mirroring
+  * GraftCatalogSpec's construction. */
+class GraftSqlDmlSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqldml_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def seed(root: String, n: Int = 10): Unit = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+      .toDF("id", "grp", "x")
+      .write.format("graft-table").option("keyCol", "id").save(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+  }
+
+  private def count(root: String, where: String = ""): Long =
+    GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$root` $where")
+      .head().getLong(0)
+
+  test("INSERT INTO: positional, with column list (null-fill), and " +
+    "INSERT OVERWRITE — each one manifest commit, history intact") {
+    val root = freshRoot("ins")
+    seed(root)
+    GraftSql.sql(spark, s"INSERT INTO graft.`$root` VALUES (100, 'new', 7)")
+    assert(count(root) === 11L)
+    assert(count(root, "WHERE id = 100 AND grp = 'new' AND x = 7") === 1L)
+    GraftSql.sql(spark, s"INSERT INTO graft.`$root` (id, x) VALUES (101, 9)")
+    assert(count(root, "WHERE id = 101 AND grp IS NULL AND x = 9") === 1L)
+    assert(VersionedTable.latestVersion(spark, root) === Some(3))
+    assert(VersionedTable.snapshot(spark, root, 2).op === "append")
+    // INSERT from a SELECT over another graft table
+    val src = freshRoot("inssrc")
+    seed(src, 3)
+    GraftSql.sql(spark,
+      s"INSERT INTO graft.`$root` SELECT id + 500, grp, x " +
+        s"FROM graft.`$src`")
+    assert(count(root, "WHERE id >= 500") === 3L)
+    // OVERWRITE: content swaps, history stays
+    GraftSql.sql(spark, s"INSERT OVERWRITE graft.`$root` VALUES (1, 'o', 1)")
+    assert(count(root) === 1L)
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 3")
+      .head().getLong(0) === 12L)
+  }
+
+  test("UPDATE: SET expressions see the pre-update row, WHERE gates " +
+    "with SQL NULL semantics, commits through the library path") {
+    val root = freshRoot("upd")
+    seed(root)
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$root` SET x = x + 1000, grp = 'u' WHERE id < 3")
+    assert(count(root, "WHERE grp = 'u'") === 3L)
+    assert(count(root, "WHERE id = 2 AND x = 1002") === 1L)
+    assert(count(root, "WHERE id = 5 AND x = 5") === 1L)
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "update")
+  }
+
+  test("DELETE FROM with and without WHERE") {
+    val root = freshRoot("del")
+    seed(root)
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root` WHERE id % 2 = 0")
+    assert(count(root) === 5L)
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root`")
+    assert(count(root) === 0L)
+    // history: pre-delete state still readable
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+  }
+
+  test("MERGE INTO: clause census — conditional matched update beats " +
+    "delete, not-matched insert, NMBS update + delete, aliases " +
+    "and unqualified source columns both resolve") {
+    import spark.implicits._
+    val root = freshRoot("mrg")
+    seed(root, 100)
+    Seq((0L, "s0", 1L), (5L, "s5", 2L), (200L, "s2", 3L))
+      .toDF("id", "sgrp", "sx").createOrReplaceTempView("sqldml_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$root` AS t
+         |USING sqldml_src AS s ON t.id = s.id
+         |WHEN MATCHED AND sx = 1 THEN UPDATE SET x = sx * 10, grp = sgrp
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, grp, x) VALUES (s.id, sgrp, sx)
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 90 THEN DELETE
+         |""".stripMargin)
+    assert(count(root, "WHERE id = 0 AND x = 10 AND grp = 's0'") === 1L)
+    assert(count(root, "WHERE id = 5") === 0L)
+    assert(count(root, "WHERE id = 200 AND grp = 's2' AND x = 3") === 1L)
+    assert(count(root, "WHERE id >= 90 AND id < 200") === 0L)
+    assert(count(root) === 100L - 1L - 10L + 1L)
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "merge")
+  }
+
+  test("MERGE with a differently-named source key joins on the table " +
+    "key; duplicate matched source keys throw through SQL too") {
+    import spark.implicits._
+    val root = freshRoot("mrgkey")
+    seed(root)
+    Seq((1L, 77L)).toDF("sid", "sx")
+      .createOrReplaceTempView("sqldml_key_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$root` AS t USING sqldml_key_src AS s
+         |ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET x = s.sx""".stripMargin)
+    assert(count(root, "WHERE id = 1 AND x = 77") === 1L)
+    Seq((2L, 1L), (2L, 2L)).toDF("sid", "sx")
+      .createOrReplaceTempView("sqldml_dup_src")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$root` AS t USING sqldml_dup_src AS s
+           |ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET x = s.sx""".stripMargin)
+    }
+  }
+
+  test("SQL DML negative cases: constraint violations surface, " +
+    "non-key merge conditions and subqueries are rejected loudly, " +
+    "hive-style INSERT PARTITION is refused") {
+    import spark.implicits._
+    val root = freshRoot("neg")
+    seed(root)
+    VersionedTable.addConstraint(spark, root, "x_pos", "x >= 0")
+    val e = intercept[IllegalStateException] {
+      GraftSql.sql(spark, s"INSERT INTO graft.`$root` VALUES (50, 'b', -1)")
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+    assert(count(root, "WHERE x < 0") === 0L)
+    Seq((1L, 1L)).toDF("id", "x").createOrReplaceTempView("sqldml_neg_src")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$root` AS t USING sqldml_neg_src AS s
+           |ON t.x = s.x
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"DELETE FROM graft.`$root` WHERE id IN " +
+          s"(SELECT id FROM graft.`$root` WHERE x > 5)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"INSERT INTO graft.`$root` PARTITION (grp='a') VALUES (9, 9)")
+    }
+    // non-graft statements pass through untouched
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").head().getInt(0) === 1)
+  }
+
+  test("end to end in a child JVM with the extension installed: plain " +
+    "spark.sql drives INSERT / UPDATE / DELETE / MERGE / OVERWRITE " +
+    "and constraint enforcement through GraftDmlRule") {
+    val root = freshRoot("ext")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", cp, "graft.SqlDmlChild", root)).toIndexedSeq
+    val p = new ProcessBuilder(cmd: _*).inheritIO().start()
+    assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "SQL DML child JVM did not finish in time")
+    assert(p.exitValue() === 0, "SQL DML child JVM failed")
+  }
+}

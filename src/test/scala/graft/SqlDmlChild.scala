@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM half of GraftSqlDmlSpec's end-to-end test: the FIRST
+  * session of this JVM installs `spark.sql.extensions` (static conf),
+  * so PLAIN `spark.sql` must drive the whole DML lifecycle — INSERT,
+  * INSERT with column list, INSERT OVERWRITE, UPDATE, DELETE and a
+  * multi-clause MERGE — through the injected GraftDmlRule, with the
+  * library commit protocol underneath (versions advance, constraints
+  * enforce).  Exits non-zero on any failed check. */
+object SqlDmlChild {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    import graft.sources.VersionedTable
+    try {
+      def check(cond: Boolean, what: String): Unit =
+        if (!cond) { System.err.println(s"FAILED: $what"); sys.exit(1) }
+      def count(where: String = ""): Long =
+        s.sql(s"SELECT count(*) AS n FROM graft.`$root` $where")
+          .head().getLong(0)
+
+      // seed: ids 0..9 written through the connector (v1)
+      import s.implicits._
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+        .toDF("id", "grp", "x")
+        .write.format("graft-table").option("keyCol", "id").save(root)
+
+      // INSERT INTO, positional
+      s.sql(s"INSERT INTO graft.`$root` VALUES (100, 'new', 7)")
+      check(count() == 11L, "INSERT INTO positional")
+      check(count("WHERE id = 100 AND grp = 'new' AND x = 7") == 1L,
+        "inserted row readable")
+      // INSERT INTO with a column list: unlisted columns become NULL
+      s.sql(s"INSERT INTO graft.`$root` (id, x) VALUES (101, 9)")
+      check(count("WHERE id = 101 AND grp IS NULL AND x = 9") == 1L,
+        "INSERT with column list null-fills")
+      check(VersionedTable.latestVersion(s, root).contains(3),
+        "each INSERT is one commit")
+
+      // UPDATE with WHERE; assignments see the pre-update row
+      s.sql(s"UPDATE graft.`$root` SET x = x + 1000, grp = 'upd' " +
+        "WHERE id < 3")
+      check(count("WHERE grp = 'upd' AND x >= 1000") == 3L,
+        "UPDATE applied where cond true")
+      check(count("WHERE id = 5 AND x = 5") == 1L,
+        "UPDATE left non-matching rows")
+
+      // DELETE
+      s.sql(s"DELETE FROM graft.`$root` WHERE id = 101")
+      check(count("WHERE id = 101") == 0L, "DELETE removed the row")
+      check(count() == 11L, "DELETE removed exactly one row")
+
+      // MERGE: update / conditional delete / insert / NMBS delete
+      (Seq((0L, "src", 1L), (5L, "src", 2L), (200L, "src", 3L)))
+        .toDF("id", "grp", "x").createOrReplaceTempView("dml_src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` AS t USING dml_src AS src
+           |ON t.id = src.id
+           |WHEN MATCHED AND src.x = 1 THEN UPDATE SET x = src.x * 10
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (id, grp, x)
+           |  VALUES (src.id, src.grp, src.x)
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 9 AND t.id < 100
+           |  THEN DELETE""".stripMargin)
+      check(count("WHERE id = 0 AND x = 10") == 1L,
+        "MERGE first matched clause wins (update, not delete)")
+      check(count("WHERE id = 5") == 0L, "MERGE matched delete")
+      check(count("WHERE id = 200 AND grp = 'src'") == 1L,
+        "MERGE not-matched insert")
+      check(count("WHERE id = 9") == 0L, "MERGE NMBS delete")
+      check(count("WHERE id = 100") == 1L,
+        "MERGE NMBS condition gates")
+
+      // INSERT OVERWRITE replaces the head (history stays)
+      val beforeOvw = VersionedTable.latestVersion(s, root).get
+      s.sql(s"INSERT OVERWRITE graft.`$root` VALUES (1, 'only', 1)")
+      check(count() == 1L, "INSERT OVERWRITE replaced content")
+      check(s.sql(s"SELECT count(*) AS n FROM graft.`$root` " +
+        s"VERSION AS OF $beforeOvw").head().getLong(0) > 1L,
+        "history survives the overwrite")
+
+      // CHECK constraint surfaces through SQL INSERT
+      VersionedTable.addConstraint(s, root, "x_pos", "x >= 0")
+      val threw =
+        try { s.sql(s"INSERT INTO graft.`$root` VALUES (2, 'bad', -5)")
+          false }
+        catch { case e: Throwable =>
+          e.getMessage != null &&
+            e.getMessage.contains("CHECK constraint") ||
+            Option(e.getCause).exists(c => c.getMessage != null &&
+              c.getMessage.contains("CHECK constraint")) }
+      check(threw, "constraint violation rejected through SQL")
+      check(count("WHERE x < 0") == 0L, "violating row not committed")
+    } finally s.stop()
+  }
+}
