@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Scratch, Tables}
+import graft.sources.VersionedTable
 import graft.sources.v2.GraftSql
 
 /** Batch 70: the SQL WRITE/DML surface of the versioned table — the
@@ -177,5 +178,116 @@ object Curation70Queries {
         "clause census and the DELETE — pinning that SQL writes get " +
         "the same snapshot-isolation + history semantics as library " +
         "writes, because they ARE library writes."),
+
+    // ------------------------------- column mapping: RENAME / DROP
+    QueryDef(
+      "column_mapping_rename_read",
+      (s, d) => {
+        // v1 load -> v2 RENAME n_chars -> char_count (metadata-only,
+        // zero files rewritten) -> v3 append under the NEW name (file
+        // stores the immutable physical name).  Read BOTH the
+        // pre-rename version (old logical name) and the head (new
+        // name over mixed old/new files) in one result.
+        val root = Scratch.buildOnce(s, d, "colmaptab") { r =>
+          VersionedTable.append(s, r, Tables.documents(s, d),
+            "doc_id", 4, op = "load")
+          VersionedTable.renameColumn(s, r, "n_chars", "char_count")
+          VersionedTable.append(s, r,
+            Tables.documents(s, d)
+              .filter(pmod(col("doc_id"), lit(13)) === 0)
+              .withColumn("doc_id", col("doc_id") + 30000000L)
+              .withColumnRenamed("n_chars", "char_count"),
+            "doc_id", 1)
+          ()
+        }
+        val pre = VersionedTable.read(s, root, Some(1))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .select(lit("v1_pre_rename").as("stage"), col("lang"),
+            col("n_docs"), col("total_chars"))
+        val head = VersionedTable.read(s, root)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("char_count")).as("total_chars"))
+          .select(lit("head_post_rename").as("stage"), col("lang"),
+            col("n_docs"), col("total_chars"))
+        pre.unionByName(head).orderBy(col("stage"), col("lang"))
+      },
+      Some("""WITH post AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, lang, n_chars FROM documents
+        |  WHERE doc_id % 13 = 0)
+        |SELECT 'v1_pre_rename' AS stage, lang,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'head_post_rename', lang, count(*)::BIGINT,
+        |       sum(n_chars)::BIGINT
+        |FROM post GROUP BY lang
+        |ORDER BY stage, lang""".stripMargin),
+      "ALTER TABLE RENAME COLUMN via column mapping (Delta's " +
+        "name-mapping invariant): the physical storage name never " +
+        "changes, so the rename is a metadata commit — zero of the " +
+        "4-file load rewrites — and files appended AFTER the rename " +
+        "store under the same immutable physical name, making " +
+        "mixed-era reads uniform.  Time travel is free: the " +
+        "pre-rename version reads with ITS snapshot's mapping (the " +
+        "old logical name), the head with the new one, and both " +
+        "aggregate to the oracle's reconstruction."),
+
+    QueryDef(
+      "column_mapping_drop_readd_read",
+      (s, d) => {
+        // v1 load -> v2 DROP source -> v3 re-ADD source (fresh
+        // physical: old values must NOT resurrect) -> v4 append rows
+        // that fill it.  The readout separates NULL (pre-re-add rows,
+        // old values invisible) from filled rows, plus the v1
+        // time-travel count proving history still serves the column.
+        val root = Scratch.buildOnce(s, d, "coldroptab") { r =>
+          VersionedTable.append(s, r, Tables.documents(s, d),
+            "doc_id", 4, op = "load")
+          VersionedTable.dropColumn(s, r, "source")
+          VersionedTable.addColumn(s, r, "source",
+            org.apache.spark.sql.types.StringType)
+          VersionedTable.append(s, r,
+            Tables.documents(s, d)
+              .filter(pmod(col("doc_id"), lit(17)) === 0)
+              .withColumn("doc_id", col("doc_id") + 40000000L)
+              .withColumn("source", lit("readd")),
+            "doc_id", 1)
+          ()
+        }
+        val head = VersionedTable.read(s, root)
+        val v1 = VersionedTable.read(s, root, Some(1))
+        head.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("source").isNull, 1L).otherwise(0L))
+            .as("n_null_source"),
+          sum(when(col("source") === "readd", 1L).otherwise(0L))
+            .as("n_readd"))
+          .crossJoin(v1.filter(col("source").isNotNull)
+            .agg(count(lit(1)).as("n_v1_with_source")))
+      },
+      Some("""SELECT
+        |  ((SELECT count(*) FROM documents) +
+        |   (SELECT count(*) FROM documents WHERE doc_id % 17 = 0)
+        |  )::BIGINT AS n_rows,
+        |  (SELECT count(*) FROM documents)::BIGINT AS n_null_source,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id % 17 = 0)::BIGINT AS n_readd,
+        |  (SELECT count(*) FROM documents
+        |   WHERE source IS NOT NULL)::BIGINT AS n_v1_with_source"""
+        .stripMargin),
+      "DROP COLUMN + re-ADD of the same name: the drop is metadata " +
+        "(files untouched, column gone from every reader), and the " +
+        "re-added column binds a FRESH physical name through the " +
+        "mapping, so the retired physical data still sitting in old " +
+        "files can never resurrect — every pre-re-add row reads NULL " +
+        "while new appends fill it.  Time travel to v1 still serves " +
+        "the original column values, because each snapshot reads " +
+        "under its own schema + mapping."),
   )
 }

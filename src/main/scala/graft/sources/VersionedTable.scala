@@ -137,6 +137,30 @@ object VersionedTable {
       case other => other
     }
     val incoming = nullify(df.schema).asInstanceOf[StructType]
+    // a batch may never introduce a column whose name collides with a
+    // RETIRED physical name (a renamed column's storage name, or a
+    // dropped column still present in old files): widening the logical
+    // schema with it would alias two unrelated columns in every
+    // mixed-file read
+    val retired: Set[String] = {
+      val mapped = inherited.get(ColumnMappingProp).map { j =>
+        val node = new ObjectMapper().readTree(j)
+        import scala.jdk.CollectionConverters._
+        node.fieldNames().asScala
+          .map(k => k -> node.get(k).asText()).toMap
+      }.getOrElse(Map.empty)
+      // mapping KEYS are current logical names (re-added columns) —
+      // never retired, even when a dropped physical shares the name
+      (mapped.values.toSet ++
+        inherited.get(DroppedColsProp).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)) -- mapped.keySet
+    }
+    val colliding = incoming.fieldNames.filter(retired)
+    require(colliding.isEmpty,
+      s"batch introduces column(s) ${colliding.mkString(", ")} that " +
+        "collide with retired physical column names (renamed or " +
+        "dropped); pick different names or ALTER TABLE ADD COLUMN " +
+        "first")
     val merged = inherited.get(TableSchemaProp)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .map { old =>
@@ -145,6 +169,91 @@ object VersionedTable {
       }
       .getOrElse(incoming)
     inherited + (TableSchemaProp -> merged.json)
+  }
+
+  /** COLUMN MAPPING (Delta's column-mapping nameMapping mode, one
+    * dimension): a JSON object `{logicalName: physicalName}` carried
+    * in the manifest props for every column whose current LOGICAL
+    * name differs from the PHYSICAL name its data is stored under.
+    * Physical names are immutable once assigned (a column's first
+    * logical name, or a fresh generated name when a dropped name is
+    * re-added), so RENAME and DROP are pure metadata commits — zero
+    * files rewritten — and every snapshot reads with ITS OWN mapping,
+    * which makes renames time-travel correctly for free.  Writers
+    * rename logical -> physical at the last step of [[writeFiles]];
+    * readers rename back in [[conformToSnapshot]]. */
+  val ColumnMappingProp = "column.mapping"
+
+  /** Physical names RETIRED by DROP COLUMN (comma-joined): data files
+    * may still carry them, so a later ADD COLUMN of the same logical
+    * name must bind a FRESH physical name (or the dropped values would
+    * resurrect), and appends may never introduce a column that
+    * collides with one. */
+  val DroppedColsProp = "column.dropped"
+
+  private def mappingOf(snap: Snapshot): Map[String, String] =
+    snap.props.get(ColumnMappingProp).map { j =>
+      val node = new ObjectMapper().readTree(j)
+      import scala.jdk.CollectionConverters._
+      node.fieldNames().asScala.map(k => k -> node.get(k).asText()).toMap
+    }.getOrElse(Map.empty)
+
+  private def droppedOf(snap: Snapshot): Set[String] =
+    snap.props.get(DroppedColsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  private def mappingJson(m: Map[String, String]): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Conform a PHYSICAL-name frame to the snapshot's LOGICAL surface:
+    * rename mapped physicals back to their logical names, drop
+    * retired (dropped-column) physicals, project exactly the recorded
+    * schema (absent columns null-fill) plus any `keep` bookkeeping
+    * columns.  IDENTITY when the snapshot has no mapping and no
+    * dropped columns — unmapped tables pay nothing and keep their
+    * historical column order bit-for-bit. */
+  private def conformToSnapshot(s: SparkSession, snap: Snapshot,
+      df: DataFrame, keep: Seq[String] = Seq.empty): DataFrame = {
+    val mapping = mappingOf(snap)
+    val dropped = droppedOf(snap)
+    if (mapping.isEmpty && dropped.isEmpty) return df
+    val recorded = snap.props.get(TableSchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(
+        "column mapping without a recorded table.schema"))
+    // retire DROPPED physicals FIRST: a re-added logical column can
+    // share its name with the retired physical still present in old
+    // files — projecting before this drop would resurrect the dropped
+    // values into the new column
+    val cleaned = dropped.foldLeft(df)((acc, p) =>
+      if (acc.columns.contains(p)) acc.drop(p) else acc)
+    val renamed = mapping.foldLeft(cleaned) { case (acc, (logical, phys)) =>
+      if (acc.columns.contains(phys) && !acc.columns.contains(logical))
+        acc.withColumnRenamed(phys, logical)
+      else acc
+    }
+    val have = renamed.columns.toSet
+    renamed.select((recorded.fields.toIndexedSeq.map(f =>
+      (if (have(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name)) ++
+      keep.filter(have).map(col)): _*)
+  }
+
+  /** The recorded schema with PHYSICAL field names — what the data
+    * files actually carry; the read schema for mapping-aware aligned
+    * reads ([[diff]]). */
+  private def physicalSchema(snap: Snapshot,
+      recorded: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val mapping = mappingOf(snap)
+    if (mapping.isEmpty) recorded
+    else org.apache.spark.sql.types.StructType(recorded.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
   }
 
   /** Table property opting into TWO-LEVEL manifests: entries per file
@@ -685,20 +794,28 @@ object VersionedTable {
           snapshot(s, root, v) }
       case _ => snapshot(s, root, v)
     }
+    // column mapping: pruning requests name LOGICAL columns, stats and
+    // blooms are recorded under the files' PHYSICAL names — translate
+    val mapping = mappingOf(snap)
+    def phys[T](m: Map[String, T]): Map[String, T] =
+      if (mapping.isEmpty) m
+      else m.map { case (k, x) => mapping.getOrElse(k, k) -> x }
     val kept = bloomPrunedFiles(statsPrunedFiles(
       idRange match {
         case None => snap.files
         case Some((lo, hi)) =>
           snap.files.filter(f => f.maxId >= lo && f.minId <= hi)
-      }, ranges, strRanges), eqs)
+      }, phys(ranges), phys(strRanges)), phys(eqs))
     if (kept.isEmpty)
       // conform the EMPTY branch too: a fully-pruned read of a table
       // with a metadata-added column must carry the same schema as a
       // non-empty one, or unions/writes over sliced reads break on
       // the empty slice
-      conformToRecorded(s, snap, emptyLike(s, root, v, snap))
+      conformToRecorded(s, snap,
+        conformToSnapshot(s, snap, emptyLike(s, root, v, snap)))
     else
-      conformToRecorded(s, snap, readLive(s, kept))
+      conformToRecorded(s, snap,
+        conformToSnapshot(s, snap, readLive(s, kept)))
   }
 
   /** Pad a read to the manifest-RECORDED schema: columns the data
@@ -888,9 +1005,11 @@ object VersionedTable {
     * simply lacks the column. */
   /** Read a specific file subset live (DV-masked), for callers inside
     * graft that already hold manifest entries — the streaming source's
-    * added-files-only append feeds. */
-  private[graft] def readFilesOf(s: SparkSession,
-      files: Seq[FileEntry]): DataFrame = readLive(s, files)
+    * added-files-only append feeds.  `snap` supplies the column
+    * mapping (identity for unmapped tables). */
+  private[graft] def readFilesOf(s: SparkSession, snap: Snapshot,
+      files: Seq[FileEntry]): DataFrame =
+    conformToSnapshot(s, snap, readLive(s, files))
 
   private def readLive(s: SparkSession, files: Seq[FileEntry]): DataFrame = {
     val raw =
@@ -898,17 +1017,30 @@ object VersionedTable {
     applyDv(s, raw, files)
   }
 
+  /** [[readLive]] conformed to the snapshot's logical column surface —
+    * what every rewrite and user-facing subset read should use on a
+    * possibly-mapped table (identity wrapper when unmapped). */
+  private def readConformed(s: SparkSession, snap: Snapshot,
+      files: Seq[FileEntry]): DataFrame =
+    conformToSnapshot(s, snap, readLive(s, files))
+
   /** [[readLive]] plus a `__graft_file` column carrying each row's
     * (normalized) source data file — the discovery handle merge /
     * delete use to find touched files.  Projected from `_metadata`
     * BEFORE the DV anti-join, because metadata columns bind to the
-    * scan relation and do not survive a join. */
+    * scan relation and do not survive a join.  Conformed to the
+    * snapshot's logical surface (identity when unmapped), keeping the
+    * bookkeeping column. */
   private def readLiveWithFile(s: SparkSession,
-      files: Seq[FileEntry]): DataFrame = {
+      snap: Snapshot): DataFrame = {
+    val files = snap.files
     val raw = s.read.option("mergeSchema", "true")
       .parquet(files.map(_.path): _*)
       .withColumn("__graft_file", normPathCol(col("_metadata.file_path")))
-    applyDv(s, raw, files, fileColumn = Some("__graft_file"))
+    conformToSnapshot(s,
+      snap,
+      applyDv(s, raw, files, fileColumn = Some("__graft_file")),
+      keep = Seq("__graft_file"))
   }
 
   /** Apply the deletion vectors of `files` to an already-built scan of
@@ -1019,9 +1151,35 @@ object VersionedTable {
     // tight ranges too — file skipping prunes files, row-group stats
     // then prune WITHIN the survivors.  Cost: one in-memory sort per
     // task over data it already holds
-    df.repartitionByRange(numFiles, pcol)
+    // COLUMN MAPPING: the last step before bytes hit disk renames
+    // mapped logical columns to their immutable PHYSICAL names, so
+    // files stay uniformly physical whatever renames happened (the
+    // rename is a projection above the exchange — layout unaffected).
+    // A batch carrying a RETIRED physical name is rejected up front:
+    // the rename would collide, and committing it would alias two
+    // unrelated columns (schemaProp re-checks at commit, but failing
+    // before the write is both clearer and cheaper).
+    val headSnap = latestVersion(s, root).map(v => snapshot(s, root, v))
+    val headMapping = headSnap.map(mappingOf).getOrElse(Map.empty)
+    // a name in the mapping's KEY set is a legitimate current LOGICAL
+    // name (a re-added column whose storage moved to a fresh
+    // physical), even if it also appears in the retired set
+    val retired = (headMapping.values.toSet ++
+      headSnap.map(droppedOf).getOrElse(Set.empty)) --
+      headMapping.keySet
+    val colliding = df.columns.filter(retired)
+    if (colliding.nonEmpty) throw new IllegalArgumentException(
+      s"batch introduces column(s) ${colliding.mkString(", ")} that " +
+        "collide with retired physical column names (renamed or " +
+        "dropped); pick different names or ALTER TABLE ADD COLUMN " +
+        "first")
+    val prepared = df.repartitionByRange(numFiles, pcol)
       .sortWithinPartitions(pcol)
-      .write.parquet(dir)
+    headMapping.foldLeft(prepared) { case (acc, (logical, phys)) =>
+      if (acc.columns.contains(logical))
+        acc.withColumnRenamed(logical, phys)
+      else acc
+    }.write.parquet(dir)
     // an all-empty write (every input partition empty — e.g. a MERGE
     // whose rewrite deleted every row and inserted none) leaves no
     // part files; reading the bare directory back would throw, and the
@@ -1072,11 +1230,17 @@ object VersionedTable {
     // calls), then the 64 word aggregates are plain bit arithmetic
     // over those positions, riding the same single stats pass.
     val bloomCols: Seq[String] = {
-      val wanted = latestVersion(s, root)
-        .map(v0 => snapshot(s, root, v0).props
-          .getOrElse(BloomColsProp, ""))
+      // bloom.cols names LOGICAL columns; the written files carry
+      // physical names — translate through the head mapping
+      val headProps = latestVersion(s, root)
+        .map(v0 => snapshot(s, root, v0)).toSeq
+      val headMapping =
+        headProps.headOption.map(mappingOf).getOrElse(Map.empty)
+      val wanted = headProps.headOption
+        .map(_.props.getOrElse(BloomColsProp, ""))
         .getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        .split(",").map(_.trim).filter(_.nonEmpty)
+        .map(n => headMapping.getOrElse(n, n)).toSet
       back.schema.fields.toIndexedSeq.filter(f => wanted(f.name) &&
         (f.dataType == org.apache.spark.sql.types.StringType ||
          f.dataType == org.apache.spark.sql.types.LongType))
@@ -1316,7 +1480,7 @@ object VersionedTable {
         throw new IllegalStateException("replaceWhere on empty table"))
       val snap = snapshot(s, root, parentV)
       enforceConstraints(df, snap.constraints, s"replaceWhere on $root")
-      val current = readLiveWithFile(s, snap.files)
+      val current = readLiveWithFile(s, snap)
       val touched = current.filter(coalesce(cond, lit(false)))
         .select(col("__graft_file").as("f")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -1324,7 +1488,7 @@ object VersionedTable {
         snap.files.partition(f => touched.contains(normPath(f.path)))
       val survivors =
         if (rewrite.isEmpty) df
-        else readLive(s, rewrite)
+        else readConformed(s, snap, rewrite)
           .filter(!coalesce(cond, lit(false)))
           .unionByName(df, allowMissingColumns = true)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
@@ -1512,23 +1676,159 @@ object VersionedTable {
       dataType: org.apache.spark.sql.types.DataType): Int = {
     require(latestVersion(s, root).isDefined,
       s"addColumn on empty table $root")
-    val dummy = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(name, dataType,
-          nullable = true))))
     commitManifest(s, root, "add-column", Seq.empty,
       parent => parent.map(_.files).getOrElse(Seq.empty),
       propsOf = parent => {
         val inherited = parent.map(_.props).getOrElse(Map.empty)
+        val pSnap = parent.getOrElse(
+          throw new IllegalStateException(s"addColumn on empty $root"))
         val exists = inherited.get(TableSchemaProp).exists(j =>
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
             .fieldNames.contains(name))
         require(!exists, s"column '$name' already exists on $root")
-        schemaProp(inherited, dummy)
+        // RE-ADD of a retired name (dropped earlier, or the storage
+        // name of a renamed column): old files still carry data under
+        // that physical name, so the new logical column binds a FRESH
+        // physical name via the mapping — the retired values can never
+        // resurrect into it
+        val mapping = mappingOf(pSnap)
+        val retired = droppedOf(pSnap) ++ mapping.values
+        val nextV = pSnap.version + 1
+        val (field, extraProps) =
+          if (!retired.contains(name))
+            (org.apache.spark.sql.types.StructField(name, dataType,
+              nullable = true), Map.empty[String, String])
+          else {
+            val phys = s"${name}__p$nextV"
+            (org.apache.spark.sql.types.StructField(name, dataType,
+              nullable = true),
+              Map(ColumnMappingProp ->
+                mappingJson(mapping + (name -> phys))))
+          }
+        val dummy = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(field)))
+        // bypass schemaProp's retired-name collision guard for the
+        // re-add case: the fresh physical mapping makes it safe
+        val widened = {
+          val old = inherited.get(TableSchemaProp)
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getOrElse(new org.apache.spark.sql.types.StructType())
+          org.apache.spark.sql.types.StructType(
+            old.fields :+ field).json
+        }
+        inherited ++ extraProps + (TableSchemaProp -> widened)
       })
   }
+
+  /** ALTER TABLE RENAME COLUMN: a METADATA-ONLY commit — zero files
+    * rewritten.  The column's PHYSICAL storage name never changes
+    * (Delta's column-mapping invariant), so old files keep reading;
+    * the manifest records `logical -> physical` and every reader
+    * renames on the way out, every writer on the way in.  Time travel
+    * is automatically correct: each snapshot carries its own mapping,
+    * so a pre-rename version still reads under the old name.  The
+    * table KEY and constraint-referenced columns refuse to rename
+    * (zone maps, DV sidecars and predicate texts bind their names). */
+  def renameColumn(s: SparkSession, root: String, from: String,
+      to: String): Int = {
+    require(from != to, "rename to the same name")
+    commitManifest(s, root, "rename-column", Seq.empty,
+      parent => parent.map(_.files).getOrElse(Seq.empty),
+      propsOf = parent => {
+        val pSnap = parent.getOrElse(throw new IllegalStateException(
+          s"renameColumn on empty table $root"))
+        val inherited = pSnap.props
+        val recorded = inherited.get(TableSchemaProp)
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"renameColumn needs a recorded table.schema on $root"))
+        require(recorded.fieldNames.contains(from),
+          s"no column '$from' on $root")
+        require(!recorded.fieldNames.contains(to),
+          s"column '$to' already exists on $root")
+        require(!inherited.get(TableKeyProp).contains(from),
+          s"cannot rename the table key '$from' (zone maps and " +
+            "deletion vectors bind its name)")
+        val referencing = pSnap.constraints.filter { case (_, p) =>
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(p).references.exists(_.name == from) }
+        require(referencing.isEmpty,
+          s"cannot rename '$from': referenced by constraint(s) " +
+            s"${referencing.keys.mkString(", ")} — drop them first")
+        val mapping = mappingOf(pSnap)
+        val phys = mapping.getOrElse(from, from)
+        val mapping2 = (mapping - from) ++
+          (if (to == phys) Map.empty[String, String]
+           else Map(to -> phys))
+        val renamed = org.apache.spark.sql.types.StructType(
+          recorded.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+        // bloom enrollment follows the logical name
+        val bloomed = inherited.get(BloomColsProp).map(v =>
+          v.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(n => if (n == from) to else n).mkString(","))
+        val base = inherited +
+          (TableSchemaProp -> renamed.json)
+        val withMap =
+          if (mapping2.isEmpty) base - ColumnMappingProp
+          else base + (ColumnMappingProp -> mappingJson(mapping2))
+        bloomed.map(b => withMap + (BloomColsProp -> b))
+          .getOrElse(withMap)
+      })
+  }
+
+  /** ALTER TABLE DROP COLUMN: a METADATA-ONLY commit — the recorded
+    * schema narrows, readers stop projecting the column, files are
+    * untouched (maintenance rewrites physically shed the data over
+    * time).  The physical name is RETIRED (`column.dropped`), so a
+    * later ADD COLUMN of the same name binds a fresh physical name
+    * and old values can never resurrect; appends introducing the
+    * retired name are rejected.  Key and constraint-referenced
+    * columns refuse to drop. */
+  def dropColumn(s: SparkSession, root: String, name: String): Int =
+    commitManifest(s, root, "drop-column", Seq.empty,
+      parent => parent.map(_.files).getOrElse(Seq.empty),
+      propsOf = parent => {
+        val pSnap = parent.getOrElse(throw new IllegalStateException(
+          s"dropColumn on empty table $root"))
+        val inherited = pSnap.props
+        val recorded = inherited.get(TableSchemaProp)
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"dropColumn needs a recorded table.schema on $root"))
+        require(recorded.fieldNames.contains(name),
+          s"no column '$name' on $root")
+        require(!inherited.get(TableKeyProp).contains(name),
+          s"cannot drop the table key '$name'")
+        val referencing = pSnap.constraints.filter { case (_, p) =>
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(p).references.exists(_.name == name) }
+        require(referencing.isEmpty,
+          s"cannot drop '$name': referenced by constraint(s) " +
+            s"${referencing.keys.mkString(", ")} — drop them first")
+        val mapping = mappingOf(pSnap)
+        val phys = mapping.getOrElse(name, name)
+        val narrowed = org.apache.spark.sql.types.StructType(
+          recorded.fields.filterNot(_.name == name))
+        val dropped2 = droppedOf(pSnap) + phys
+        val mapping2 = mapping - name
+        val bloomed = inherited.get(BloomColsProp).map(v =>
+          v.split(",").map(_.trim).filter(_.nonEmpty)
+            .filterNot(_ == name).mkString(","))
+        val base = inherited +
+          (TableSchemaProp -> narrowed.json) +
+          (DroppedColsProp -> dropped2.toSeq.sorted.mkString(","))
+        val withMap =
+          if (mapping2.isEmpty) base - ColumnMappingProp
+          else base + (ColumnMappingProp -> mappingJson(mapping2))
+        bloomed.map(b => withMap + (BloomColsProp -> b))
+          .getOrElse(withMap)
+      })
 
   def addConstraint(s: SparkSession, root: String, name: String,
       predicate: String): Int = {
@@ -1539,7 +1839,7 @@ object VersionedTable {
         throw new IllegalStateException(
           s"cannot add constraint to empty table $root"))
       val snap = snapshot(s, root, parentV)
-      enforceConstraints(readLive(s, snap.files),
+      enforceConstraints(readConformed(s, snap, snap.files),
         Map(name -> predicate), s"existing rows of $root")
       commitManifest(s, root, "set-constraint", Seq.empty,
         _ => snap.files, requireParent = Some(parentV),
@@ -1673,7 +1973,7 @@ object VersionedTable {
       // LIVE rows only (DV-masked rows are deleted: a masked key
       // matching an upsert is an INSERT, and must not force a rewrite
       // of the file that merely still physically holds the dead row)
-      val current = readLiveWithFile(s, snap.files)
+      val current = readLiveWithFile(s, snap)
       val keys = upserts.select(col(idCol)).distinct()
       val touched = current
         .select(col(idCol), col("__graft_file").as("f"))
@@ -1686,7 +1986,7 @@ object VersionedTable {
         if (rewrite.isEmpty) upserts
         // readLive: rewriting a DV-carrying file MATERIALIZES its
         // deletions — the fresh file carries no DV
-        else readLive(s, rewrite)
+        else readConformed(s, snap, rewrite)
           .join(broadcast(keys), Seq(idCol), "left_anti")
           // allowMissingColumns: an upsert batch may ADD columns (schema
           // evolution) — surviving old rows carry null for them
@@ -1812,9 +2112,9 @@ object VersionedTable {
       // (duplicate UNMATCHED source keys legitimately insert once per
       // source row, exactly SQL MERGE's semantics).
       if (matchedIdx.isEmpty && nmbsIdx.isEmpty) {
-        val tgtSchema = readLive(s, snap.files).schema
+        val tgtSchema = readConformed(s, snap, snap.files).schema
         val fresh = src.alias("s").join(
-          readLive(s, snap.files).select(col(idCol)),
+          readConformed(s, snap, snap.files).select(col(idCol)),
           Seq(idCol), "left_anti")
         def insVal(f: org.apache.spark.sql.types.StructField): Column = {
           val cases: Seq[(Int, Column)] = clauses.zipWithIndex.collect {
@@ -1837,7 +2137,7 @@ object VersionedTable {
         return commitManifest(s, root, "merge", newFiles, _ => snap.files,
           txnId, requireParent = Some(parentV))
       }
-      val current = readLiveWithFile(s, snap.files)
+      val current = readLiveWithFile(s, snap)
       // multiple-source-rows-per-matched-target guard (see Scaladoc).
       // Runs for EVERY remaining clause shape, not just WHEN MATCHED:
       // with only NOT MATCHED BY SOURCE clauses the matched target
@@ -1867,7 +2167,7 @@ object VersionedTable {
       val tgtRows =
         if (rewrite.isEmpty)
           current.drop("__graft_file").filter(lit(false))
-        else readLive(s, rewrite)
+        else readConformed(s, snap, rewrite)
       val j = tgtRows.withColumn("__t", lit(true)).alias("t")
         .join(src.withColumn("__s", lit(true)).alias("s"),
           col(s"t.$idCol") === col(s"s.$idCol"), "full_outer")
@@ -1952,7 +2252,7 @@ object VersionedTable {
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
     val snap = snapshot(s, root, parentV)
-    val current = readLiveWithFile(s, snap.files)
+    val current = readLiveWithFile(s, snap)
     val touched = matchRows(current)
       .select(col("__graft_file").as("f")).distinct()
       .collect().map(r => r.getString(0)).toSet
@@ -1963,7 +2263,7 @@ object VersionedTable {
         requireParent = Some(parentV))
     else {
       // readLive: the rewrite also materializes any existing DVs
-      val survivors = keepRows(readLive(s, rewrite))
+      val survivors = keepRows(readConformed(s, snap, rewrite))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
         requireParent = Some(parentV))
@@ -2056,7 +2356,7 @@ object VersionedTable {
       // (its file's count would double-subtract).  persist(): the
       // match set feeds two actions (per-file counts, sidecar write)
       // and must not scan the table twice
-      val live = readLiveWithFile(s, snap.files)
+      val live = readLiveWithFile(s, snap)
       val matches = matchRows(live)
         .select(col("__graft_file").as("path"), col(idCol).as("id"))
         .persist()
@@ -2146,7 +2446,7 @@ object VersionedTable {
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("update of empty table"))
       val snap = snapshot(s, root, parentV)
-      val current = readLiveWithFile(s, snap.files)
+      val current = readLiveWithFile(s, snap)
       val touched = current.filter(coalesce(cond, lit(false)))
         .select(col("__graft_file").as("f")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -2163,7 +2463,7 @@ object VersionedTable {
         // the very column the condition reads (SET n = n + 100 WHERE
         // n < 100: filtering post-images by the raw condition would
         // miss every updated row, and the constraint check with it)
-        val marked = readLive(s, rewrite)
+        val marked = readConformed(s, snap, rewrite)
           .withColumn("__graft_upd", coalesce(cond, lit(false)))
         val updatedM = applyAssignments(marked, col("__graft_upd"), set)
         enforceConstraints(
@@ -2208,7 +2508,7 @@ object VersionedTable {
       }
       // LIVE rows only: an already-masked row must not re-enter the DV
       // (double-subtracted live counts) nor produce a post-image
-      val matched = readLiveWithFile(s, snap.files)
+      val matched = readLiveWithFile(s, snap)
         .filter(coalesce(cond, lit(false))).persist()
       try {
         val perFile = matched.groupBy(col("__graft_file"))
@@ -2272,7 +2572,7 @@ object VersionedTable {
         f.dv.exists(_.rows.toDouble >= minDeadRatio * f.rows))
       if (dead.isEmpty) parentV
       else {
-        val newFiles = writeFiles(s, root, readLive(s, dead), idCol,
+        val newFiles = writeFiles(s, root, readConformed(s, snap, dead), idCol,
           numFiles)
         commitManifest(s, root, "purge", newFiles, _ => carry,
           requireParent = Some(parentV))
@@ -2301,7 +2601,7 @@ object VersionedTable {
     else {
       // readLive: compacting a DV-carrying small file materializes its
       // deletions — the packed files start DV-free
-      val packed = readLive(s, small)
+      val packed = readConformed(s, snap, small)
       val newFiles = writeFiles(s, root, packed, idCol, numFiles)
       commitManifest(s, root, "optimize", newFiles, _ => carry,
         requireParent = Some(parentV))
@@ -2344,7 +2644,7 @@ object VersionedTable {
         val total = small.map(_.bytes).sum
         val n = math.max(1L,
           (total + targetBytes - 1L) / targetBytes).toInt
-        val newFiles = writeFiles(s, root, readLive(s, small), idCol, n)
+        val newFiles = writeFiles(s, root, readConformed(s, snap, small), idCol, n)
         commitManifest(s, root, "optimize", newFiles, _ => carry,
           requireParent = Some(parentV))
       }
@@ -2356,7 +2656,7 @@ object VersionedTable {
       val parentV = latestVersion(s, root).getOrElse(
         throw new IllegalStateException("cluster of empty table"))
       val snap = snapshot(s, root, parentV)
-      val newFiles = writeFiles(s, root, readLive(s, snap.files), idCol,
+      val newFiles = writeFiles(s, root, readConformed(s, snap, snap.files), idCol,
         numFiles, partitionCol = Some(clusterCol))
       commitManifest(s, root, "cluster", newFiles, _ => Seq.empty,
         requireParent = Some(parentV))
@@ -2440,7 +2740,7 @@ object VersionedTable {
           val rows = math.max(1L, comp.map(_.liveRows).sum)
           val n = ((rows + targetRowsPerFile - 1L) / targetRowsPerFile)
             .toInt.max(1)
-          writeFiles(s, root, readLive(s, comp), idCol, n,
+          writeFiles(s, root, readConformed(s, snap, comp), idCol, n,
             partitionCol = Some(clusterCol))
         }
         commitManifest(s, root, "cluster", newFiles, _ => carry,
@@ -2528,7 +2828,7 @@ object VersionedTable {
       if (snap.rows == 0L)
         // empty table (manifest metadata — no scan): nothing to lay out
         return parentV
-      val live = readLive(s, snap.files)
+      val live = readConformed(s, snap, snap.files)
       import org.apache.spark.sql.types._
       val fieldType = live.schema.fields.map(f => f.name -> f.dataType).toMap
       val numCols = cols.filter(c => fieldType.get(c) match {
@@ -2625,10 +2925,17 @@ object VersionedTable {
       // schema back with the data for the same reason)
       propsOf = parent => {
         val inherited = parent.map(_.props).getOrElse(Map.empty)
-        target.props.get(TableSchemaProp) match {
-          case Some(ts) => inherited + (TableSchemaProp -> ts)
-          case None => inherited - TableSchemaProp
-        }
+        // the column mapping and retired-physical set are part of the
+        // CONTENT description, exactly like the schema: they roll back
+        // with it (a restore past a rename must read under the old
+        // logical names; past a drop must serve the column again)
+        def roll(m: Map[String, String], k: String) =
+          target.props.get(k) match {
+            case Some(v) => m + (k -> v)
+            case None => m - k
+          }
+        Seq(TableSchemaProp, ColumnMappingProp, DroppedColsProp)
+          .foldLeft(inherited)(roll)
       })
   }
 
@@ -2908,18 +3215,25 @@ object VersionedTable {
     // datasource resolution over all differing paths, per diff call)
     // is skipped.  An incremental consumer calling changeFeed per
     // commit pays O(1) driver work instead of O(differing files).
+    // column mapping: files carry PHYSICAL names — read with the
+    // physical form of the schema, then conform both sides to the
+    // LOGICAL surface (identity for unmapped tables, which is every
+    // pre-mapping table).  The newer snapshot's mapping governs: it
+    // maps every physical either side can reference.
+    val mapSnap = if (to.version >= from.version) to else from
     val recorded = to.props.get(TableSchemaProp)
       .filter(j => from.props.get(TableSchemaProp).contains(j))
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val schema = recorded.getOrElse(s.read.option("mergeSchema", "true")
-      .parquet((onlyFrom ++ onlyTo).map(_.path).distinct: _*).schema)
+    val schema = recorded.map(physicalSchema(mapSnap, _))
+      .getOrElse(s.read.option("mergeSchema", "true")
+        .parquet((onlyFrom ++ onlyTo).map(_.path).distinct: _*).schema)
     def readAligned(entries: Seq[FileEntry]): DataFrame =
       if (entries.isEmpty)
-        s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else applyDv(s,
-        s.read.schema(schema).parquet(entries.map(_.path): _*), entries)
+        conformToSnapshot(s, mapSnap, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      else conformToSnapshot(s, mapSnap, applyDv(s,
+        s.read.schema(schema).parquet(entries.map(_.path): _*), entries))
     val fromSide = readAligned(onlyFrom)
     val toSide = readAligned(onlyTo)
     (toSide.exceptAll(fromSide), fromSide.exceptAll(toSide))

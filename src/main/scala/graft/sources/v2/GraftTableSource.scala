@@ -281,7 +281,15 @@ class GraftTableSource extends RelationProvider
     // (unhandledFilters default), so partial translation is safe.
     // DV-free snapshots keep the vectorized HadoopFsRelation fast
     // path below.
-    if (snap.files.exists(_.dv.isDefined))
+    // COLUMN-MAPPED snapshots (active rename/drop metadata) need the
+    // library's logical-surface read for the same reason DV snapshots
+    // do: a raw parquet scan serves PHYSICAL column names.  Tables
+    // without mapping (the overwhelmingly common case) keep the
+    // vectorized fast path below; maintenance rewrites migrate mapped
+    // tables' files toward physical==logical over time.
+    if (snap.files.exists(_.dv.isDefined) ||
+        snap.props.contains(VersionedTable.ColumnMappingProp) ||
+        snap.props.contains(VersionedTable.DroppedColsProp))
       return new GraftMaskedRelation(ctx,
         VersionedTable.read(s, root, Some(v)), root)
     // schema: O(1) from the manifest's table.schema property (written
@@ -494,7 +502,7 @@ final class GraftTableStreamSource(s: SparkSession, root: String,
           val deleteOnly =
             snap.files.forall(f => parentPaths(f.path))
           if (appendOnly) {
-            VersionedTable.readFilesOf(s,
+            VersionedTable.readFilesOf(s, snap,
               snap.files.filterNot(f => parentPaths(f.path)))
           } else if (deleteOnly && ignoreDeletes)
             VersionedTable.read(s, root, Some(v)).filter(lit(false))
