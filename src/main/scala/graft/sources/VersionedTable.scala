@@ -1337,13 +1337,26 @@ object VersionedTable {
     * validated against — the metadata-conflict detection every lake
     * format runs so a write racing an ADD CONSTRAINT cannot slip
     * unvalidated rows in. */
+  /** DISJOINT-WRITER REBASE metric (observability + spec pin): commits
+    * that landed on a moved head WITHOUT a full file-set recompute,
+    * because the intervening commits touched none of their rewrite
+    * set (see `rebaseKeep`). */
+  private[graft] val rebaseCommits =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test seam: invoked once at the first CAS attempt of the next
+    * commit — lets a spec interleave a concurrent commit between a
+    * DML's file-set derivation and its CAS, deterministically. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
+
   private def commitManifest(s: SparkSession, root: String, op: String,
       newFiles: Seq[FileEntry],
       carryOver: Option[Snapshot] => Seq[FileEntry],
       txnId: Option[String] = None,
       requireParent: Option[Int] = None,
       propsOf: Option[Snapshot] => Map[String, String] =
-        parent => parent.map(_.props).getOrElse(Map.empty)): Int = {
+        parent => parent.map(_.props).getOrElse(Map.empty),
+      rebaseKeep: Option[Set[String]] = None): Int = {
     val fs = fileSystem(s, root)
     fs.mkdirs(new Path(root, VersionsDir))
     val mapper = new ObjectMapper()
@@ -1355,6 +1368,11 @@ object VersionedTable {
         throw new IllegalStateException(
           s"commit to $root lost the version race $attempts times " +
             "(or the claim create keeps failing for a non-race reason)")
+      if (attempts == 1) {
+        val hook = testBeforeCommit
+        testBeforeCommit = () => ()
+        hook()
+      }
       // exactly-once: if this transaction already committed (a retried
       // micro-batch, a racing duplicate of ourselves), return its
       // version instead of applying twice; our orphaned data files are
@@ -1367,12 +1385,45 @@ object VersionedTable {
       // only valid on TOP of that snapshot: if someone else committed
       // first, the files we'd carry may no longer exist in the head
       // (e.g. the winner rewrote them), so surface the conflict and
-      // let the caller re-derive its file sets against the new head
+      // let the caller re-derive its file sets against the new head.
+      //
+      // DISJOINT-WRITER FAST PATH (`rebaseKeep`): when the caller's
+      // rewrite set is known, a moved head does NOT force a recompute
+      // if (a) every rewrite-set entry is present in the head
+      // IDENTICAL to the derived-against parent's entry (same DV
+      // pointer, stats, everything — FileEntry equality), so the rows
+      // we rewrote are exactly the rows the head still holds there,
+      // and (b) the head's properties equal the derived parent's
+      // (no constraint/schema/mapping landed that our validation
+      // missed).  The commit then serializes AFTER the interloper:
+      // carryOver(head) re-derives the carry list from the head, so
+      // the interloper's files survive.  This is Delta's logical
+      // conflict check — two UPDATEs on disjoint file sets commit
+      // with one recompute between them instead of two.
       requireParent.foreach { expected =>
-        if (!parent.map(_.version).contains(expected))
-          throw new java.util.ConcurrentModificationException(
-            s"table $root moved past v$expected " +
-              s"(head is v${parent.map(_.version).getOrElse(0)})")
+        if (!parent.map(_.version).contains(expected)) {
+          val disjoint = rebaseKeep.exists { rewriteSet =>
+            parent.exists { head =>
+              val expSnap =
+                try snapshot(s, root, expected)
+                catch { case _: Throwable => null }
+              expSnap != null && head.props == expSnap.props && {
+                val expBy = expSnap.files.iterator
+                  .map(f => normPath(f.path) -> f).toMap
+                val headBy = head.files.iterator
+                  .map(f => normPath(f.path) -> f).toMap
+                rewriteSet.forall(p =>
+                  expBy.get(p).exists(e => headBy.get(p).contains(e)))
+              }
+            }
+          }
+          if (!disjoint)
+            throw new java.util.ConcurrentModificationException(
+              s"table $root moved past v$expected " +
+                s"(head is v${parent.map(_.version).getOrElse(0)})")
+          rebaseCommits.incrementAndGet()
+          ()
+        }
       }
       val v = parent.map(_.version + 1).getOrElse(1)
       val files = (carryOver(parent) ++ newFiles).sortBy(_.path)
@@ -1484,7 +1535,7 @@ object VersionedTable {
       val touched = current.filter(coalesce(cond, lit(false)))
         .select(col("__graft_file").as("f")).distinct()
         .collect().map(_.getString(0)).toSet
-      val (rewrite, carry) =
+      val (rewrite, _) =
         snap.files.partition(f => touched.contains(normPath(f.path)))
       val survivors =
         if (rewrite.isEmpty) df
@@ -1492,10 +1543,16 @@ object VersionedTable {
           .filter(!coalesce(cond, lit(false)))
           .unionByName(df, allowMissingColumns = true)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-      commitManifest(s, root, "replace-where", newFiles, _ => carry,
+      // carry derives from the CURRENT head (not the captured list):
+      // under the disjoint-writer rebase an interloper's files must
+      // survive our commit
+      commitManifest(s, root, "replace-where", newFiles,
+        p => p.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => touched.contains(normPath(f.path))),
         txnId, requireParent = Some(parentV),
         propsOf = p => schemaProp(
-          p.map(_.props).getOrElse(Map.empty), df))
+          p.map(_.props).getOrElse(Map.empty), df),
+        rebaseKeep = Some(touched))
     }
   }
 
@@ -1980,7 +2037,7 @@ object VersionedTable {
         .join(broadcast(keys), Seq(idCol), "left_semi")
         .select(col("f")).distinct()
         .collect().map(r => r.getString(0)).toSet
-      val (rewrite, carry) =
+      val (rewrite, _) =
         snap.files.partition(f => touched.contains(normPath(f.path)))
       val survivors =
         if (rewrite.isEmpty) upserts
@@ -1992,11 +2049,14 @@ object VersionedTable {
           // evolution) — surviving old rows carry null for them
           .unionByName(upserts, allowMissingColumns = true)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-      commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
-        requireParent = Some(parentV),
+      commitManifest(s, root, "merge", newFiles,
+        p => p.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => touched.contains(normPath(f.path))),
+        txnId, requireParent = Some(parentV),
         // an evolved upsert batch widens the recorded schema
         propsOf = p => schemaProp(
-          p.map(_.props).getOrElse(Map.empty), upserts))
+          p.map(_.props).getOrElse(Map.empty), upserts),
+        rebaseKeep = Some(touched))
     }
   }
 
@@ -2134,8 +2194,12 @@ object VersionedTable {
           .select(tgtSchema.fields.toIndexedSeq.map(insVal): _*)
         enforceConstraints(inserts, snap.constraints, s"merge into $root")
         val newFiles = writeFiles(s, root, inserts, idCol, numFiles)
-        return commitManifest(s, root, "merge", newFiles, _ => snap.files,
-          txnId, requireParent = Some(parentV))
+        // append-shaped: rewrite set is EMPTY, so any head movement
+        // with unchanged props rebases without a recompute
+        return commitManifest(s, root, "merge", newFiles,
+          p => p.map(_.files).getOrElse(Seq.empty),
+          txnId, requireParent = Some(parentV),
+          rebaseKeep = Some(Set.empty))
       }
       val current = readLiveWithFile(s, snap)
       // multiple-source-rows-per-matched-target guard (see Scaladoc).
@@ -2161,7 +2225,7 @@ object VersionedTable {
           .join(src.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
           .select(col("f")).distinct()
           .collect().map(_.getString(0)).toSet
-      val (rewrite, carry) =
+      val (rewrite, _) =
         snap.files.partition(f => touched.contains(normPath(f.path)))
       val tgtSchema = current.drop("__graft_file").schema
       val tgtRows =
@@ -2205,8 +2269,11 @@ object VersionedTable {
         snap.constraints, s"merge into $root")
       val survivors = kept.select(outCols: _*)
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-      commitManifest(s, root, "merge", newFiles, _ => carry, txnId,
-        requireParent = Some(parentV))
+      commitManifest(s, root, "merge", newFiles,
+        p => p.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => touched.contains(normPath(f.path))),
+        txnId, requireParent = Some(parentV),
+        rebaseKeep = Some(touched))
     } finally { src.unpersist(); () }
   }
 
@@ -2256,17 +2323,20 @@ object VersionedTable {
     val touched = matchRows(current)
       .select(col("__graft_file").as("f")).distinct()
       .collect().map(r => r.getString(0)).toSet
-    val (rewrite, carry) =
+    val (rewrite, _) =
       snap.files.partition(f => touched.contains(normPath(f.path)))
+    def carryFromHead(p: Option[Snapshot]): Seq[FileEntry] =
+      p.map(_.files).getOrElse(Seq.empty)
+        .filterNot(f => touched.contains(normPath(f.path)))
     if (rewrite.isEmpty)
-      commitManifest(s, root, "delete", Seq.empty, _ => carry, txnId,
-        requireParent = Some(parentV))
+      commitManifest(s, root, "delete", Seq.empty, carryFromHead, txnId,
+        requireParent = Some(parentV), rebaseKeep = Some(touched))
     else {
       // readLive: the rewrite also materializes any existing DVs
       val survivors = keepRows(readConformed(s, snap, rewrite))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
-      commitManifest(s, root, "delete", newFiles, _ => carry, txnId,
-        requireParent = Some(parentV))
+      commitManifest(s, root, "delete", newFiles, carryFromHead, txnId,
+        requireParent = Some(parentV), rebaseKeep = Some(touched))
     }
   }
 
@@ -2450,11 +2520,15 @@ object VersionedTable {
       val touched = current.filter(coalesce(cond, lit(false)))
         .select(col("__graft_file").as("f")).distinct()
         .collect().map(_.getString(0)).toSet
-      val (rewrite, carry) =
+      val (rewrite, _) =
         snap.files.partition(f => touched.contains(normPath(f.path)))
+      def carryFromHead(p: Option[Snapshot]): Seq[FileEntry] =
+        p.map(_.files).getOrElse(Seq.empty)
+          .filterNot(f => touched.contains(normPath(f.path)))
       if (rewrite.isEmpty)
-        commitManifest(s, root, "update", Seq.empty, _ => carry, txnId,
-          requireParent = Some(parentV))
+        commitManifest(s, root, "update", Seq.empty, carryFromHead,
+          txnId, requireParent = Some(parentV),
+          rebaseKeep = Some(touched))
       else {
         // readLive: rewriting a DV-carrying file materializes its
         // deletions, exactly as merge/delete rewrites do.  The match
@@ -2471,8 +2545,9 @@ object VersionedTable {
           snap.constraints, s"update of $root")
         val updated = updatedM.drop("__graft_upd")
         val newFiles = writeFiles(s, root, updated, idCol, numFiles)
-        commitManifest(s, root, "update", newFiles, _ => carry, txnId,
-          requireParent = Some(parentV))
+        commitManifest(s, root, "update", newFiles, carryFromHead,
+          txnId, requireParent = Some(parentV),
+          rebaseKeep = Some(touched))
       }
     }
   }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.{MatchedUpdate, NotMatchedInsert}
+
+/** Disjoint-writer commit fast path: a DML whose head moved between
+  * file-set derivation and its CAS commits WITHOUT recomputing when
+  * the intervening commits touched none of its rewrite set (and the
+  * table metadata is unchanged) — at most one recompute between two
+  * disjoint UPDATEs, and the interloper's effects survive.  The
+  * interleaving is DETERMINISTIC via the `testBeforeCommit` seam
+  * (runs once, between the outer DML's derivation and its first CAS
+  * attempt). */
+class DisjointWriterSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_disj_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def build(root: String): Unit = {
+    import spark.implicits._
+    // two range-partitioned files: ids 0..49 and 50..99
+    VersionedTable.append(spark, root,
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(2, col("id")),
+      "id", 2)
+    ()
+  }
+
+  test("two disjoint UPDATEs: the second head movement rebases with " +
+    "ZERO recomputes, both effects land, untouched file carries") {
+    val root = freshRoot("upd")
+    build(root)
+    val before = VersionedTable.rebaseCommits.get()
+    // outer update touches the LOW file only; the seam commits a
+    // disjoint update of the HIGH file after the outer derivation
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.update(spark, root, col("id") >= 90,
+        Map("v" -> lit(-1L)), "id", 1)
+      ()
+    }
+    try VersionedTable.update(spark, root, col("id") < 10,
+      Map("v" -> (col("v") + 1000L)), "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 1)
+    // three commits: load + interloper + rebased outer (no retry
+    // commit in between)
+    assert(VersionedTable.latestVersion(spark, root) === Some(3))
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("v") >= 1000L).count() === 10L)  // outer
+    assert(got.filter(col("v") === -1L).count() === 10L)   // interloper
+    assert(got.count() === 100L)
+  }
+
+  test("overlapping UPDATEs still conflict and recompute: the second " +
+    "writer sees the first's rows (serializable outcome, no lost " +
+    "update)") {
+    val root = freshRoot("conflict")
+    build(root)
+    val rebasesBefore = VersionedTable.rebaseCommits.get()
+    // interloper rewrites the SAME low file the outer update targets
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.update(spark, root, col("id") === 5,
+        Map("v" -> lit(500L)), "id", 1)
+      ()
+    }
+    try VersionedTable.update(spark, root, col("id") < 10,
+      Map("v" -> (col("v") + 1000L)), "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    // no rebase — a full recompute happened instead
+    assert(VersionedTable.rebaseCommits.get() === rebasesBefore)
+    val got = VersionedTable.read(spark, root)
+    // serial order: interloper (v=500 at id 5) THEN outer (+1000 on
+    // the PRE-update value it re-read after the conflict)
+    assert(got.filter(col("id") === 5).select("v").head()
+      .getLong(0) === 1500L)
+    assert(got.filter(col("id") === 1).select("v").head()
+      .getLong(0) === 1001L)
+  }
+
+  test("a concurrent metadata change (ADD CONSTRAINT) defeats the " +
+    "rebase: the DML recomputes and the constraint applies") {
+    val root = freshRoot("meta")
+    build(root)
+    val rebasesBefore = VersionedTable.rebaseCommits.get()
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.addConstraint(spark, root, "v_cap", "v < 100000")
+      ()
+    }
+    try VersionedTable.update(spark, root, col("id") < 10,
+      Map("v" -> (col("v") + 1000L)), "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === rebasesBefore)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("v") >= 1000L).count() === 10L)
+  }
+
+  test("disjoint MERGE after an interleaved disjoint delete rebases; " +
+    "the delete's effect survives the merge's carry") {
+    import spark.implicits._
+    val root = freshRoot("mrg")
+    build(root)
+    val before = VersionedTable.rebaseCommits.get()
+    VersionedTable.testBeforeCommit = () => {
+      // delete confined to the HIGH file
+      VersionedTable.delete(spark, root, col("id") >= 95, "id", 1)
+      ()
+    }
+    try VersionedTable.mergeInto(spark, root,
+      Seq((1L, 77L), (200L, 7L)).toDF("id", "v"), "id", Seq(
+        MatchedUpdate(Map("v" -> col("s.v"))),
+        NotMatchedInsert(Map("v" -> col("s.v")))), 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 1)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() === 96L) // 100 - 5 deleted + 1 inserted
+    assert(got.filter(col("id") === 1).select("v").head()
+      .getLong(0) === 77L)
+    assert(got.filter(col("id") >= 95 && col("id") < 200).count() === 0L)
+    assert(got.filter(col("id") === 200).count() === 1L)
+  }
+}
