@@ -1929,6 +1929,22 @@ object VersionedTable {
       propsOf = p => p.map(_.props).getOrElse(Map.empty) + (key -> value))
   }
 
+  /** UNSET TBLPROPERTIES (one key).  Constraints go through
+    * [[dropConstraint]]; the LOAD-BEARING content/metadata properties
+    * (schema, key, mapping, format version) refuse removal — unsetting
+    * them would corrupt every reader's view of the table. */
+  def removeProperty(s: SparkSession, root: String, key: String): Int = {
+    require(!key.startsWith(ConstraintPrefix),
+      s"'$key' is a constraint — use dropConstraint")
+    val protected0 = Set(TableSchemaProp, TableKeyProp,
+      ColumnMappingProp, DroppedColsProp, FormatVersionProp)
+    require(!protected0.contains(key),
+      s"'$key' is a structural table property and cannot be unset")
+    commitManifest(s, root, "unset-property", Seq.empty,
+      p => p.map(_.files).getOrElse(Seq.empty),
+      propsOf = p => p.map(_.props).getOrElse(Map.empty) - key)
+  }
+
   /** Enforce merge's one-update-row-per-key contract.  With `orderCol`:
     * keep-last per key (greatest orderCol wins; ties fall to a full-row
     * content hash so the choice is deterministic under retries and

@@ -92,11 +92,61 @@ class GraftCatalog extends TableCatalog {
   // path-based: tables are directories, not an enumerable namespace
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
+  /** SQL `ALTER TABLE graft.`/root`` — the DDL quartet maps straight
+    * onto the library's versioned-metadata commits (zero files
+    * touched; history time-travels the schema like everything else):
+    *   ADD COLUMNS        -> [[VersionedTable.addColumn]]
+    *   RENAME COLUMN      -> [[VersionedTable.renameColumn]] (column
+    *                         mapping: the physical name never changes)
+    *   DROP COLUMN        -> [[VersionedTable.dropColumn]]
+    *   SET TBLPROPERTIES  -> [[VersionedTable.setProperty]]
+    *   UNSET TBLPROPERTIES-> [[VersionedTable.removeProperty]]
+    * Works on ANY session — the catalog API needs no analyzer rules.
+    * Nested-field changes are rejected (top-level columns only). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER via SQL is not supported; use the VersionedTable API " +
-        "(addConstraint/setProperty/optimize*)")
+      changes: TableChange*): Table = {
+    val s = SparkSession.active
+    val root = rootOf(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft ALTER TABLE $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "graft ADD COLUMNS are nullable by construction (existing " +
+            "rows read NULL)")
+        VersionedTable.addColumn(s, root,
+          topLevel(a.fieldNames(), "ADD COLUMNS"), a.dataType())
+        ()
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(s, root,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        ()
+      case d: TableChange.DeleteColumn =>
+        val name = topLevel(d.fieldNames(), "DROP COLUMN")
+        // existence decides the IF EXISTS shortcut; real refusals
+        // (key column, constraint-referenced) must still propagate
+        val exists = new GraftSqlTable(root, Map.empty)
+          .schema().fieldNames.contains(name)
+        if (exists) { VersionedTable.dropColumn(s, root, name); () }
+        else if (!Option(d.ifExists()).exists(_.booleanValue()))
+          throw new IllegalArgumentException(
+            s"no column '$name' on $root")
+      case p: TableChange.SetProperty =>
+        VersionedTable.setProperty(s, root, p.property(), p.value())
+        ()
+      case p: TableChange.RemoveProperty =>
+        VersionedTable.removeProperty(s, root, p.property())
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for graft tables: $other " +
+          "(use the VersionedTable API for constraints/optimize)")
+    }
+    tableAt(ident, Map.empty)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "DROP via SQL is not supported; a graft table is its directory")

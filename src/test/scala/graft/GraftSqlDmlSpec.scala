@@ -162,6 +162,46 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SELECT 1 AS one").head().getInt(0) === 1)
   }
 
+  test("ALTER TABLE via SQL: RENAME COLUMN / DROP COLUMN / ADD " +
+    "COLUMNS / SET+UNSET TBLPROPERTIES map to versioned metadata " +
+    "commits on any session — no extensions required") {
+    val root = freshRoot("alter")
+    seed(root)
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN x TO score")
+    assert(VersionedTable.read(spark, root).columns.toSeq ===
+      Seq("id", "grp", "score"))
+    // the rename was metadata-only
+    assert(VersionedTable.snapshot(spark, root, 2).files.map(_.path) ===
+      VersionedTable.snapshot(spark, root, 1).files.map(_.path))
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (note STRING)")
+    assert(VersionedTable.read(spark, root).columns.contains("note"))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN note")
+    assert(!VersionedTable.read(spark, root).columns.contains("note"))
+    // IF EXISTS tolerates a missing column; a bare drop throws
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN IF EXISTS nope")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN nope")
+    }
+    // the table key refuses to rename through SQL too
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN id TO key2")
+    }
+    spark.sql(s"ALTER TABLE graft.`$root` " +
+      "SET TBLPROPERTIES ('curation.owner' = 'team-a')")
+    val head = VersionedTable.latestVersion(spark, root).get
+    assert(VersionedTable.snapshot(spark, root, head)
+      .props.get("curation.owner") === Some("team-a"))
+    spark.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('curation.owner')")
+    assert(!VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+      .props.contains("curation.owner"))
+    // structural properties refuse to unset
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` " +
+        "UNSET TBLPROPERTIES ('table.schema')")
+    }
+  }
+
   test("end to end in a child JVM with the extension installed: plain " +
     "spark.sql drives INSERT / UPDATE / DELETE / MERGE / OVERWRITE " +
     "and constraint enforcement through GraftDmlRule") {
