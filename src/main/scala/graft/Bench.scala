@@ -70,35 +70,36 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(t) else None
     }
-    // TWO FULL INTERLEAVED PASSES over the registry, per-query min:
-    // this host takes multi-minute stalls that land on whichever query
-    // is executing (BASELINE.md).  Back-to-back samples of the same
-    // query (the pre-r12 shape) all fall inside one stall window, so
-    // the min didn't decorrelate — r11's driver bench reported 15
-    // queries at 2-17x their recorded floor on UNCHANGED code, every
-    // one disproven by a second same-HEAD run.  With the two samples
-    // of each query separated by a full registry pass (~minutes), a
-    // stall would have to span BOTH passes to survive into a number.
+    // STALL DECORRELATION, warm-sample edition.  Two designs tried:
+    //  - back-to-back min-of-2 + immediate floor retry (pre-r12): a
+    //    multi-minute host stall covers all consecutive samples of
+    //    the stalled query — r11's driver bench reported 15 queries
+    //    at 2-17x floor on UNCHANGED code, every one disproven by a
+    //    second same-HEAD run.
+    //  - two fully interleaved registry passes with per-query min:
+    //    decorrelates stalls, but Spark's codegen class cache (~100
+    //    entries) evicts between passes over a ~500-query registry,
+    //    so BOTH samples pay the compile-cold cost — measured +30%
+    //    on the total with 108 queries uniformly at 2-3x floor.
+    // This shape keeps both properties: each query measures as a warm
+    // back-to-back min-of-2 (second sample hits the codegen cache),
+    // and every floor suspect re-measures as ANOTHER warm pair in a
+    // DEFERRED pass after the whole registry — minutes away, so one
+    // stall cannot cover both pairs.  A REAL regression survives all
+    // four samples and still reports.
+    def warmPair(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Option[Double] =
+      Seq(once(fn), once(fn)).flatten.minOption
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => name -> once(fn) }
-    val pass2 = ordered.map { case (name, fn) => name -> once(fn) }
-    val p2 = pass2.toMap
-    val attempts = pass1.map { case (name, s1) =>
-      var sec = (s1.toSeq ++ p2(name).toSeq).minOption
-      // Floor check: >1.5x the recorded steady-state floor on a query
-      // whose cost is big enough to matter (>0.3 s) is this host's
-      // stall signature, not a regression — one more run decides.
-      // A REAL regression survives all three runs and still reports.
-      // (The >10 s guard covers queries without a recorded floor.)
-      val suspect =
-        floor.get(name)
-          .exists(f => sec.exists(v => v > 1.5 * f && v > 0.3)) ||
-          (floor.get(name).isEmpty && sec.exists(_ > 10.0))
-      if (suspect) {
-        val fn = SparkEntry.queries(name)
-        sec = (sec.toSeq ++ once(fn).toSeq).minOption
-      }
-      name -> sec
+    val first = ordered.map { case (name, fn) => name -> warmPair(fn) }
+    def suspect(name: String, sec: Option[Double]): Boolean =
+      floor.get(name)
+        .exists(f => sec.exists(v => v > 1.5 * f && v > 0.3)) ||
+        (floor.get(name).isEmpty && sec.exists(_ > 10.0))
+    val attempts = first.map { case (name, s1) =>
+      if (!suspect(name, s1)) name -> s1
+      else name ->
+        (s1.toSeq ++ warmPair(SparkEntry.queries(name)).toSeq).minOption
     }
     val results = attempts.collect { case (n, Some(s)) => n -> s }
     val errors = attempts.collect { case (n, None) => n }

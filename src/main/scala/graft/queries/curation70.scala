@@ -260,16 +260,22 @@ object Curation70Queries {
             "doc_id", 1)
           ()
         }
+        // ONE aggregation over a side-tagged union (no join — a 1x1
+        // cross join would still plan a nested loop, and the registry
+        // bans unbounded join shapes outright)
         val head = VersionedTable.read(s, root)
+          .select(lit("head").as("side"), col("source"))
         val v1 = VersionedTable.read(s, root, Some(1))
-        head.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("source").isNull, 1L).otherwise(0L))
-            .as("n_null_source"),
-          sum(when(col("source") === "readd", 1L).otherwise(0L))
-            .as("n_readd"))
-          .crossJoin(v1.filter(col("source").isNotNull)
-            .agg(count(lit(1)).as("n_v1_with_source")))
+          .select(lit("v1").as("side"), col("source"))
+        head.unionByName(v1).agg(
+          sum(when(col("side") === "head", 1L).otherwise(0L))
+            .as("n_rows"),
+          sum(when(col("side") === "head" && col("source").isNull, 1L)
+            .otherwise(0L)).as("n_null_source"),
+          sum(when(col("side") === "head" && col("source") === "readd",
+            1L).otherwise(0L)).as("n_readd"),
+          sum(when(col("side") === "v1" && col("source").isNotNull, 1L)
+            .otherwise(0L)).as("n_v1_with_source"))
       },
       Some("""SELECT
         |  ((SELECT count(*) FROM documents) +

@@ -217,6 +217,25 @@ final class GraftSqlTable(val root: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `SHOW TBLPROPERTIES graft.`/root``: the pinned snapshot's
+    * manifest properties, verbatim — constraints, schema, key,
+    * mapping, format version, user properties.  Time-travel pins
+    * show THAT version's properties (metadata is versioned like
+    * everything else). */
+  override def properties(): util.Map[String, String] = {
+    val s = SparkSession.active
+    val v = readOpts.get("versionAsOf").map(_.toInt)
+      .orElse(readOpts.get("timestampAsOf").map(t =>
+        GraftSqlTable.versionAt(s, root, t.toLong)))
+      .orElse(VersionedTable.latestVersion(s, root))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed version under $root"))
+    val out = new util.HashMap[String, String]()
+    VersionedTable.snapshot(s, root, v).props
+      .foreach { case (k, pv) => out.put(k, pv) }
+    out
+  }
 }
 
 object GraftSqlTable {

@@ -200,6 +200,14 @@ class GraftSqlDmlSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$root` " +
         "UNSET TBLPROPERTIES ('table.schema')")
     }
+    // SHOW TBLPROPERTIES serves the manifest props verbatim
+    spark.sql(s"ALTER TABLE graft.`$root` " +
+      "SET TBLPROPERTIES ('curation.stage' = 'filtered')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$root`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("curation.stage") === Some("filtered"))
+    assert(props.get("table.key") === Some("id"))
+    assert(props.contains("table.schema"))
   }
 
   test("end to end in a child JVM with the extension installed: plain " +
