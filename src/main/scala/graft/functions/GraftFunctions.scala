@@ -197,5 +197,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // against touching write targets itself).
     ext.injectResolutionRule(s => graft.sources.v2.GraftDmlRule(s))
     ext.injectResolutionRule(s => graft.sources.v2.GraftSqlResolution(s))
+    // maintenance mini-grammar (DESCRIBE HISTORY/DETAIL, OPTIMIZE
+    // [ZORDER BY], VACUUM [RETAIN n HOURS] [DRY RUN]) — Delta's
+    // delegating-parser construction; ordinary SQL passes through
+    ext.injectParser((s, delegate) =>
+      new graft.sources.v2.GraftSqlParser(s, delegate))
   }
 }

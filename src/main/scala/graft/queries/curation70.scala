@@ -179,6 +179,33 @@ object Curation70Queries {
         "the same snapshot-isolation + history semantics as library " +
         "writes, because they ARE library writes."),
 
+    QueryDef(
+      "sql_describe_history",
+      (s, d) => {
+        val root = table(s, d)
+        GraftSql.sql(s, s"DESCRIBE HISTORY graft.`$root`")
+          .select(col("version").cast("long").as("version"),
+            col("op"), col("num_live_rows"))
+          .orderBy(col("version"))
+      },
+      Some(s"""WITH $sqlStateSql
+        |SELECT 1::BIGINT AS version, 'append' AS op,
+        |       (SELECT count(*) FROM documents)::BIGINT AS num_live_rows
+        |UNION ALL SELECT 2, 'append', (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3, 'update', (SELECT count(*) FROM s3)::BIGINT
+        |UNION ALL SELECT 4, 'merge', (SELECT count(*) FROM s4)::BIGINT
+        |UNION ALL SELECT 5, 'delete', (SELECT count(*) FROM s5)::BIGINT
+        |ORDER BY version""".stripMargin),
+      "DESCRIBE HISTORY as SQL TEXT — the maintenance mini-grammar " +
+        "standard Spark cannot parse, served through the delegating " +
+        "parser extension (Delta's DeltaSqlParser construction) on " +
+        "extension sessions and GraftSql.sql anywhere.  The audit " +
+        "readout (per-version op + live row count, manifests only, " +
+        "no data scanned) hash-matches the oracle's reconstruction " +
+        "of the same five SQL-driven lifecycle states — closing the " +
+        "loop: a SQL-only operator can write, mutate, time-travel, " +
+        "evolve, OPTIMIZE, VACUUM and audit the table."),
+
     // ------------------------------- column mapping: RENAME / DROP
     QueryDef(
       "column_mapping_rename_read",

@@ -3528,8 +3528,21 @@ object VersionedTable {
     * written before commit timestamps existed.  The audit surface
     * Delta's DESCRIBE HISTORY provides: what changed the table, when,
     * and under which transaction. */
-  def history(s: SparkSession, root: String): DataFrame = {
+  /** DESCRIBE HISTORY's schema — shared with the SQL command surface
+    * (the command must declare its output at ANALYSIS time). */
+  val HistorySchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("op", StringType, nullable = false),
+      StructField("txn", StringType, nullable = true),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_live_rows", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false)))
+  }
+
+  def history(s: SparkSession, root: String): DataFrame = {
     val rows = versions(s, root).map { v =>
       val sn = snapshot(s, root, v)
       org.apache.spark.sql.Row(sn.version,
@@ -3538,16 +3551,8 @@ object VersionedTable {
         sn.op, sn.txnId.orNull, sn.files.size.toLong, sn.rows,
         sn.constraints.size.toLong)
     }
-    val schema = StructType(Seq(
-      StructField("version", IntegerType, nullable = false),
-      StructField("ts", TimestampType, nullable = true),
-      StructField("op", StringType, nullable = false),
-      StructField("txn", StringType, nullable = true),
-      StructField("num_files", LongType, nullable = false),
-      StructField("num_live_rows", LongType, nullable = false),
-      StructField("num_constraints", LongType, nullable = false)))
     s.createDataFrame(
-      s.sparkContext.parallelize(rows, 1), schema)
+      s.sparkContext.parallelize(rows, 1), HistorySchema)
   }
 
   /** DESCRIBE DETAIL: one row about the HEAD snapshot — version, op,
@@ -3555,12 +3560,10 @@ object VersionedTable {
     * sizes — no filesystem sweep), the table key, group count, and
     * constraint cardinality.  Manifest metadata only, O(1) data I/O,
     * like [[history]]. */
-  def detail(s: SparkSession, root: String): DataFrame = {
+  /** DESCRIBE DETAIL's schema — shared with the SQL command surface. */
+  val DetailSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val v = latestVersion(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed version under $root"))
-    val sn = snapshot(s, root, v)
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("op", StringType, nullable = false),
       StructField("num_files", LongType, nullable = false),
@@ -3569,12 +3572,19 @@ object VersionedTable {
       StructField("key_col", StringType, nullable = true),
       StructField("num_groups", LongType, nullable = false),
       StructField("num_constraints", LongType, nullable = false)))
+  }
+
+  def detail(s: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val sn = snapshot(s, root, v)
     s.createDataFrame(
       s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
         sn.version, sn.op, sn.files.size.toLong, sn.rows,
         sn.files.map(_.bytes).sum,
         sn.props.get(TableKeyProp).orNull,
-        sn.groups.size.toLong, sn.constraints.size.toLong)), 1), schema)
+        sn.groups.size.toLong, sn.constraints.size.toLong)), 1),
+      DetailSchema)
   }
 
   /** TIME-BASED retention vacuum: reclaim history older than
@@ -3590,9 +3600,18 @@ object VersionedTable {
       retainMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     val vs = versions(s, root)
     if (vs.isEmpty) return (0, 0)
+    vacuum(s, root, retentionKeepFrom(s, root, retentionMs), retainMs)
+  }
+
+  /** The version cutoff a `RETAIN`-style retention maps onto: the
+    * first version committed inside the horizon, or the head when
+    * every commit is older (a quiet table stays readable forever).
+    * Shared by [[vacuumRetain]] and the SQL `VACUUM ... DRY RUN`. */
+  private[graft] def retentionKeepFrom(s: SparkSession, root: String,
+      retentionMs: Long): Int = {
+    val vs = versions(s, root)
     val horizon = System.currentTimeMillis() - retentionMs
-    val keepFrom = vs.filter(v => snapshot(s, root, v).tsMillis >= horizon)
+    vs.filter(v => snapshot(s, root, v).tsMillis >= horizon)
       .headOption.getOrElse(vs.last)
-    vacuum(s, root, keepFrom, retainMs)
   }
 }

@@ -350,6 +350,12 @@ final case class GraftSqlResolution(session: SparkSession)
 object GraftSql {
   def sql(s: SparkSession, sqlText: String)
       : org.apache.spark.sql.DataFrame = {
+    // maintenance grammar first: standard Spark SQL cannot parse it,
+    // and on extension sessions the injected parser handles it before
+    // we would (parsePlan below then returns the command directly)
+    GraftMaintenanceSql.fromText(s, sqlText).foreach { cmd =>
+      return org.apache.spark.sql.GraftShims.ofRows(s, cmd)
+    }
     val parsed = org.apache.spark.sql.GraftShims.parsePlan(s, sqlText)
     GraftDml.fromParsed(s, parsed) match {
       case Some(cmd) =>

@@ -1,0 +1,211 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.GraftShims
+import graft.sources.VersionedTable
+
+/** The MAINTENANCE half of the SQL surface — the statements standard
+  * Spark SQL has no grammar for, which Delta ships via a delegating
+  * parser extension; graft does the same (GraftExtensions injects
+  * [[GraftSqlParser]], and [[GraftSql.sql]] applies the identical
+  * mini-grammar on sessions without the extension):
+  *
+  *   DESCRIBE HISTORY graft.`/root`
+  *   DESCRIBE DETAIL  graft.`/root`
+  *   OPTIMIZE graft.`/root`                       — size bin-pack
+  *   OPTIMIZE graft.`/root` ZORDER BY (c1, c2)    — N-dim re-layout
+  *   VACUUM graft.`/root` [RETAIN n HOURS]        — default 168h
+  *   VACUUM graft.`/root` [RETAIN n HOURS] DRY RUN
+  *
+  * Everything else delegates verbatim, so the extension is invisible
+  * to ordinary SQL.  The identifier must name a registered
+  * [[GraftCatalog]] (checked, not assumed): a `DESCRIBE HISTORY
+  * delta.`/x`` on a session that also has Delta falls through to the
+  * delegate untouched. */
+object GraftMaintenanceSql {
+
+  // <catalog> . `<root>` — the only identifier shape the catalog
+  // itself accepts; the catalog NAME is whatever the session bound
+  private val Ident = "(\\w+)\\s*\\.\\s*`([^`]+)`"
+  private val DescHistory =
+    s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Ident\\s*;?\\s*$$".r
+  private val DescDetail =
+    s"(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$Ident\\s*;?\\s*$$".r
+  private val Optimize =
+    s"(?is)^\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*$$".r
+  private val OptimizeZ =
+    s"(?is)^\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$$".r
+  private val Vacuum =
+    s"(?is)^\\s*VACUUM\\s+$Ident(\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
+
+  private def graftRoot(s: SparkSession, cat: String, root: String)
+      : Option[String] =
+    GraftShims.catalogOf(s, cat)
+      .filter(_.isInstanceOf[GraftCatalog]).map(_ => root)
+
+  /** Some(command) when `text` is a graft maintenance statement. */
+  def fromText(s: SparkSession, text: String): Option[LogicalPlan] =
+    text match {
+      case DescHistory(cat, root) =>
+        graftRoot(s, cat, root).map(GraftDescribeHistoryCommand(_))
+      case DescDetail(cat, root) =>
+        graftRoot(s, cat, root).map(GraftDescribeDetailCommand(_))
+      case OptimizeZ(cat, root, cols) =>
+        graftRoot(s, cat, root).map(r => GraftOptimizeCommand(r,
+          cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toIndexedSeq))
+      case Optimize(cat, root) =>
+        graftRoot(s, cat, root).map(GraftOptimizeCommand(_, Seq.empty))
+      case Vacuum(cat, root, _, hours, dry) =>
+        val retentionMs = Option(hours).map(_.toLong * 3600 * 1000)
+          .getOrElse(168L * 3600 * 1000) // Delta's 7-day default
+        graftRoot(s, cat, root).map { r =>
+          if (dry != null) GraftVacuumDryRunCommand(r, retentionMs)
+          else GraftVacuumCommand(r, retentionMs)
+        }
+      case _ => None
+    }
+
+  private[v2] def attrsOf(schema: StructType): Seq[Attribute] =
+    schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+
+  private[v2] def keyOf(s: SparkSession, root: String): String =
+    VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"maintenance SQL on $root needs a recorded table.key"))
+}
+
+/** `DESCRIBE HISTORY graft.`/root``. */
+final case class GraftDescribeHistoryCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(VersionedTable.HistorySchema)
+  override def run(s: SparkSession): Seq[Row] =
+    VersionedTable.history(s, root).collect().toIndexedSeq
+}
+
+/** `DESCRIBE DETAIL graft.`/root``. */
+final case class GraftDescribeDetailCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(VersionedTable.DetailSchema)
+  override def run(s: SparkSession): Seq[Row] =
+    VersionedTable.detail(s, root).collect().toIndexedSeq
+}
+
+/** `OPTIMIZE graft.`/root` [ZORDER BY (cols)]`: plain form bin-packs
+  * files under 128 MB toward 128 MB outputs (Delta's OPTIMIZE
+  * contract); the ZORDER form re-lays the table out on the given
+  * columns at the current file count.  Returns (version,
+  * files_before, files_after). */
+final case class GraftOptimizeCommand(root: String,
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("num_files_before",
+        LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("num_files_after",
+        LongType, nullable = false))))
+  override def run(s: SparkSession): Seq[Row] = {
+    val key = GraftMaintenanceSql.keyOf(s, root)
+    val before = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).files.size.toLong)
+      .getOrElse(0L)
+    val target = 128L * 1024 * 1024
+    val v =
+      if (zorderCols.isEmpty)
+        VersionedTable.optimizeBySize(s, root, target, key, target)
+      else VersionedTable.optimizeZOrderBy(s, root, zorderCols, key,
+        math.max(1L, before).toInt)
+    val after =
+      VersionedTable.snapshot(s, root, v).files.size.toLong
+    Seq(Row(v, before, after))
+  }
+}
+
+/** `VACUUM graft.`/root` [RETAIN n HOURS]` — reclaim history older
+  * than the retention (default 168 h).  Returns (files_before,
+  * files_deleted). */
+final case class GraftVacuumCommand(root: String, retentionMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(StructType(Seq(
+      org.apache.spark.sql.types.StructField("data_files_before",
+        LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("data_files_deleted",
+        LongType, nullable = false))))
+  override def run(s: SparkSession): Seq[Row] = {
+    // RETAIN n HOURS is the retention in BOTH senses Delta gives it:
+    // the version-history horizon AND the file-age safety guard (a
+    // file younger than the retention is never reclaimed)
+    val (before, deleted) =
+      VersionedTable.vacuumRetain(s, root, retentionMs,
+        retainMs = retentionMs)
+    Seq(Row(before.toLong, deleted.toLong))
+  }
+}
+
+/** `VACUUM ... DRY RUN`: the exact reclaim list, deleting nothing. */
+final case class GraftVacuumDryRunCommand(root: String,
+    retentionMs: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", StringType,
+        nullable = false))))
+  override def run(s: SparkSession): Seq[Row] = {
+    if (VersionedTable.versions(s, root).isEmpty) return Seq.empty
+    VersionedTable.vacuumDryRun(s, root,
+      VersionedTable.retentionKeepFrom(s, root, retentionMs),
+      retainMs = retentionMs)
+      .sorted.map(Row(_))
+  }
+}
+
+/** Delegating parser (Delta's DeltaSqlParser construction): the
+  * maintenance mini-grammar first, everything else verbatim to the
+  * session's ordinary parser. */
+final class GraftSqlParser(session: SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceSql.fromText(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  @throws[ParseException]
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  @throws[ParseException]
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  @throws[ParseException]
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseMultipartIdentifier(
+      sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  @throws[ParseException]
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  @throws[ParseException]
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -210,6 +210,48 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(props.contains("table.schema"))
   }
 
+  test("maintenance SQL grammar: DESCRIBE HISTORY/DETAIL, OPTIMIZE " +
+    "[ZORDER BY], VACUUM [RETAIN n HOURS] [DRY RUN] — on any session " +
+    "through GraftSql; ordinary SQL is untouched") {
+    import spark.implicits._
+    val root = freshRoot("maint")
+    seed(root)
+    GraftSql.sql(spark, s"INSERT INTO graft.`$root` VALUES (50, 'z', 5)")
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$root`")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(hist.map(_.getString(2)).toSeq === Seq("append", "append"))
+    val det = GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$root`")
+      .head()
+    assert(det.getAs[String]("key_col") === "id")
+    assert(det.getAs[Long]("num_live_rows") === 11L)
+    // OPTIMIZE bin-packs the two tiny commits into one file
+    val opt = GraftSql.sql(spark, s"OPTIMIZE graft.`$root`").head()
+    assert(opt.getAs[Long]("num_files_after") <
+      opt.getAs[Long]("num_files_before"))
+    assert(VersionedTable.read(spark, root).count() === 11L)
+    // OPTIMIZE ZORDER BY re-lays out on (grp, x)
+    GraftSql.sql(spark, s"OPTIMIZE graft.`$root` ZORDER BY (grp, x)")
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "zorder")
+    // DRY RUN lists reclaimable files without deleting them
+    val doomed = GraftSql.sql(spark,
+      s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(doomed.nonEmpty)
+    assert(doomed.forall(p =>
+      new java.io.File(p.stripPrefix("file:")).exists()))
+    // the real VACUUM (retain 0 h keeps only the head) reclaims them
+    val vac = GraftSql.sql(spark,
+      s"VACUUM graft.`$root` RETAIN 0 HOURS").head()
+    assert(vac.getAs[Long]("data_files_deleted") >= doomed.length)
+    assert(doomed.forall(p =>
+      !new java.io.File(p.stripPrefix("file:")).exists()))
+    assert(VersionedTable.read(spark, root).count() === 11L)
+    // non-maintenance SQL flows through the ordinary path
+    assert(GraftSql.sql(spark, "SELECT 2 AS two").head().getInt(0) === 2)
+  }
+
   test("end to end in a child JVM with the extension installed: plain " +
     "spark.sql drives INSERT / UPDATE / DELETE / MERGE / OVERWRITE " +
     "and constraint enforcement through GraftDmlRule") {

@@ -101,6 +101,29 @@ object SqlDmlChild {
               c.getMessage.contains("CHECK constraint")) }
       check(threw, "constraint violation rejected through SQL")
       check(count("WHERE x < 0") == 0L, "violating row not committed")
+
+      // maintenance grammar through the INJECTED PARSER (plain
+      // spark.sql — the delegating-parser path only a fresh JVM with
+      // the extension can prove)
+      val hist = s.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+      check(hist.length == VersionedTable.versions(s, root).size,
+        "DESCRIBE HISTORY row per version via plain spark.sql")
+      check(s.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+        .getAs[String]("key_col") == "id",
+        "DESCRIBE DETAIL via plain spark.sql")
+      val opt = s.sql(s"OPTIMIZE graft.`$root`").head()
+      check(opt.getAs[Long]("num_files_after") <=
+        opt.getAs[Long]("num_files_before"),
+        "OPTIMIZE via plain spark.sql")
+      val dry = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN")
+        .count()
+      val vac = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").head()
+      check(vac.getAs[Long]("data_files_deleted") >= dry,
+        "VACUUM via plain spark.sql reclaims at least the dry-run list")
+      check(count() == 1L, "table reads after maintenance")
+      // ordinary SQL still parses through the delegate
+      check(s.sql("SELECT 3 AS three").head().getInt(0) == 3,
+        "delegating parser passes ordinary SQL through")
     } finally s.stop()
   }
 }
