@@ -2451,10 +2451,12 @@ object VersionedTable {
           .agg(count(lit(1)).as("n")).collect()
           .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
         if (perFile.isEmpty)
-          commitManifest(s, root, "delete-mor", Seq.empty, _ => snap.files,
-            txnId, requireParent = Some(parentV))
+          commitManifest(s, root, "delete-mor", Seq.empty,
+            p => p.map(_.files).getOrElse(Seq.empty),
+            txnId, requireParent = Some(parentV),
+            rebaseKeep = Some(Set.empty))
         else {
-          val (touched, untouched) = snap.files.partition(f =>
+          val (touched, _) = snap.files.partition(f =>
             perFile.contains(normPath(f.path)))
           // prior DV rows of the touched files fold into the new
           // sidecar (semi-join on the touched paths: a shared sidecar
@@ -2471,13 +2473,21 @@ object VersionedTable {
                   .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
             }
           val dvPath = writeDv(s, root, dvRows)
-          val entries = untouched ++ touched.map { f =>
+          val touchedPaths = touched.map(f => normPath(f.path)).toSet
+          val touchedEntries = touched.map { f =>
             val total =
               f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
             f.copy(dv = Some(DvRef(dvPath, total, idCol)))
           }
-          commitManifest(s, root, "delete-mor", Seq.empty, _ => entries,
-            txnId, requireParent = Some(parentV))
+          // disjoint-writer rebase: the untouched half derives from
+          // the CURRENT head; the touched entries' DV fold is valid
+          // iff the head still carries them unchanged (rebaseKeep)
+          commitManifest(s, root, "delete-mor", Seq.empty,
+            p => p.map(_.files).getOrElse(Seq.empty)
+              .filterNot(f => touchedPaths.contains(normPath(f.path))) ++
+              touchedEntries,
+            txnId, requireParent = Some(parentV),
+            rebaseKeep = Some(touchedPaths))
         }
       } finally { matches.unpersist(); () }
     }
@@ -2607,7 +2617,9 @@ object VersionedTable {
           .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
         if (perFile.isEmpty)
           commitManifest(s, root, "update-mor", Seq.empty,
-            _ => snap.files, txnId, requireParent = Some(parentV))
+            p => p.map(_.files).getOrElse(Seq.empty),
+            txnId, requireParent = Some(parentV),
+            rebaseKeep = Some(Set.empty))
         else {
           val post = applyAssignments(
             matched.drop("__graft_file"), lit(true), set)
@@ -2615,7 +2627,7 @@ object VersionedTable {
             s"update-mor of $root")
           val masks = matched.select(
             col("__graft_file").as("path"), col(idCol).as("id"))
-          val (touched, untouched) = snap.files.partition(f =>
+          val (touched, _) = snap.files.partition(f =>
             perFile.contains(normPath(f.path)))
           // prior DV rows of the touched files fold into the new
           // sidecar so every DV ref stays self-contained (same law as
@@ -2632,14 +2644,20 @@ object VersionedTable {
                   .join(broadcast(touchedPaths), Seq("path"), "left_semi"))
             }
           val dvPath = writeDv(s, root, dvRows)
-          val entries = untouched ++ touched.map { f =>
+          val touchedPaths = touched.map(f => normPath(f.path)).toSet
+          val touchedEntries = touched.map { f =>
             val total =
               f.dv.map(_.rows).getOrElse(0L) + perFile(normPath(f.path))
             f.copy(dv = Some(DvRef(dvPath, total, idCol)))
           }
           val newFiles = writeFiles(s, root, post, idCol, numFiles)
-          commitManifest(s, root, "update-mor", newFiles, _ => entries,
-            txnId, requireParent = Some(parentV))
+          // same disjoint-writer rebase as deleteMoRWhere
+          commitManifest(s, root, "update-mor", newFiles,
+            p => p.map(_.files).getOrElse(Seq.empty)
+              .filterNot(f => touchedPaths.contains(normPath(f.path))) ++
+              touchedEntries,
+            txnId, requireParent = Some(parentV),
+            rebaseKeep = Some(touchedPaths))
         }
       } finally { matched.unpersist(); () }
     }

@@ -43,6 +43,12 @@ object GraftMaintenanceSql {
     s"(?is)^\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$$".r
   private val Vacuum =
     s"(?is)^\\s*VACUUM\\s+$Ident(\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
+  private val RestoreV =
+    s"(?is)^\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+  private val RestoreT =
+    s"(?is)^\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
+  private val Fsck =
+    s"(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ident(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
 
   private def graftRoot(s: SparkSession, cat: String, root: String)
       : Option[String] =
@@ -69,6 +75,15 @@ object GraftMaintenanceSql {
           if (dry != null) GraftVacuumDryRunCommand(r, retentionMs)
           else GraftVacuumCommand(r, retentionMs)
         }
+      case RestoreV(cat, root, v) =>
+        graftRoot(s, cat, root)
+          .map(GraftRestoreCommand(_, Left(v.toInt)))
+      case RestoreT(cat, root, ts) =>
+        graftRoot(s, cat, root)
+          .map(GraftRestoreCommand(_, Right(ts)))
+      case Fsck(cat, root, dry) =>
+        graftRoot(s, cat, root)
+          .map(GraftFsckCommand(_, dryRun = dry != null))
       case _ => None
     }
 
@@ -169,6 +184,55 @@ final case class GraftVacuumDryRunCommand(root: String,
       VersionedTable.retentionKeepFrom(s, root, retentionMs),
       retainMs = retentionMs)
       .sorted.map(Row(_))
+  }
+}
+
+/** `RESTORE TABLE graft.`/root` TO VERSION|TIMESTAMP AS OF ...` —
+  * the head rolls back to the target state as a NEW commit (history
+  * intact, Delta's RESTORE).  Returns (restored_to, new_version). */
+final case class GraftRestoreCommand(root: String,
+    target: Either[Int, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(StructType(Seq(
+      org.apache.spark.sql.types.StructField("restored_to",
+        IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("new_version",
+        IntegerType, nullable = false))))
+  override def run(s: SparkSession): Seq[Row] = {
+    val v = target match {
+      case Left(x) => x
+      case Right(ts) =>
+        // latest commit at-or-before the probe (the same contract
+        // restoreToTimestamp applies internally)
+        val millis = scala.util.Try(ts.toLong).getOrElse(
+          java.time.Instant.parse(ts).toEpochMilli)
+        VersionedTable.versions(s, root)
+          .filter(x =>
+            VersionedTable.snapshot(s, root, x).tsMillis <= millis)
+          .lastOption.getOrElse(throw new IllegalArgumentException(
+            s"RESTORE TIMESTAMP AS OF $ts precedes the first kept " +
+              s"commit of $root"))
+    }
+    Seq(Row(v, VersionedTable.restore(s, root, v)))
+  }
+}
+
+/** `FSCK REPAIR TABLE graft.`/root` [DRY RUN]` — audit the head's
+  * storage integrity; DRY RUN lists missing references (kind, path),
+  * the real form commits a head that drops broken entries. */
+final case class GraftFsckCommand(root: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    GraftMaintenanceSql.attrsOf(StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("path", StringType,
+        nullable = false))))
+  override def run(s: SparkSession): Seq[Row] = {
+    val report = VersionedTable.fsck(s, root)
+    if (!dryRun) { VersionedTable.fsckRepair(s, root); () }
+    (report.missingData.sorted.map(Row("missing-data", _)) ++
+      report.missingDv.sorted.map(Row("missing-dv", _))).toIndexedSeq
   }
 }
 

@@ -97,6 +97,54 @@ class DisjointWriterSpec extends SparkSpec {
       .filter(col("v") >= 1000L).count() === 10L)
   }
 
+  test("MoR delete / MoR update rebase over an interleaved disjoint " +
+    "writer; an interloper masking one of OUR touched files still " +
+    "conflicts (DV pointer is part of file identity)") {
+    val root = freshRoot("mor")
+    build(root)
+    val before = VersionedTable.rebaseCommits.get()
+    // disjoint: MoR delete touches the LOW file, interloper appends
+    VersionedTable.testBeforeCommit = () => {
+      import spark.implicits._
+      VersionedTable.append(spark, root,
+        Seq((200L, 0L)).toDF("id", "v"), "id", 1)
+      ()
+    }
+    try VersionedTable.deleteMoR(spark, root, col("id") < 5, "id")
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 1)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() === 96L) // 100 - 5 masked + 1 appended
+    assert(got.filter(col("id") === 200).count() === 1L)
+    // MoR update rebases over a disjoint MoR delete of the HIGH file
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.deleteMoR(spark, root, col("id") >= 95 &&
+        col("id") < 200, "id")
+      ()
+    }
+    try VersionedTable.updateMoR(spark, root,
+      col("id") >= 5 && col("id") < 10, Map("v" -> lit(-7L)), "id")
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 2)
+    val got2 = VersionedTable.read(spark, root)
+    assert(got2.filter(col("v") === -7L).count() === 5L)
+    assert(got2.count() === 91L) // 96 - 5 masked
+    // OVERLAP: interloper masks the same file our MoR update touches
+    // -> full recompute (no rebase), serializable outcome
+    val rebases = VersionedTable.rebaseCommits.get()
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.deleteMoR(spark, root, col("id") === 12, "id")
+      ()
+    }
+    try VersionedTable.updateMoR(spark, root,
+      col("id") >= 10 && col("id") < 12, Map("v" -> lit(-9L)), "id")
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === rebases)
+    val got3 = VersionedTable.read(spark, root)
+    assert(got3.filter(col("id") === 12).count() === 0L)
+    assert(got3.filter(col("v") === -9L).count() === 2L)
+  }
+
   test("disjoint MERGE after an interleaved disjoint delete rebases; " +
     "the delete's effect survives the merge's carry") {
     import spark.implicits._

@@ -252,6 +252,34 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SELECT 2 AS two").head().getInt(0) === 2)
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF and FSCK REPAIR TABLE " +
+    "[DRY RUN] via SQL") {
+    val root = freshRoot("restore")
+    seed(root)
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root` WHERE id < 8")
+    assert(count(root) === 2L)
+    val r = GraftSql.sql(spark,
+      s"RESTORE TABLE graft.`$root` TO VERSION AS OF 1").head()
+    assert(r.getAs[Int]("restored_to") === 1)
+    assert(count(root) === 10L)
+    // FSCK: clean table reports nothing
+    assert(GraftSql.sql(spark,
+      s"FSCK REPAIR TABLE graft.`$root` DRY RUN").count() === 0L)
+    // break a referenced data file, then audit + repair through SQL
+    val victim = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).files.head.path
+    new java.io.File(victim.stripPrefix("file:")).delete()
+    val missing = GraftSql.sql(spark,
+      s"FSCK REPAIR TABLE graft.`$root` DRY RUN").collect()
+    assert(missing.length === 1 &&
+      missing.head.getString(0) === "missing-data")
+    GraftSql.sql(spark, s"FSCK REPAIR TABLE graft.`$root`")
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "fsck")
+    // the table reads again (the broken entry is gone)
+    assert(count(root) < 10L)
+  }
+
   test("end to end in a child JVM with the extension installed: plain " +
     "spark.sql drives INSERT / UPDATE / DELETE / MERGE / OVERWRITE " +
     "and constraint enforcement through GraftDmlRule") {
