@@ -226,22 +226,22 @@ object VersionedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .getOrElse(throw new IllegalStateException(
         "column mapping without a recorded table.schema"))
-    // retire DROPPED physicals FIRST: a re-added logical column can
-    // share its name with the retired physical still present in old
-    // files — projecting before this drop would resurrect the dropped
-    // values into the new column
-    val cleaned = dropped.foldLeft(df)((acc, p) =>
-      if (acc.columns.contains(p)) acc.drop(p) else acc)
-    val renamed = mapping.foldLeft(cleaned) { case (acc, (logical, phys)) =>
-      if (acc.columns.contains(phys) && !acc.columns.contains(logical))
-        acc.withColumnRenamed(phys, logical)
-      else acc
-    }
-    val have = renamed.columns.toSet
-    renamed.select((recorded.fields.toIndexedSeq.map(f =>
-      (if (have(f.name)) col(f.name)
-       else lit(null).cast(f.dataType)).as(f.name)) ++
-      keep.filter(have).map(col)): _*)
+    // ONE SIMULTANEOUS projection physical -> logical: every recorded
+    // field selects its physical column (null-fill when an old file
+    // predates it) aliased to the logical name.  Simultaneity makes
+    // rename CHAINS and SWAPS order-independent — a sequential
+    // rename fold here silently null-filled or served the WRONG
+    // column's data after `score->tmp` + `txt->score` chains, because
+    // each step's collision guard depended on what earlier steps had
+    // already renamed.  DROPPED physicals are simply never selected
+    // (a re-added logical binds a FRESH physical via the mapping), so
+    // retired values cannot resurrect.
+    val have = df.columns.toSet
+    df.select((recorded.fields.toIndexedSeq.map { f =>
+      val phys = mapping.getOrElse(f.name, f.name)
+      (if (have(phys)) col(phys)
+       else lit(null).cast(f.dataType)).as(f.name)
+    } ++ keep.filter(have).map(col)): _*)
   }
 
   /** The recorded schema with PHYSICAL field names — what the data
@@ -909,7 +909,16 @@ object VersionedTable {
     * with Catalyst data filters. */
   private[graft] def pruneWithBounds(snap: Snapshot,
       keyCol: Option[String],
-      bounds: Seq[(String, String, Any)]): Seq[FileEntry] = {
+      bounds: Seq[(String, String, Any)]): Seq[FileEntry] =
+    snap.files.filter(entryMayMatch(keyCol, bounds))
+
+  /** Whether `f` MAY contain a row satisfying the comparison
+    * conjuncts, judged from manifest stats alone (false = provably
+    * not).  The per-entry core of [[pruneWithBounds]]; also the
+    * disjoint-writer rebase's test of interloper-ADDED files against
+    * a predicate DML's read set. */
+  private[graft] def entryMayMatch(keyCol: Option[String],
+      bounds: Seq[(String, String, Any)])(f: FileEntry): Boolean = {
     def asLong(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -938,8 +947,7 @@ object VersionedTable {
         case "<" => mn < x
         case "<=" => mn <= x
       }
-    snap.files.filter { f =>
-      bounds.forall { case (c, op, v) =>
+    bounds.forall { case (c, op, v) =>
         val longV = asLong(v); val strV = asStr(v)
         val keyOk = longV match {
           case Some(x) if keyCol.contains(c) => rangeOk(f.minId, f.maxId, op, x)
@@ -970,9 +978,87 @@ object VersionedTable {
           case _ => true
         }
         keyOk && statOk && sstatOk && bloomOk && nullOk
-      }
     }
   }
+
+  /** Comparison conjuncts of a DML condition, for the disjoint-writer
+    * rebase's added-file read-set check: top-level ANDs split, each
+    * `attr op literal` shape extracted ([[GraftPruning.bounds]]'s
+    * grammar).  Shapes the extraction cannot see (ORs, casts,
+    * functions) simply yield fewer conjuncts — they only NARROW the
+    * read set, so proving disjointness from the extractable conjuncts
+    * alone stays sound; an EMPTY result means "cannot bound the read
+    * set" and the caller must treat every added file as a conflict. */
+  private[graft] def condBounds(cond: Column): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    // Columns built through the public DSL convert to UNRESOLVED
+    // function nodes (`<`, `and`, ...) rather than catalyst comparison
+    // classes — lower the operator names the DSL produces to the
+    // catalyst shapes [[GraftPruning.bounds]] extracts; SQL-path
+    // Columns (wrapped parsed expressions) already arrive as catalyst
+    // nodes and pass through untouched.
+    def lower(e: Expression): Expression = e match {
+      case f: UnresolvedFunction
+          if f.arguments.size == 2 && !f.isDistinct =>
+        val a = f.arguments(0); val b = f.arguments(1)
+        f.nameParts.map(_.toLowerCase) match {
+          case Seq("<") => LessThan(a, b)
+          case Seq("<=") => LessThanOrEqual(a, b)
+          case Seq(">") => GreaterThan(a, b)
+          case Seq(">=") => GreaterThanOrEqual(a, b)
+          case Seq("=") | Seq("==") => EqualTo(a, b)
+          case _ => e
+        }
+      case f: UnresolvedFunction if f.arguments.size == 1 =>
+        f.nameParts.map(_.toLowerCase) match {
+          case Seq("isnotnull") => IsNotNull(f.arguments.head)
+          case Seq("isnull") => IsNull(f.arguments.head)
+          case _ => e
+        }
+      case other => other
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("and") &&
+            f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(lower(other))
+    }
+    graft.sources.v2.GraftPruning.bounds(conjuncts(
+      org.apache.spark.sql.graftx.Bridge.catalystExpression(cond)))
+  }
+
+  /** Added-file conflict check for COND-scoped DML (update/delete and
+    * their MoR twins, replaceWhere): the rebase may proceed iff every
+    * interloper-added file PROVABLY contains no row satisfying `cond`
+    * (stats-based, names translated logical -> physical through the
+    * snapshot's column mapping).  Unprovable => recompute, the Delta
+    * added-files-vs-read-predicates ConcurrentAppend check. */
+  private def condReadSafe(snap: Snapshot, idCol: String,
+      cond: Column): Seq[FileEntry] => Boolean = {
+    val mapping = mappingOf(snap)
+    val bounds = condBounds(cond).map { case (c, op, v) =>
+      (mapping.getOrElse(c, c), op, v) }
+    if (bounds.isEmpty) added => added.isEmpty
+    else added => added.forall(f =>
+      !entryMayMatch(Some(idCol), bounds)(f))
+  }
+
+  /** Added-file conflict check for KEY-scoped reads (merge: matched
+    * keys AND the not-matched EXISTENCE probe both read by key): the
+    * rebase may proceed iff no source key falls inside any added
+    * file's key zone map — one distributed `limit(1)` probe over the
+    * (already persisted) source, sized by the interloper's commit,
+    * never the table. */
+  private def keysReadSafe(src: DataFrame, idCol: String)
+      : Seq[FileEntry] => Boolean = added =>
+    added.isEmpty || {
+      val hit = added.map(f =>
+        col(idCol).between(lit(f.minId), lit(f.maxId))).reduce(_ || _)
+      src.filter(hit).limit(1).isEmpty
+    }
 
   /** The plan-side twin of [[normPath]]: strip the URI scheme AND any
     * authority from a path column so `_metadata.file_path` values
@@ -1175,11 +1261,17 @@ object VersionedTable {
         "first")
     val prepared = df.repartitionByRange(numFiles, pcol)
       .sortWithinPartitions(pcol)
-    headMapping.foldLeft(prepared) { case (acc, (logical, phys)) =>
-      if (acc.columns.contains(logical))
-        acc.withColumnRenamed(logical, phys)
-      else acc
-    }.write.parquet(dir)
+    // ONE SIMULTANEOUS projection logical -> physical (the inverse of
+    // [[conformToSnapshot]]'s read projection): a sequential rename
+    // fold could transiently create DUPLICATE column names under
+    // swapped mappings (`{a->b, b->a}` after a rename cycle through a
+    // temp) and corrupt the written file; a single select is
+    // order-independent by construction.  Project ABOVE the exchange +
+    // sort: layout unaffected.
+    (if (headMapping.isEmpty) prepared
+     else prepared.select(prepared.columns.toIndexedSeq.map(c =>
+       col(c).as(headMapping.getOrElse(c, c))): _*))
+      .write.parquet(dir)
     // an all-empty write (every input partition empty — e.g. a MERGE
     // whose rewrite deleted every row and inserted none) leaves no
     // part files; reading the bare directory back would throw, and the
@@ -1356,7 +1448,8 @@ object VersionedTable {
       requireParent: Option[Int] = None,
       propsOf: Option[Snapshot] => Map[String, String] =
         parent => parent.map(_.props).getOrElse(Map.empty),
-      rebaseKeep: Option[Set[String]] = None): Int = {
+      rebaseKeep: Option[Set[String]] = None,
+      rebaseAddedOk: Seq[FileEntry] => Boolean = _.isEmpty): Int = {
     val fs = fileSystem(s, root)
     fs.mkdirs(new Path(root, VersionsDir))
     val mapper = new ObjectMapper()
@@ -1413,7 +1506,18 @@ object VersionedTable {
                 val headBy = head.files.iterator
                   .map(f => normPath(f.path) -> f).toMap
                 rewriteSet.forall(p =>
-                  expBy.get(p).exists(e => headBy.get(p).contains(e)))
+                  expBy.get(p).exists(e => headBy.get(p).contains(e))) &&
+                // files the interloper ADDED may hold rows inside OUR
+                // READ set even though they touch none of our rewrite
+                // files — e.g. two insert-only MERGEs sharing a source
+                // key would both anti-join against the OLD snapshot
+                // and commit a duplicate (non-serializable).  Each DML
+                // supplies the check proving its read set disjoint
+                // from the additions (stats for predicate DML, a
+                // source-key probe for merge); the conservative
+                // default is "no additions at all".
+                rebaseAddedOk(head.files.filterNot(f =>
+                  expBy.contains(normPath(f.path))))
               }
             }
           }
@@ -1552,7 +1656,8 @@ object VersionedTable {
         txnId, requireParent = Some(parentV),
         propsOf = p => schemaProp(
           p.map(_.props).getOrElse(Map.empty), df),
-        rebaseKeep = Some(touched))
+        rebaseKeep = Some(touched),
+        rebaseAddedOk = condReadSafe(snap, idCol, cond))
     }
   }
 
@@ -2072,7 +2177,11 @@ object VersionedTable {
         // an evolved upsert batch widens the recorded schema
         propsOf = p => schemaProp(
           p.map(_.props).getOrElse(Map.empty), upserts),
-        rebaseKeep = Some(touched))
+        rebaseKeep = Some(touched),
+        // merge READS by key everywhere (matched rows AND the
+        // unmatched-existence probe) — an interloper-added file
+        // holding one of our source keys defeats the rebase
+        rebaseAddedOk = keysReadSafe(upserts, idCol))
     }
   }
 
@@ -2215,7 +2324,12 @@ object VersionedTable {
         return commitManifest(s, root, "merge", newFiles,
           p => p.map(_.files).getOrElse(Seq.empty),
           txnId, requireParent = Some(parentV),
-          rebaseKeep = Some(Set.empty))
+          rebaseKeep = Some(Set.empty),
+          // the anti-join read the table's KEY SET: a racing
+          // insert-only merge that added one of our source keys must
+          // defeat the rebase, or both commit the key (duplicate under
+          // any serial order)
+          rebaseAddedOk = keysReadSafe(src, idCol))
       }
       val current = readLiveWithFile(s, snap)
       // multiple-source-rows-per-matched-target guard (see Scaladoc).
@@ -2289,7 +2403,14 @@ object VersionedTable {
         p => p.map(_.files).getOrElse(Seq.empty)
           .filterNot(f => touched.contains(normPath(f.path))),
         txnId, requireParent = Some(parentV),
-        rebaseKeep = Some(touched))
+        rebaseKeep = Some(touched),
+        // WITH not-matched-by-source clauses EVERY target row is in
+        // the read set, so any interloper addition defeats the rebase
+        // (the default); otherwise the read set is key-scoped as in
+        // [[merge]]
+        rebaseAddedOk =
+          if (nmbsIdx.nonEmpty) _.isEmpty
+          else keysReadSafe(src, idCol))
     } finally { src.unpersist(); () }
   }
 
@@ -2305,7 +2426,8 @@ object VersionedTable {
     // drop NULLs, and only in rewritten files — co-location-dependent
     // data loss)
     deleteWhere(s, root, _.filter(cond),
-      _.filter(!coalesce(cond, lit(false))), idCol, numFiles, txnId)
+      _.filter(!coalesce(cond, lit(false))), idCol, numFiles, txnId,
+      addedOk = snap => condReadSafe(snap, idCol, cond))
 
   /** DELETE by KEY SET, copy-on-write, JOIN-BASED: the twin of
     * [[delete]] for bulk deletes whose key list must never pass
@@ -2319,7 +2441,8 @@ object VersionedTable {
       idCol: String, numFiles: Int, txnId: Option[String] = None): Int = {
     val k = keys.select(col(idCol)).distinct()
     deleteWhere(s, root, _.join(k, Seq(idCol), "left_semi"),
-      _.join(k, Seq(idCol), "left_anti"), idCol, numFiles, txnId)
+      _.join(k, Seq(idCol), "left_anti"), idCol, numFiles, txnId,
+      addedOk = _ => keysReadSafe(k, idCol))
   }
 
   /** The shared copy-on-write DELETE engine: `matchRows` selects the
@@ -2330,7 +2453,9 @@ object VersionedTable {
       matchRows: DataFrame => DataFrame,
       keepRows: DataFrame => DataFrame,
       idCol: String, numFiles: Int,
-      txnId: Option[String]): Int = retryingConflicts(root) { () =>
+      txnId: Option[String],
+      addedOk: Snapshot => Seq[FileEntry] => Boolean =
+        _ => _.isEmpty): Int = retryingConflicts(root) { () =>
     txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
     val parentV = latestVersion(s, root).getOrElse(
       throw new IllegalStateException("delete from empty table"))
@@ -2346,13 +2471,15 @@ object VersionedTable {
         .filterNot(f => touched.contains(normPath(f.path)))
     if (rewrite.isEmpty)
       commitManifest(s, root, "delete", Seq.empty, carryFromHead, txnId,
-        requireParent = Some(parentV), rebaseKeep = Some(touched))
+        requireParent = Some(parentV), rebaseKeep = Some(touched),
+        rebaseAddedOk = addedOk(snap))
     else {
       // readLive: the rewrite also materializes any existing DVs
       val survivors = keepRows(readConformed(s, snap, rewrite))
       val newFiles = writeFiles(s, root, survivors, idCol, numFiles)
       commitManifest(s, root, "delete", newFiles, carryFromHead, txnId,
-        requireParent = Some(parentV), rebaseKeep = Some(touched))
+        requireParent = Some(parentV), rebaseKeep = Some(touched),
+        rebaseAddedOk = addedOk(snap))
     }
   }
 
@@ -2404,7 +2531,8 @@ object VersionedTable {
     * written as one file, sized by deleted keys). */
   def deleteMoR(s: SparkSession, root: String, cond: Column,
       idCol: String, txnId: Option[String] = None): Int =
-    deleteMoRWhere(s, root, _.filter(cond), idCol, txnId)
+    deleteMoRWhere(s, root, _.filter(cond), idCol, txnId,
+      addedOk = snap => condReadSafe(snap, idCol, cond))
 
   /** DELETE by KEY SET, merge-on-read, JOIN-BASED: the twin of
     * [[deleteMoR]] for bulk deletes whose key list must never pass
@@ -2421,14 +2549,16 @@ object VersionedTable {
       idCol: String, txnId: Option[String] = None): Int = {
     val k = keys.select(col(idCol)).distinct()
     deleteMoRWhere(s, root, _.join(k, Seq(idCol), "left_semi"), idCol,
-      txnId)
+      txnId, addedOk = _ => keysReadSafe(k, idCol))
   }
 
   /** The shared merge-on-read DELETE engine: `matchRows` selects the
     * rows to mask out of the live scan. */
   private def deleteMoRWhere(s: SparkSession, root: String,
       matchRows: DataFrame => DataFrame, idCol: String,
-      txnId: Option[String]): Int =
+      txnId: Option[String],
+      addedOk: Snapshot => Seq[FileEntry] => Boolean =
+        _ => _.isEmpty): Int =
     retryingConflicts(root) { () =>
       txnId.foreach(t => findCommittedTxn(s, root, t).foreach(v => return v))
       val parentV = latestVersion(s, root).getOrElse(
@@ -2454,7 +2584,8 @@ object VersionedTable {
           commitManifest(s, root, "delete-mor", Seq.empty,
             p => p.map(_.files).getOrElse(Seq.empty),
             txnId, requireParent = Some(parentV),
-            rebaseKeep = Some(Set.empty))
+            rebaseKeep = Some(Set.empty),
+            rebaseAddedOk = addedOk(snap))
         else {
           val (touched, _) = snap.files.partition(f =>
             perFile.contains(normPath(f.path)))
@@ -2487,7 +2618,8 @@ object VersionedTable {
               .filterNot(f => touchedPaths.contains(normPath(f.path))) ++
               touchedEntries,
             txnId, requireParent = Some(parentV),
-            rebaseKeep = Some(touchedPaths))
+            rebaseKeep = Some(touchedPaths),
+            rebaseAddedOk = addedOk(snap))
         }
       } finally { matches.unpersist(); () }
     }
@@ -2554,7 +2686,8 @@ object VersionedTable {
       if (rewrite.isEmpty)
         commitManifest(s, root, "update", Seq.empty, carryFromHead,
           txnId, requireParent = Some(parentV),
-          rebaseKeep = Some(touched))
+          rebaseKeep = Some(touched),
+          rebaseAddedOk = condReadSafe(snap, idCol, cond))
       else {
         // readLive: rewriting a DV-carrying file materializes its
         // deletions, exactly as merge/delete rewrites do.  The match
@@ -2573,7 +2706,8 @@ object VersionedTable {
         val newFiles = writeFiles(s, root, updated, idCol, numFiles)
         commitManifest(s, root, "update", newFiles, carryFromHead,
           txnId, requireParent = Some(parentV),
-          rebaseKeep = Some(touched))
+          rebaseKeep = Some(touched),
+          rebaseAddedOk = condReadSafe(snap, idCol, cond))
       }
     }
   }
@@ -2619,7 +2753,8 @@ object VersionedTable {
           commitManifest(s, root, "update-mor", Seq.empty,
             p => p.map(_.files).getOrElse(Seq.empty),
             txnId, requireParent = Some(parentV),
-            rebaseKeep = Some(Set.empty))
+            rebaseKeep = Some(Set.empty),
+            rebaseAddedOk = condReadSafe(snap, idCol, cond))
         else {
           val post = applyAssignments(
             matched.drop("__graft_file"), lit(true), set)
@@ -2657,7 +2792,8 @@ object VersionedTable {
               .filterNot(f => touchedPaths.contains(normPath(f.path))) ++
               touchedEntries,
             txnId, requireParent = Some(parentV),
-            rebaseKeep = Some(touchedPaths))
+            rebaseKeep = Some(touchedPaths),
+            rebaseAddedOk = condReadSafe(snap, idCol, cond))
         }
       } finally { matched.unpersist(); () }
     }

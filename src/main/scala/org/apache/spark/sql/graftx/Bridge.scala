@@ -13,6 +13,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column -> EAGERLY converted catalyst Expression tree.
+    * [[expression]] returns a lazy ColumnNodeExpression wrapper whose
+    * children are still ColumnNodes — callers that pattern-match the
+    * tree (predicate-bounds extraction) need the real conversion the
+    * analyzer would perform. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a function builder on a live session's FunctionRegistry
     * (the imperative twin of SparkSessionExtensions.injectFunction). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -206,4 +206,60 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got.agg(sum(col("rating"))).head().getLong(0) ===
       (0 until 40).map(_ * 2L).sum)
   }
+
+  test("rename CHAIN reusing a live physical name (score->tmp, " +
+    "txt->score) serves each logical column the RIGHT data — the " +
+    "order-dependent rename-fold hazard") {
+    val root = freshRoot("chain")
+    build(root)
+    // after this chain: logical `tmp` is stored under physical
+    // `score`, logical `score` under physical `txt`
+    VersionedTable.renameColumn(spark, root, "score", "tmp")
+    VersionedTable.renameColumn(spark, root, "txt", "score")
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "score", "tmp"))
+    // `score` must carry the OLD txt strings, `tmp` the OLD numbers —
+    // a sequential rename fold null-filled one and/or served the
+    // other column's values
+    assert(got.filter(col("id") === 7).select("score").head()
+      .getString(0) === "t7")
+    assert(got.filter(col("id") === 7).select("tmp").head()
+      .getLong(0) === 14L)
+    assert(got.filter(col("score").isNull || col("tmp").isNull)
+      .count() === 0L)
+  }
+
+  test("rename SWAP via a temp (txt<->score) round-trips reads AND " +
+    "writes: new appends land under swapped physicals without " +
+    "duplicate-column corruption") {
+    import spark.implicits._
+    val root = freshRoot("swap")
+    build(root)
+    // classic three-rename swap: txt -> t0, score -> txt, t0 -> score
+    VersionedTable.renameColumn(spark, root, "txt", "t0")
+    VersionedTable.renameColumn(spark, root, "score", "txt")
+    VersionedTable.renameColumn(spark, root, "t0", "score")
+    // logical `txt` (LongType payload) stored physically as `score`,
+    // logical `score` (StringType payload) physically as `txt`
+    val got = VersionedTable.read(spark, root)
+    assert(got.schema("txt").dataType === LongType)
+    assert(got.schema("score").dataType === StringType)
+    assert(got.filter(col("id") === 3).select("txt").head()
+      .getLong(0) === 6L)
+    assert(got.filter(col("id") === 3).select("score").head()
+      .getString(0) === "t3")
+    // a WRITE through the swapped mapping: the simultaneous
+    // logical->physical projection must not alias two columns
+    VersionedTable.append(spark, root,
+      Seq((100L, 200L, "t100")).toDF("id", "txt", "score"), "id", 1)
+    val after = VersionedTable.read(spark, root)
+    assert(after.filter(col("id") === 100).select("txt").head()
+      .getLong(0) === 200L)
+    assert(after.filter(col("id") === 100).select("score").head()
+      .getString(0) === "t100")
+    // and the stored FILE carries physical names: old files still read
+    assert(after.count() === 41L)
+    assert(after.agg(sum(col("txt"))).head().getLong(0) ===
+      (0 until 40).map(_ * 2L).sum + 200L)
+  }
 }

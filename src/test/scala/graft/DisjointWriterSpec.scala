@@ -169,4 +169,64 @@ class DisjointWriterSpec extends SparkSpec {
     assert(got.filter(col("id") >= 95 && col("id") < 200).count() === 0L)
     assert(got.filter(col("id") === 200).count() === 1L)
   }
+
+  test("two racing INSERT-ONLY merges sharing an unmatched source " +
+    "key do NOT both insert it: the interloper's addition is in the " +
+    "second merge's READ set, so the rebase refuses and the recompute " +
+    "sees the key as matched (serializable, no duplicate)") {
+    import spark.implicits._
+    val root = freshRoot("insdup")
+    build(root)
+    val before = VersionedTable.rebaseCommits.get()
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.mergeInto(spark, root,
+        Seq((500L, 1L)).toDF("id", "v"),
+        "id", Seq(NotMatchedInsert(Map("v" -> col("s.v")))), 1)
+      ()
+    }
+    try VersionedTable.mergeInto(spark, root,
+      Seq((500L, 2L)).toDF("id", "v"),
+      "id", Seq(NotMatchedInsert(Map("v" -> col("s.v")))), 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    // NOT a rebase: the interloper added a file holding our source key
+    assert(VersionedTable.rebaseCommits.get() === before)
+    val got = VersionedTable.read(spark, root).filter(col("id") === 500L)
+    assert(got.count() === 1L) // once, not twice
+    assert(got.select("v").head().getLong(0) === 1L) // first writer won
+  }
+
+  test("an interloper APPEND whose rows match our DELETE's predicate " +
+    "defeats the rebase; the recompute deletes them too (the " +
+    "added-files-vs-read-predicate conflict); a NON-matching append " +
+    "still rebases") {
+    import spark.implicits._
+    val root = freshRoot("addread")
+    build(root)
+    val before = VersionedTable.rebaseCommits.get()
+    // matching append: id=3 satisfies `id < 10`
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.append(spark, root,
+        Seq((3L, 333L)).toDF("id", "v"), "id", 1)
+      ()
+    }
+    try VersionedTable.delete(spark, root, col("id") < 10, "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before) // recomputed
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("id") < 10).count() === 0L) // 3 deleted too
+    assert(got.count() === 90L)
+    // non-matching append: id=300 cannot satisfy `id >= 90 and id < 95`
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.append(spark, root,
+        Seq((300L, 1L)).toDF("id", "v"), "id", 1)
+      ()
+    }
+    try VersionedTable.delete(spark, root,
+      col("id") >= 90 && col("id") < 95, "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 1) // rebased
+    val got2 = VersionedTable.read(spark, root)
+    assert(got2.filter(col("id") === 300).count() === 1L)
+    assert(got2.count() === 86L)
+  }
 }
