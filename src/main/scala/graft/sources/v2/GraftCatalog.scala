@@ -311,6 +311,17 @@ final case class GraftSqlResolution(session: SparkSession)
           .DeleteFromTable => relOf(d.table)
       case mg: org.apache.spark.sql.catalyst.plans.logical
           .MergeIntoTable => relOf(mg.targetTable)
+      // v2 write nodes a not-yet-finished analyzer iteration may still
+      // carry (unresolved outputs, or an overwrite shape GraftDmlRule's
+      // patterns don't convert): swapping THEIR target to a v1
+      // LogicalRelation would produce an invalid plan or a parquet
+      // write that bypasses the manifest commit
+      case ad: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
+        relOf(ad.table)
+      case ow: org.apache.spark.sql.catalyst.plans.logical
+          .OverwriteByExpression => relOf(ow.table)
+      case op: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic => relOf(op.table)
       case _ => ()
     }
     m

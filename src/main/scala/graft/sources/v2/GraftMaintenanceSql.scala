@@ -161,6 +161,24 @@ final case class GraftVacuumCommand(root: String, retentionMs: Long)
       org.apache.spark.sql.types.StructField("data_files_deleted",
         LongType, nullable = false))))
   override def run(s: SparkSession): Seq[Row] = {
+    // minimum-retention guard (Delta's retentionDurationCheck):
+    // `RETAIN 0 HOURS` would reclaim every non-head version and the
+    // files only they reference, breaking concurrent readers of
+    // recent snapshots and in-flight writers derived against them.
+    // Refuse below the 168 h default unless the table explicitly
+    // opted out via `vacuum.retentionCheck=false`.
+    val floor = 168L * 3600 * 1000
+    if (retentionMs < floor) {
+      val checkOn = VersionedTable.latestVersion(s, root)
+        .map(v => VersionedTable.snapshot(s, root, v))
+        .flatMap(_.props.get("vacuum.retentionCheck"))
+        .forall(_.toLowerCase != "false")
+      require(!checkOn,
+        s"VACUUM RETAIN ${retentionMs / 3600000} HOURS is below the " +
+          "168-hour safety floor; concurrent readers/writers of " +
+          "recent snapshots could break. Set the table property " +
+          "vacuum.retentionCheck=false to override deliberately.")
+    }
     // RETAIN n HOURS is the retention in BOTH senses Delta gives it:
     // the version-history horizon AND the file-age safety guard (a
     // file younger than the retention is never reclaimed)
@@ -203,9 +221,24 @@ final case class GraftRestoreCommand(root: String,
       case Left(x) => x
       case Right(ts) =>
         // latest commit at-or-before the probe (the same contract
-        // restoreToTimestamp applies internally)
-        val millis = scala.util.Try(ts.toLong).getOrElse(
-          java.time.Instant.parse(ts).toEpochMilli)
+        // restoreToTimestamp applies internally).  Accepted spellings:
+        // epoch millis, ISO-8601 instant, and the conventional SQL
+        // timestamp 'yyyy-MM-dd HH:mm:ss[.f...]' (session-zone-free:
+        // interpreted as the JVM default zone, like
+        // java.sql.Timestamp.valueOf)
+        val millis = scala.util.Try(ts.toLong)
+          .orElse(scala.util.Try(
+            java.time.Instant.parse(ts).toEpochMilli))
+          .orElse(scala.util.Try(
+            java.sql.Timestamp.valueOf(ts).getTime))
+          .orElse(scala.util.Try(
+            java.sql.Timestamp.valueOf(
+              java.time.LocalDate.parse(ts).atStartOfDay()).getTime))
+          .getOrElse(throw new IllegalArgumentException(
+            s"RESTORE ... TIMESTAMP AS OF: cannot parse '$ts' — give " +
+              "epoch millis, an ISO-8601 instant " +
+              "(2026-01-02T03:04:05Z), a SQL timestamp " +
+              "('2026-01-02 03:04:05') or a date ('2026-01-02')"))
         VersionedTable.versions(s, root)
           .filter(x =>
             VersionedTable.snapshot(s, root, x).tsMillis <= millis)

@@ -241,6 +241,16 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(doomed.nonEmpty)
     assert(doomed.forall(p =>
       new java.io.File(p.stripPrefix("file:")).exists()))
+    // sub-floor retention REFUSES without the explicit opt-out
+    // (Delta's retentionDurationCheck): RETAIN 0 HOURS would break
+    // concurrent readers of recent snapshots
+    val guard = intercept[Exception] {
+      GraftSql.sql(spark, s"VACUUM graft.`$root` RETAIN 0 HOURS").head()
+    }
+    assert(guard.getMessage.contains("safety floor") ||
+      Option(guard.getCause).exists(_.getMessage.contains("safety floor")))
+    VersionedTable.setProperty(spark, root, "vacuum.retentionCheck",
+      "false")
     // the real VACUUM (retain 0 h keeps only the head) reclaims them
     val vac = GraftSql.sql(spark,
       s"VACUUM graft.`$root` RETAIN 0 HOURS").head()
@@ -261,6 +271,25 @@ class GraftSqlDmlSpec extends SparkSpec {
     val r = GraftSql.sql(spark,
       s"RESTORE TABLE graft.`$root` TO VERSION AS OF 1").head()
     assert(r.getAs[Int]("restored_to") === 1)
+    assert(count(root) === 10L)
+    // TIMESTAMP AS OF accepts the conventional SQL spelling
+    // 'yyyy-MM-dd HH:mm:ss' (not just epoch millis / ISO-8601): a
+    // probe after the delete's commit restores back to the deleted
+    // state
+    val delTs = VersionedTable.snapshot(spark, root, 2).tsMillis
+    val probe = new java.sql.Timestamp(delTs + 1).toString
+    val r2 = GraftSql.sql(spark,
+      s"RESTORE TABLE graft.`$root` TO TIMESTAMP AS OF '$probe'")
+      .head()
+    assert(r2.getAs[Int]("restored_to") === 2)
+    assert(count(root) === 2L)
+    val badTs = intercept[Exception] { GraftSql.sql(spark,
+      s"RESTORE TABLE graft.`$root` TO TIMESTAMP AS OF 'yesterday'")
+      .head() }
+    assert(badTs.getMessage.contains("cannot parse") ||
+      Option(badTs.getCause).exists(_.getMessage.contains("cannot parse")))
+    // roll forward again for the FSCK half below
+    GraftSql.sql(spark, s"RESTORE TABLE graft.`$root` TO VERSION AS OF 1")
     assert(count(root) === 10L)
     // FSCK: clean table reports nothing
     assert(GraftSql.sql(spark,

@@ -117,6 +117,8 @@ object SqlDmlChild {
         "OPTIMIZE via plain spark.sql")
       val dry = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN")
         .count()
+      VersionedTable.setProperty(s, root, "vacuum.retentionCheck",
+        "false") // sub-floor retention needs the explicit opt-out
       val vac = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").head()
       check(vac.getAs[Long]("data_files_deleted") >= dry,
         "VACUUM via plain spark.sql reclaims at least the dry-run list")
