@@ -1170,7 +1170,15 @@ object VersionedTable {
         .map(pv => snapshot(s, root, pv).files)
         .collectFirst { case fs if fs.nonEmpty => fs }
         .getOrElse(Seq.empty)
-    if (template.isEmpty) s.emptyDataFrame
+    if (template.isEmpty)
+      // a CREATEd-but-never-written table has no file to template
+      // from — the recorded schema IS the read schema
+      snap.props.get(TableSchemaProp)
+        .map(j => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(s.emptyDataFrame)
     else
       // limit(0) over the full list: footer-only schema resolution, so
       // evolution-added columns survive into the empty frame's schema
@@ -1686,6 +1694,54 @@ object VersionedTable {
         val inherited = parent.map(_.props).getOrElse(Map.empty)
         schemaProp(inherited + (TableKeyProp -> idCol),
           s.read.parquet(dir))
+      })
+  }
+
+  /** CREATE TABLE: commit VERSION 1 as a pure-metadata manifest — no
+    * data files — recording the table SCHEMA, KEY and any properties
+    * (including `constraint.<name>` CHECK predicates), so a SQL-only
+    * lifecycle can bootstrap a table before its first INSERT (the one
+    * verb the catalog previously lacked; Delta's CreateDeltaTable).
+    * The empty table reads as zero rows WITH the recorded schema, and
+    * every subsequent write validates against it exactly as against a
+    * connector-seeded table.  Refuses a root that already holds a
+    * committed table. */
+  def create(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType, keyCol: String,
+      props: Map[String, String] = Map.empty): Int = {
+    require(schema.fieldNames.contains(keyCol),
+      s"table.key '$keyCol' is not a column of the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"table.key '$keyCol' must be BIGINT (key zone maps are long " +
+        s"bounds); got ${schema(keyCol).dataType.simpleString}")
+    props.keys.find(k => k == TableSchemaProp || k == TableKeyProp ||
+        k == ColumnMappingProp || k == DroppedColsProp).foreach(k =>
+      throw new IllegalArgumentException(
+        s"property '$k' is engine-managed; declare schema/key through " +
+          "the CREATE TABLE statement itself"))
+    // validate constraint predicates parse before committing them
+    props.collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+      (k.stripPrefix(ConstraintPrefix), v) }.foreach { case (n, p) =>
+      require(n.nonEmpty && !n.contains("."),
+        s"constraint name must be non-empty and dot-free, got '$n'")
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(p)
+    }
+    def refuse(parent: Option[Snapshot]): Unit = parent.foreach { p =>
+      throw new IllegalStateException(
+        s"CREATE TABLE: $root already holds a committed table " +
+          s"(head v${p.version}); drop/clear the directory or use " +
+          "INSERT/ALTER on the existing table")
+    }
+    commitManifest(s, root, "create", Seq.empty,
+      parent => { refuse(parent); Seq.empty },
+      propsOf = parent => {
+        refuse(parent)
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        schemaProp(props + (TableKeyProp -> keyCol), empty)
       })
   }
 

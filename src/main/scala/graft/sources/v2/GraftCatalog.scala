@@ -141,12 +141,104 @@ class GraftCatalog extends TableCatalog {
       case p: TableChange.RemoveProperty =>
         VersionedTable.removeProperty(s, root, p.property())
         ()
+      // ALTER TABLE ... ADD CONSTRAINT c CHECK (...): maps onto the
+      // library constraint commit — existing rows validate first, and
+      // every subsequent write (SQL or API) enforces it
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          VersionedTable.addConstraint(s, root, c.name(),
+            c.predicateSql())
+          ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported constraint kind for graft tables: $other " +
+            "(CHECK constraints only)")
+      }
+      case d: TableChange.DropConstraint =>
+        val have = VersionedTable.latestVersion(s, root)
+          .map(v => VersionedTable.snapshot(s, root, v).constraints)
+          .getOrElse(Map.empty)
+        if (have.contains(d.name())) {
+          VersionedTable.dropConstraint(s, root, d.name()); ()
+        } else if (!d.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint '${d.name()}' on $root " +
+              s"(have: ${have.keys.toSeq.sorted.mkString(", ")})")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft tables: $other " +
-          "(use the VersionedTable API for constraints/optimize)")
+          "(use the VersionedTable API for optimize/layout)")
     }
     tableAt(ident, Map.empty)
   }
+  /** Declares native CHECK-constraint DDL support (Spark 4 routes
+    * `ALTER TABLE ... ADD CONSTRAINT` / CREATE TABLE constraints to
+    * catalogs that claim it). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE / CTAS: commit a v1 metadata-only manifest carrying
+    * the declared schema, the `table.key` property (REQUIRED — every
+    * graft write and DML keys on it) and any CHECK constraints, so a
+    * SQL-only lifecycle can bootstrap a table:
+    *
+    * {{{
+    *   CREATE TABLE graft.`/data/t` (id BIGINT, txt STRING)
+    *     TBLPROPERTIES ('table.key'='id')
+    *   CREATE TABLE graft.`/data/t2` TBLPROPERTIES ('table.key'='id')
+    *     AS SELECT id, txt FROM src        -- CTAS: create + V1 write
+    * }}} */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table =
+    createGraft(ident, schema, partitions, properties, Array.empty)
+
+  /** The Spark-4 canonical variant — also carries declared
+    * constraints (`CREATE TABLE ... (..., CONSTRAINT c CHECK (...))`). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    createGraft(ident, info.schema(), info.partitions(),
+      info.properties(), info.constraints())
+
+  private def createGraft(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String],
+      constraints: Array[
+        org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Table = {
+    val s = SparkSession.active
+    val root = rootOf(ident)
+    require(partitions.isEmpty,
+      "graft tables use clustering + file stats instead of hive-style " +
+        "partitions; PARTITIONED BY is not supported (OPTIMIZE ZORDER " +
+        "BY / clusterBy gives the layout)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    import scala.jdk.CollectionConverters._
+    val raw = properties.asScala.toMap
+    val key = raw.getOrElse(VersionedTable.TableKeyProp,
+      throw new IllegalArgumentException(
+        "CREATE TABLE on the graft catalog requires TBLPROPERTIES " +
+          "('table.key'='<bigint column>') — every graft write and " +
+          "DML keys on it"))
+    // Spark-managed bookkeeping props are not table metadata
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val user = (raw -- reserved) - VersionedTable.TableKeyProp
+    val cProps = constraints.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        s"constraint.${c.name}" -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported constraint kind for graft tables: $other " +
+          "(CHECK constraints only)")
+    }.toMap
+    VersionedTable.create(s, root, schema, key, user ++ cProps)
+    new GraftSqlTable(root, Map.empty)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "DROP via SQL is not supported; a graft table is its directory")
@@ -179,18 +271,60 @@ final class GraftSqlTable(val root: String,
         "apply the rule to the analyzed plan) so the catalog relation " +
         "is served by the graft-table vectorized scan")
 
-  /** Same story for writes: [[GraftDmlRule]] converts INSERT / DML
-    * into library commands during analysis, so a correctly-configured
-    * session never builds a v2 write.  The trait + capability exist
-    * so analysis accepts the statement and a missing extension fails
-    * HERE with instructions, not with a generic capability error. */
+  /** V1-fallback write: on extension sessions [[GraftDmlRule]]
+    * converts INSERT/AppendData during analysis and this is never
+    * built, but CTAS (whose write is internal to CreateTableAsSelect
+    * execution, not an AppendData plan node) and
+    * `df.writeTo("graft.`/t`").append()` on extension-less sessions
+    * land here — delegate to the SAME library append/overwrite every
+    * other write path runs (manifest commit, constraints, stats,
+    * blooms).  The V1Write shape is Delta's WriteIntoDeltaBuilder
+    * construction: Spark hands the fully-reconciled DataFrame to an
+    * InsertableRelation, no per-row v2 writer protocol needed. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    throw new UnsupportedOperationException(
-      s"graft.`$root` writes resolve through GraftDmlRule; set " +
-        "spark.sql.extensions=graft.functions.GraftExtensions or run " +
-        "the statement through graft.sources.v2.GraftSql.sql")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var asTruncate = false
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        asTruncate = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val s = data.sparkSession
+                val key = VersionedTable.latestVersion(s, root)
+                  .flatMap(v => VersionedTable.snapshot(s, root, v)
+                    .props.get(VersionedTable.TableKeyProp))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"write to $root needs a recorded table.key " +
+                      "(CREATE TABLE with TBLPROPERTIES " +
+                      "('table.key'='...') first)"))
+                // align to the recorded schema by POSITION (Spark has
+                // already reconciled the query to the table schema)
+                val schema = new GraftSqlTable(root, Map.empty).schema()
+                require(data.columns.length == schema.length,
+                  s"write to $root carries ${data.columns.length} " +
+                    s"columns, table has ${schema.length}")
+                val aligned = data
+                  .toDF(schema.fieldNames.toIndexedSeq: _*)
+                  .select(schema.fields.toIndexedSeq.map(f =>
+                    org.apache.spark.sql.functions.col(f.name)
+                      .cast(f.dataType).as(f.name)): _*)
+                if (asTruncate || overwrite)
+                  VersionedTable.overwrite(s, root, aligned, key, 8)
+                else VersionedTable.append(s, root, aligned, key, 8)
+                ()
+              }
+            }
+        }
+    }
 
   override def name(): String = s"graft.`$root`"
 
@@ -216,7 +350,8 @@ final class GraftSqlTable(val root: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   /** `SHOW TBLPROPERTIES graft.`/root``: the pinned snapshot's
     * manifest properties, verbatim — constraints, schema, key,
@@ -373,8 +508,17 @@ object GraftSql {
         // commands execute eagerly on Dataset construction
         org.apache.spark.sql.GraftShims.ofRows(s, cmd)
       case None =>
-        val analyzed = s.sql(sqlText).queryExecution.analyzed
-        org.apache.spark.sql.GraftShims.ofRows(s,
+        val df = s.sql(sqlText)
+        val analyzed = df.queryExecution.analyzed
+        // a COMMAND (CREATE TABLE, ALTER, ...) already executed
+        // eagerly inside s.sql — re-wrapping its analyzed plan would
+        // run it a second time (a duplicate CREATE, a double ALTER)
+        if (analyzed.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Command] ||
+            analyzed.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.CommandResult])
+          df
+        else org.apache.spark.sql.GraftShims.ofRows(s,
           GraftSqlResolution(s).applyManually(analyzed))
     }
   }

@@ -49,6 +49,17 @@ object GraftMaintenanceSql {
     s"(?is)^\\s*RESTORE\\s+TABLE\\s+$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
   private val Fsck =
     s"(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ident(\\s+DRY\\s+RUN)?\\s*;?\\s*$$".r
+  // ALTER TABLE ... ADD/DROP CONSTRAINT intercept: Spark 4 parses
+  // these natively but routes ADD through a validation SCAN of the v2
+  // relation (extension-less sessions cannot build it) and re-checks
+  // what the library's addConstraint already validates — the
+  // mini-grammar maps them straight onto the constraint commits,
+  // uniformly on every session (the library validates existing rows
+  // and names the constraint in violations)
+  private val AddConstr =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$".r
+  private val DropConstr =
+    s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$$".r
 
   private def graftRoot(s: SparkSession, cat: String, root: String)
       : Option[String] =
@@ -75,6 +86,12 @@ object GraftMaintenanceSql {
           if (dry != null) GraftVacuumDryRunCommand(r, retentionMs)
           else GraftVacuumCommand(r, retentionMs)
         }
+      case AddConstr(cat, root, name, predicate) =>
+        graftRoot(s, cat, root)
+          .map(GraftAddConstraintCommand(_, name, predicate.trim))
+      case DropConstr(cat, root, ifExists, name) =>
+        graftRoot(s, cat, root)
+          .map(GraftDropConstraintCommand(_, name, ifExists != null))
       case RestoreV(cat, root, v) =>
         graftRoot(s, cat, root)
           .map(GraftRestoreCommand(_, Left(v.toInt)))
@@ -305,4 +322,32 @@ final class GraftSqlParser(session: SparkSession,
   @throws[ParseException]
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+/** `ALTER TABLE graft.`/root` ADD CONSTRAINT name CHECK (predicate)`
+  * — maps onto [[VersionedTable.addConstraint]]: existing rows
+  * validate in one aggregation before the metadata commit, and every
+  * subsequent write (SQL or API) enforces the predicate, naming the
+  * constraint in violations (Delta's ADD CONSTRAINT contract). */
+final case class GraftAddConstraintCommand(root: String, name: String,
+    predicate: String) extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    VersionedTable.addConstraint(s, root, name, predicate)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.`/root` DROP CONSTRAINT [IF EXISTS] name`. */
+final case class GraftDropConstraintCommand(root: String, name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(s: SparkSession): Seq[Row] = {
+    val have = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).constraints)
+      .getOrElse(Map.empty[String, String])
+    if (have.contains(name)) { VersionedTable.dropConstraint(s, root, name); () }
+    else if (!ifExists) throw new IllegalArgumentException(
+      s"no constraint '$name' on $root " +
+        s"(have: ${have.keys.toSeq.sorted.mkString(", ")})")
+    Seq.empty
+  }
 }

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** SQL-only table BIRTH: CREATE TABLE commits a v1 metadata-only
+  * manifest (schema + table.key + CHECK constraints), CTAS creates
+  * and fills through the V1-fallback write, `df.writeTo` appends and
+  * overwrites through the same path, and constraint DDL (inline and
+  * ALTER TABLE ADD/DROP CONSTRAINT) round-trips — closing the one
+  * missing verb of the round-12 SQL lifecycle. */
+class GraftCreateTableSpec extends SparkSpec {
+
+  private def freshRoot(kind: String): String =
+    Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_create_${kind}_" +
+        s"${spark.sparkContext.applicationId}")
+
+  private def sql(q: String) = graft.sources.v2.GraftSql.sql(spark, q)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+  }
+
+  test("CREATE TABLE births an empty readable table; INSERT fills it; " +
+    "the whole lifecycle is SQL text") {
+    val root = freshRoot("basic")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, txt STRING) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    val v1 = VersionedTable.snapshot(spark, root, 1)
+    assert(v1.op === "create" && v1.files.isEmpty)
+    // empty table reads: zero rows WITH the declared schema
+    val empty = sql(s"SELECT * FROM graft.`$root`")
+    assert(empty.columns.toSeq === Seq("id", "txt"))
+    assert(empty.count() === 0L)
+    // library read path agrees
+    assert(VersionedTable.read(spark, root).columns.toSeq ===
+      Seq("id", "txt"))
+    sql(s"INSERT INTO graft.`$root` VALUES (1, 'a'), (2, 'b')")
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 2L)
+    // the created schema governs: SQL DML works without any connector
+    // seed (UPDATE keys on the recorded table.key)
+    sql(s"UPDATE graft.`$root` SET txt = 'z' WHERE id = 2")
+    assert(sql(s"SELECT txt FROM graft.`$root` WHERE id = 2")
+      .head().getString(0) === "z")
+    // duplicate create refuses
+    val dup = intercept[Exception] {
+      sql(s"CREATE TABLE graft.`$root` (id BIGINT) " +
+        "TBLPROPERTIES ('table.key'='id')")
+    }
+    assert(dup.getMessage.toLowerCase.contains("already exists") ||
+      Option(dup.getCause).exists(
+        _.getMessage.toLowerCase.contains("already")))
+  }
+
+  test("CREATE TABLE guard rails: table.key required, key must be " +
+    "BIGINT and a declared column, PARTITIONED BY refused") {
+    val root = freshRoot("guards")
+    val noKey = intercept[Exception] {
+      sql(s"CREATE TABLE graft.`${root}_nk` (id BIGINT)")
+    }
+    assert(noKey.getMessage.contains("table.key") ||
+      Option(noKey.getCause).exists(_.getMessage.contains("table.key")))
+    val badType = intercept[Exception] {
+      sql(s"CREATE TABLE graft.`${root}_bt` (id INT, t STRING) " +
+        "TBLPROPERTIES ('table.key'='id')")
+    }
+    assert(badType.getMessage.contains("BIGINT") ||
+      Option(badType.getCause).exists(_.getMessage.contains("BIGINT")))
+    val badCol = intercept[Exception] {
+      sql(s"CREATE TABLE graft.`${root}_bc` (id BIGINT) " +
+        "TBLPROPERTIES ('table.key'='nope')")
+    }
+    assert(badCol.getMessage.contains("not a column") ||
+      Option(badCol.getCause).exists(
+        _.getMessage.contains("not a column")))
+    val part = intercept[Exception] {
+      sql(s"CREATE TABLE graft.`${root}_pt` (id BIGINT, g STRING) " +
+        "PARTITIONED BY (g) TBLPROPERTIES ('table.key'='id')")
+    }
+    assert(part.getMessage.contains("PARTITIONED") ||
+      Option(part.getCause).exists(
+        _.getMessage.contains("PARTITIONED")))
+  }
+
+  test("CTAS: CREATE TABLE ... AS SELECT creates and fills in one " +
+    "statement through the V1-fallback write") {
+    val root = freshRoot("ctas")
+    import spark.implicits._
+    (0 until 20).map(i => (i.toLong, s"t$i")).toDF("id", "txt")
+      .createOrReplaceTempView("ctas_src")
+    sql(s"CREATE TABLE graft.`$root` TBLPROPERTIES ('table.key'='id') " +
+      "AS SELECT id, txt FROM ctas_src")
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 20L)
+    // the write went through the library path: stats recorded
+    val head = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(head.files.nonEmpty && head.files.forall(_.rows > 0))
+    assert(head.props.get(VersionedTable.TableKeyProp) === Some("id"))
+    // and DML works immediately
+    sql(s"DELETE FROM graft.`$root` WHERE id >= 10")
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 10L)
+  }
+
+  test("df.writeTo(graft.`/t`).append()/overwritePartitions route " +
+    "through the library append/overwrite (manifest commit, stats)") {
+    val root = freshRoot("writeto")
+    import spark.implicits._
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .writeTo(s"graft.`$root`").append()
+    assert(VersionedTable.read(spark, root).count() === 10L)
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "append")
+    // truncate-overwrite replaces content, history stays
+    (100 until 105).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .writeTo(s"graft.`$root`").overwrite(lit(true))
+    assert(VersionedTable.read(spark, root).count() === 5L)
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 10L)
+  }
+
+  test("constraints: inline CHECK at CREATE, ALTER TABLE ADD/DROP " +
+    "CONSTRAINT — all enforced on SQL writes by name") {
+    val root = freshRoot("constr")
+    sql(s"CREATE TABLE graft.`$root` " +
+      "(id BIGINT, x BIGINT, CONSTRAINT x_pos CHECK (x >= 0)) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    assert(VersionedTable.snapshot(spark, root, 1)
+      .constraints === Map("x_pos" -> "x >= 0"))
+    val bad = intercept[Exception] {
+      sql(s"INSERT INTO graft.`$root` VALUES (1, -5)")
+    }
+    assert((bad.getMessage + Option(bad.getCause)
+      .map(_.getMessage).getOrElse("")).contains("x_pos"))
+    sql(s"INSERT INTO graft.`$root` VALUES (1, 5)")
+    // ADD CONSTRAINT via ALTER TABLE SQL: validates existing rows
+    sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT x_cap CHECK (x < 100)")
+    val head = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(head.constraints.keySet === Set("x_pos", "x_cap"))
+    val bad2 = intercept[Exception] {
+      sql(s"INSERT INTO graft.`$root` VALUES (2, 500)")
+    }
+    assert((bad2.getMessage + Option(bad2.getCause)
+      .map(_.getMessage).getOrElse("")).contains("x_cap"))
+    // an ADD CONSTRAINT violated by EXISTING rows refuses
+    val bad3 = intercept[Exception] {
+      sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT x_tiny " +
+        "CHECK (x < 3)")
+    }
+    assert((bad3.getMessage + Option(bad3.getCause)
+      .map(_.getMessage).getOrElse("")).nonEmpty)
+    // DROP CONSTRAINT releases it
+    sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT x_cap")
+    sql(s"INSERT INTO graft.`$root` VALUES (3, 500)")
+    // two rows made it in: (1,5) and the post-drop (3,500)
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 2L)
+    val noSuch = intercept[Exception] {
+      sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT ghost")
+    }
+    assert((noSuch.getMessage + Option(noSuch.getCause)
+      .map(_.getMessage).getOrElse("")).contains("ghost"))
+  }
+}
