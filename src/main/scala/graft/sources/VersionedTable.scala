@@ -1108,7 +1108,12 @@ object VersionedTable {
     * possibly-mapped table (identity wrapper when unmapped). */
   private def readConformed(s: SparkSession, snap: Snapshot,
       files: Seq[FileEntry]): DataFrame =
-    conformToSnapshot(s, snap, readLive(s, files))
+    // conformToRecorded: a metadata-added column no data file carries
+    // yet must surface (NULL) to DML target scans too, or a merge
+    // right after ALTER TABLE ADD COLUMN would silently drop its
+    // assignments to the new column
+    conformToRecorded(s, snap,
+      conformToSnapshot(s, snap, readLive(s, files)))
 
   /** [[readLive]] plus a `__graft_file` column carrying each row's
     * (normalized) source data file — the discovery handle merge /
@@ -1123,10 +1128,10 @@ object VersionedTable {
     val raw = s.read.option("mergeSchema", "true")
       .parquet(files.map(_.path): _*)
       .withColumn("__graft_file", normPathCol(col("_metadata.file_path")))
-    conformToSnapshot(s,
+    conformToRecorded(s, snap, conformToSnapshot(s,
       snap,
       applyDv(s, raw, files, fileColumn = Some("__graft_file")),
-      keep = Seq("__graft_file"))
+      keep = Seq("__graft_file")))
   }
 
   /** Apply the deletion vectors of `files` to an already-built scan of
@@ -2309,7 +2314,8 @@ object VersionedTable {
     * Returns the committed version. */
   def mergeInto(s: SparkSession, root: String, source: DataFrame,
       idCol: String, clauses: Seq[MergeClause], numFiles: Int,
-      txnId: Option[String] = None): Int = {
+      txnId: Option[String] = None,
+      onExtra: Option[Column] = None): Int = {
     require(clauses.nonEmpty, "mergeInto needs at least one clause")
     require(source.columns.contains(idCol),
       s"merge source must carry the key column '$idCol'")
@@ -2354,9 +2360,19 @@ object VersionedTable {
       // source row, exactly SQL MERGE's semantics).
       if (matchedIdx.isEmpty && nmbsIdx.isEmpty) {
         val tgtSchema = readConformed(s, snap, snap.files).schema
-        val fresh = src.alias("s").join(
-          readConformed(s, snap, snap.files).select(col(idCol)),
-          Seq(idCol), "left_anti")
+        // with a residual ON predicate the match test needs target
+        // columns beyond the key: anti-join on the FULL condition over
+        // aliased frames (Catalyst prunes the target scan to the
+        // referenced columns); the bare-key shape keeps the cheaper
+        // key-only column-pruned anti-join
+        val fresh = onExtra match {
+          case None => src.alias("s").join(
+            readConformed(s, snap, snap.files).select(col(idCol)),
+            Seq(idCol), "left_anti")
+          case Some(extra) => src.alias("s").join(
+            readConformed(s, snap, snap.files).alias("t"),
+            col(s"t.$idCol") === col(s"s.$idCol") && extra, "left_anti")
+        }
         def insVal(f: org.apache.spark.sql.types.StructField): Column = {
           val cases: Seq[(Int, Column)] = clauses.zipWithIndex.collect {
             case (NotMatchedInsert(vs, _), i) =>
@@ -2418,9 +2434,15 @@ object VersionedTable {
         if (rewrite.isEmpty)
           current.drop("__graft_file").filter(lit(false))
         else readConformed(s, snap, rewrite)
+      // residual ON predicates ride the SAME equi-join: Catalyst
+      // plans the key equality as the shuffle/broadcast hash key and
+      // evaluates the residual as the join's non-equi condition — a
+      // row pair failing it is UNMATCHED on both sides (standard
+      // MERGE ON semantics), never a fallback to a cartesian shape
       val j = tgtRows.withColumn("__t", lit(true)).alias("t")
         .join(src.withColumn("__s", lit(true)).alias("s"),
-          col(s"t.$idCol") === col(s"s.$idCol"), "full_outer")
+          onExtra.foldLeft(col(s"t.$idCol") === col(s"s.$idCol"))(
+            _ && _), "full_outer")
       val tHere = coalesce(col("t.__t"), lit(false))
       val sHere = coalesce(col("s.__s"), lit(false))
       // 0 = keep target row unchanged; -1 = drop; >0 = clause index

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, ListQuery, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -122,6 +122,67 @@ object GraftDml {
     })
   }
 
+  /** Expression -> Column with every reference QUALIFIED to the merge
+    * TARGET alias `t` — the form residual predicates and assignment
+    * values take when an IN-subquery DML rewrites to a key-join merge
+    * (the joined frame carries both sides, so bare names could be
+    * ambiguous with the source's key column). */
+  private def targetQualified(e: Expression, alias: Option[String],
+      root: String, what: String): Column = {
+    noSubquery(e, what)
+    GraftShims.columnOf(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+      case u: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq("t", bareName(u.nameParts, alias, root)))
+    })
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Detect the `key IN (SELECT ...)` DML-condition shape (the top-3
+    * real-world DELETE/UPDATE form — e.g. the reference pipeline's
+    * decontamination delete): Some((subqueryPlan, residualConjuncts))
+    * when the condition is a conjunction containing EXACTLY one
+    * uncorrelated IN-subquery testing the table key; None when the
+    * condition is subquery-free; throws (with the supported grammar)
+    * for every other subquery shape. */
+  private def keyInSubquery(s: SparkSession, root: String,
+      alias: Option[String], cond: Expression)
+      : Option[(LogicalPlan, Seq[Expression])] = {
+    val cs = conjuncts(cond)
+    val (subs, plain) =
+      cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (subs.isEmpty) return None
+    require(subs.size == 1,
+      "graft SQL DML supports at most ONE IN-subquery conjunct in a " +
+        "condition")
+    val key = keyOf(s, root)
+    subs.head match {
+      case InSubquery(Seq(v), lq: ListQuery) =>
+        val name = v match {
+          case a: AttributeReference => a.name
+          case u: UnresolvedAttribute => bareName(u.nameParts, alias, root)
+          case other => throw new IllegalArgumentException(
+            s"IN-subquery must test a top-level column, got ${other.sql}")
+        }
+        require(name == key,
+          s"graft SQL DML IN-subqueries must test the table key " +
+            s"`$key` (got `$name`); rewrite as a MERGE for other join " +
+            "shapes")
+        require(lq.outerAttrs.isEmpty,
+          "correlated IN-subqueries are not supported in graft SQL DML")
+        Some((lq.plan, plain))
+      case other => throw new IllegalArgumentException(
+        s"unsupported subquery shape in graft SQL DML condition: " +
+          s"${other.sql} — supported: `<table key> IN (SELECT ...)` " +
+          "(optionally AND-ed with plain predicates)")
+    }
+  }
+
   /** An assignment's target must be a top-level column. */
   private def assignName(e: Expression, alias: Option[String],
       root: String): String = e match {
@@ -132,24 +193,51 @@ object GraftDml {
         s"got ${other.sql}")
   }
 
-  private[v2] def updateCommand(root: String, alias: Option[String],
-      assignments: Seq[Assignment], cond: Option[Expression])
-      : GraftUpdateCommand = {
-    val set = assignments.map(a =>
-      assignName(a.key, alias, root) ->
-        singleTableColumn(a.value, alias, root, "UPDATE")).toMap
-    require(set.size == assignments.size,
-      "duplicate assignment targets in UPDATE")
-    GraftUpdateCommand(root, set,
-      cond.map(singleTableColumn(_, alias, root, "UPDATE")))
+  private[v2] def updateCommand(s: SparkSession, root: String,
+      alias: Option[String], assignments: Seq[Assignment],
+      cond: Option[Expression]): LeafRunnableCommand = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    cond.flatMap(keyInSubquery(s, root, alias, _)) match {
+      case Some((subPlan, residual)) =>
+        // UPDATE ... WHERE key IN (SELECT ...) [AND residual] rewrites
+        // to a key-join MERGE: the subquery stays a distributed frame
+        // end to end (never an isin literal list), the residual and
+        // the SET expressions ride the joined row target-qualified
+        val set = assignments.map(a =>
+          assignName(a.key, alias, root) ->
+            targetQualified(a.value, alias, root, "UPDATE")).toMap
+        require(set.size == assignments.size,
+          "duplicate assignment targets in UPDATE")
+        GraftUpdateKeysCommand(root, set, subPlan,
+          residual.map(targetQualified(_, alias, root, "UPDATE"))
+            .reduceOption(_ && _))
+      case None =>
+        val set = assignments.map(a =>
+          assignName(a.key, alias, root) ->
+            singleTableColumn(a.value, alias, root, "UPDATE")).toMap
+        require(set.size == assignments.size,
+          "duplicate assignment targets in UPDATE")
+        GraftUpdateCommand(root, set,
+          cond.map(singleTableColumn(_, alias, root, "UPDATE")))
+    }
   }
 
-  private[v2] def deleteCommand(root: String, alias: Option[String],
-      cond: Expression): GraftDeleteCommand =
-    GraftDeleteCommand(root, cond match {
-      case Literal(true, BooleanType) => lit(true)
-      case c => singleTableColumn(c, alias, root, "DELETE")
-    })
+  private[v2] def deleteCommand(s: SparkSession, root: String,
+      alias: Option[String], cond: Expression): LeafRunnableCommand =
+    keyInSubquery(s, root, alias, cond) match {
+      case Some((subPlan, residual)) =>
+        // DELETE ... WHERE key IN (SELECT ...): the library's
+        // join-based deleteKeys (no residual) or a key-join MERGE
+        // DELETE (residual) — the decontamination shape, distributed
+        GraftDeleteKeysCommand(root, subPlan,
+          residual.map(targetQualified(_, alias, root, "DELETE"))
+            .reduceOption(_ && _))
+      case None =>
+        GraftDeleteCommand(root, cond match {
+          case Literal(true, BooleanType) => lit(true)
+          case c => singleTableColumn(c, alias, root, "DELETE")
+        })
+    }
 
   private[v2] def insertCommand(s: SparkSession, root: String,
       i: InsertIntoStatement): GraftInsertCommand = {
@@ -170,9 +258,6 @@ object GraftDml {
     * lookup at parse level. */
   private[v2] def mergeCommand(s: SparkSession, root: String,
       tAlias: Option[String], m: MergeIntoTable): GraftMergeCommand = {
-    require(!m.withSchemaEvolution,
-      "MERGE ... WITH SCHEMA EVOLUTION is not supported for graft " +
-        "tables; ALTER TABLE ADD COLUMN first")
     val resolvedMode =
       m.targetTable.resolved && m.sourceTable.resolved
     // the source plan the command will execute: analyzed (and, for
@@ -191,6 +276,14 @@ object GraftDml {
     val tCols: Set[String] =
       if (resolvedMode) m.targetTable.output.map(_.name).toSet
       else tableSchema(s, root).fieldNames.toSet
+    // WITH SCHEMA EVOLUTION: source-only columns widen the target at
+    // EXECUTION time (one addColumn metadata commit each, then the
+    // merge — Delta's autoMerge order).  Filled after the ON parse
+    // (the source-key name must not become a column); consulted only
+    // by tgtName/starSet, which run when clauses build, later.
+    var evolveCols: Seq[org.apache.spark.sql.types.StructField] = Nil
+    def tgtCols(n: String): Boolean =
+      tCols(n) || evolveCols.exists(_.name == n)
     val sCols: Set[String] = srcPlan.output.map(_.name).toSet
     val tSet: AttributeSet = if (resolvedMode)
       m.targetTable.outputSet else AttributeSet.empty
@@ -240,9 +333,13 @@ object GraftDml {
     def tgtName(e: Expression): String = e match {
       case a: AttributeReference if resolvedMode && tSet.contains(a) =>
         a.name
+      case a: AttributeReference
+          if resolvedMode && evolveCols.exists(_.name == a.name) &&
+            sSet.contains(a) =>
+        a.name // an evolution assignment targets the source-born column
       case u: UnresolvedAttribute => u.nameParts match {
-        case Seq(n) if tCols(n) => n
-        case Seq(q, n) if tAlias.contains(q) && tCols(n) => n
+        case Seq(n) if tgtCols(n) => n
+        case Seq(q, n) if tAlias.contains(q) && tgtCols(n) => n
         case _ => throw new IllegalArgumentException(
           s"MERGE assignment target `${u.nameParts.mkString(".")}` " +
             "must be a column of the target table")
@@ -253,26 +350,48 @@ object GraftDml {
     }
 
     val key = keyOf(s, root)
-    // the merge condition must be one equality binding the table key
-    // to a source column — the join shape the library merge executes
-    val (tKeyName, sKeyName) = m.mergeCondition match {
-      case EqualTo(l, r) =>
-        (side(l), side(r)) match {
-          case (Some(("t", tn)), Some(("s", sn))) => (tn, sn)
-          case (Some(("s", sn)), Some(("t", tn))) => (tn, sn)
-          case _ => throw new IllegalArgumentException(
-            "MERGE ON must equate a target column with a source column")
-        }
-      case _ => throw new IllegalArgumentException(
-        "graft MERGE supports a single-equality ON clause on the " +
-          s"table key `$key` (got: ${m.mergeCondition.sql}); fold " +
-          "extra predicates into the WHEN clause conditions")
+    // the ON clause must CONTAIN one equality binding the table key to
+    // a source column (the equi-join the library merge shuffles on);
+    // every other conjunct becomes a RESIDUAL join predicate — a pair
+    // failing it is unmatched on both sides, standard MERGE ON
+    // semantics (Delta's compound-ON shape)
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
     }
-    require(tKeyName == key,
-      s"MERGE ON must join on the table key `$key` (got `$tKeyName`)")
+    val conjuncts = conjunctsOf(m.mergeCondition)
+    def keyEq(e: Expression): Option[(String, String)] = e match {
+      case EqualTo(l, r) => (side(l), side(r)) match {
+        case (Some(("t", tn)), Some(("s", sn))) if tn == key =>
+          Some((tn, sn))
+        case (Some(("s", sn)), Some(("t", tn))) if tn == key =>
+          Some((tn, sn))
+        case _ => None
+      }
+      case _ => None
+    }
+    val keyIdx = conjuncts.indexWhere(c => keyEq(c).isDefined)
+    require(keyIdx >= 0,
+      s"MERGE ON must include an equality binding the table key " +
+        s"`$key` to a source column (got: ${m.mergeCondition.sql})")
+    val (tKeyName, sKeyName) = keyEq(conjuncts(keyIdx)).get
+    if (m.withSchemaEvolution) {
+      val base = tableSchema(s, root).fieldNames.toSet
+      evolveCols = srcPlan.output
+        .filter(a => !base.contains(a.name) && a.name != sKeyName)
+        .map(a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, nullable = true))
+    }
+    val onExtra: Option[Column] = {
+      val rest = conjuncts.zipWithIndex.collect {
+        case (c, i) if i != keyIdx => sideColumn(c, "MERGE ON") }
+      rest.reduceOption(_ && _)
+    }
 
     def starSet(exceptKey: Boolean): Map[String, Column] = {
-      val names = tableSchema(s, root).fieldNames.toSeq
+      val names = (tableSchema(s, root).fieldNames.toSeq ++
+          evolveCols.map(_.name))
         .filter(n => !exceptKey || n != key)
       val missing = names.filterNot(n =>
         sCols(n) || n == sKeyName || (n == key))
@@ -322,7 +441,7 @@ object GraftDml {
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
     GraftMergeCommand(root, key, sKeyName, srcPlan,
-      matched ++ notMatched ++ nmbs)
+      matched ++ notMatched ++ nmbs, onExtra, evolveCols)
   }
 
   /** Parse-level DML dispatch for [[GraftSql.sql]] — Some(command)
@@ -332,10 +451,10 @@ object GraftDml {
       : Option[LogicalPlan] = plan match {
     case u @ UpdateTable(t, assigns, cond) =>
       target(s, t).map { case (root, alias) =>
-        updateCommand(root, alias, assigns, cond) }
+        updateCommand(s, root, alias, assigns, cond) }
     case DeleteFromTable(t, cond) =>
       target(s, t).map { case (root, alias) =>
-        deleteCommand(root, alias, cond) }
+        deleteCommand(s, root, alias, cond) }
     case m: MergeIntoTable =>
       target(s, m.targetTable).map { case (root, alias) =>
         mergeCommand(s, root, alias, m) }
@@ -360,12 +479,12 @@ final case class GraftDmlRule(session: SparkSession)
             assigns.forall(a => a.key.resolved && a.value.resolved) &&
             cond.forall(_.resolved) =>
         val (root, alias) = GraftDml.target(session, t).get
-        GraftDml.updateCommand(root, alias, assigns, cond)
+        GraftDml.updateCommand(session, root, alias, assigns, cond)
 
       case DeleteFromTable(t, cond)
           if GraftDml.target(session, t).isDefined && cond.resolved =>
         val (root, alias) = GraftDml.target(session, t).get
-        GraftDml.deleteCommand(root, alias, cond)
+        GraftDml.deleteCommand(session, root, alias, cond)
 
       case m: MergeIntoTable
           if GraftDml.target(session, m.targetTable).isDefined &&
@@ -510,10 +629,22 @@ final case class GraftDeleteCommand(root: String, cond: Column)
   * table-key name before the merge. */
 final case class GraftMergeCommand(root: String, key: String,
     sourceKeyName: String, source: LogicalPlan,
-    clauses: Seq[MergeClause]) extends LeafRunnableCommand {
+    clauses: Seq[MergeClause],
+    onExtra: Option[Column] = None,
+    evolve: Seq[org.apache.spark.sql.types.StructField] = Nil)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(s: SparkSession): Seq[Row] = {
+    // WITH SCHEMA EVOLUTION: widen first (metadata-only commits; a
+    // column that appeared since conversion is skipped), then merge —
+    // surviving old rows read NULL for the new columns
+    evolve.foreach { f =>
+      val have = new GraftSqlTable(root, Map.empty).schema().fieldNames
+      if (!have.contains(f.name)) {
+        VersionedTable.addColumn(s, root, f.name, f.dataType); ()
+      }
+    }
     var src = GraftShims.ofRows(s, source)
     if (sourceKeyName != key) {
       require(!src.columns.contains(key),
@@ -521,7 +652,65 @@ final case class GraftMergeCommand(root: String, key: String,
           s"join key (`$sourceKeyName` is); rename one of them")
       src = src.withColumn(key, col(sourceKeyName))
     }
-    VersionedTable.mergeInto(s, root, src, key, clauses, 8)
+    VersionedTable.mergeInto(s, root, src, key, clauses, 8,
+      onExtra = onExtra)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM graft.`/root` WHERE key IN (SELECT ...) [AND ...]` —
+  * the subquery plans as a distributed DataFrame; without a residual
+  * it routes to the library's join-based [[VersionedTable.deleteKeys]]
+  * (driver state O(files), never O(keys)); with one it becomes a
+  * key-join MERGE DELETE whose residual gates WHEN MATCHED. */
+final case class GraftDeleteKeysCommand(root: String,
+    keys: LogicalPlan, residual: Option[Column])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(s: SparkSession): Seq[Row] = {
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE on $root needs a recorded table.key"))
+    val analyzed = GraftShims.ofRows(s, keys).queryExecution.analyzed
+    val kdf0 = GraftShims.ofRows(s,
+      GraftSqlResolution(s).applyManually(analyzed))
+    require(kdf0.columns.length == 1,
+      s"the IN-subquery must produce exactly one column (the table " +
+        s"key), got ${kdf0.columns.length}")
+    val kdf = kdf0.toDF(key).distinct()
+    residual match {
+      case None => VersionedTable.deleteKeys(s, root, kdf, key, 8)
+      case Some(r) => VersionedTable.mergeInto(s, root, kdf, key,
+        Seq(VersionedTable.MatchedDelete(Some(r))), 8)
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.`/root` SET ... WHERE key IN (SELECT ...) [AND ...]`
+  * — a key-join MERGE UPDATE: assignments and residual evaluate over
+  * the matched pre-update row (target-qualified), unmatched rows keep. */
+final case class GraftUpdateKeysCommand(root: String,
+    set: Map[String, Column], keys: LogicalPlan,
+    residual: Option[Column]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(s: SparkSession): Seq[Row] = {
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE on $root needs a recorded table.key"))
+    val analyzed = GraftShims.ofRows(s, keys).queryExecution.analyzed
+    val kdf0 = GraftShims.ofRows(s,
+      GraftSqlResolution(s).applyManually(analyzed))
+    require(kdf0.columns.length == 1,
+      s"the IN-subquery must produce exactly one column (the table " +
+        s"key), got ${kdf0.columns.length}")
+    val kdf = kdf0.toDF(key).distinct()
+    VersionedTable.mergeInto(s, root, kdf, key,
+      Seq(VersionedTable.MatchedUpdate(set, residual)), 8)
     Seq.empty
   }
 }

@@ -149,10 +149,16 @@ class GraftSqlDmlSpec extends SparkSpec {
            |ON t.x = s.x
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
+    // non-key IN-subqueries and EXISTS stay rejected with the grammar
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark,
-        s"DELETE FROM graft.`$root` WHERE id IN " +
-          s"(SELECT id FROM graft.`$root` WHERE x > 5)")
+        s"DELETE FROM graft.`$root` WHERE x IN " +
+          s"(SELECT x FROM graft.`$root` WHERE x > 5)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"DELETE FROM graft.`$root` WHERE EXISTS " +
+          s"(SELECT 1 FROM graft.`$root` WHERE x > 5)")
     }
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark,
@@ -331,5 +337,155 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
       "SQL DML child JVM did not finish in time")
     assert(p.exitValue() === 0, "SQL DML child JVM failed")
+  }
+
+  test("MERGE ON conjunction: key equality + residual predicates — a " +
+    "pair failing the residual is unmatched BOTH ways (target keeps " +
+    "or NMBS-applies, source inserts), matching Delta's compound ON") {
+    import spark.implicits._
+    val root = freshRoot("compound")
+    seed(root) // ids 0..9, grp g0/g1 alternating, x = id
+    Seq((4L, 400L), (5L, 500L), (200L, 7L))
+      .toDF("id", "nx").createOrReplaceTempView("cmp_src")
+    // residual `t.grp = 'g0'`: id 4 (g0) matches -> UPDATE; id 5 (g1)
+    // FAILS the residual -> target row keeps, source row INSERTS;
+    // id 200 matches nothing -> INSERT
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$root` AS t
+         |USING cmp_src AS s
+         |ON t.id = s.id AND t.grp = 'g0'
+         |WHEN MATCHED THEN UPDATE SET x = s.nx
+         |WHEN NOT MATCHED THEN INSERT (id, grp, x)
+         |VALUES (s.id, 'ins', s.nx)""".stripMargin)
+    val got = GraftSql.sql(spark,
+      s"SELECT id, grp, x FROM graft.`$root` ORDER BY id, grp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.contains((4L, "g0", 400L)))   // matched + residual: updated
+    assert(got.contains((5L, "g1", 5L)))     // residual failed: kept
+    assert(got.contains((5L, "ins", 500L)))  // ...and source inserted
+    assert(got.contains((200L, "ins", 7L)))  // plain unmatched insert
+    assert(got.length === 12)                // 10 + 2 inserts
+    // a source-side residual conjunct also rides the join
+    Seq((0L, 1L), (2L, -1L)).toDF("id", "nx")
+      .createOrReplaceTempView("cmp_src2")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$root` AS t
+         |USING cmp_src2 AS s
+         |ON t.id = s.id AND s.nx > 0
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(count(root, "WHERE id = 0") === 0L) // nx>0: matched, deleted
+    assert(count(root, "WHERE id = 2") === 1L) // nx<0: unmatched, kept
+    // ON without any key equality still refuses
+    val noKey = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$root` AS t USING cmp_src AS s
+           |ON t.grp = 'g0'
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert((noKey.getMessage + Option(noKey.getCause)
+      .map(_.getMessage).getOrElse("")).contains("table key"))
+  }
+
+  test("DELETE / UPDATE ... WHERE key IN (SELECT ...): the subquery " +
+    "plans distributed (deleteKeys / key-join merge), residual " +
+    "conjuncts gate per-row — the decontamination shape") {
+    import spark.implicits._
+    val root = freshRoot("insub")
+    seed(root, 20) // ids 0..19, x = id, grp g0/g1
+    Seq(1L, 3L, 5L, 7L, 99L).toDF("bad_id")
+      .createOrReplaceTempView("contaminated")
+    // plain key-IN delete -> join-based deleteKeys
+    GraftSql.sql(spark,
+      s"DELETE FROM graft.`$root` WHERE id IN " +
+        "(SELECT bad_id FROM contaminated)")
+    assert(count(root) === 16L)
+    assert(count(root, "WHERE id IN (1, 3, 5, 7)") === 0L)
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "delete")
+    // key-IN + residual -> merge delete, residual gates per row
+    Seq(2L, 4L, 6L).toDF("k").createOrReplaceTempView("maybe_del")
+    GraftSql.sql(spark,
+      s"DELETE FROM graft.`$root` WHERE id IN (SELECT k FROM maybe_del)" +
+        " AND grp = 'g0'")
+    // 2,4,6 are all g0 -> deleted; total 13
+    assert(count(root) === 13L)
+    // UPDATE with key-IN + residual: SET sees the pre-update row
+    Seq(8L, 9L, 10L).toDF("k").createOrReplaceTempView("maybe_upd")
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$root` SET x = x + 1000 " +
+        "WHERE id IN (SELECT k FROM maybe_upd) AND grp = 'g0'")
+    assert(count(root, "WHERE x = 1008") === 1L)  // id 8 (g0): updated
+    assert(count(root, "WHERE id = 9 AND x = 9") === 1L) // g1: kept
+    assert(count(root, "WHERE id = 10 AND x = 1010") === 1L)
+    // the subquery may read another graft table
+    val src = freshRoot("insubsrc")
+    seed(src, 5)
+    GraftSql.sql(spark,
+      s"DELETE FROM graft.`$root` WHERE id IN " +
+        s"(SELECT id + 11 FROM graft.`$src`)")
+    assert(count(root, "WHERE id >= 11 AND id <= 15") === 0L)
+  }
+
+  test("MERGE ... WITH SCHEMA EVOLUTION: source-only columns widen " +
+    "the target (metadata-only addColumn, then merge); surviving old " +
+    "rows read NULL for the new column") {
+    import spark.implicits._
+    val root = freshRoot("evolve")
+    seed(root) // ids 0..9: (id, grp, x)
+    Seq((1L, 10L, "fr"), (100L, 7L, "de"))
+      .toDF("id", "x", "lang").createOrReplaceTempView("evo_src")
+    GraftSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` AS t
+         |USING evo_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET x = s.x, lang = s.lang
+         |WHEN NOT MATCHED THEN INSERT (id, grp, x, lang)
+         |VALUES (s.id, 'new', s.x, s.lang)""".stripMargin)
+    val got = GraftSql.sql(spark,
+      s"SELECT id, grp, x, lang FROM graft.`$root`")
+    assert(got.columns.toSeq === Seq("id", "grp", "x", "lang"))
+    // matched row updated, new column filled
+    assert(got.filter(col("id") === 1).select("lang").head()
+      .getString(0) === "fr")
+    assert(got.filter(col("id") === 1).select("x").head()
+      .getLong(0) === 10L)
+    // inserted row carries the evolved column
+    assert(got.filter(col("id") === 100).select("lang").head()
+      .getString(0) === "de")
+    // OLD rows (untouched and rewritten-kept alike) read NULL
+    assert(got.filter(col("lang").isNull).count() === 9L)
+    assert(got.count() === 11L)
+    // the widen was a separate metadata commit before the merge
+    val ops = (1 to VersionedTable.latestVersion(spark, root).get)
+      .map(v => VersionedTable.snapshot(spark, root, v).op)
+    assert(ops.contains("add-column") && ops.last === "merge")
+    // UPDATE SET * / INSERT * widen too
+    Seq((2L, 20L, "it"), (101L, 8L, "zh"))
+      .toDF("id", "x", "lang").createOrReplaceTempView("evo_src2")
+    GraftSql.sql(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` AS t
+         |USING (SELECT id, 'g9' AS grp, x, lang, x * 2 AS score
+         |       FROM evo_src2) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got2 = GraftSql.sql(spark,
+      s"SELECT id, grp, x, lang, score FROM graft.`$root`")
+    assert(got2.filter(col("id") === 2).select("score").head()
+      .getLong(0) === 40L)
+    assert(got2.filter(col("id") === 101).select("lang").head()
+      .getString(0) === "zh")
+    assert(got2.filter(col("score").isNull).count() === 10L)
+    assert(got2.count() === 12L)
+    // WITHOUT the evolution keyword, a source-only assignment refuses
+    val noEvo = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$root` AS t USING
+           |(SELECT id, x, 9 AS brand_new FROM evo_src2) AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET brand_new = s.brand_new
+           |""".stripMargin)
+    }
+    assert((noEvo.getMessage + Option(noEvo.getCause)
+      .map(_.getMessage).getOrElse("")).nonEmpty)
   }
 }
