@@ -61,6 +61,83 @@ object Curation71Queries {
       ()
     }
 
+  /** Compound-ON merge table: seed = documents, one MERGE whose ON
+    * carries a residual predicate beside the key equality. */
+  private def compoundTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlcompound") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      Tables.documents(s, d)
+        .createOrReplaceTempView("graft_cmp_docs")
+      GraftSql.sql(s,
+        s"""MERGE INTO graft.`$root` AS t USING (
+           |  SELECT doc_id, n_chars + 1000 AS n_chars
+           |  FROM graft_cmp_docs WHERE doc_id % 5 = 0) AS s
+           |ON t.doc_id = s.doc_id AND t.lang = 'en'
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source,
+           |  n_chars) VALUES (s.doc_id + 30000000, 'x', 'xx', 'merge',
+           |  s.n_chars)""".stripMargin)
+      ()
+    }
+
+  /** IN-subquery delete table (the decontamination shape). */
+  private def decontamTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqldecontam") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      Tables.documents(s, d)
+        .createOrReplaceTempView("graft_decon_docs")
+      GraftSql.sql(s,
+        s"""DELETE FROM graft.`$root`
+           |WHERE doc_id IN (SELECT doc_id FROM graft_decon_docs
+           |                 WHERE n_chars < 120)
+           |  AND lang <> 'en'""".stripMargin)
+      ()
+    }
+
+  /** Schema-evolution merge table: a `quality` column born by MERGE. */
+  private def evolveTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlevolve") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      Tables.documents(s, d)
+        .createOrReplaceTempView("graft_evo_docs")
+      GraftSql.sql(s,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` AS t
+           |USING (SELECT doc_id, n_chars % 100 AS quality
+           |       FROM graft_evo_docs WHERE doc_id % 7 = 0) AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET quality = s.quality
+           |""".stripMargin)
+      ()
+    }
+
+  /** Nested-field update table: documents reshaped with a struct
+    * column, one `SET props.nc = ...` statement. */
+  private def nestedTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlnested") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "lang",
+          "named_struct('src', source, 'nc', n_chars) AS props")
+        .write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      GraftSql.sql(s,
+        s"""UPDATE graft.`$root`
+           |SET props.nc = props.nc + 1000,
+           |    props.src = upper(props.src)
+           |WHERE lang = 'en'""".stripMargin)
+      ()
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -154,5 +231,118 @@ object Curation71Queries {
         "back.  Every SQL INSERT into this table validated against " +
         "them (a violating row fails naming the constraint; " +
         "GraftCreateTableSpec pins that).  ADD CONSTRAINT validates " +
-        "existing rows in one distributed aggregation first."))
+        "existing rows in one distributed aggregation first."),
+
+    QueryDef(
+      "sql_merge_compound_on",
+      (s, d) => {
+        val root = compoundTable(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM (
+        |  SELECT t.lang,
+        |    CASE WHEN t.lang = 'en' AND m.doc_id IS NOT NULL
+        |         THEN m.n_chars ELSE t.n_chars END AS n_chars
+        |  FROM documents t LEFT JOIN m ON t.doc_id = m.doc_id
+        |  UNION ALL
+        |  SELECT 'xx' AS lang, m.n_chars
+        |  FROM m LEFT JOIN (SELECT doc_id FROM documents
+        |                    WHERE lang = 'en') e
+        |    ON m.doc_id = e.doc_id
+        |  WHERE e.doc_id IS NULL)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "MERGE with a COMPOUND ON clause (`ON t.doc_id = s.doc_id AND " +
+        "t.lang = 'en'`): the key equality drives the equi-join " +
+        "shuffle, the residual rides the same join as a non-equi " +
+        "predicate, and a pair failing it is unmatched BOTH ways — " +
+        "non-'en' matched targets keep their rows while their source " +
+        "rows INSERT re-keyed, the standard compound-ON semantics.  " +
+        "The oracle mirrors both halves with a LEFT JOIN + anti-join " +
+        "CTE.  No cartesian shape: the residual never degrades the " +
+        "join strategy."),
+
+    QueryDef(
+      "sql_delete_in_subquery",
+      (s, d) => {
+        val root = decontamTable(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM documents
+        |WHERE NOT (doc_id IN (SELECT doc_id FROM documents
+        |                      WHERE n_chars < 120)
+        |           AND lang <> 'en')
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "`DELETE FROM ... WHERE doc_id IN (SELECT ...) AND lang <> " +
+        "'en'` — the decontamination shape (drop every document " +
+        "whose id appears in a contamination query's result).  The " +
+        "subquery stays a DISTRIBUTED frame end to end: with the " +
+        "residual it rewrites to a key-join MERGE DELETE, without " +
+        "one it routes to the library's join-based deleteKeys — " +
+        "driver state O(files), never O(keys), where an isin " +
+        "literal list would blow the driver at 100 TB key counts."),
+
+    QueryDef(
+      "sql_merge_schema_evolution",
+      (s, d) => {
+        val root = evolveTable(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       count(quality) AS n_quality,
+             |       sum(quality) AS sum_quality
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT t.lang, count(*)::BIGINT AS n_docs,
+        |       count(s.quality)::BIGINT AS n_quality,
+        |       sum(s.quality)::BIGINT AS sum_quality
+        |FROM documents t LEFT JOIN (
+        |  SELECT doc_id, n_chars % 100 AS quality
+        |  FROM documents WHERE doc_id % 7 = 0) s
+        |ON t.doc_id = s.doc_id
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin),
+      "`MERGE ... WITH SCHEMA EVOLUTION`: the source-only `quality` " +
+        "column widens the target via an addColumn METADATA commit " +
+        "(zero files rewritten) before the merge runs; matched rows " +
+        "take the source value, every untouched row reads NULL — " +
+        "count(quality) vs count(*) per language pins exactly which " +
+        "rows the evolution filled.  Delta's autoMerge order, " +
+        "composed from two commits the engine already had."),
+
+    QueryDef(
+      "sql_update_nested_field",
+      (s, d) => {
+        val root = nestedTable(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(props.nc) AS sum_nc,
+             |       count(DISTINCT props.src) AS n_src
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+        |                ELSE n_chars END)::BIGINT AS sum_nc,
+        |       count(DISTINCT CASE WHEN lang = 'en'
+        |             THEN upper(source) ELSE source END)::BIGINT
+        |         AS n_src
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      "Nested-field UPDATE: `SET props.nc = props.nc + 1000, " +
+        "props.src = upper(props.src)` rebuilds the struct via " +
+        "withField over the PRE-update row (both assignments see the " +
+        "original struct) — the lakehouse-standard struct-update " +
+        "shape, one whole-stage-codegen projection per rewritten " +
+        "file, no explode/re-assemble.  The oracle mirrors the field " +
+        "arithmetic columnar-side."))
 }
+

@@ -108,6 +108,16 @@ object GraftDml {
         "SQL DML (top-level columns of the target table only)")
   }
 
+  /** Strip an optional table qualifier, KEEPING nested-field tails:
+    * `t.props.n` -> `props.n`, `props.n` -> `props.n`, `t.x` -> `x`.
+    * For expression positions where struct-field ACCESS is legal. */
+  private def bareParts(parts: Seq[String], alias: Option[String],
+      root: String): Seq[String] = parts match {
+    case q +: rest
+        if rest.nonEmpty && (alias.contains(q) || q == root) => rest
+    case other => other
+  }
+
   /** Expression -> Column for single-table DML (UPDATE / DELETE):
     * resolved attribute references and parse-level unresolved ones
     * both rewrite to bare by-name references, which the library DML
@@ -118,7 +128,7 @@ object GraftDml {
     GraftShims.columnOf(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
       case u: UnresolvedAttribute =>
-        UnresolvedAttribute(Seq(bareName(u.nameParts, alias, root)))
+        UnresolvedAttribute(bareParts(u.nameParts, alias, root))
     })
   }
 
@@ -183,6 +193,56 @@ object GraftDml {
     }
   }
 
+  /** An assignment's target as a FIELD PATH: head = top-level column,
+    * tail = nested struct fields (`SET props.f = ...` / resolved
+    * GetStructField chains).  The single-element case is the ordinary
+    * top-level assignment. */
+  private def assignPath(e: Expression, alias: Option[String],
+      root: String): Seq[String] = e match {
+    case a: AttributeReference => Seq(a.name)
+    case gs: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      assignPath(gs.child, alias, root) :+
+        gs.name.getOrElse(gs.childSchema(gs.ordinal).name)
+    case u: UnresolvedAttribute => u.nameParts match {
+      case Seq(n) => Seq(n)
+      case q +: rest if alias.contains(q) || q == root =>
+        require(rest.nonEmpty, s"empty assignment target `$q`")
+        rest
+      case parts => parts // struct.field[.deeper] without a qualifier
+    }
+    case other => throw new IllegalArgumentException(
+      s"graft SQL DML assignment target must be a column or nested " +
+        s"field, got ${other.sql}")
+  }
+
+  /** Assignments -> the per-top-level-column SET map the library
+    * update executes.  Nested-field targets (`SET props.f = v`)
+    * rebuild their struct via `withField` over the PRE-update struct
+    * (the lakehouse-standard struct-update shape); several fields of
+    * one struct chain; a struct assigned BOTH whole and per-field is
+    * ambiguous and rejected. */
+  private def buildSetMap(assignments: Seq[Assignment],
+      alias: Option[String], root: String,
+      valueOf: Expression => Column): Map[String, Column] = {
+    val parsed: Seq[(Seq[String], Column)] = assignments.map(a =>
+      (assignPath(a.key, alias, root), valueOf(a.value)))
+    require(parsed.map(_._1).distinct.size == parsed.size,
+      "duplicate assignment targets in UPDATE")
+    val (tops, nested) = parsed.partition(_._1.length == 1)
+    val topNames = tops.map(_._1.head)
+    require(topNames.distinct.size == topNames.size,
+      "duplicate assignment targets in UPDATE")
+    val nestedSet: Map[String, Column] =
+      nested.groupBy(_._1.head).map { case (st, as) =>
+        require(!topNames.contains(st),
+          s"UPDATE assigns both the whole column `$st` and its " +
+            "nested field(s) — ambiguous")
+        st -> as.foldLeft(col(st)) { case (acc, (path, v)) =>
+          acc.withField(path.tail.mkString("."), v) }
+      }
+    tops.map { case (p, v) => p.head -> v }.toMap ++ nestedSet
+  }
+
   /** An assignment's target must be a top-level column. */
   private def assignName(e: Expression, alias: Option[String],
       root: String): String = e match {
@@ -212,11 +272,8 @@ object GraftDml {
           residual.map(targetQualified(_, alias, root, "UPDATE"))
             .reduceOption(_ && _))
       case None =>
-        val set = assignments.map(a =>
-          assignName(a.key, alias, root) ->
-            singleTableColumn(a.value, alias, root, "UPDATE")).toMap
-        require(set.size == assignments.size,
-          "duplicate assignment targets in UPDATE")
+        val set = buildSetMap(assignments, alias, root,
+          singleTableColumn(_, alias, root, "UPDATE"))
         GraftUpdateCommand(root, set,
           cond.map(singleTableColumn(_, alias, root, "UPDATE")))
     }

@@ -488,4 +488,45 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert((noEvo.getMessage + Option(noEvo.getCause)
       .map(_.getMessage).getOrElse("")).nonEmpty)
   }
+
+  test("nested-field UPDATE: SET s.f = ... rebuilds the struct via " +
+    "withField over the PRE-update row; whole+field double-assign " +
+    "rejects") {
+    import spark.implicits._
+    val root = freshRoot("nested")
+    (0 until 10).map(i => (i.toLong, (s"u$i", i.toLong)))
+      .toDF("id", "props")
+      .selectExpr("id",
+        "named_struct('user', props._1, 'n', props._2) AS props")
+      .write.format("graft-table").option("keyCol", "id").save(root)
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$root` SET props.n = props.n + 100, " +
+        "props.user = upper(props.user) WHERE id < 3")
+    val got = GraftSql.sql(spark,
+      s"SELECT id, props.user AS u, props.n AS n FROM graft.`$root`")
+    assert(got.filter(col("id") === 1).head().getString(1) === "U1")
+    assert(got.filter(col("id") === 1).head().getLong(2) === 101L)
+    // untouched rows keep their structs verbatim
+    assert(got.filter(col("id") === 5).head().getString(1) === "u5")
+    assert(got.filter(col("id") === 5).head().getLong(2) === 5L)
+    // assignments see PRE-update values: swap fields in one statement
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$root` SET props.n = length(props.user), " +
+        "props.user = concat('n=', cast(props.n AS string)) " +
+        "WHERE id = 9")
+    val r9 = GraftSql.sql(spark,
+      s"SELECT props.user AS u, props.n AS n FROM graft.`$root` " +
+        "WHERE id = 9").head()
+    assert(r9.getString(0) === "n=9" && r9.getLong(1) === 2L)
+    // whole-column + nested-field double assignment is ambiguous
+    val dbl = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"UPDATE graft.`$root` SET props = named_struct('user', 'x', " +
+          "'n', 0L), props.n = 1 WHERE id = 0")
+    }
+    assert((dbl.getMessage + Option(dbl.getCause)
+      .map(_.getMessage).getOrElse("")).contains("ambiguous"))
+  }
 }
