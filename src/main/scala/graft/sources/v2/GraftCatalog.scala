@@ -40,10 +40,12 @@ import graft.sources.VersionedTable
   * `TIMESTAMP AS OF` parse, which hands the catalog
   * `loadTable(ident, version)` / `loadTable(ident, timestampMicros)`.
   *
-  * Read-only by design: writes go through
-  * `df.write.format("graft-table")` / the library DML
-  * (UPDATE/DELETE/MERGE), which carry the key/constraint contracts a
-  * bare INSERT cannot express. */
+  * The FULL lifecycle is SQL-addressable: CREATE TABLE / CTAS commit
+  * through [[VersionedTable.create]] (schema + `table.key` + inline
+  * CHECK constraints), INSERT/UPDATE/DELETE/MERGE convert to library
+  * DML ([[GraftDmlRule]] / [[GraftSql.sql]]), ALTER TABLE covers
+  * columns, properties and constraints, and `df.writeTo(...)` lands on
+  * the V1-fallback write below — every path one manifest commit. */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
 
