@@ -44,6 +44,13 @@ import graft.sources.VersionedTable.{MatchedDelete, MatchedUpdate, MergeClause, 
   * recording pass. */
 object GraftDml {
 
+  /** Table property selecting the SQL UPDATE/DELETE encoding:
+    * "cow" (default — copy-on-write rewrite of touched files) or
+    * "mor" (merge-on-read: deletion-vector mask + post-image append,
+    * O(changed rows) I/O — Delta's DV-based DML economics; bound the
+    * read-side mask cost with purgeDeletes/OPTIMIZE as usual). */
+  val DmlModeProp = "dml.mode"
+
   /** (root, alias) when `p` references a graft table, at ANY
     * resolution stage: the unresolved `graft.`/x`` identifier, the
     * catalog's v2 relation, or the v1 relation
@@ -654,27 +661,41 @@ final case class GraftUpdateCommand(root: String,
     set: Map[String, Column], cond: Option[Column])
     extends LeafRunnableCommand {
   override def run(s: SparkSession): Seq[Row] = {
-    val key = VersionedTable.latestVersion(s, root)
-      .flatMap(v => VersionedTable.snapshot(s, root, v).props
-        .get(VersionedTable.TableKeyProp))
-      .getOrElse(throw new IllegalArgumentException(
+    val props = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).props)
+      .getOrElse(Map.empty[String, String])
+    val key = props.getOrElse(VersionedTable.TableKeyProp,
+      throw new IllegalArgumentException(
         s"UPDATE on $root needs a recorded table.key"))
-    VersionedTable.update(s, root, cond.getOrElse(lit(true)), set,
-      key, 8)
+    // `dml.mode=mor` routes SQL UPDATE through the merge-on-read twin
+    // (DV mask + post-image append, O(updated rows) total I/O, zero
+    // files rewritten) — the economics Delta's DV-based UPDATE gives
+    // a 100 TB table where 0.01% of rows change; default stays
+    // copy-on-write (read-side cost bounded at zero outstanding masks)
+    if (props.get(GraftDml.DmlModeProp).contains("mor"))
+      VersionedTable.updateMoR(s, root, cond.getOrElse(lit(true)),
+        set, key)
+    else
+      VersionedTable.update(s, root, cond.getOrElse(lit(true)), set,
+        key, 8)
     Seq.empty
   }
 }
 
-/** SQL `DELETE FROM graft.`/root``. */
+/** SQL `DELETE FROM graft.`/root`` — `dml.mode=mor` masks instead of
+  * rewriting, as for UPDATE. */
 final case class GraftDeleteCommand(root: String, cond: Column)
     extends LeafRunnableCommand {
   override def run(s: SparkSession): Seq[Row] = {
-    val key = VersionedTable.latestVersion(s, root)
-      .flatMap(v => VersionedTable.snapshot(s, root, v).props
-        .get(VersionedTable.TableKeyProp))
-      .getOrElse(throw new IllegalArgumentException(
+    val props = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).props)
+      .getOrElse(Map.empty[String, String])
+    val key = props.getOrElse(VersionedTable.TableKeyProp,
+      throw new IllegalArgumentException(
         s"DELETE on $root needs a recorded table.key"))
-    VersionedTable.delete(s, root, cond, key, 8)
+    if (props.get(GraftDml.DmlModeProp).contains("mor"))
+      VersionedTable.deleteMoR(s, root, cond, key)
+    else VersionedTable.delete(s, root, cond, key, 8)
     Seq.empty
   }
 }
@@ -737,7 +758,12 @@ final case class GraftDeleteKeysCommand(root: String,
       s"the IN-subquery must produce exactly one column (the table " +
         s"key), got ${kdf0.columns.length}")
     val kdf = kdf0.toDF(key).distinct()
+    val mor = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).props)
+      .exists(_.get(GraftDml.DmlModeProp).contains("mor"))
     residual match {
+      case None if mor =>
+        VersionedTable.deleteMoRKeys(s, root, kdf, key)
       case None => VersionedTable.deleteKeys(s, root, kdf, key, 8)
       case Some(r) => VersionedTable.mergeInto(s, root, kdf, key,
         Seq(VersionedTable.MatchedDelete(Some(r))), 8)

@@ -529,4 +529,45 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert((dbl.getMessage + Option(dbl.getCause)
       .map(_.getMessage).getOrElse("")).contains("ambiguous"))
   }
+
+  test("dml.mode=mor: SQL UPDATE/DELETE route through the " +
+    "merge-on-read twins — DV mask + post-image, zero data files " +
+    "rewritten; key-IN deletes take deleteMoRKeys") {
+    import spark.implicits._
+    val root = freshRoot("mor")
+    seed(root)
+    GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('dml.mode'='mor')")
+    val before = VersionedTable.snapshot(spark, root, 1).files
+      .map(_.path).toSet
+    GraftSql.sql(spark,
+      s"UPDATE graft.`$root` SET x = x + 1000 WHERE id < 3")
+    val afterU = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterU.op === "update-mor")
+    // every original file survives by path (masked, not rewritten)
+    assert(before.subsetOf(afterU.files.map(_.path).toSet))
+    assert(count(root, "WHERE x >= 1000") === 3L)
+    assert(count(root) === 10L)
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root` WHERE id >= 8")
+    val afterD = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterD.op === "delete-mor")
+    assert(count(root) === 8L)
+    // key-IN subquery delete routes to deleteMoRKeys
+    Seq(0L, 1L).toDF("k").createOrReplaceTempView("mor_keys")
+    GraftSql.sql(spark,
+      s"DELETE FROM graft.`$root` WHERE id IN (SELECT k FROM mor_keys)")
+    val afterK = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterK.op === "delete-mor")
+    assert(count(root) === 6L)
+    // flipping back restores copy-on-write
+    GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('dml.mode'='cow')")
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root` WHERE id = 7")
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op === "delete")
+    assert(count(root) === 5L)
+  }
 }
