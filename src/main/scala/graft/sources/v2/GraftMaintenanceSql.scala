@@ -292,9 +292,26 @@ final case class GraftFsckCommand(root: String, dryRun: Boolean)
 final class GraftSqlParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = {
     GraftMaintenanceSql.fromText(session, sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .foreach(cmd => return cmd)
+    val parsed = delegate.parsePlan(sqlText)
+    // MERGE ... WITH SCHEMA EVOLUTION over a graft target must convert
+    // BEFORE analysis: the analyzer's assignment resolution throws on
+    // the source-born column (it cannot resolve against the
+    // not-yet-widened target) before any resolution rule could fire —
+    // so the extension converts the statement here, with the same
+    // by-name converter GraftSql.sql applies on extension-less
+    // sessions.  Ordinary merges keep the analyzer-resolved
+    // GraftDmlRule path.
+    parsed match {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if m.withSchemaEvolution &&
+            GraftDml.target(session, m.targetTable).isDefined =>
+        GraftDml.fromParsed(session, parsed).getOrElse(parsed)
+      case _ => parsed
+    }
+  }
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

@@ -555,7 +555,17 @@ final case class GraftDmlRule(session: SparkSession)
             m.targetTable.resolved && m.sourceTable.resolved &&
             m.mergeCondition.resolved &&
             (m.matchedActions ++ m.notMatchedActions ++
-              m.notMatchedBySourceActions).forall(actionResolved) =>
+              m.notMatchedBySourceActions).forall(a =>
+                actionResolved(a) ||
+                // WITH SCHEMA EVOLUTION: assignments naming the
+                // source-born column CANNOT resolve against the
+                // not-yet-widened target — the analyzer would fail
+                // the statement before this rule converts it, so
+                // accept named-but-unresolved assignment refs here
+                // (the converter resolves them by name, exactly the
+                // partially-resolved conversion Delta's analysis
+                // rule performs) as long as conditions resolved
+                (m.withSchemaEvolution && actionConditionsResolved(a))) =>
         val (root, alias) = GraftDml.target(session, m.targetTable).get
         GraftDml.mergeCommand(session, root, alias, m)
 
@@ -589,6 +599,9 @@ final case class GraftDmlRule(session: SparkSession)
         val (root, _) = GraftDml.target(session, i.table).get
         GraftDml.insertCommand(session, root, i)
     }
+
+  private def actionConditionsResolved(a: MergeAction): Boolean =
+    a.condition.forall(_.resolved)
 
   private def actionResolved(a: MergeAction): Boolean =
     a.condition.forall(_.resolved) && (a match {

@@ -126,6 +126,87 @@ object SqlDmlChild {
       // ordinary SQL still parses through the delegate
       check(s.sql("SELECT 3 AS three").head().getInt(0) == 3,
         "delegating parser passes ordinary SQL through")
+
+      // ---------------- round-13 surface, RESOLVED-path (plain
+      // spark.sql through GraftDmlRule / the analyzer) ----------------
+      val r13 = root + "_r13"
+      // CREATE TABLE with inline CHECK + table.key; empty read; INSERT
+      s.sql(s"CREATE TABLE graft.`$r13` (id BIGINT, grp STRING, " +
+        "x BIGINT, CONSTRAINT x_pos CHECK (x >= 0)) " +
+        "TBLPROPERTIES ('table.key'='id')")
+      check(s.sql(s"SELECT * FROM graft.`$r13`").count() == 0L,
+        "created table reads empty with schema")
+      s.sql(s"INSERT INTO graft.`$r13` SELECT id, 'g' || " +
+        s"cast(id % 2 AS string), id FROM range(20)")
+      def c13(where: String = ""): Long =
+        s.sql(s"SELECT count(*) AS n FROM graft.`$r13` $where")
+          .head().getLong(0)
+      check(c13() == 20L, "CREATE + INSERT INTO ... SELECT via spark.sql")
+      val cThrew =
+        try { s.sql(s"INSERT INTO graft.`$r13` VALUES (99, 'g', -1)")
+          false }
+        catch { case e: Throwable =>
+          (e.getMessage + Option(e.getCause).map(_.getMessage)
+            .getOrElse("")).contains("x_pos") }
+      check(cThrew, "inline CREATE constraint enforced, named")
+      // ALTER TABLE ADD/DROP CONSTRAINT through the injected parser
+      s.sql(s"ALTER TABLE graft.`$r13` ADD CONSTRAINT x_cap " +
+        "CHECK (x < 1000000)")
+      check(VersionedTable.snapshot(s, r13,
+        VersionedTable.latestVersion(s, r13).get)
+        .constraints.keySet == Set("x_pos", "x_cap"),
+        "ADD CONSTRAINT via plain spark.sql")
+      s.sql(s"ALTER TABLE graft.`$r13` DROP CONSTRAINT x_cap")
+      // IN-subquery DELETE (resolved InSubquery through GraftDmlRule)
+      s.sql("SELECT id * 2 AS k FROM range(5)")
+        .createOrReplaceTempView("r13_doomed")
+      s.sql(s"DELETE FROM graft.`$r13` WHERE id IN " +
+        "(SELECT k FROM r13_doomed) AND grp = 'g0'")
+      check(c13() == 15L, "IN-subquery DELETE with residual (resolved)")
+      check(c13("WHERE id IN (0, 2, 4, 6, 8)") == 0L,
+        "IN-subquery DELETE removed the right keys")
+      // compound-ON MERGE (resolved side attribution)
+      s.sql("SELECT id AS id, id + 500 AS nx FROM range(3)")
+        .createOrReplaceTempView("r13_src")
+      s.sql(
+        s"""MERGE INTO graft.`$r13` AS t USING r13_src AS sq
+           |ON t.id = sq.id AND t.grp = 'g1'
+           |WHEN MATCHED THEN UPDATE SET x = sq.nx
+           |WHEN NOT MATCHED THEN INSERT (id, grp, x)
+           |VALUES (sq.id + 700, 'ins', sq.nx)""".stripMargin)
+      check(c13("WHERE id = 1 AND x = 501") == 1L,
+        "compound-ON matched (residual holds) updated")
+      check(c13("WHERE id = 700 AND grp = 'ins'") == 1L,
+        "compound-ON residual-failed source row inserted")
+      // MERGE WITH SCHEMA EVOLUTION (resolved path)
+      s.sql("SELECT id * 3 + 1 AS id, id AS q FROM range(3)")
+        .createOrReplaceTempView("r13_evo")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$r13` AS t
+           |USING r13_evo AS sq ON t.id = sq.id
+           |WHEN MATCHED THEN UPDATE SET q = sq.q""".stripMargin)
+      check(s.sql(s"SELECT q FROM graft.`$r13` WHERE id = 7")
+        .head().getLong(0) == 2L,
+        "WITH SCHEMA EVOLUTION widened + filled (resolved)")
+      check(c13("WHERE q IS NULL") > 0L,
+        "evolution: untouched rows read NULL")
+      // dml.mode=mor via SQL property, then MoR UPDATE
+      s.sql(s"ALTER TABLE graft.`$r13` SET TBLPROPERTIES " +
+        "('dml.mode'='mor')")
+      s.sql(s"UPDATE graft.`$r13` SET x = x + 9000 WHERE id = 7")
+      check(VersionedTable.snapshot(s, r13,
+        VersionedTable.latestVersion(s, r13).get).op == "update-mor",
+        "dml.mode=mor routes SQL UPDATE merge-on-read")
+      check(c13("WHERE id = 7 AND x = 9007") == 1L,
+        "MoR SQL UPDATE applied")
+      // CTAS through plain spark.sql
+      val r13c = root + "_r13ctas"
+      s.sql(s"CREATE TABLE graft.`$r13c` TBLPROPERTIES " +
+        s"('table.key'='id') AS SELECT id, x FROM graft.`$r13` " +
+        "WHERE x < 100")
+      check(s.sql(s"SELECT count(*) AS n FROM graft.`$r13c`")
+        .head().getLong(0) ==
+        c13("WHERE x < 100"), "CTAS via plain spark.sql")
     } finally s.stop()
   }
 }
