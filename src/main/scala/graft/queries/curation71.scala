@@ -138,6 +138,23 @@ object Curation71Queries {
       ()
     }
 
+
+  /** MoR SQL DML table: dml.mode=mor via SQL property, then one SQL
+    * UPDATE and one SQL DELETE — both deletion-vector commits. */
+  private def morDmlTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlmordml") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      GraftSql.sql(s, s"ALTER TABLE graft.`$root` " +
+        "SET TBLPROPERTIES ('dml.mode'='mor')")
+      GraftSql.sql(s, s"UPDATE graft.`$root` " +
+        "SET n_chars = n_chars + 500 WHERE lang = 'en'")
+      GraftSql.sql(s, s"DELETE FROM graft.`$root` WHERE lang = 'it'")
+      ()
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -343,6 +360,45 @@ object Curation71Queries {
         "original struct) — the lakehouse-standard struct-update " +
         "shape, one whole-stage-codegen projection per rewritten " +
         "file, no explode/re-assemble.  The oracle mirrors the field " +
-        "arithmetic columnar-side."))
+        "arithmetic columnar-side."),
+
+    QueryDef(
+      "sql_mor_dml_read",
+      (s, d) => {
+        val root = morDmlTable(s, d)
+        // in-band pins: both DML commits used the MoR encoding and
+        // every ORIGINAL data file survives by path (masked, never
+        // rewritten) — the O(changed rows) economics, via SQL text
+        val v1 = VersionedTable.snapshot(s, root, 1)
+        val head = VersionedTable.snapshot(s, root,
+          VersionedTable.latestVersion(s, root).get)
+        val ops = (2 to head.version)
+          .map(v => VersionedTable.snapshot(s, root, v).op)
+          .filter(_.endsWith("-mor")).sorted.mkString(",")
+        val headPaths = head.files.map(_.path).toSet
+        val carried = v1.files.map(_.path).forall(headPaths.contains)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+          .withColumn("mor_ops", lit(ops))
+          .withColumn("originals_carried", lit(carried))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN lang = 'en' THEN n_chars + 500
+        |                ELSE n_chars END)::BIGINT AS sum_n_chars,
+        |       'delete-mor,update-mor' AS mor_ops,
+        |       TRUE AS originals_carried
+        |FROM documents WHERE lang <> 'it'
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "SQL DML in MERGE-ON-READ encoding: `TBLPROPERTIES " +
+        "('dml.mode'='mor')` routes UPDATE and DELETE through the " +
+        "deletion-vector twins — masked rows + post-image appends, " +
+        "O(changed rows) total I/O.  In-band pins prove BOTH commits " +
+        "carried the -mor ops and every original data file survived " +
+        "by path (nothing rewritten).  At 100 TB this is the " +
+        "difference between a sparse SQL UPDATE costing KBs of " +
+        "sidecar and costing a rewrite of every touched file; " +
+        "purgeDeletes/OPTIMIZE bound the read-side mask cost."))
 }
 

@@ -1750,6 +1750,16 @@ object VersionedTable {
       })
   }
 
+  /** TRUNCATE TABLE: one metadata commit whose file list is EMPTY —
+    * no scan, no rewrite (a predicate delete would read every row to
+    * keep none).  History stays time-travelable; properties follow
+    * head lineage like every commit. */
+  def truncate(s: SparkSession, root: String): Int = {
+    require(latestVersion(s, root).isDefined,
+      s"TRUNCATE on empty table $root")
+    commitManifest(s, root, "truncate", Seq.empty, _ => Seq.empty)
+  }
+
   def append(s: SparkSession, root: String, df: DataFrame,
       idCol: String, numFiles: Int, op: String = "append",
       txnId: Option[String] = None): Int = {

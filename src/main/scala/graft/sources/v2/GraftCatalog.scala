@@ -257,7 +257,15 @@ class GraftCatalog extends TableCatalog {
 final class GraftSqlTable(val root: String,
     val readOpts: Map[String, String]) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE graft.`/root``: one EMPTY-file-list commit — no
+    * scan, no rewrite; history stays time-travelable. */
+  override def truncateTable(): Boolean = {
+    VersionedTable.truncate(SparkSession.active, root)
+    true
+  }
 
   /** Never called on a correctly-configured session: analysis requires
     * the SupportsRead TRAIT (hence this implementation), but the

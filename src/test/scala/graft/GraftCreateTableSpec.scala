@@ -168,4 +168,26 @@ class GraftCreateTableSpec extends SparkSpec {
     assert((noSuch.getMessage + Option(noSuch.getCause)
       .map(_.getMessage).getOrElse("")).contains("ghost"))
   }
+
+  test("TRUNCATE TABLE: one empty-file-list commit, no scan; history " +
+    "stays; the table accepts new inserts") {
+    val root = freshRoot("trunc")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    sql(s"INSERT INTO graft.`$root` SELECT id, id FROM range(50)")
+    sql(s"TRUNCATE TABLE graft.`$root`")
+    val head = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(head.op === "truncate" && head.files.isEmpty)
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 0L)
+    // schema survives; history time-travels; inserts work again
+    assert(sql(s"SELECT * FROM graft.`$root`").columns.toSeq ===
+      Seq("id", "v"))
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root` " +
+      "VERSION AS OF 2").head().getLong(0) === 50L)
+    sql(s"INSERT INTO graft.`$root` VALUES (1, 1)")
+    assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      .head().getLong(0) === 1L)
+  }
 }
