@@ -420,4 +420,40 @@ class MergeIntoSpec extends SparkSpec {
     assert(byType === Map(
       "update_preimage" -> 7L, "update_postimage" -> 7L))
   }
+
+  test("mergeInto onExtra residual: a key-matched pair failing the " +
+    "residual is unmatched BOTH ways — NMBS clauses apply to the " +
+    "target row and insert clauses to the source row") {
+    import spark.implicits._
+    import graft.sources.VersionedTable.{MatchedUpdate, NotMatchedInsert, NotMatchedBySourceDelete}
+    val root = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_onextra_" +
+        s"${spark.sparkContext.applicationId}")
+    VersionedTable.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+        .toDF("id", "grp", "x"), "id", 2)
+    // residual t.grp = 'g0': ids 0,2,4 (g0) are true matches; ids 1,3
+    // (g1) key-match but fail the residual -> their SOURCE rows insert
+    // AND the NMBS delete sees the TARGET rows as not-matched
+    VersionedTable.mergeInto(spark, root,
+      Seq((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L), (4L, 104L))
+        .toDF("id", "nx"),
+      "id", Seq(
+        MatchedUpdate(Map("x" -> col("s.nx"))),
+        NotMatchedInsert(Map("grp" -> lit("ins"), "x" -> col("s.nx"))),
+        NotMatchedBySourceDelete(cond = Some(col("t.id") >= 8))),
+      2, onExtra = Some(col("t.grp") === "g0"))
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.contains((0L, "g0", 100L)))  // matched+residual: updated
+    assert(got.contains((2L, "g0", 102L)))
+    assert(got.contains((4L, "g0", 104L)))
+    assert(got.contains((1L, "g1", 1L)))    // residual failed: kept
+    assert(got.contains((1L, "ins", 101L))) // ...and source inserted
+    assert(got.contains((3L, "ins", 103L)))
+    assert(!got.exists(t => t._1 >= 8 && t._2 != "ins")) // NMBS deleted 8,9
+    // 10 - 2 (NMBS) + 2 inserts = 10
+    assert(got.size === 10)
+  }
 }
