@@ -176,8 +176,16 @@ class GraftCatalog extends TableCatalog {
     * catalogs that claim it). */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column DEFAULT values: the analyzer encodes them as
+      // CURRENT_DEFAULT/EXISTS_DEFAULT field metadata, which rides the
+      // recorded table.schema JSON verbatim — INSERTs with column
+      // lists fill them (analyzer-side on extension sessions,
+      // GraftInsertCommand's alignment on the parse path)
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** CREATE TABLE / CTAS: commit a v1 metadata-only manifest carrying
     * the declared schema, the `table.key` property (REQUIRED — every

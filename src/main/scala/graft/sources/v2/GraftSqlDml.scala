@@ -51,6 +51,19 @@ object GraftDml {
     * read-side mask cost with purgeDeletes/OPTIMIZE as usual). */
   val DmlModeProp = "dml.mode"
 
+  /** The fill value for a column an INSERT column list omits: its
+    * declared DEFAULT (the analyzer records the SQL text as
+    * CURRENT_DEFAULT field metadata at CREATE TABLE) when present,
+    * NULL otherwise — SQL-standard column-default semantics. */
+  private[v2] def defaultOrNull(
+      f: org.apache.spark.sql.types.StructField): Column = {
+    val cur = "CURRENT_DEFAULT"
+    if (f.metadata.contains(cur))
+      org.apache.spark.sql.functions.expr(f.metadata.getString(cur))
+        .cast(f.dataType)
+    else lit(null).cast(f.dataType)
+  }
+
   /** (root, alias) when `p` references a graft table, at ANY
     * resolution stage: the unresolved `graft.`/x`` identifier, the
     * catalog's v2 relation, or the v1 relation
@@ -651,7 +664,7 @@ final case class GraftInsertCommand(root: String, query: LogicalPlan,
         named.select(schema.fields.toIndexedSeq.map { f =>
           if (names.contains(f.name)) col(f.name).cast(f.dataType)
             .as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          else GraftDml.defaultOrNull(f).as(f.name)
         }: _*)
       } else {
         require(df0.columns.length == schema.length,

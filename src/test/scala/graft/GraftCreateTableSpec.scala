@@ -190,4 +190,22 @@ class GraftCreateTableSpec extends SparkSpec {
     assert(sql(s"SELECT count(*) AS n FROM graft.`$root`")
       .head().getLong(0) === 1L)
   }
+
+  test("column DEFAULT values: CREATE TABLE declares them, INSERT " +
+    "column lists fill them instead of NULL, explicit values win") {
+    val root = freshRoot("defaults")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, x BIGINT DEFAULT 7, " +
+      "tag STRING DEFAULT 'unset') TBLPROPERTIES ('table.key'='id')")
+    // the defaults ride the recorded schema's field metadata
+    val rec = VersionedTable.read(spark, root).schema
+    assert(rec("x").metadata.contains("CURRENT_DEFAULT"))
+    sql(s"INSERT INTO graft.`$root` (id) VALUES (1)")
+    sql(s"INSERT INTO graft.`$root` (id, x) VALUES (2, 99)")
+    sql(s"INSERT INTO graft.`$root` VALUES (3, 0, 'explicit')")
+    val got = sql(s"SELECT id, x, tag FROM graft.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got(0) === ((1L, 7L, "unset")))   // both defaulted
+    assert(got(1) === ((2L, 99L, "unset")))  // one explicit, one default
+    assert(got(2) === ((3L, 0L, "explicit")))
+  }
 }

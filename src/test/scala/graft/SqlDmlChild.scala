@@ -199,6 +199,15 @@ object SqlDmlChild {
         "dml.mode=mor routes SQL UPDATE merge-on-read")
       check(c13("WHERE id = 7 AND x = 9007") == 1L,
         "MoR SQL UPDATE applied")
+      // column DEFAULTs through the ANALYZER's own resolution
+      // (SUPPORT_COLUMN_DEFAULT_VALUE + field metadata)
+      val r13d = root + "_r13def"
+      s.sql(s"CREATE TABLE graft.`$r13d` (id BIGINT, " +
+        "x BIGINT DEFAULT 42) TBLPROPERTIES ('table.key'='id')")
+      s.sql(s"INSERT INTO graft.`$r13d` (id) VALUES (1)")
+      check(s.sql(s"SELECT x FROM graft.`$r13d` WHERE id = 1")
+        .head().getLong(0) == 42L,
+        "column DEFAULT filled by plain spark.sql INSERT")
       // CTAS through plain spark.sql
       val r13c = root + "_r13ctas"
       s.sql(s"CREATE TABLE graft.`$r13c` TBLPROPERTIES " +
