@@ -538,8 +538,26 @@ object GraftDml {
     case i: InsertIntoStatement =>
       target(s, i.table).map { case (root, _) =>
         insertCommand(s, root, i) }
+    case o: OverwriteByExpression =>
+      target(s, o.table).map { case (root, alias) =>
+        o.deleteExpr match {
+          case Literal(true, BooleanType) =>
+            GraftInsertCommand(root, o.query, overwrite = true, Nil,
+              byName = false, preAligned = false)
+          case c => GraftReplaceWhereCommand(root,
+            replaceCondColumn(c, alias, root), o.query,
+            preAligned = false)
+        }
+      }
     case _ => None
   }
+
+  /** REPLACE WHERE condition -> Column (bare by-name references; the
+    * library replaceWhere evaluates it over BOTH the table scan and
+    * the incoming batch for the inside-slice guard). */
+  private[v2] def replaceCondColumn(e: Expression,
+      alias: Option[String], root: String): Column =
+    singleTableColumn(e, alias, root, "REPLACE WHERE")
 }
 
 /** Analyzer rule (injected via `GraftExtensions`, BEFORE the read
@@ -600,6 +618,19 @@ final case class GraftDmlRule(session: SparkSession)
             o.outputResolved =>
         GraftInsertCommand(r.table.asInstanceOf[GraftSqlTable].root,
           query, overwrite = true, Nil, byName = false,
+          preAligned = true)
+
+      // INSERT INTO ... REPLACE WHERE cond: a predicate-scoped
+      // overwrite — Delta's replaceWhere as SQL text.  The library
+      // command validates the batch lies INSIDE the slice before
+      // anything is written
+      case o @ OverwriteByExpression(r: DataSourceV2Relation,
+          cond, query, _, _, _, _)
+          if r.table.isInstanceOf[GraftSqlTable] && o.query.resolved &&
+            o.outputResolved && cond.resolved =>
+        val root = r.table.asInstanceOf[GraftSqlTable].root
+        GraftReplaceWhereCommand(root,
+          GraftDml.replaceCondColumn(cond, None, root), query,
           preAligned = true)
 
       // belt-and-braces: an InsertIntoStatement that survived to us
@@ -820,6 +851,41 @@ final case class GraftUpdateKeysCommand(root: String,
     val kdf = kdf0.toDF(key).distinct()
     VersionedTable.mergeInto(s, root, kdf, key,
       Seq(VersionedTable.MatchedUpdate(set, residual)), 8)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO graft.`/root` REPLACE WHERE cond SELECT ...` —
+  * predicate-scoped overwrite through [[VersionedTable.replaceWhere]]:
+  * one commit deletes the matching slice and inserts the batch, the
+  * batch is VALIDATED to lie inside the slice, untouched files carry
+  * by reference (Delta's replaceWhere as SQL text). */
+final case class GraftReplaceWhereCommand(root: String, cond: Column,
+    query: LogicalPlan, preAligned: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(s: SparkSession): Seq[Row] = {
+    val analyzed = GraftShims.ofRows(s, query).queryExecution.analyzed
+    val df0 = GraftShims.ofRows(s,
+      GraftSqlResolution(s).applyManually(analyzed))
+    val schema = new GraftSqlTable(root, Map.empty).schema()
+    val key = VersionedTable.latestVersion(s, root)
+      .flatMap(v => VersionedTable.snapshot(s, root, v).props
+        .get(VersionedTable.TableKeyProp))
+      .getOrElse(throw new IllegalArgumentException(
+        s"REPLACE WHERE on $root needs a recorded table.key"))
+    val out: DataFrame =
+      if (preAligned) df0
+      else {
+        require(df0.columns.length == schema.length,
+          s"REPLACE WHERE insert needs ${schema.length} columns " +
+            s"(${schema.fieldNames.mkString(", ")}), got " +
+            df0.columns.length)
+        df0.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    VersionedTable.replaceWhere(s, root, cond, out, key, 8)
     Seq.empty
   }
 }

@@ -570,4 +570,30 @@ class GraftSqlDmlSpec extends SparkSpec {
       VersionedTable.latestVersion(spark, root).get).op === "delete")
     assert(count(root) === 5L)
   }
+
+  test("INSERT INTO ... REPLACE WHERE: predicate-scoped overwrite as " +
+    "SQL — slice swapped in one commit, outside-slice batches " +
+    "rejected, untouched files carry") {
+    val root = freshRoot("replwhere")
+    seed(root) // ids 0..9, x = id
+    GraftSql.sql(spark,
+      s"INSERT INTO graft.`$root` REPLACE WHERE id < 3 " +
+        "VALUES (0, 'r', 0), (1, 'r', 1)")
+    assert(count(root) === 9L) // 10 - 3 replaced + 2 inserted
+    assert(count(root, "WHERE grp = 'r'") === 2L)
+    assert(count(root, "WHERE id = 2") === 0L) // in-slice, not re-sent
+    assert(count(root, "WHERE id = 5 AND x = 5") === 1L) // untouched
+    assert(VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get).op ===
+      "replace-where")
+    // a batch outside the slice refuses before anything commits
+    val outside = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"INSERT INTO graft.`$root` REPLACE WHERE id < 3 " +
+          "VALUES (100, 'bad', 1)")
+    }
+    assert((outside.getMessage + Option(outside.getCause)
+      .map(_.getMessage).getOrElse("")).contains("outside"))
+    assert(count(root, "WHERE id = 100") === 0L)
+  }
 }

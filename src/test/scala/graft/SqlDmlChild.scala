@@ -208,6 +208,13 @@ object SqlDmlChild {
       check(s.sql(s"SELECT x FROM graft.`$r13d` WHERE id = 1")
         .head().getLong(0) == 42L,
         "column DEFAULT filled by plain spark.sql INSERT")
+      // INSERT ... REPLACE WHERE through the resolved rule
+      s.sql(s"INSERT INTO graft.`$r13` REPLACE WHERE id >= 700 " +
+        "VALUES (700, 'rw', 7, CAST(NULL AS BIGINT))")
+      check(c13("WHERE id = 700 AND grp = 'rw'") == 1L,
+        "REPLACE WHERE swapped the slice via plain spark.sql")
+      check(c13("WHERE id = 702") == 0L,
+        "REPLACE WHERE removed the rest of the slice")
       // CTAS through plain spark.sql
       val r13c = root + "_r13ctas"
       s.sql(s"CREATE TABLE graft.`$r13c` TBLPROPERTIES " +
