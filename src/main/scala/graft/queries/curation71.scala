@@ -155,6 +155,25 @@ object Curation71Queries {
       ()
     }
 
+
+  /** SQL REPLACE WHERE table: the 'de' slice swapped for its even-id
+    * half (re-scored) in ONE statement. */
+  private def replaceWhereTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlreplwhere") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      Tables.documents(s, d)
+        .createOrReplaceTempView("graft_rw_docs")
+      GraftSql.sql(s,
+        s"""INSERT INTO graft.`$root` REPLACE WHERE lang = 'de'
+           |SELECT doc_id, text, lang, source, n_chars + 7
+           |FROM graft_rw_docs
+           |WHERE lang = 'de' AND doc_id % 2 = 0""".stripMargin)
+      ()
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -399,6 +418,33 @@ object Curation71Queries {
         "by path (nothing rewritten).  At 100 TB this is the " +
         "difference between a sparse SQL UPDATE costing KBs of " +
         "sidecar and costing a rewrite of every touched file; " +
-        "purgeDeletes/OPTIMIZE bound the read-side mask cost."))
+        "purgeDeletes/OPTIMIZE bound the read-side mask cost."),
+
+    QueryDef(
+      "sql_replace_where_read",
+      (s, d) => {
+        val root = replaceWhereTable(s, d)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_n_chars
+        |FROM (
+        |  SELECT lang, n_chars FROM documents WHERE lang <> 'de'
+        |  UNION ALL
+        |  SELECT lang, n_chars + 7 FROM documents
+        |  WHERE lang = 'de' AND doc_id % 2 = 0)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "`INSERT INTO ... REPLACE WHERE lang = 'de'` — Delta's " +
+        "predicate-scoped overwrite as SQL TEXT (the native " +
+        "OverwriteByExpression parse converted to the library " +
+        "replaceWhere): ONE commit deletes the 'de' slice and inserts " +
+        "its re-scored even-id half, the batch is VALIDATED to lie " +
+        "inside the slice before anything is written (a retried " +
+        "reload can never leak outside the slice it owns), and files " +
+        "with no 'de' row carry by reference — the idempotent " +
+        "partition-reload shape at 100 TB."))
 }
 
