@@ -1956,6 +1956,47 @@ object VersionedTable {
       })
   }
 
+  /** ALTER TABLE ALTER COLUMN ... SET/DROP DEFAULT: a METADATA-ONLY
+    * commit rewriting the column's CURRENT_DEFAULT field metadata in
+    * the recorded schema.  Only FUTURE inserts observe the change
+    * (existing rows written without the column keep reading NULL —
+    * SQL's SET DEFAULT never rewrites data), which is why
+    * EXISTS_DEFAULT is left untouched. */
+  def setColumnDefault(s: SparkSession, root: String, name: String,
+      sqlText: Option[String]): Int = {
+    sqlText.foreach(t =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(t))
+    commitManifest(s, root, "set-default", Seq.empty,
+      parent => parent.map(_.files).getOrElse(Seq.empty),
+      propsOf = parent => {
+        val pSnap = parent.getOrElse(throw new IllegalStateException(
+          s"setColumnDefault on empty table $root"))
+        val inherited = pSnap.props
+        val recorded = inherited.get(TableSchemaProp)
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"setColumnDefault needs a recorded table.schema on $root"))
+        require(recorded.fieldNames.contains(name),
+          s"no column '$name' on $root")
+        val updated = org.apache.spark.sql.types.StructType(
+          recorded.fields.map { f =>
+            if (f.name != name) f
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              sqlText match {
+                case Some(t) => mb.putString("CURRENT_DEFAULT", t)
+                case None => mb.remove("CURRENT_DEFAULT")
+              }
+              f.copy(metadata = mb.build())
+            }
+          })
+        inherited + (TableSchemaProp -> updated.json)
+      })
+  }
+
   /** ALTER TABLE RENAME COLUMN: a METADATA-ONLY commit — zero files
     * rewritten.  The column's PHYSICAL storage name never changes
     * (Delta's column-mapping invariant), so old files keep reading;

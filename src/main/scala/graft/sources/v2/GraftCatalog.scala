@@ -143,6 +143,14 @@ class GraftCatalog extends TableCatalog {
       case p: TableChange.RemoveProperty =>
         VersionedTable.removeProperty(s, root, p.property())
         ()
+      // ALTER COLUMN ... SET/DROP DEFAULT: metadata-only rewrite of
+      // the recorded schema's CURRENT_DEFAULT; future inserts observe
+      case u: TableChange.UpdateColumnDefaultValue =>
+        VersionedTable.setColumnDefault(s, root,
+          topLevel(u.fieldNames(), "ALTER COLUMN ... DEFAULT"),
+          Option(u.newCurrentDefault()).map(_.getSql)
+            .filter(t => t != null && t.nonEmpty))
+        ()
       // ALTER TABLE ... ADD CONSTRAINT c CHECK (...): maps onto the
       // library constraint commit — existing rows validate first, and
       // every subsequent write (SQL or API) enforces it

@@ -226,4 +226,24 @@ class GraftCreateTableSpec extends SparkSpec {
     // stripping them (createTable refuses engine-managed properties)
     assert(ddl.contains("table.schema"))
   }
+
+  test("ALTER COLUMN SET/DROP DEFAULT: metadata-only; future INSERTs " +
+    "observe, existing rows untouched") {
+    val root = freshRoot("altdef")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, x BIGINT) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    sql(s"INSERT INTO graft.`$root` (id) VALUES (1)") // no default: NULL
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN x SET DEFAULT 7")
+    sql(s"INSERT INTO graft.`$root` (id) VALUES (2)") // default now 7
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN x DROP DEFAULT")
+    sql(s"INSERT INTO graft.`$root` (id) VALUES (3)") // back to NULL
+    val got = sql(s"SELECT id, x FROM graft.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq === Seq((1L, -1L), (2L, 7L), (3L, -1L)))
+    // the default flips were metadata-only commits
+    val ops = (1 to VersionedTable.latestVersion(spark, root).get)
+      .map(v => VersionedTable.snapshot(spark, root, v).op)
+    assert(ops.count(_ == "set-default") === 2)
+  }
 }
