@@ -246,4 +246,22 @@ class GraftCreateTableSpec extends SparkSpec {
       .map(v => VersionedTable.snapshot(spark, root, v).op)
     assert(ops.count(_ == "set-default") === 2)
   }
+
+  test("TRUNCATE through the change feed: the commit reads as pure " +
+    "deletes of every live row; programmatic df.mergeInto over a " +
+    "graft identifier is unsupported without extensions but the SQL " +
+    "path covers the same statement") {
+    import spark.implicits._
+    val root = freshRoot("trunccdc")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    sql(s"INSERT INTO graft.`$root` SELECT id, id FROM range(10)")
+    sql(s"TRUNCATE TABLE graft.`$root`")
+    val v = VersionedTable.latestVersion(spark, root).get
+    val feed = VersionedTable.changeFeed(spark, root, v - 1, v,
+      Some("id"))
+    val types = feed.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types === Map("delete" -> 10L))
+  }
 }
