@@ -174,6 +174,27 @@ object Curation71Queries {
       ()
     }
 
+
+  /** TRUNCATE lifecycle table: fill, TRUNCATE (empty-manifest commit),
+    * refill with the re-keyed survivors — all SQL. */
+  private def truncateTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqltrunc") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d)
+        .createOrReplaceTempView("graft_trunc_docs")
+      GraftSql.sql(s,
+        s"""CREATE TABLE graft.`$root` (doc_id BIGINT, lang STRING,
+           |n_chars BIGINT) TBLPROPERTIES ('table.key'='doc_id')""".stripMargin)
+      GraftSql.sql(s, s"INSERT INTO graft.`$root` " +
+        "SELECT doc_id, lang, n_chars FROM graft_trunc_docs")
+      s.sql(s"TRUNCATE TABLE graft.`$root`")
+      GraftSql.sql(s, s"INSERT INTO graft.`$root` " +
+        "SELECT doc_id, lang, n_chars FROM graft_trunc_docs " +
+        "WHERE lang = 'en'")
+      ()
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -445,6 +466,39 @@ object Curation71Queries {
         "inside the slice before anything is written (a retried " +
         "reload can never leak outside the slice it owns), and files " +
         "with no 'de' row carry by reference — the idempotent " +
-        "partition-reload shape at 100 TB."))
+        "partition-reload shape at 100 TB."),
+
+    QueryDef(
+      "sql_truncate_lifecycle",
+      (s, d) => {
+        val root = truncateTable(s, d)
+        // in-band pins: the truncate commit carries ZERO files (no
+        // scan, no rewrite) and the pre-truncate state time-travels
+        val truncV = (1 to VersionedTable.latestVersion(s, root).get)
+          .find(v => VersionedTable.snapshot(s, root, v).op ==
+            "truncate").get
+        val emptyAtTrunc =
+          VersionedTable.snapshot(s, root, truncV).files.isEmpty
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs FROM graft.`$root`
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+          .withColumn("truncate_commit_empty", lit(emptyAtTrunc))
+          .withColumn("pre_truncate_rows",
+            lit(GraftSql.sql(s, s"SELECT count(*) AS n FROM " +
+              s"graft.`$root` VERSION AS OF ${truncV - 1}")
+              .head().getLong(0)))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       TRUE AS truncate_commit_empty,
+        |       (SELECT count(*) FROM documents)::BIGINT
+        |         AS pre_truncate_rows
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "TRUNCATE TABLE as part of a SQL lifecycle: the commit is one " +
+        "EMPTY-file-list manifest — no scan, no rewrite (a predicate " +
+        "delete would read every row to keep none) — pinned in-band; " +
+        "the pre-truncate state stays time-travelable (row count " +
+        "re-read via VERSION AS OF), and the refill is an ordinary " +
+        "append.  O(1) driver work at any table size."))
 }
 
