@@ -49,7 +49,7 @@ object SparkEntry {
       Curation65Queries.defs ++ Curation66Queries.defs ++
       Curation67Queries.defs ++ Curation68Queries.defs ++
       Curation69Queries.defs ++ Curation70Queries.defs ++
-      Curation71Queries.defs
+      Curation71Queries.defs ++ Curation72Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the §3.3 retrieval-evaluation pipeline (crossJoin score -> window

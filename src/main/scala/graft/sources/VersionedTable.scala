@@ -343,6 +343,14 @@ object VersionedTable {
     val out = fs.create(tmp, true)
     out.write(bytes)
     out.close()
+    // test seam (one-shot): fires with the FULL temp manifest on disk
+    // but the slot not yet claimed — the exact window a crashed
+    // committer leaves a .tmp- orphan that must never become visible
+    locally {
+      val hook = testBeforeClaim
+      testBeforeClaim = () => ()
+      hook()
+    }
     val uri = target.toUri
     val won =
       if (uri.getScheme == null || uri.getScheme == "file") {
@@ -398,6 +406,14 @@ object VersionedTable {
     * 64k entries is far past any single-process horizon). */
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Snapshot]()
+
+  /** Test-only: drop every cached manifest parse so the next read
+    * re-lists and re-parses from the filesystem — the crash-recovery
+    * spec must observe what a FRESH process would, not this JVM's
+    * cache (committed manifests are immutable, so outside tests the
+    * cache can never serve stale state and never needs clearing). */
+  private[graft] def clearSnapshotCacheForTest(): Unit =
+    snapCache.clear()
 
   /** Parse one version's manifest.  The commit protocol publishes
     * manifests atomically with full content, so a listed version always
@@ -829,8 +845,12 @@ object VersionedTable {
       val recorded = org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val have = df.columns.toSet
+      // carry the recorded field METADATA onto the null-fill — the
+      // CURRENT_DEFAULT / comment of a metadata-added column must
+      // survive the library read path, not just the connector's
       recorded.fields.filterNot(f => have(f.name)).foldLeft(df)(
-        (acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        (acc, f) => acc.withColumn(f.name,
+          lit(null).cast(f.dataType).as(f.name, f.metadata)))
     }.getOrElse(df)
 
   /** Column-stats file pruning: keep a file unless SOME requested
@@ -1030,17 +1050,59 @@ object VersionedTable {
       org.apache.spark.sql.graftx.Bridge.catalystExpression(cond)))
   }
 
+  /** Drop every conjunct whose literal's RUNTIME TYPE does not match
+    * the recorded schema's column type.  [[condBounds]] extracts
+    * PARSE-LEVEL literals that never saw the analyzer, so a
+    * type-mismatched comparison the analyzer would have wrapped in a
+    * Cast (`DELETE ... WHERE longCol = '5'` through the GraftSql parse
+    * path, or `col("x") === "5"` through the DSL) arrives here as a
+    * raw UTF8String — and probing a bloom built from longs with a
+    * string hash makes every probe bit miss, falsely "proving" an
+    * interloper-added file disjoint (the rebase would commit and a
+    * racing append's matching rows silently survive the DML).
+    * Dropping the conjunct is conservative: fewer bounds can only
+    * WIDEN the may-match set, and an empty result falls back to
+    * "any added file conflicts".  Columns absent from the recorded
+    * schema, and column types outside the long-backed/string stat
+    * families, drop for the same reason (a bloom enrolled on e.g. a
+    * double column must never be probed with an Int literal's hash). */
+  private def typedBounds(snap: Snapshot,
+      bounds: Seq[(String, String, Any)]): Seq[(String, String, Any)] = {
+    import org.apache.spark.sql.types._
+    val recorded: Map[String, DataType] = snap.props.get(TableSchemaProp)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    bounds.filter { case (c, op, v) =>
+      // null-count conjuncts carry no literal — type-agnostic
+      if (op == "isnull" || op == "isnotnull") recorded.contains(c)
+      else recorded.get(c) match {
+        case Some(ByteType | ShortType | IntegerType | LongType |
+                  DateType | TimestampType | TimestampNTZType) =>
+          v.isInstanceOf[Byte] || v.isInstanceOf[Short] ||
+            v.isInstanceOf[Int] || v.isInstanceOf[Long]
+        case Some(StringType) =>
+          v.isInstanceOf[String] ||
+            v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        case _ => false
+      }
+    }
+  }
+
   /** Added-file conflict check for COND-scoped DML (update/delete and
     * their MoR twins, replaceWhere): the rebase may proceed iff every
     * interloper-added file PROVABLY contains no row satisfying `cond`
     * (stats-based, names translated logical -> physical through the
-    * snapshot's column mapping).  Unprovable => recompute, the Delta
-    * added-files-vs-read-predicates ConcurrentAppend check. */
+    * snapshot's column mapping; literals type-checked against the
+    * recorded schema by [[typedBounds]] BEFORE any stats/bloom probe —
+    * parse-level literals never saw the analyzer's Cast).  Unprovable
+    * => recompute, the Delta added-files-vs-read-predicates
+    * ConcurrentAppend check. */
   private def condReadSafe(snap: Snapshot, idCol: String,
       cond: Column): Seq[FileEntry] => Boolean = {
     val mapping = mappingOf(snap)
-    val bounds = condBounds(cond).map { case (c, op, v) =>
-      (mapping.getOrElse(c, c), op, v) }
+    val bounds = typedBounds(snap, condBounds(cond)).map {
+      case (c, op, v) => (mapping.getOrElse(c, c), op, v) }
     if (bounds.isEmpty) added => added.isEmpty
     else added => added.forall(f =>
       !entryMayMatch(Some(idCol), bounds)(f))
@@ -1453,6 +1515,12 @@ object VersionedTable {
     * commit — lets a spec interleave a concurrent commit between a
     * DML's file-set derivation and its CAS, deterministically. */
   private[graft] var testBeforeCommit: () => Unit = () => ()
+
+  /** Test seam: invoked once inside the next slot claim, AFTER the
+    * temp manifest is fully on disk and BEFORE the atomic publish —
+    * the window a killed committer leaves a `.tmp-` orphan.  Lets the
+    * crash-recovery spec halt a child JVM at exactly that instant. */
+  private[graft] var testBeforeClaim: () => Unit = () => ()
 
   private def commitManifest(s: SparkSession, root: String, op: String,
       newFiles: Seq[FileEntry],
@@ -1906,9 +1974,17 @@ object VersionedTable {
     * wins the CAS (pure metadata conflicts with nothing).  Delta's
     * ALTER TABLE ADD COLUMNS. */
   def addColumn(s: SparkSession, root: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Int = {
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String] = None,
+      comment: Option[String] = None): Int = {
     require(latestVersion(s, root).isDefined,
       s"addColumn on empty table $root")
+    // validate the DEFAULT expression up front (same gate as
+    // setColumnDefault) so a broken SQL text fails the DDL, not some
+    // later INSERT
+    defaultSql.foreach(t =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(t))
     commitManifest(s, root, "add-column", Seq.empty,
       parent => parent.map(_.files).getOrElse(Seq.empty),
       propsOf = parent => {
@@ -1928,14 +2004,26 @@ object VersionedTable {
         val mapping = mappingOf(pSnap)
         val retired = droppedOf(pSnap) ++ mapping.values
         val nextV = pSnap.version + 1
+        // ADD COLUMN ... DEFAULT records CURRENT_DEFAULT exactly the
+        // way setColumnDefault does: FUTURE inserts omitting the
+        // column fill the default; existing rows keep reading NULL
+        // (SET DEFAULT semantics — this format never rewrites data on
+        // DDL, so there is no EXISTS_DEFAULT backfill)
+        val meta = {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          defaultSql.foreach(mb.putString("CURRENT_DEFAULT", _))
+          comment.foreach(mb.putString("comment", _))
+          mb.build()
+        }
         val (field, extraProps) =
           if (!retired.contains(name))
             (org.apache.spark.sql.types.StructField(name, dataType,
-              nullable = true), Map.empty[String, String])
+              nullable = true, metadata = meta),
+              Map.empty[String, String])
           else {
             val phys = s"${name}__p$nextV"
             (org.apache.spark.sql.types.StructField(name, dataType,
-              nullable = true),
+              nullable = true, metadata = meta),
               Map(ColumnMappingProp ->
                 mappingJson(mapping + (name -> phys))))
           }
@@ -2463,10 +2551,28 @@ object VersionedTable {
       // row, each copy gets act=0 (keep), and the row would silently
       // write twice — the loud error here is the guard's whole point.
       locally {
-        val dup = src.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).select(col(idCol))
-          .join(current.select(col(idCol)), Seq(idCol), "left_semi")
-          .limit(1).collect()
+        // With a residual ON, two key-sharing source rows are
+        // Delta-legal as long as the FULL condition (key equality AND
+        // residual) selects at most one of them per target row — the
+        // key-only count threw loud false positives on compound-ON
+        // merges.  The table key IS row identity in this format (zone
+        // maps, DV sidecars and CDC pairing all hang off it), so
+        // counting matching pairs per target key is counting per
+        // target row.
+        val dup = onExtra match {
+          case None =>
+            src.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1).select(col(idCol))
+              .join(current.select(col(idCol)), Seq(idCol), "left_semi")
+              .limit(1).collect()
+          case Some(extra) =>
+            current.alias("t").join(src.alias("s"),
+                col(s"t.$idCol") === col(s"s.$idCol") && extra, "inner")
+              .groupBy(col(s"t.$idCol").as(idCol))
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1).select(col(idCol))
+              .limit(1).collect()
+        }
         if (dup.nonEmpty) throw new IllegalArgumentException(
           s"mergeInto: multiple source rows match target $idCol=" +
             s"${dup.head.get(0)} — nondeterministic; de-duplicate the " +
@@ -2675,10 +2781,19 @@ object VersionedTable {
     * [[graft.streaming.VersionedSink.applyCdcStream]] route deletes
     * through. */
   def deleteMoRKeys(s: SparkSession, root: String, keys: DataFrame,
-      idCol: String, txnId: Option[String] = None): Int = {
+      idCol: String, txnId: Option[String] = None,
+      residual: Option[Column] = None): Int = {
     val k = keys.select(col(idCol)).distinct()
-    deleteMoRWhere(s, root, _.join(k, Seq(idCol), "left_semi"), idCol,
-      txnId, addedOk = _ => keysReadSafe(k, idCol))
+    // a residual conjunct (the `WHERE key IN (...) AND ...` remainder,
+    // target-qualified) gates the masked rows exactly as a MERGE
+    // DELETE's WHEN MATCHED condition would: NULL keeps the row (SQL
+    // three-valued semantics).  The alias lets `t.`-qualified refs
+    // from the SQL translation resolve against the live scan.
+    deleteMoRWhere(s, root, df => {
+      val base = df.alias("t").join(k, Seq(idCol), "left_semi")
+      residual.map(r => base.filter(coalesce(r, lit(false))))
+        .getOrElse(base)
+    }, idCol, txnId, addedOk = _ => keysReadSafe(k, idCol))
   }
 
   /** The shared merge-on-read DELETE engine: `matchRows` selects the
@@ -2856,7 +2971,41 @@ object VersionedTable {
     * [[update]], same optimistic-concurrency + txn contract. */
   def updateMoR(s: SparkSession, root: String, cond: Column,
       set: Map[String, Column], idCol: String, numFiles: Int = 1,
-      txnId: Option[String] = None): Int = {
+      txnId: Option[String] = None): Int =
+    updateMoRWhere(s, root, _.filter(coalesce(cond, lit(false))), set,
+      idCol, numFiles, txnId,
+      addedOk = snap => condReadSafe(snap, idCol, cond))
+
+  /** UPDATE by KEY SET, merge-on-read, JOIN-BASED: the twin of
+    * [[updateMoR]] for `UPDATE ... WHERE key IN (SELECT ...)` shapes —
+    * the key set stays a distributed DataFrame end to end (the match
+    * set is a semi-join against it), so driver state remains O(files),
+    * never O(keys), and a sparse update of a mor table pays the DV
+    * mask + post-image economics instead of a full touched-file
+    * rewrite.  An optional `residual` conjunct (target-qualified, the
+    * `AND ...` remainder of the WHERE) further gates the matched rows;
+    * NULL keeps the row.  This is the path the SQL
+    * `GraftUpdateKeysCommand` routes through when `dml.mode=mor`. */
+  def updateMoRKeys(s: SparkSession, root: String, keys: DataFrame,
+      set: Map[String, Column], idCol: String, numFiles: Int = 1,
+      txnId: Option[String] = None,
+      residual: Option[Column] = None): Int = {
+    val k = keys.select(col(idCol)).distinct()
+    updateMoRWhere(s, root, df => {
+      val base = df.alias("t").join(k, Seq(idCol), "left_semi")
+      residual.map(r => base.filter(coalesce(r, lit(false))))
+        .getOrElse(base)
+    }, set, idCol, numFiles, txnId,
+      addedOk = _ => keysReadSafe(k, idCol))
+  }
+
+  /** The shared merge-on-read UPDATE engine: `matchRows` selects the
+    * rows to mask-and-reappend out of the live scan. */
+  private def updateMoRWhere(s: SparkSession, root: String,
+      matchRows: DataFrame => DataFrame,
+      set: Map[String, Column], idCol: String, numFiles: Int,
+      txnId: Option[String],
+      addedOk: Snapshot => Seq[FileEntry] => Boolean): Int = {
     require(!set.contains(idCol),
       s"UPDATE must not assign the table key '$idCol'")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
@@ -2872,8 +3021,7 @@ object VersionedTable {
       }
       // LIVE rows only: an already-masked row must not re-enter the DV
       // (double-subtracted live counts) nor produce a post-image
-      val matched = readLiveWithFile(s, snap)
-        .filter(coalesce(cond, lit(false))).persist()
+      val matched = matchRows(readLiveWithFile(s, snap)).persist()
       try {
         val perFile = matched.groupBy(col("__graft_file"))
           .agg(count(lit(1)).as("n")).collect()
@@ -2883,7 +3031,7 @@ object VersionedTable {
             p => p.map(_.files).getOrElse(Seq.empty),
             txnId, requireParent = Some(parentV),
             rebaseKeep = Some(Set.empty),
-            rebaseAddedOk = condReadSafe(snap, idCol, cond))
+            rebaseAddedOk = addedOk(snap))
         else {
           val post = applyAssignments(
             matched.drop("__graft_file"), lit(true), set)
@@ -2922,7 +3070,7 @@ object VersionedTable {
               touchedEntries,
             txnId, requireParent = Some(parentV),
             rebaseKeep = Some(touchedPaths),
-            rebaseAddedOk = condReadSafe(snap, idCol, cond))
+            rebaseAddedOk = addedOk(snap))
         }
       } finally { matched.unpersist(); () }
     }

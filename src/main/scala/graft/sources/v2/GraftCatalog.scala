@@ -120,8 +120,22 @@ class GraftCatalog extends TableCatalog {
         require(a.isNullable,
           "graft ADD COLUMNS are nullable by construction (existing " +
             "rows read NULL)")
+        // FIRST/AFTER would silently append at the end (the recorded
+        // schema widens by appending) — reject rather than diverge
+        // from what the user asked for
+        require(a.position() == null,
+          "graft ADD COLUMNS appends at the end of the schema; " +
+            "FIRST/AFTER column positions are not supported")
+        // DEFAULT and COMMENT ride the widened field's metadata —
+        // CURRENT_DEFAULT the same way ALTER COLUMN ... SET DEFAULT
+        // records it, so `ALTER TABLE ... ADD COLUMN x BIGINT
+        // DEFAULT 7` followed by `INSERT (id)` fills 7, not NULL
+        // (the capability SUPPORT_COLUMN_DEFAULT_VALUE advertises)
         VersionedTable.addColumn(s, root,
-          topLevel(a.fieldNames(), "ADD COLUMNS"), a.dataType())
+          topLevel(a.fieldNames(), "ADD COLUMNS"), a.dataType(),
+          defaultSql = Option(a.defaultValue()).map(_.getSql)
+            .filter(t => t != null && t.nonEmpty),
+          comment = Option(a.comment()).filter(_.nonEmpty))
         ()
       case r: TableChange.RenameColumn =>
         VersionedTable.renameColumn(s, root,

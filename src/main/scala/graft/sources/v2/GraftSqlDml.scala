@@ -818,10 +818,16 @@ final case class GraftDeleteKeysCommand(root: String,
     val mor = VersionedTable.latestVersion(s, root)
       .map(v => VersionedTable.snapshot(s, root, v).props)
       .exists(_.get(GraftDml.DmlModeProp).contains("mor"))
+    // dml.mode=mor routes BOTH shapes through the DV-masking twin —
+    // the residual gates the masked rows exactly like a MERGE DELETE's
+    // WHEN MATCHED condition, so a sparse decontamination delete on a
+    // mor table pays O(deleted rows), never a touched-file rewrite
     residual match {
       case None if mor =>
         VersionedTable.deleteMoRKeys(s, root, kdf, key)
       case None => VersionedTable.deleteKeys(s, root, kdf, key, 8)
+      case Some(r) if mor =>
+        VersionedTable.deleteMoRKeys(s, root, kdf, key, residual = Some(r))
       case Some(r) => VersionedTable.mergeInto(s, root, kdf, key,
         Seq(VersionedTable.MatchedDelete(Some(r))), 8)
     }
@@ -849,8 +855,19 @@ final case class GraftUpdateKeysCommand(root: String,
       s"the IN-subquery must produce exactly one column (the table " +
         s"key), got ${kdf0.columns.length}")
     val kdf = kdf0.toDF(key).distinct()
-    VersionedTable.mergeInto(s, root, kdf, key,
-      Seq(VersionedTable.MatchedUpdate(set, residual)), 8)
+    // dml.mode=mor: DV mask + post-image append (O(updated rows)),
+    // consistent with GraftUpdateCommand's routing — a sparse
+    // `UPDATE ... WHERE key IN (SELECT ...)` on a mor table must not
+    // silently pay a full touched-file copy-on-write rewrite
+    val mor = VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).props)
+      .exists(_.get(GraftDml.DmlModeProp).contains("mor"))
+    if (mor)
+      VersionedTable.updateMoRKeys(s, root, kdf, set, key,
+        residual = residual)
+    else
+      VersionedTable.mergeInto(s, root, kdf, key,
+        Seq(VersionedTable.MatchedUpdate(set, residual)), 8)
     Seq.empty
   }
 }

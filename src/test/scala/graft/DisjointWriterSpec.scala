@@ -229,4 +229,68 @@ class DisjointWriterSpec extends SparkSpec {
     assert(got2.filter(col("id") === 300).count() === 1L)
     assert(got2.count() === 86L)
   }
+
+  test("a TYPE-MISMATCHED DML literal never falsely proves bloom/stats " +
+    "disjointness: DELETE WHERE longCol = '5' racing an append of " +
+    "bloomed v=5 rows conflicts and recomputes (the parse-level " +
+    "UTF8String would hash against long-built blooms and miss every " +
+    "probe bit — the conjunct must drop, not lie)") {
+    import spark.implicits._
+    val root = freshRoot("typeconf")
+    // bloom-enroll the value column BEFORE any write so the
+    // interloper's added file carries a long-hashed bloom on `v`
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.BloomColsProp, "v")
+    VersionedTable.append(spark, root,
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(2, col("id")),
+      "id", 2)
+    val before = VersionedTable.rebaseCommits.get()
+    // interloper appends rows MATCHING the delete's predicate (v=5) —
+    // the engine's contract: an added file intersecting the DML's
+    // read set defeats the rebase (serial order append-then-delete)
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.append(spark, root,
+        Seq((200L, 5L), (201L, 5L)).toDF("id", "v"), "id", 1)
+      ()
+    }
+    // the analyzer would Cast this string literal; the rebase's
+    // parse-level extraction sees a raw UTF8String against LongType v
+    try VersionedTable.delete(spark, root, col("v") === "5", "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before,
+      "type-mismatched bound must defeat the rebase, not prove through" +
+        " a wrong-type bloom probe")
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("v") === 5L).count() === 0L,
+      "the racing append's matching rows must not survive the DELETE")
+    // 100 initial + 2 appended - 3 deleted (id=5 and both interlopers)
+    assert(got.count() === 99L)
+  }
+
+  test("a WELL-TYPED literal on a bloom-enrolled column still proves " +
+    "disjointness: a non-matching bloomed append rebases with zero " +
+    "recomputes (the type gate must not over-conservatize)") {
+    import spark.implicits._
+    val root = freshRoot("typok")
+    VersionedTable.setProperty(spark, root,
+      VersionedTable.BloomColsProp, "v")
+    VersionedTable.append(spark, root,
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(2, col("id")),
+      "id", 2)
+    val before = VersionedTable.rebaseCommits.get()
+    VersionedTable.testBeforeCommit = () => {
+      VersionedTable.append(spark, root,
+        Seq((200L, 7777L)).toDF("id", "v"), "id", 1)
+      ()
+    }
+    try VersionedTable.delete(spark, root, col("v") === 5L, "id", 1)
+    finally VersionedTable.testBeforeCommit = () => ()
+    assert(VersionedTable.rebaseCommits.get() === before + 1,
+      "well-typed stats/bloom disjointness proof must still rebase")
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("id") === 200L).count() === 1L)
+    assert(got.count() === 100L) // 100 + 1 appended - 1 deleted
+  }
 }

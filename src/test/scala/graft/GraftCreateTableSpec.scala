@@ -227,6 +227,35 @@ class GraftCreateTableSpec extends SparkSpec {
     assert(ddl.contains("table.schema"))
   }
 
+  test("ALTER TABLE ADD COLUMN with DEFAULT and COMMENT records both " +
+    "in the widened field's metadata (the capability " +
+    "SUPPORT_COLUMN_DEFAULT_VALUE advertises); future INSERT column " +
+    "lists fill the default; FIRST/AFTER positions reject loudly") {
+    val root = freshRoot("addcoldef")
+    sql(s"CREATE TABLE graft.`$root` (id BIGINT) " +
+      "TBLPROPERTIES ('table.key'='id')")
+    sql(s"INSERT INTO graft.`$root` VALUES (1)")
+    spark.sql(s"ALTER TABLE graft.`$root` " +
+      "ADD COLUMN x BIGINT DEFAULT 7 COMMENT 'a score'")
+    val rec = VersionedTable.read(spark, root).schema
+    assert(rec("x").metadata.getString("CURRENT_DEFAULT") === "7")
+    assert(rec("x").metadata.getString("comment") === "a score")
+    // existing row reads NULL (DDL never rewrites data); an INSERT
+    // omitting the column now fills 7, not NULL
+    sql(s"INSERT INTO graft.`$root` (id) VALUES (2)")
+    val got = sql(s"SELECT id, x FROM graft.`$root` ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq === Seq((1L, -1L), (2L, 7L)))
+    // FIRST/AFTER would silently append at the end of the recorded
+    // schema — diverging from the statement; reject instead
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN y BIGINT AFTER id")
+    }
+    assert(e.getMessage.contains("FIRST/AFTER"))
+    assert(!VersionedTable.read(spark, root).columns.contains("y"))
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT: metadata-only; future INSERTs " +
     "observe, existing rows untouched") {
     val root = freshRoot("altdef")

@@ -571,6 +571,51 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(count(root) === 5L)
   }
 
+  test("dml.mode=mor: key-IN UPDATE and RESIDUAL key-IN UPDATE/DELETE " +
+    "route through the merge-on-read twins — DV mask + post-image " +
+    "economics, zero data files rewritten (no silent copy-on-write " +
+    "fallback for the subquery shapes)") {
+    import spark.implicits._
+    val root = freshRoot("morkeys")
+    seed(root)
+    GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('dml.mode'='mor')")
+    val before = VersionedTable.snapshot(spark, root, 1).files
+      .map(_.path).toSet
+    Seq(0L, 1L, 2L, 3L).toDF("k").createOrReplaceTempView("mork_upd")
+    // key-IN UPDATE, no residual
+    GraftSql.sql(spark, s"UPDATE graft.`$root` SET x = x + 1000 " +
+      "WHERE id IN (SELECT k FROM mork_upd)")
+    val afterU = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterU.op === "update-mor",
+      "key-IN UPDATE on a mor table must take the DV-mask twin")
+    assert(before.subsetOf(afterU.files.map(_.path).toSet))
+    assert(count(root, "WHERE x >= 1000") === 4L)
+    assert(count(root) === 10L)
+    // key-IN UPDATE with a residual conjunct: grp g0 = even ids
+    GraftSql.sql(spark, s"UPDATE graft.`$root` SET x = x + 10000 " +
+      "WHERE id IN (SELECT k FROM mork_upd) AND grp = 'g0'")
+    val afterR = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterR.op === "update-mor")
+    assert(before.subsetOf(afterR.files.map(_.path).toSet))
+    assert(count(root, "WHERE x >= 11000") === 2L) // ids 0 and 2
+    assert(count(root) === 10L)
+    // residual key-IN DELETE: grp g1 = odd ids -> 1 and 9 go
+    Seq(0L, 1L, 8L, 9L).toDF("k").createOrReplaceTempView("mork_del")
+    GraftSql.sql(spark, s"DELETE FROM graft.`$root` " +
+      "WHERE id IN (SELECT k FROM mork_del) AND grp = 'g1'")
+    val afterD = VersionedTable.snapshot(spark, root,
+      VersionedTable.latestVersion(spark, root).get)
+    assert(afterD.op === "delete-mor",
+      "residual key-IN DELETE on a mor table must take the DV-mask twin")
+    assert(before.subsetOf(afterD.files.map(_.path).toSet))
+    assert(count(root) === 8L)
+    assert(count(root, "WHERE id IN (1, 9)") === 0L)
+    assert(count(root, "WHERE id IN (0, 8)") === 2L) // residual kept g0
+  }
+
   test("INSERT INTO ... REPLACE WHERE: predicate-scoped overwrite as " +
     "SQL — slice swapped in one commit, outside-slice batches " +
     "rejected, untouched files carry") {

@@ -456,4 +456,41 @@ class MergeIntoSpec extends SparkSpec {
     // 10 - 2 (NMBS) + 2 inserts = 10
     assert(got.size === 10)
   }
+
+  test("mergeInto compound-ON dup guard: key-sharing source rows whose " +
+    "residual selects at most one per target row are Delta-legal (no " +
+    "false positive); two source rows passing the residual for one " +
+    "target row still throw") {
+    import spark.implicits._
+    val root = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ondup_" +
+        s"${spark.sparkContext.applicationId}")
+    VersionedTable.append(spark, root,
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+        .toDF("id", "grp", "x"), "id", 2)
+    // two source rows share key 4, but the residual t.grp = s.sg
+    // selects exactly ONE per target row (target 4 is g0) — counting
+    // duplicates by key alone would throw here, wrongly
+    val legal = Seq((4L, "g0", 400L), (4L, "g1", 401L))
+      .toDF("id", "sg", "nx")
+    VersionedTable.mergeInto(spark, root, legal, "id", Seq(
+      MatchedUpdate(Map("x" -> col("s.nx")))), 1,
+      onExtra = Some(col("t.grp") === col("s.sg")))
+    val got = VersionedTable.read(spark, root)
+    assert(got.filter(col("id") === 4L).select("x").head()
+      .getLong(0) === 400L) // the residual-selected row won
+    assert(got.count() === 10L)
+    // both source rows pass the residual for target row 4: ambiguous,
+    // must throw loudly (no silent double-write)
+    val illegal = Seq((4L, "g0", 500L), (4L, "g0", 501L))
+      .toDF("id", "sg", "nx")
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root, illegal, "id", Seq(
+        MatchedUpdate(Map("x" -> col("s.nx")))), 1,
+        onExtra = Some(col("t.grp") === col("s.sg")))
+    }
+    // the failed merge committed nothing
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 4L).select("x").head().getLong(0) === 400L)
+  }
 }
