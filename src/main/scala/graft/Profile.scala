@@ -12,8 +12,12 @@ object Profile {
     val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      // shuffle partitions default to the core count (the Bench
+      // convention); SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for
+      // partition-sensitivity sweeps at a fixed core count
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       .config("spark.sql.session.timeZone", "UTC")
       // old events fixtures carry TIMESTAMP(NANOS) parquet; session-wide so no
       // reader ever mutates a live session conf (see Tables.events)

@@ -262,6 +262,24 @@ object VersionedTable {
     * of 10^4, a 3-file merge rewrites one ~10^4-entry group and a
     * ~100-ref root instead of a 10^6-entry manifest. */
   val ManifestGroupSizeProp = "manifest.groupSize"
+
+  /** File count above which a commit AUTO-ENABLES the two-level
+    * layout when `manifest.groupSize` is unset: past ~8k entries a
+    * single-level manifest is megabytes re-written on EVERY commit,
+    * exactly the ceiling the grouped layout removes — a table that
+    * grows into the regime gets the fix without anyone remembering a
+    * property.  Set `manifest.groupSize=0` to pin single-level
+    * explicitly; any positive value pins that size.  `var` only as a
+    * test seam (specs lower it to probe the switch without writing 8k
+    * real files). */
+  private[graft] var AutoGroupFileThreshold: Int = 8192
+
+  /** Group size the auto-enabled layout packs: ~700 bytes/entry makes
+    * 4096-entry groups ~3 MB sidecars — large enough that a 10^6-file
+    * snapshot is ~250 refs in the root, small enough that a commit
+    * touching one group rewrites MBs, not the world.  `var` only as a
+    * test seam (paired with [[AutoGroupFileThreshold]]). */
+  private[graft] var AutoGroupSize: Int = 4096
   /** A reference to an immutable FILE GROUP: a sidecar under
     * `_versions/_groups/` listing up to `manifest.groupSize` manifest
     * entries.  The two-level layout (Iceberg's manifest-list over
@@ -1631,7 +1649,10 @@ object VersionedTable {
       // new files), not O(all files) — the manifest-size ceiling the
       // single-level layout documented.
       val groupSize = props.get(ManifestGroupSizeProp)
-        .flatMap(x => scala.util.Try(x.toInt).toOption).getOrElse(0)
+        .flatMap(x => scala.util.Try(x.toInt).toOption)
+        .getOrElse(
+          if (files.size >= AutoGroupFileThreshold) AutoGroupSize
+          else 0)
       val (looseOut, groupsOut) =
         if (groupSize <= 0) (files, Seq.empty[GroupRef])
         else {
@@ -3925,6 +3946,24 @@ object VersionedTable {
       fs.delete(manifestPath(root, v), false)
       snapCache.remove((root, v))
       rootCache.remove((root, v))
+    }
+    // TMP-MANIFEST GC: a committer killed between its temp-manifest
+    // write and the atomic claim leaves a `.tmp-` orphan in _versions
+    // forever (the happy path deletes its own; the ledger writer's
+    // `.tmp-ledger-` has the same crash window).  Reclaim orphans
+    // older than the retain horizon — an in-flight committer's tmp
+    // lives milliseconds between write and claim, the horizon hours,
+    // so the age gate makes yanking a live one practically impossible
+    // (and a yanked claim would fail LOUDLY and retry, never corrupt).
+    val vdir = new Path(root, VersionsDir)
+    if (fs.exists(vdir)) {
+      fs.listStatus(vdir).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= horizon) {
+          try { fs.delete(st.getPath, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
     }
     // GROUP GC: a group sidecar referenced by no kept manifest (its
     // manifests were reclaimed above, or it was orphaned by a lost CAS

@@ -111,6 +111,17 @@ class CrashRecoverySpec extends SparkSpec {
     }
     // exactly the two successful appends landed
     assert(VersionedTable.read(spark, root).count() === 40L)
+    // the afterTmpManifest kill left a `.tmp-` orphan in _versions;
+    // vacuum reclaims it (age-gated) without touching live state
+    val vdir = new java.io.File(s"$root/_versions")
+    assert(vdir.listFiles().exists(_.getName.startsWith(".tmp-")),
+      "the killed committer should have left a tmp-manifest orphan")
+    Thread.sleep(150)
+    VersionedTable.vacuum(spark, root,
+      keepFrom = 1, retainMs = 0L)
+    assert(!vdir.listFiles().exists(_.getName.startsWith(".tmp-")),
+      "vacuum must GC crashed committers' tmp-manifest orphans")
+    assert(VersionedTable.read(spark, root).count() === 40L)
   }
 
   test("copy-on-write MERGE killed pre-CAS: rewritten files stay " +

@@ -158,4 +158,47 @@ class GroupedManifestSpec extends SparkSpec {
     // the clone (which re-grouped under its own root) is untouched
     assert(VersionedTable.read(spark, clone).count() === 160)
   }
+
+  test("the two-level layout AUTO-ENABLES once a snapshot crosses the " +
+    "file-count threshold (no property needed); manifest.groupSize=0 " +
+    "pins single-level explicitly") {
+    val root = freshRoot("auto")
+    val prevT = VersionedTable.AutoGroupFileThreshold
+    val prevS = VersionedTable.AutoGroupSize
+    VersionedTable.AutoGroupFileThreshold = 8
+    VersionedTable.AutoGroupSize = 4
+    try {
+      // below the threshold: classic single-level, zero group files
+      VersionedTable.append(spark, root, docs(20), "doc_id", 4)
+      assert(VersionedTable.snapshot(spark, root, 1).groups.isEmpty)
+      // the next append pushes the snapshot to 10 files >= 8: the
+      // commit groups WITHOUT any property having been set
+      VersionedTable.append(spark, root,
+        docs(20).withColumn("doc_id", col("doc_id") + 1000L),
+        "doc_id", 6)
+      val snap = VersionedTable.snapshot(spark, root, 2)
+      assert(snap.groups.nonEmpty,
+        "auto-enable must group past the threshold")
+      assert(snap.files.size === 10)
+      // 10 files at size 4 -> 2 full groups + 2 loose root entries,
+      // and the grouped entries are a subset of the exact file set
+      assert(snap.groups.size === 2)
+      assert(snap.groups.flatMap(_._2).toSet.subsetOf(snap.files.toSet))
+      assert(VersionedTable.read(spark, root).count() === 40)
+      // explicit 0 pins single-level even above the threshold
+      VersionedTable.setProperty(spark, root,
+        VersionedTable.ManifestGroupSizeProp, "0")
+      VersionedTable.append(spark, root,
+        docs(5).withColumn("doc_id", col("doc_id") + 2000L),
+        "doc_id", 1)
+      val pinned = VersionedTable.snapshot(spark, root,
+        VersionedTable.latestVersion(spark, root).get)
+      assert(pinned.groups.isEmpty,
+        "manifest.groupSize=0 must pin the single-level layout")
+      assert(VersionedTable.read(spark, root).count() === 45)
+    } finally {
+      VersionedTable.AutoGroupFileThreshold = prevT
+      VersionedTable.AutoGroupSize = prevS
+    }
+  }
 }

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "antijoin_completed", "semijoin_available",       // grid builders
     "except_pending", "intersect_ready", "pivot_scores",
     "cosine_topk",           // broadcast 10-vector rubric x corpus
+    "similarity_theta_join", // SURVEY-name alias of cosine_topk (same plan)
     "avg_search_rank", "avg_first_hit_rank", "retrieval_eval_detail",
     "miss_sentinel",          // 4-term broadcast containment join
     "ann_ivf_topk",           // centroid table x probe rubric
