@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import graft.{QueryDef, Scratch, Tables}
+import graft.sources.VersionedTable
+import graft.sources.v2.GraftSql
 
 /** Batch 72: SURVEY-name closure.  Two rows in SURVEY.md §2 passed
   * under registry names that differ from the survey column
@@ -16,6 +19,34 @@ import graft.{QueryDef, Scratch, Tables}
   * (not append) semantics the same way `connector_write_roundtrip`
   * pins the connector's overwrite. */
 object Curation72Queries {
+
+  /** MoR table mutated through the SQL KEY-IN shapes: a plain key-IN
+    * UPDATE, a residual key-IN UPDATE, and a residual key-IN DELETE —
+    * all three must take the deletion-vector twins (round-14 routing:
+    * updateMoRKeys / deleteMoRKeys with residual), never the silent
+    * copy-on-write fallback. */
+  private def morKeyInTable(s: SparkSession, d: String): String =
+    Scratch.buildOnce(s, d, "sqlmorkeyin") { root =>
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.v2.GraftCatalog")
+      Tables.documents(s, d).write.format("graft-table")
+        .option("keyCol", "doc_id").option("numFiles", "4").save(root)
+      GraftSql.sql(s, s"ALTER TABLE graft.`$root` " +
+        "SET TBLPROPERTIES ('dml.mode'='mor')")
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("graft_mork_keys")
+      GraftSql.sql(s, s"UPDATE graft.`$root` SET n_chars = " +
+        "n_chars + 1000 WHERE doc_id IN " +
+        "(SELECT doc_id FROM graft_mork_keys WHERE doc_id % 10 = 3)")
+      GraftSql.sql(s, s"UPDATE graft.`$root` SET n_chars = " +
+        "n_chars + 50000 WHERE doc_id IN " +
+        "(SELECT doc_id FROM graft_mork_keys WHERE doc_id % 10 = 3) " +
+        "AND lang = 'en'")
+      GraftSql.sql(s, s"DELETE FROM graft.`$root` WHERE doc_id IN " +
+        "(SELECT doc_id FROM graft_mork_keys WHERE doc_id % 10 = 7) " +
+        "AND lang = 'de'")
+      ()
+    }
 
   private def alias(of: Seq[QueryDef], name: String, asName: String,
       doc: String): QueryDef = {
@@ -69,5 +100,50 @@ object Curation72Queries {
         "matches the corpus iff the second write REPLACED the first " +
         "(stale doc_id<5 rows gone).  At scale this is the idempotent " +
         "re-run story: a failed job's partial output never survives " +
-        "the rerun's overwrite."))
+        "the rerun's overwrite."),
+
+    // ------------------------- MoR routing for SQL key-IN DML shapes
+    QueryDef(
+      "sql_mor_keyin_read",
+      (s, d) => {
+        val root = morKeyInTable(s, d)
+        // in-band pins: all three key-IN commits took -mor ops and
+        // every ORIGINAL data file survives by path (masked + post-
+        // imaged, never rewritten) — proof the subquery shapes do not
+        // silently fall back to copy-on-write on a mor table
+        val v1 = VersionedTable.snapshot(s, root, 1)
+        val head = VersionedTable.snapshot(s, root,
+          VersionedTable.latestVersion(s, root).get)
+        val ops = (3 to head.version)
+          .map(v => VersionedTable.snapshot(s, root, v).op)
+          .sorted.mkString(",")
+        val headPaths = head.files.map(_.path).toSet
+        val carried = v1.files.map(_.path).forall(headPaths.contains)
+        GraftSql.sql(s,
+          s"""SELECT lang, count(*) AS n_docs,
+             |       sum(n_chars) AS sum_n_chars
+             |FROM graft.`$root` GROUP BY lang ORDER BY lang""".stripMargin)
+          .withColumn("mor_ops", lit(ops))
+          .withColumn("originals_carried", lit(carried))
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars
+        |           + CASE WHEN doc_id % 10 = 3 THEN 1000 ELSE 0 END
+        |           + CASE WHEN doc_id % 10 = 3 AND lang = 'en'
+        |                  THEN 50000 ELSE 0 END)::BIGINT
+        |         AS sum_n_chars,
+        |       'delete-mor,update-mor,update-mor' AS mor_ops,
+        |       TRUE AS originals_carried
+        |FROM documents
+        |WHERE NOT (doc_id % 10 = 7 AND lang = 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+      "SQL KEY-IN DML on a merge-on-read table: `UPDATE/DELETE ... " +
+        "WHERE key IN (SELECT ...) [AND residual]` routes through the " +
+        "DV twins (updateMoRKeys / deleteMoRKeys with the residual " +
+        "gating matched rows) — the key set stays a distributed frame " +
+        "(driver O(files), never O(keys)), the mask + post-image cost " +
+        "is O(changed rows), and the in-band pins prove all three " +
+        "commits were -mor with every original file carried by path.  " +
+        "The decontamination shape (delete eval-set overlaps by id " +
+        "list) at 100 TB: KBs of sidecar, not a touched-file rewrite."))
 }

@@ -50,6 +50,9 @@ object CrashChild {
       case "delete-mor" =>
         VersionedTable.deleteMoR(spark, root,
           col("doc_id") < 3, "doc_id")
+      case "update-mor" =>
+        VersionedTable.updateMoR(spark, root, col("doc_id") < 3,
+          Map("text" -> lit("crash-mor")), "doc_id")
       case "replace-where" =>
         VersionedTable.replaceWhere(spark, root, col("doc_id") < 5,
           (0L until 5L).map(i => (i, "crash-rw")).toDF("doc_id", "text"),

@@ -153,6 +153,20 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got.filter(col("doc_id") < 3).count() === 0L)
   }
 
+  test("MoR UPDATE killed after the temp manifest (DV sidecar AND " +
+    "post-image files on disk): neither becomes visible, the retry " +
+    "applies the update exactly once") {
+    val root = freshRoot("umor")
+    build(root)
+    assertCrashSafe(root, "update-mor", "afterTmpManifest") {
+      VersionedTable.updateMoR(spark, root, col("doc_id") < 3,
+        Map("text" -> lit("crash-mor")), "doc_id")
+    }
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() === 20L)
+    assert(got.filter(col("text") === "crash-mor").count() === 3L)
+  }
+
   test("REPLACE WHERE killed pre-CAS: the slice is not half-swapped " +
     "(old rows intact), the retry swaps it whole") {
     import spark.implicits._
