@@ -379,6 +379,11 @@ object VersionedTable {
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+          // our tmp vanished under us (a concurrent sub-floor VACUUM's
+          // tmp-GC, or an operator rm): NOT a claimed slot — report
+          // "lost" so the CAS loop rewrites a fresh tmp and retries,
+          // matching the HDFS branch's IOException handling
+          case _: java.nio.file.NoSuchFileException => false
         }
       } else {
         try {
@@ -425,13 +430,18 @@ object VersionedTable {
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Snapshot]()
 
-  /** Test-only: drop every cached manifest parse so the next read
-    * re-lists and re-parses from the filesystem — the crash-recovery
-    * spec must observe what a FRESH process would, not this JVM's
-    * cache (committed manifests are immutable, so outside tests the
-    * cache can never serve stale state and never needs clearing). */
-  private[graft] def clearSnapshotCacheForTest(): Unit =
+  /** Test-only: drop every cached manifest parse — full snapshots,
+    * root manifests AND group sidecars — so the next read re-lists
+    * and re-parses from the filesystem exactly as a FRESH process
+    * would (committed manifests are immutable, so outside tests the
+    * caches can never serve stale state and never need clearing).
+    * Clearing only snapCache would leave rootCache/groupCache warm
+    * and silently flatter any "cold resolve" measurement. */
+  private[graft] def clearSnapshotCacheForTest(): Unit = {
     snapCache.clear()
+    rootCache.clear()
+    groupCache.clear()
+  }
 
   /** Parse one version's manifest.  The commit protocol publishes
     * manifests atomically with full content, so a listed version always
@@ -1648,11 +1658,22 @@ object VersionedTable {
       // in the root.  What a commit WRITES is then O(touched groups +
       // new files), not O(all files) — the manifest-size ceiling the
       // single-level layout documented.
-      val groupSize = props.get(ManifestGroupSizeProp)
-        .flatMap(x => scala.util.Try(x.toInt).toOption)
-        .getOrElse(
-          if (files.size >= AutoGroupFileThreshold) AutoGroupSize
-          else 0)
+      // explicit property wins (an unparsable explicit value reads as
+      // 0 — the pre-auto-enable behavior — never as a silent auto
+      // opt-in); absent, auto-group past the threshold WITH hysteresis:
+      // once a lineage is grouped, it stays grouped down to half the
+      // threshold, so a file count oscillating around the boundary
+      // (ingest appends up, compaction down) cannot flip the whole
+      // layout — and pay the full re-pack — on every commit
+      val groupSize = props.get(ManifestGroupSizeProp) match {
+        case Some(x) => scala.util.Try(x.toInt).getOrElse(0)
+        case None =>
+          val parentGrouped = parent.exists(_.groups.nonEmpty)
+          if (files.size >= AutoGroupFileThreshold ||
+            (parentGrouped && files.size >= AutoGroupFileThreshold / 2))
+            AutoGroupSize
+          else 0
+      }
       val (looseOut, groupsOut) =
         if (groupSize <= 0) (files, Seq.empty[GroupRef])
         else {
@@ -1994,6 +2015,14 @@ object VersionedTable {
     * column must not already exist; the op rebases onto whatever head
     * wins the CAS (pure metadata conflicts with nothing).  Delta's
     * ALTER TABLE ADD COLUMNS. */
+  /** `defaultSql`, when given, records CURRENT_DEFAULT on the new
+    * field exactly as [[setColumnDefault]] would — FUTURE inserts
+    * omitting the column fill it; EXISTING rows keep reading NULL
+    * (this is deliberately NOT SQL's ADD-COLUMN-with-DEFAULT
+    * existence-default contract, which is why the SQL DDL surface
+    * rejects the DEFAULT spelling and callers of this API opt into
+    * the future-inserts-only semantics knowingly).  `comment` lands
+    * in the field metadata under Spark's standard "comment" key. */
   def addColumn(s: SparkSession, root: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,
       defaultSql: Option[String] = None,
@@ -2456,6 +2485,16 @@ object VersionedTable {
     *    (Delta's `DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW` —
     *    which source row wins would be nondeterministic; pre-aggregate
     *    the source, or use [[merge]] with `orderCol` for keep-last);
+    *    with a compound ON (`onExtra`) the guard counts pairs under
+    *    the FULL condition — key-sharing source rows whose residual
+    *    selects at most one per target row are legal;
+    *  - CAVEAT (standard SQL MERGE, but worth naming): with a
+    *    compound ON plus a NOT MATCHED INSERT clause, a source row
+    *    that key-matches a live target row but FAILS the residual is
+    *    unmatched and INSERTS — the table can then legitimately hold
+    *    several rows per key.  Key-unique tables (CDC replication
+    *    targets, [[merge]] upsert flows) should not combine residual
+    *    ONs with insert clauses;
     *  - output schema is exactly the target schema (insert/update
     *    values are cast to it); use [[merge]] for evolving upserts.
     *

@@ -126,15 +126,22 @@ class GraftCatalog extends TableCatalog {
         require(a.position() == null,
           "graft ADD COLUMNS appends at the end of the schema; " +
             "FIRST/AFTER column positions are not supported")
-        // DEFAULT and COMMENT ride the widened field's metadata —
-        // CURRENT_DEFAULT the same way ALTER COLUMN ... SET DEFAULT
-        // records it, so `ALTER TABLE ... ADD COLUMN x BIGINT
-        // DEFAULT 7` followed by `INSERT (id)` fills 7, not NULL
-        // (the capability SUPPORT_COLUMN_DEFAULT_VALUE advertises)
+        // ADD COLUMN ... DEFAULT is REJECTED (Delta's choice, for the
+        // same reason): SQL's contract gives EXISTING rows the default
+        // (an existence default captured at ADD time), but this format
+        // never rewrites data on DDL, so existing rows would silently
+        // read NULL while the statement claimed 7 — a silent
+        // divergence worse than a refusal.  The supported spelling is
+        // the two-step with well-defined semantics: ADD COLUMN, then
+        // ALTER COLUMN ... SET DEFAULT (future inserts only).
+        require(a.defaultValue() == null,
+          "graft ADD COLUMN with DEFAULT is not supported: existing " +
+            "rows would read NULL, not the default (DDL never " +
+            "rewrites data). Run ADD COLUMN, then ALTER TABLE ... " +
+            "ALTER COLUMN ... SET DEFAULT (applies to future inserts).")
+        // COMMENT rides the widened field's metadata
         VersionedTable.addColumn(s, root,
           topLevel(a.fieldNames(), "ADD COLUMNS"), a.dataType(),
-          defaultSql = Option(a.defaultValue()).map(_.getSql)
-            .filter(t => t != null && t.nonEmpty),
           comment = Option(a.comment()).filter(_.nonEmpty))
         ()
       case r: TableChange.RenameColumn =>

@@ -113,6 +113,14 @@ object GraftDml {
   private def tableSchema(s: SparkSession, root: String): StructType =
     new GraftSqlTable(root, Map.empty).schema()
 
+  /** Whether the table's head carries `dml.mode=mor` — ONE resolution
+    * shared by every SQL DML command so the copy-on-write vs
+    * deletion-vector routing can never drift between them. */
+  private[v2] def isMor(s: SparkSession, root: String): Boolean =
+    VersionedTable.latestVersion(s, root)
+      .map(v => VersionedTable.snapshot(s, root, v).props)
+      .exists(_.get(DmlModeProp).contains("mor"))
+
   private def noSubquery(e: Expression, what: String): Unit =
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"graft SQL $what does not support subqueries in this release; " +
@@ -729,7 +737,7 @@ final case class GraftUpdateCommand(root: String,
     // files rewritten) — the economics Delta's DV-based UPDATE gives
     // a 100 TB table where 0.01% of rows change; default stays
     // copy-on-write (read-side cost bounded at zero outstanding masks)
-    if (props.get(GraftDml.DmlModeProp).contains("mor"))
+    if (GraftDml.isMor(s, root))
       VersionedTable.updateMoR(s, root, cond.getOrElse(lit(true)),
         set, key)
     else
@@ -750,7 +758,7 @@ final case class GraftDeleteCommand(root: String, cond: Column)
     val key = props.getOrElse(VersionedTable.TableKeyProp,
       throw new IllegalArgumentException(
         s"DELETE on $root needs a recorded table.key"))
-    if (props.get(GraftDml.DmlModeProp).contains("mor"))
+    if (GraftDml.isMor(s, root))
       VersionedTable.deleteMoR(s, root, cond, key)
     else VersionedTable.delete(s, root, cond, key, 8)
     Seq.empty
@@ -815,9 +823,7 @@ final case class GraftDeleteKeysCommand(root: String,
       s"the IN-subquery must produce exactly one column (the table " +
         s"key), got ${kdf0.columns.length}")
     val kdf = kdf0.toDF(key).distinct()
-    val mor = VersionedTable.latestVersion(s, root)
-      .map(v => VersionedTable.snapshot(s, root, v).props)
-      .exists(_.get(GraftDml.DmlModeProp).contains("mor"))
+    val mor = GraftDml.isMor(s, root)
     // dml.mode=mor routes BOTH shapes through the DV-masking twin —
     // the residual gates the masked rows exactly like a MERGE DELETE's
     // WHEN MATCHED condition, so a sparse decontamination delete on a
@@ -859,9 +865,7 @@ final case class GraftUpdateKeysCommand(root: String,
     // consistent with GraftUpdateCommand's routing — a sparse
     // `UPDATE ... WHERE key IN (SELECT ...)` on a mor table must not
     // silently pay a full touched-file copy-on-write rewrite
-    val mor = VersionedTable.latestVersion(s, root)
-      .map(v => VersionedTable.snapshot(s, root, v).props)
-      .exists(_.get(GraftDml.DmlModeProp).contains("mor"))
+    val mor = GraftDml.isMor(s, root)
     if (mor)
       VersionedTable.updateMoRKeys(s, root, kdf, set, key,
         residual = residual)

@@ -53,8 +53,13 @@ class CrashRecoverySpec extends SparkSpec {
       "-cp", System.getProperty("java.class.path"),
       "graft.CrashChild", root, op, kill)).toIndexedSeq
     val p = new ProcessBuilder(cmd: _*).inheritIO().start()
-    assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
-      s"crash child $op/$kill did not finish")
+    val done = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      // never leak a live Spark child still holding the shared root
+      p.destroyForcibly()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      fail(s"crash child $op/$kill did not finish (killed)")
+    }
     p.exitValue()
   }
 

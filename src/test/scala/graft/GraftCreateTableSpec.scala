@@ -227,21 +227,30 @@ class GraftCreateTableSpec extends SparkSpec {
     assert(ddl.contains("table.schema"))
   }
 
-  test("ALTER TABLE ADD COLUMN with DEFAULT and COMMENT records both " +
-    "in the widened field's metadata (the capability " +
-    "SUPPORT_COLUMN_DEFAULT_VALUE advertises); future INSERT column " +
-    "lists fill the default; FIRST/AFTER positions reject loudly") {
+  test("ALTER TABLE ADD COLUMN: DEFAULT rejects loudly (existing rows " +
+    "would silently read NULL, not the default — Delta's refusal); " +
+    "the two-step ADD + SET DEFAULT works; COMMENT records; " +
+    "FIRST/AFTER positions reject") {
     val root = freshRoot("addcoldef")
     sql(s"CREATE TABLE graft.`$root` (id BIGINT) " +
       "TBLPROPERTIES ('table.key'='id')")
     sql(s"INSERT INTO graft.`$root` VALUES (1)")
+    // ADD COLUMN ... DEFAULT: a silent existing-rows-read-NULL
+    // divergence from SQL's existence-default contract — refuse, and
+    // point at the supported two-step spelling
+    val eDef = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMN x BIGINT DEFAULT 7")
+    }
+    assert(eDef.getMessage.contains("SET DEFAULT"))
+    assert(!VersionedTable.read(spark, root).columns.contains("x"))
+    // the two-step has well-defined semantics: existing rows NULL,
+    // future inserts fill the default
     spark.sql(s"ALTER TABLE graft.`$root` " +
-      "ADD COLUMN x BIGINT DEFAULT 7 COMMENT 'a score'")
+      "ADD COLUMN x BIGINT COMMENT 'a score'")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN x SET DEFAULT 7")
     val rec = VersionedTable.read(spark, root).schema
     assert(rec("x").metadata.getString("CURRENT_DEFAULT") === "7")
     assert(rec("x").metadata.getString("comment") === "a score")
-    // existing row reads NULL (DDL never rewrites data); an INSERT
-    // omitting the column now fills 7, not NULL
     sql(s"INSERT INTO graft.`$root` (id) VALUES (2)")
     val got = sql(s"SELECT id, x FROM graft.`$root` ORDER BY id")
       .collect().map(r => (r.getLong(0),

@@ -185,6 +185,30 @@ class GroupedManifestSpec extends SparkSpec {
       assert(snap.groups.size === 2)
       assert(snap.groups.flatMap(_._2).toSet.subsetOf(snap.files.toSet))
       assert(VersionedTable.read(spark, root).count() === 40)
+      // HYSTERESIS: a grouped lineage stays grouped down to HALF the
+      // threshold (an overwrite to 5 files: 5 < 8 but >= 4), so a
+      // file count oscillating around the boundary cannot flip the
+      // layout — and pay the full re-pack — on every commit
+      VersionedTable.overwrite(spark, root,
+        docs(20).withColumn("doc_id", col("doc_id") + 3000L)
+          .repartitionByRange(5, col("doc_id")), "doc_id", 5)
+      val hys = VersionedTable.snapshot(spark, root,
+        VersionedTable.latestVersion(spark, root).get)
+      assert(hys.files.size === 5 && hys.groups.nonEmpty,
+        "a grouped lineage must stay grouped above half the threshold")
+      // below half the threshold the layout drops back to single-level
+      VersionedTable.overwrite(spark, root,
+        docs(8).withColumn("doc_id", col("doc_id") + 4000L),
+        "doc_id", 2)
+      val low = VersionedTable.snapshot(spark, root,
+        VersionedTable.latestVersion(spark, root).get)
+      assert(low.files.size === 2 && low.groups.isEmpty)
+      // refill above the threshold before the explicit-0 pin check
+      VersionedTable.append(spark, root,
+        docs(40).withColumn("doc_id", col("doc_id") + 5000L),
+        "doc_id", 8)
+      assert(VersionedTable.snapshot(spark, root,
+        VersionedTable.latestVersion(spark, root).get).groups.nonEmpty)
       // explicit 0 pins single-level even above the threshold
       VersionedTable.setProperty(spark, root,
         VersionedTable.ManifestGroupSizeProp, "0")
@@ -195,7 +219,7 @@ class GroupedManifestSpec extends SparkSpec {
         VersionedTable.latestVersion(spark, root).get)
       assert(pinned.groups.isEmpty,
         "manifest.groupSize=0 must pin the single-level layout")
-      assert(VersionedTable.read(spark, root).count() === 45)
+      assert(VersionedTable.read(spark, root).count() === 53)
     } finally {
       VersionedTable.AutoGroupFileThreshold = prevT
       VersionedTable.AutoGroupSize = prevS
