@@ -96,18 +96,34 @@ object AdvancedQueries {
     val nodes = Corpus.withDups(s, d).select(col("doc_id"))
     var labels = nodes.select(col("doc_id"),
       col("doc_id").as("lbl")).persist()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check without the per-round change join: the label
+    // frame is MONOTONE — the node set only grows (the union keeps
+    // every existing row) and each node's label only decreases (min
+    // over a set containing its current label) — so the (row count,
+    // label sum) pair is stable across a round iff no node appeared
+    // and no label changed, i.e. iff the propagation hit its fixpoint.
+    // One partial-aggregated action per round (which also materializes
+    // that round's persist) replaces the old next-vs-labels shuffle
+    // join + count: same fixpoint, identical labels, one action and
+    // one less shuffle per round (guide §2.4).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("lbl"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = sig(labels)
+    var converged = false
+    while (!converged) {
       val viaNbr = und.join(labels, und("a") === labels("doc_id"))
         .select(col("b").as("doc_id"), col("lbl"))
       val next = labels.select(col("doc_id"), col("lbl"))
         .unionByName(viaNbr)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
+      val nextSig = sig(next)
+      converged = nextSig == cur
       labels.unpersist()
       labels = next
+      cur = nextSig
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }

@@ -21,14 +21,21 @@ object Curation12Queries {
       (s, d) => {
         val c = Corpus.withDups(s, d)
           .filter(length(col("text")) >= 11)
+        // the fingerprint stream is the dominant scan-side cost (text
+        // scan + winnow kernel + explode) and feeds three consumers
+        // (bucket census, the capped index, per-doc sizes) — the
+        // unoptimized plan re-derived it into 24 parquet scans.
+        // Materialize it once; `capped` likewise feeds the pair
+        // self-join twice plus the size table.  Same rows, one pass.
         val fps = c.select(col("doc_id"),
           explode(graft.functions.WinnowKernel.winnowFps(col("text")))
             .as("fp"))
+          .localCheckpoint(true)
         val ok = fps.groupBy(col("fp"))
           .agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= MaxBucket)
           .select(col("fp"))
-        val capped = fps.join(ok, Seq("fp"))
+        val capped = fps.join(ok, Seq("fp")).localCheckpoint(true)
         val sizes = capped.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("nf"))
         capped.as("x").join(capped.as("y"),

@@ -34,12 +34,22 @@ object Curation16Queries {
       .limit(1)
   }
 
-  /** Run the merge loop; returns (per-round winners, final sequences). */
+  /** Run the merge loop; returns (per-round winners, final sequences).
+    *
+    * Each round is CHECKPOINTED (eager localCheckpoint, the CC-fixpoint
+    * idiom): round r references round r-1 twice (pair census + merge
+    * application) and `top` twice (winner row + the merge join), so the
+    * inlined loop re-expanded ~2^Rounds copies of the base scan — the
+    * unoptimized bpe_train_merges plan carried 31 exchanges and 52
+    * broadcast-nested-loop joins for five rounds.  Materializing each
+    * round makes plan and execution linear in Rounds (what the oracle's
+    * AS MATERIALIZED round CTEs already express); merges and counts are
+    * unchanged. */
   private def train(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    var seqs = charified(s, d)
+    var seqs = charified(s, d).localCheckpoint(true)
     var out: DataFrame = null
     for (r <- 1 to Rounds) {
-      val top = topPair(seqs)
+      val top = topPair(seqs).localCheckpoint(true)
       val row = top.select(lit(r.toLong).as("merge_rank"),
         col("pair"), col("cnt").as("n_occurrences"))
       out = if (out == null) row else out.unionByName(row)
@@ -47,6 +57,7 @@ object Curation16Queries {
         .select(col("doc_id"),
           expr("replace(seq, ' ' || pair || ' ', " +
             "' ' || replace(pair, ' ', '') || ' ')").as("seq"))
+        .localCheckpoint(true)
     }
     (out, seqs)
   }

@@ -17,11 +17,15 @@ object Curation43Queries {
     QueryDef(
       "community_modularity",
       (s, d) => {
-        val comm = GraphQueries.lpCommunities(s, d)
-        val und = GraphQueries.knnEdges(s, d)
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
+        // one kNN build for BOTH the communities and the edge-side
+        // aggregates (pre-optimization this query derived the graph
+        // twice more on top of lpCommunities' own build: 56 parquet
+        // scans / 70 exchanges in the unoptimized plan); comm is
+        // referenced three times below (e_in twice, deg_c once), so
+        // the 2-superstep propagation is materialized once as well
+        val und = GraphQueries.undirectedKnn(s, d).localCheckpoint(true)
+        val comm = GraphQueries.lpCommunitiesOver(s, d, und)
+          .localCheckpoint(true)
         val mEdges = und.agg(count(lit(1)).as("m"))
         val deg = und.unionByName(
             und.select(col("b").as("a"), col("a").as("b")))

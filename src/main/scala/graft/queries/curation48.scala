@@ -38,6 +38,13 @@ object Curation48Queries {
             .select((col("doc_id") + 10000L).as("doc_id"),
               expr("array_join(slice(split(text, ' '), 4, 40), ' ')")
                 .as("text")))
+        // the gram stream feeds two consumers (the dup census and the
+        // probe side of the survivor join); persist stops the corpus
+        // tokenize+gram-build pass — the dominant scan-side cost —
+        // from running twice (the dupOccurrences shape from
+        // curation60, same 100 TB note: swap for a scratch parquet
+        // materialization when caching a gram stream ~k x the corpus
+        // is worse than recompute)
         val grams = corpus
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= k)
@@ -45,6 +52,7 @@ object Curation48Queries {
             s"transform(sequence(0, size(toks) - $k), " +
               s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
             .as(Seq("pos", "gram")))
+          .persist()
         // shuffle #1 (the only data-sized one): gram -> distinct-doc
         // count.  At 100 TB this is the canonical shuffle-the-shingles
         // MapReduce form of ExactSubstr; gram strings could carry a

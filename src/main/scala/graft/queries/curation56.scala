@@ -157,6 +157,18 @@ object Curation56Queries {
       und: DataFrame, entries: DataFrame, finalK: Int,
       beamWidth: Int = Beam): DataFrame = {
     val topB = topBOver(q, e) _
+    // Kept as the plain inlined unroll DELIBERATELY (measured, round
+    // 14): round r references round r-1 twice, so the plan holds
+    // ~2^Rounds copies of the entry subtree — but the whole search is
+    // ONE action, and runtime exchange reuse deduplicates the repeated
+    // subtrees, so the recompute the unroll appears to imply never
+    // executes.  Both alternatives measured slower at sf0.1/local[32]:
+    // an eager localCheckpoint per round added 4 materialization jobs
+    // (+0.8 s on ann_graph_topk), and persist() per round paid
+    // CacheManager canonicalized-plan matching over the exponential
+    // tree on every reference (+3 s).  At cluster scale the bounded
+    // beam state is where a deployment would checkpoint; here the
+    // unroll is strictly faster.
     var beam = topB(entries, beamWidth).select(col("qid"), col("cid"))
     for (_ <- 1 to Rounds) {
       val expand = beam.join(und, beam("cid") === und("src"))

@@ -195,7 +195,11 @@ object Curation59Queries {
     QueryDef(
       "lm_score_quality_gate",
       (s, d) => {
-        val scores = heldoutScores(s, d)
+        // per-doc score table feeds both the per-source mean and the
+        // gate join; materialize once so the whole train+score bigram
+        // pipeline doesn't re-run per reference (doc-cardinality
+        // frame, bounded)
+        val scores = heldoutScores(s, d).localCheckpoint(true)
         val perSource = scores.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             expr("sum(avg_p_e6) div count(1)").as("mean_e6"))

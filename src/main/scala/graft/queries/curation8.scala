@@ -36,11 +36,15 @@ object Curation8Queries {
             explode(split(col("text"), " ")).as("tok"))
           .withColumn("bkt",
             expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $Buckets"))
+          .persist()
         // One pass computes BOTH per-bucket counts (conditional count =
         // the old left-join + coalesce(ct, 0)), and the corpus totals
-        // fold from the bucket table itself — so the expensive
-        // tokenize+md5 subtree evaluates twice (counts, scoring join)
-        // instead of four times. Values are identical.
+        // fold from the bucket table itself; the persist then drops the
+        // remaining duplicate evaluation (counts + scoring join) of the
+        // expensive tokenize+md5 subtree to exactly one — the
+        // two-consumer persist shape of the dedup shingle tables
+        // (caller releases via the QueryDef clearCache contract).
+        // Values are identical.
         val cnt = toks.groupBy(col("bkt")).agg(
           count(lit(1)).as("cs"),
           count(when(col("lang") === "en", 1)).as("ct"))

@@ -558,7 +558,13 @@ object DedupQueries {
     QueryDef(
       "dedup_recall_eval",
       (s, d) => {
+        // the prediction table feeds both the truth join and the
+        // n_pred census; without materialization the WHOLE LSH
+        // pipeline (bands, bucket cap, verify) re-ran once per
+        // reference.  The pair list is bounded by true-duplicate mass,
+        // so the eager checkpoint is commit-sized, never corpus-sized.
         val pred = minhashPairs(s, d).select(col("a"), col("b"))
+          .localCheckpoint(true)
         // Seeded canaries by construction: withDups derives every
         // injected copy from base doc_id by +1e6/+2e6 shifts, so
         // same-origin (doc_id mod 1e6) pairs are known-true duplicates

@@ -23,6 +23,16 @@ object GraphQueries {
   def knnEdges(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"))
+    // Kept LAZY deliberately (measured, round 14): single-action
+    // consumers that reference this subtree 2-3x (triangle counts,
+    // link prediction, assortativity) already deduplicate the repeated
+    // build at runtime via exchange reuse, so an eager checkpoint here
+    // only added a ~0.15 s materialization job per query (bench showed
+    // every single-plan consumer regressing by one job latency).
+    // LOOP-driven consumers, where each action re-derives the build
+    // and exchange reuse cannot help (CC fixpoint, BFS supersteps,
+    // community_modularity's comm+edges split), materialize it at
+    // their call sites instead.
     base.as("x").join(broadcast(base.as("y")),
         col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
@@ -33,6 +43,16 @@ object GraphQueries {
       .filter(col("nn_rank") <= 3)
       .select(col("src"), col("dst"))
   }
+
+  /** Canonical undirected (a < b, deduped) edge set over [[knnEdges]] —
+    * the substrate most graph queries start from; exposed so a query
+    * needing BOTH the communities and the raw edges builds the kNN
+    * graph once instead of twice. */
+  private[queries] def undirectedKnn(s: SparkSession, d: String): DataFrame =
+    knnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
 
   val knnEdgesSql: String =
     s"""base AS (SELECT vec_id, embedding FROM embeddings
@@ -47,11 +67,14 @@ object GraphQueries {
   /** Synchronous min-label propagation over the undirected kNN graph
     * (2 supersteps) — shared by label_propagation_communities (emits it)
     * and community_modularity (scores it). */
-  def lpCommunities(s: SparkSession, d: String): DataFrame = {
-    val und = knnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+  def lpCommunities(s: SparkSession, d: String): DataFrame =
+    lpCommunitiesOver(s, d, undirectedKnn(s, d))
+
+  /** [[lpCommunities]] over a caller-supplied undirected edge set, so
+    * community_modularity (which also needs the edges for e_in/deg)
+    * materializes the kNN build once, not twice. */
+  private[queries] def lpCommunitiesOver(s: SparkSession, d: String,
+      und: DataFrame): DataFrame = {
     val adj = und.unionByName(
       und.select(col("b").as("a"), col("a").as("b")))
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 300)
@@ -414,8 +437,14 @@ object GraphQueries {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
+        // materialized once: every superstep is its own action (the
+        // per-round localCheckpoint below), so without this the kNN
+        // build re-ran once per round x two adjacency references —
+        // exchange reuse never applies across actions (measured
+        // 1.57 s -> 1.03 s at sf0.1/local[32])
         val und = und0.unionByName(
-          und0.select(col("b").as("a"), col("a").as("b")))
+            und0.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint(true)
         var dist = Tables.embeddings(s, d).filter(col("vec_id") < 300)
           .select(col("vec_id"),
             when(pmod(col("vec_id"), lit(40)) === 0, 0L).as("hop"))
@@ -475,7 +504,11 @@ object GraphQueries {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
+        // materialized once: the recursive CTE references the view on
+        // every UnionLoop iteration, and each iteration would re-derive
+        // the whole kNN build (measured 2.00 s -> 1.14 s)
         und0.unionByName(und0.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint(true)
           .createOrReplaceTempView("graft_bfs_und")
         Tables.embeddings(s, d).filter(col("vec_id") < 300)
           .select(col("vec_id")).createOrReplaceTempView("graft_bfs_nodes")

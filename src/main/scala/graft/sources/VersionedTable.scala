@@ -3614,26 +3614,61 @@ object VersionedTable {
     * table. */
   def changeFeed(s: SparkSession, root: String, vFrom: Int,
       vTo: Int, idCol: Option[String] = None): DataFrame = {
-    val (added, removed) = diff(s, root, vFrom, vTo)
-    idCol match {
+    // ONE-PASS signed-multiset diff.  The previous form computed
+    // toSide.exceptAll(fromSide) AND fromSide.exceptAll(toSide) — two
+    // full-width shuffles over the same pair of reads, with each
+    // side's scan inlined into both — and the update pairing then
+    // consumed both results twice more (intersect + two joins; the
+    // unoptimized cdf_changes_between plan carried 32 exchanges / 48
+    // scans for a three-commit window).  The fused form unions the
+    // sides ONCE with a +1/-1 marker and takes the signed count per
+    // row value: delta = #to − #from, so delta > 0 emits that many
+    // 'insert'-side rows and delta < 0 that many 'delete'-side rows —
+    // exactly exceptAll's max(count difference, 0) on each side — in
+    // ONE exchange, with each side scanned once.  The pre/post-image
+    // pairing becomes a min/max window over the table key on the
+    // commit-sized diff instead of intersect + joins.  Identical rows
+    // out (the CDF oracles and GraftTableSourceSpec pin it); only the
+    // exchange and scan counts drop.
+    val (toSide, fromSide, isEmpty) = diffSides(s, root, vFrom, vTo)
+    if (isEmpty)
+      return toSide.withColumn("_change_type", lit("insert"))
+    val dataCols = toSide.columns.toSeq
+    val delta = toSide.withColumn("_graft_side", lit(1L))
+      .unionByName(fromSide.withColumn("_graft_side", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_graft_side")).as("_graft_delta"))
+      .filter(col("_graft_delta") =!= 0L)
+    val diffRows = delta
+      .withColumn("_graft_i",
+        explode(sequence(lit(1L), abs(col("_graft_delta")))))
+      .withColumn("_graft_side",
+        when(col("_graft_delta") > 0, 1).otherwise(-1))
+      .drop("_graft_delta", "_graft_i")
+    val tagged = idCol match {
       case None =>
-        added.withColumn("_change_type", lit("insert"))
-          .unionByName(removed.withColumn("_change_type", lit("delete")))
+        diffRows.withColumn("_change_type",
+          when(col("_graft_side") > 0, "insert").otherwise("delete"))
       case Some(id) =>
-        // keys on both sides = updates; distinct-project each side then
-        // inner-join — all commit-sized, and broadcast-eligible under
-        // AQE since a commit's key set is small relative to executors
-        val updKeys = added.select(col(id))
-          .intersect(removed.select(col(id)))
-          .withColumn("__graft_upd", lit(true))
-        def tag(side: DataFrame, hit: String, miss: String): DataFrame =
-          side.join(updKeys, Seq(id), "left")
-            .withColumn("_change_type",
-              when(col("__graft_upd"), hit).otherwise(miss))
-            .drop("__graft_upd")
-        tag(added, "update_postimage", "insert")
-          .unionByName(tag(removed, "update_preimage", "delete"))
+        // a key with rows on both sides of the diff is an update; the
+        // isNotNull guard keeps the legacy join semantics where a NULL
+        // key never pairs (idCol is the table key, so this is the
+        // degenerate-input corner only)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id))
+        diffRows
+          .withColumn("_graft_lo", min(col("_graft_side")).over(w))
+          .withColumn("_graft_hi", max(col("_graft_side")).over(w))
+          .withColumn("_change_type",
+            when(col(id).isNotNull &&
+                col("_graft_lo") < col("_graft_hi"),
+              when(col("_graft_side") > 0, "update_postimage")
+                .otherwise("update_preimage"))
+              .otherwise(when(col("_graft_side") > 0, "insert")
+                .otherwise("delete")))
+          .drop("_graft_lo", "_graft_hi")
     }
+    tagged.drop("_graft_side")
   }
 
   /** CHANGES BETWEEN two versions as PER-COMMIT feeds: every version
@@ -3765,6 +3800,19 @@ object VersionedTable {
     * changed docs) affordable at 100 TB. */
   def diff(s: SparkSession, root: String, vFrom: Int, vTo: Int)
       : (DataFrame, DataFrame) = {
+    val (toSide, fromSide, isEmpty) = diffSides(s, root, vFrom, vTo)
+    if (isEmpty) (toSide, fromSide)
+    else (toSide.exceptAll(fromSide), fromSide.exceptAll(toSide))
+  }
+
+  /** The aligned per-side reads every diff consumer starts from: the
+    * files only in `vTo` / only in `vFrom` (DV-masked, schema-aligned,
+    * conformed to the logical surface), plus the no-difference flag.
+    * Factored out of [[diff]] so [[changeFeed]] can fuse the two
+    * multiset differences into one pass instead of paying
+    * exceptAll twice over the same union. */
+  private def diffSides(s: SparkSession, root: String, vFrom: Int,
+      vTo: Int): (DataFrame, DataFrame, Boolean) = {
     val from = snapshot(s, root, vFrom)
     val to = snapshot(s, root, vTo)
     // file identity includes the DV pointer: a merge-on-read delete
@@ -3780,7 +3828,7 @@ object VersionedTable {
     val onlyTo = to.files.filterNot(f => fromIds(ident(f)))
     if (onlyFrom.isEmpty && onlyTo.isEmpty) {
       val e = emptyLike(s, root, math.max(vFrom, vTo), to)
-      return (e, e)
+      return (e, e, true)
     }
     // one merged schema over the differing files, applied to BOTH
     // sides: across a schema-evolution boundary the sides would
@@ -3818,7 +3866,7 @@ object VersionedTable {
         s.read.schema(schema).parquet(entries.map(_.path): _*), entries))
     val fromSide = readAligned(onlyFrom)
     val toSide = readAligned(onlyTo)
-    (toSide.exceptAll(fromSide), fromSide.exceptAll(toSide))
+    (toSide, fromSide, false)
   }
 
   /** Remove data files referenced by NO manifest with version >=
