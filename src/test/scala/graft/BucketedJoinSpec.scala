@@ -10,14 +10,16 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed-table join plans zero exchanges and zero sorts " +
     "with broadcast disabled") {
-    // materialize the bucketed tables (idempotent overwrite)
+    // materialize the bucketed tables (built once per app+dataset;
+    // names carry the dataset tag — see bucketed_colocated_join)
     SparkEntry.registry.find(_.name == "bucketed_colocated_join").get
       .fn(spark, sfDir).queryExecution.toRdd.count()
+    val tag = Scratch.tag(sfDir)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("graft_li_by_orderkey")
-        .join(spark.table("graft_ord_by_orderkey"),
+      val joined = spark.table(s"graft_li_by_orderkey_$tag")
+        .join(spark.table(s"graft_ord_by_orderkey_$tag"),
           col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.sparkPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
