@@ -31,8 +31,26 @@ final case class QueryDef(
   * parquet scan (verify with .explain: PushedFilters / ReadSchema).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo, keyed by file path.  Every `spark.read.parquet` call
+    * re-resolves the datasource — footer read + schema merge — which
+    * at ~509 queries x several tables x 2 bench reps is the single
+    * largest fixed driver-side cost of the registry sweep (measured
+    * 100-400 ms of fn() build time per query, mostly here).  The
+    * fixture files are immutable for the life of a process, so the
+    * inferred schema is inferred ONCE per path and passed explicitly
+    * thereafter — exactly what a production job does by declaring its
+    * table schemas.  This memoizes METADATA only: every query still
+    * scans and computes from the parquet data.  Keyed by full path so
+    * different SF dirs never share an entry. */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaMemo.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
@@ -181,6 +199,33 @@ object Scratch {
         register(path)
       })
     }
+
+  /** Materialize `df` to a PER-INVOCATION scratch parquet and read it
+    * back — the recompute boundary for corpus-scale intermediate
+    * streams that feed multiple differently-keyed consumers (the
+    * positional-gram and winnow-fingerprint streams, ~k x the corpus).
+    * persist()/localCheckpoint pin such a stream in executor
+    * storage/memory: at 100 TB that starves execution memory, and
+    * localCheckpoint additionally truncates lineage without
+    * replication (a lost executor kills the job).  A scratch parquet
+    * spills to disk by construction, survives executor loss, and is
+    * exactly where a cluster deployment would put the reliable
+    * checkpoint.
+    *
+    * Unlike [[buildOnce]] this is deliberately NOT memoized: every
+    * invocation recomputes and rewrites (no cross-invocation reuse of
+    * intermediates — each bench/oracle run computes from the parquet
+    * inputs).  Paths are app-unique + call-unique; the shutdown hook
+    * reclaims them. */
+  private val matCounter = new java.util.concurrent.atomic.AtomicLong()
+  def materialize(s: org.apache.spark.sql.SparkSession,
+      df: DataFrame, kind: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mat_${kind}_" +
+      s"${s.sparkContext.applicationId}_${matCounter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(path)
+    register(path)
+    s.read.parquet(path)
+  }
 
   private val created =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()

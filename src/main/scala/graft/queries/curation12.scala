@@ -25,17 +25,27 @@ object Curation12Queries {
         // scan + winnow kernel + explode) and feeds three consumers
         // (bucket census, the capped index, per-doc sizes) — the
         // unoptimized plan re-derived it into 24 parquet scans.
-        // Materialize it once; `capped` likewise feeds the pair
-        // self-join twice plus the size table.  Same rows, one pass.
-        val fps = c.select(col("doc_id"),
-          explode(graft.functions.WinnowKernel.winnowFps(col("text")))
-            .as("fp"))
-          .localCheckpoint(true)
+        // Materialize it once — through a per-invocation SCRATCH
+        // PARQUET (Scratch.materialize), not localCheckpoint: the
+        // stream is corpus x fingerprints sized, and pinning it in
+        // executor storage is the 100 TB anti-pattern (memory
+        // starvation + unreplicated truncated lineage); `capped`
+        // likewise feeds the pair self-join twice plus the size
+        // table.  Same rows, one pass each, reclaimed on shutdown.
+        val fps = graft.Scratch.materialize(s,
+          c.select(col("doc_id"),
+            explode(graft.functions.WinnowKernel.winnowFps(col("text")))
+              .as("fp")), "winfps")
         val ok = fps.groupBy(col("fp"))
           .agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= MaxBucket)
           .select(col("fp"))
-        val capped = fps.join(ok, Seq("fp")).localCheckpoint(true)
+        // `capped` is NOT separately materialized: its three consumers
+        // re-derive it from the materialized fps parquet (cheap
+        // re-scans; the x/y self-join sides are identical subtrees and
+        // share one exchange at runtime) — a second write job measured
+        // slower than the re-scans at every scale tried.
+        val capped = fps.join(ok, Seq("fp"))
         val sizes = capped.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("nf"))
         capped.as("x").join(capped.as("y"),

@@ -204,24 +204,20 @@ object Curation47Queries {
         // rebuilding it on every invocation made the bench measure the
         // two table writes instead of the co-located join (measured
         // 2.2 s -> the join alone after the first build).  Table names
-        // carry the dataset tag so two datasets in one app never
-        // collide.
-        val tag = graft.Scratch.tag(d)
+        // carry the APPLICATION tag plus the dataset tag (matching the
+        // app-unique-path guarantee core.scala documents for
+        // buildOnce): a concurrent second JVM on the same dataset
+        // gets its own tables and can never delete-and-rewrite a
+        // directory this app's memoized buildOnce still reads.  The
+        // table DATA lands under the buildOnce scratch path (EXTERNAL
+        // bucketed tables — the bucket spec lives in catalog metadata
+        // either way), so the registered shutdown hook reclaims it;
+        // nothing accumulates in the session warehouse across runs.
+        val appTag = graft.Scratch.tag(s.sparkContext.applicationId)
+        val tag = s"${appTag}_${graft.Scratch.tag(d)}"
         val liT = s"graft_li_by_orderkey_$tag"
         val ordT = s"graft_ord_by_orderkey_$tag"
-        graft.Scratch.buildOnce(s, d, "bucketjoin") { _ =>
-          // Managed-table hygiene: a warehouse dir left by a PREVIOUS
-          // session (fresh in-memory catalog, stale location) blocks
-          // saveAsTable even in overwrite mode — drop both halves.
-          def reset(name: String): Unit = {
-            s.sql(s"DROP TABLE IF EXISTS $name")
-            val wh = new org.apache.hadoop.fs.Path(
-              s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-            val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-            if (fs.exists(wh)) fs.delete(wh, true)
-          }
-          reset(liT)
-          reset(ordT)
+        graft.Scratch.buildOnce(s, d, "bucketjoin") { p =>
           // Write both join sides bucketed (+ sorted) by the join key;
           // the bucketed scans then report HashPartitioning(orderkey,
           // 8), so the SortMergeJoin needs NO exchange and no per-task
@@ -234,11 +230,13 @@ object Curation47Queries {
             .select(col("l_orderkey"), col("l_extendedprice"),
               col("l_discount"))
             .write.mode("overwrite").format("parquet")
+            .option("path", s"$p/li")
             .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable(liT)
           Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_orderpriority"))
             .write.mode("overwrite").format("parquet")
+            .option("path", s"$p/ord")
             .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
             .saveAsTable(ordT)
         }

@@ -39,20 +39,21 @@ object Curation48Queries {
               expr("array_join(slice(split(text, ' '), 4, 40), ' ')")
                 .as("text")))
         // the gram stream feeds two consumers (the dup census and the
-        // probe side of the survivor join); persist stops the corpus
-        // tokenize+gram-build pass — the dominant scan-side cost —
-        // from running twice (the dupOccurrences shape from
-        // curation60, same 100 TB note: swap for a scratch parquet
-        // materialization when caching a gram stream ~k x the corpus
-        // is worse than recompute)
-        val grams = corpus
+        // probe side of the survivor join); materializing it stops
+        // the corpus tokenize+gram-build pass — the dominant
+        // scan-side cost — from running twice (the dupOccurrences
+        // shape from curation60).  Through a per-invocation SCRATCH
+        // PARQUET, not persist(): the stream is ~k x the corpus, and
+        // caching that in executor storage starves execution memory
+        // at 100 TB — the parquet boundary spills to disk by
+        // construction and survives executor loss.
+        val grams = graft.Scratch.materialize(s, corpus
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= k)
           .select(col("doc_id"), posexplode(expr(
             s"transform(sequence(0, size(toks) - $k), " +
               s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
-            .as(Seq("pos", "gram")))
-          .persist()
+            .as(Seq("pos", "gram"))), "xsubgrams")
         // shuffle #1 (the only data-sized one): gram -> distinct-doc
         // count.  At 100 TB this is the canonical shuffle-the-shingles
         // MapReduce form of ExactSubstr; gram strings could carry a

@@ -198,7 +198,11 @@ object Curation59Queries {
         // per-doc score table feeds both the per-source mean and the
         // gate join; materialize once so the whole train+score bigram
         // pipeline doesn't re-run per reference (doc-cardinality
-        // frame, bounded)
+        // frame, NARROW — (doc_id, source, avg_p_e6), not the corpus
+        // text).  Re-measured r15 at sf0.1/local[32]: WITH checkpoint
+        // 0.94-0.96 s, without 1.00-1.06 s, scratch-parquet swap
+        // 1.62-1.83 s — the eager checkpoint is the fastest form and
+        // the frame is rows-not-text sized, so it stays.
         val scores = heldoutScores(s, d).localCheckpoint(true)
         val perSource = scores.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

@@ -60,14 +60,15 @@ object Curation60Queries {
   /** occurrences of grams that appear more than once corpus-wide */
   private def dupOccurrences(s: SparkSession, d: String): DataFrame = {
     // The gram stream feeds two consumers (the count aggregate and
-    // the probe side of the survivor join); persist stops the corpus
-    // tokenize+md5 pass — the dominant scan-side cost — from running
-    // twice (same two-consumer shape dedup.scala persists for its
-    // shingle tables; the caller releases via the QueryDef clearCache
-    // contract).  At 100 TB, where caching a gram stream ~10x the
-    // corpus is worse than recompute, swap the persist for a scratch
-    // parquet materialization of `occ` — the plan is unchanged.
-    val occ = gramOccurrences(s, d).persist()
+    // the probe side of the survivor join); materializing stops the
+    // corpus tokenize+md5 pass — the dominant scan-side cost — from
+    // running twice.  Through a per-invocation SCRATCH PARQUET
+    // (Scratch.materialize), not persist(): the stream is ~k x the
+    // corpus, and caching that in executor storage starves execution
+    // memory at 100 TB — the parquet boundary spills to disk by
+    // construction and survives executor loss; the plan above it is
+    // unchanged.
+    val occ = graft.Scratch.materialize(s, gramOccurrences(s, d), "dupocc")
     // count per hash (map-side partials; fixed-width key), keep h>1,
     // then equi-join the occurrence stream back on the same key — at
     // sf the count side broadcasts via AQE, at corpus scale both

@@ -36,14 +36,18 @@ object Curation8Queries {
             explode(split(col("text"), " ")).as("tok"))
           .withColumn("bkt",
             expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $Buckets"))
-          .persist()
+          .transform(df => graft.Scratch.materialize(s, df, "dsirtoks"))
         // One pass computes BOTH per-bucket counts (conditional count =
         // the old left-join + coalesce(ct, 0)), and the corpus totals
-        // fold from the bucket table itself; the persist then drops the
-        // remaining duplicate evaluation (counts + scoring join) of the
-        // expensive tokenize+md5 subtree to exactly one — the
-        // two-consumer persist shape of the dedup shingle tables
-        // (caller releases via the QueryDef clearCache contract).
+        // fold from the bucket table itself; the materialization drops
+        // the remaining duplicate evaluation (counts + scoring join) of
+        // the expensive tokenize+md5 subtree to exactly one.  Through a
+        // per-invocation SCRATCH PARQUET rather than the r14 persist():
+        // the token stream is corpus-token-sized, the worst thing to
+        // pin in executor storage at 100 TB; re-measured r15 at
+        // sf0.1/local[32] the swap is flat (persist 0.81-1.09 s,
+        // scratch parquet 0.86-0.99 s, no-materialization 0.90-0.92 s)
+        // while keeping the single tokenize pass at scale.
         // Values are identical.
         val cnt = toks.groupBy(col("bkt")).agg(
           count(lit(1)).as("cs"),

@@ -559,12 +559,13 @@ object DedupQueries {
       "dedup_recall_eval",
       (s, d) => {
         // the prediction table feeds both the truth join and the
-        // n_pred census; without materialization the WHOLE LSH
-        // pipeline (bands, bucket cap, verify) re-ran once per
-        // reference.  The pair list is bounded by true-duplicate mass,
-        // so the eager checkpoint is commit-sized, never corpus-sized.
+        // n_pred census — but BOTH consumers sit in ONE action, and
+        // runtime exchange reuse already deduplicates the shared LSH
+        // subtree, so the r14 eager localCheckpoint only added a
+        // materialization job: re-measured r15 at sf0.1/local[32],
+        // WITH checkpoint 1.52-1.54 s vs WITHOUT 1.27-1.29 s (driver's
+        // r13->r14 bench agreed: 1.15 -> 1.30).  Reverted.
         val pred = minhashPairs(s, d).select(col("a"), col("b"))
-          .localCheckpoint(true)
         // Seeded canaries by construction: withDups derives every
         // injected copy from base doc_id by +1e6/+2e6 shifts, so
         // same-origin (doc_id mod 1e6) pairs are known-true duplicates

@@ -11,10 +11,12 @@ class BucketedJoinSpec extends SparkSpec {
   test("bucketed-table join plans zero exchanges and zero sorts " +
     "with broadcast disabled") {
     // materialize the bucketed tables (built once per app+dataset;
-    // names carry the dataset tag — see bucketed_colocated_join)
+    // names carry the app tag + dataset tag — see
+    // bucketed_colocated_join)
     SparkEntry.registry.find(_.name == "bucketed_colocated_join").get
       .fn(spark, sfDir).queryExecution.toRdd.count()
-    val tag = Scratch.tag(sfDir)
+    val tag =
+      s"${Scratch.tag(spark.sparkContext.applicationId)}_${Scratch.tag(sfDir)}"
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

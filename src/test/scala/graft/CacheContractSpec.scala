@@ -26,19 +26,26 @@ class CacheContractSpec extends SparkSpec {
   // every registry query whose fn persists (grep persist( over
   // queries/): the minhash signature table, the simhash/ngram shingle
   // tables, the jaccard-estimate verify, the MMR candidate unroll, the
-  // iterative CC labels (shared by dedup_clusters/dedup_keep_best),
-  // and the exact-substring gram stream
+  // iterative CC labels (shared by dedup_clusters/dedup_keep_best).
+  // Round 15: exact_substring_spans and dsir_importance_proxy moved
+  // their corpus-scale streams to per-invocation scratch parquet
+  // (Scratch.materialize) and persist nothing anymore — the registry
+  // holds NO corpus-sized persist/localCheckpoint; what remains is
+  // bounded (shingle/signature/beam/label frames).
   private val persistingQueries = Seq(
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "minhash_jaccard_estimate", "dedup_clusters", "dedup_keep_best",
-    "mmr_rerank_top3", "ann_graph_hier_topk", "ann_index_insert",
-    "exact_substring_spans", "dsir_importance_proxy")
+    "mmr_rerank_top3", "ann_graph_hier_topk", "ann_index_insert")
 
-  // checkpoint residue allowance: every localCheckpointed frame in the
-  // registry is a bounded substrate (edge lists, beams, label frames,
-  // shingle tables at spec scale) — far below this line.  A query that
-  // trips it is caching something corpus-sized and must be fixed.
-  private val residueBudgetBytes = 256L << 20
+  // PER-QUERY checkpoint-residue allowance (tightened round 15, was a
+  // cumulative 256 MiB): every localCheckpointed frame in the registry
+  // is a bounded substrate (edge lists, beams, label frames, shingle
+  // tables at spec scale) — far below this line.  A query that trips
+  // it is caching something corpus-sized and must be fixed.  Asserted
+  // on the per-query DELTA (storage added by this query and not freed
+  // by clearCache), so residue from earlier suites/queries in the
+  // shared session cannot mis-attribute a leak.
+  private val residueBudgetBytes = 64L << 20
 
   private def storedBytes: Long =
     spark.sparkContext.getRDDStorageInfo
@@ -49,15 +56,17 @@ class CacheContractSpec extends SparkSpec {
     persistingQueries.foreach { name =>
       val q = SparkEntry.registry.find(_.name == name)
         .getOrElse(fail(s"$name not in registry"))
+      val before = storedBytes
       q.fn(spark, sfDir).queryExecution.toRdd.count()
       val live = spark.sparkContext.getPersistentRDDs.size
       assert(live > 0, s"$name no longer persists anything — remove it " +
         "from persistingQueries so the contract list stays exact")
       spark.catalog.clearCache()
-      val residue = storedBytes
+      val residue = math.max(0L, storedBytes - before)
       assert(residue < residueBudgetBytes,
-        s"$name left ${residue >> 20} MiB of storage after clearCache — " +
-          "checkpoint residue must stay bounded (see scaladoc)")
+        s"$name added ${residue >> 20} MiB of storage surviving " +
+          "clearCache — checkpoint residue must stay bounded (see " +
+          "scaladoc)")
     }
   }
 
