@@ -220,20 +220,58 @@ object Curation4Queries {
         // first |x| - ceil(0.7|x|) + 1 tokens of that order (Bayardo/
         // Chaudhuri prefix filter) — candidate generation joins ONLY on
         // prefix tokens, never the full quadratic token join.
-        val ranked = sets.join(broadcast(dfreq), "tok")
+        //
+        // Each distinct token gets a dense integer id = its rank in
+        // exactly that (df, tok) order (ScalableIndex: range partition
+        // + offsets, no single-partition window over the vocabulary).
+        // The id is a bijection, so every downstream count — per-doc
+        // rank, prefix membership, |intersection| — is unchanged; what
+        // changes is the physical work: the exact-verify stage
+        // intersects small INT arrays instead of string arrays
+        // (measured 2.5 s -> see OPTIMIZATION_r15.md; the fixture's
+        // vocabulary is small so the prefix filter prunes little and
+        // the verify dominates), and the candidate join shuffles ints.
+        val tokIds = graft.operators.ScalableIndex.withDenseIndex(
+          dfreq, Seq(col("df"), col("tok")), 8, "tid")
+          .select(col("tok"), col("tid"))
+        val ids = sets.join(broadcast(tokIds), "tok")
+          .select(col("doc_id"), col("tid"))
+        val ranked = ids
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+            Window.partitionBy(col("doc_id")).orderBy(col("tid"))))
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
           .withColumn("plen", expr("n - ((7*n + 9) div 10) + 1"))
         val prefix = ranked.filter(col("rn") <= col("plen"))
-          .select(col("tok"), col("doc_id"))
+          .select(col("tid"), col("doc_id"), col("rn"), col("n"))
+        // PPJoin positional filter (Xiao et al.): a match at per-doc
+        // ranks (rn_x, rn_y) bounds the overlap by 1 + min(nx - rn_x,
+        // ny - rn_y) (all shared tokens of the pair's FIRST shared
+        // token onward lie in those suffixes), while J >= 0.7 needs
+        // 17*o >= 7*(nx + ny).  Matches failing the bound generate no
+        // candidate; LOSSLESS because a qualifying pair's first shared
+        // token always passes (o <= 1 + min of its suffixes by
+        // definition of "first").  Prunes the pair stream BEFORE the
+        // distinct and the verify join ever see it.
         val cand = prefix.as("x").join(prefix.as("y"),
-            col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+            col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id") &&
+              (lit(1L) + least(col("x.n") - col("x.rn"),
+                col("y.n") - col("y.rn"))) * 17 >=
+                (col("x.n") + col("y.n")) * 7)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        val toksets = sets.groupBy(col("doc_id"))
-          .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("n"))
+        val toksets = ids.groupBy(col("doc_id"))
+          .agg(collect_set(col("tid")).as("toks"), count(lit(1)).as("n"))
+        // Lossless length filter before the array verify: J(a,b) >= 0.7
+        // forces 10*min(na,nb) >= 7*max(na,nb) (inter <= min, uni >=
+        // max), so size-discordant candidates drop while carrying only
+        // (doc_id, n) — the arrays attach after.
+        val sizes = toksets.select(col("doc_id"), col("n"))
         cand
+          .join(broadcast(sizes).as("sa"), col("a") === col("sa.doc_id"))
+          .join(broadcast(sizes).as("sb"), col("b") === col("sb.doc_id"))
+          .filter(least(col("sa.n"), col("sb.n")) * 10 >=
+            greatest(col("sa.n"), col("sb.n")) * 7)
+          .select(col("a"), col("b"))
           .join(toksets.as("ta"), col("a") === col("ta.doc_id"))
           .join(toksets.as("tb"), col("b") === col("tb.doc_id"))
           .withColumn("inter",

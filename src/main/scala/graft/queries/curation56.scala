@@ -140,7 +140,15 @@ object Curation56Queries {
     * tie-break and scoring can never drift between them. */
   private def topBOver(q: DataFrame, e: DataFrame)(
       cands: DataFrame, b: Int): DataFrame = cands
-    .distinct()
+    // dedup rides the SAME qid exchange the rank window needs:
+    // groupBy(qid)+collect_set(cid)+explode produces exactly
+    // distinct()'s rows (the candidate set per query is bounded by
+    // beam*(degree+1), so the set state is constant-sized) but leaves
+    // the stream hash-partitioned by qid, which the broadcast joins
+    // preserve and the window then consumes with NO second exchange —
+    // one shuffle per beam round instead of two (5 rounds per search).
+    .groupBy(col("qid")).agg(collect_set(col("cid")).as("cids"))
+    .select(col("qid"), explode(col("cids")).as("cid"))
     .join(e, "cid").join(broadcast(q), "qid")
     .filter(col("qid") =!= col("cid"))
     .select(col("qid"), col("cid"),
@@ -157,23 +165,24 @@ object Curation56Queries {
       und: DataFrame, entries: DataFrame, finalK: Int,
       beamWidth: Int = Beam): DataFrame = {
     val topB = topBOver(q, e) _
-    // Kept as the plain inlined unroll DELIBERATELY (measured, round
-    // 14): round r references round r-1 twice, so the plan holds
-    // ~2^Rounds copies of the entry subtree — but the whole search is
-    // ONE action, and runtime exchange reuse deduplicates the repeated
-    // subtrees, so the recompute the unroll appears to imply never
-    // executes.  Both alternatives measured slower at sf0.1/local[32]:
-    // an eager localCheckpoint per round added 4 materialization jobs
-    // (+0.8 s on ann_graph_topk), and persist() per round paid
-    // CacheManager canonicalized-plan matching over the exponential
-    // tree on every reference (+3 s).  At cluster scale the bounded
-    // beam state is where a deployment would checkpoint; here the
-    // unroll is strictly faster.
+    // Kept as an inlined unroll (one action; materialization per round
+    // measured slower in r14: eager localCheckpoint +0.8 s, persist()
+    // +3 s of CacheManager canonicalization) — but unlike the r14
+    // form, each round now references its predecessor ONCE: the old
+    // `beam.join(und) union beam` held TWO copies of the prior round,
+    // so the logical tree grew 2^Rounds copies of the entry subtree
+    // (runtime exchange reuse deduplicated the execution, but Catalyst
+    // still analyzed/optimized the exponential tree — the measured
+    // driver-side cost).  The left join + explode(array(cid, dst))
+    // emits the self row AND every neighbor from a single reference,
+    // so the tree is LINEAR in Rounds; the candidate SET per query is
+    // unchanged (dedup in topBOver), hence identical results.
     var beam = topB(entries, beamWidth).select(col("qid"), col("cid"))
     for (_ <- 1 to Rounds) {
-      val expand = beam.join(und, beam("cid") === und("src"))
-        .select(col("qid"), col("dst").as("cid"))
-        .unionByName(beam)
+      val expand = beam.join(und, col("cid") === col("src"), "left")
+        .select(col("qid"),
+          explode(array(col("cid"), col("dst"))).as("cid"))
+        .filter(col("cid").isNotNull)
       beam = topB(expand, beamWidth).select(col("qid"), col("cid"))
     }
     topB(beam, finalK)
