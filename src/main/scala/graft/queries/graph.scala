@@ -343,10 +343,18 @@ object GraphQueries {
           val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
             .unionByName(selfLoops)
           val mins = adj.groupBy(col("a")).agg(min(col("b")).as("m"))
+          // NO dedup here (r15): duplicates — (b, m) emitted once per
+          // smaller neighbor of b sharing the same neighborhood min,
+          // bounded by degree — pass through smallStar unchanged (its
+          // min-agg is duplicate-blind and its trailing distinct
+          // restores set form before the checksum), so the round's
+          // RESULT is identical while each round runs one exchange
+          // fewer (measured 0.55-0.62 -> 0.38-0.46 s/round at
+          // sf0.1/local[32]).
           adj.join(mins, "a")
             .filter(col("b") > col("a"))
             .select(col("b").as("a"), col("m").as("b"))
-            .filter(col("a") =!= col("b")).distinct()
+            .filter(col("a") =!= col("b"))
         }
         def smallStar(e: DataFrame): DataFrame = {
           val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))

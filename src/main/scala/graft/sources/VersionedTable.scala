@@ -3683,13 +3683,100 @@ object VersionedTable {
       endingVersion: Int, idCol: Option[String] = None): DataFrame = {
     require(startingVersion >= 1 && startingVersion <= endingVersion,
       s"bad CHANGES BETWEEN window [$startingVersion, $endingVersion]")
-    (startingVersion to endingVersion).map { v =>
-      val feed =
-        if (v == 1) read(s, root, Some(1))
+    // FUSED window feed (r15): the per-commit form unioned one full
+    // changeFeed PLAN per version — each with its own groupBy exchange
+    // and pairing window over tiny commit-sized diffs (the r14
+    // cdf_changes_between plan held 3 independent diff chains, ~11
+    // exchanges).  Because every commit's signed-multiset diff is
+    // computed over DISJOINT groups once `_commit_version` joins the
+    // grouping key, the whole window fuses into ONE union + ONE
+    // groupBy + ONE pairing window partitioned by (version, id) —
+    // per-commit semantics unchanged, identical rows out (the CDF
+    // oracles pin it).  Applies when every commit pair in the window
+    // reads the same logical schema; a window straddling a schema
+    // evolution falls back to the per-commit union with
+    // missing-column backfill.
+    val initial: Option[DataFrame] =
+      if (startingVersion > 1) None
+      else Some(read(s, root, Some(1))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1)))
+    val diffVs = math.max(2, startingVersion) to endingVersion
+    val sides = diffVs.map(v => (v, diffSides(s, root, v - 1, v)))
+    val nonEmpty = sides.collect { case (v, (to, from, false)) =>
+      (v, to, from) }
+    val schemas = nonEmpty
+      .flatMap(p => Seq(p._2.columns.toSeq, p._3.columns.toSeq)).distinct
+    val feed: Option[DataFrame] =
+      if (nonEmpty.isEmpty) None
+      else if (schemas.size == 1) Some(fusedFeed(nonEmpty, idCol))
+      else Some(nonEmpty.map { case (v, _, _) =>
+        changeFeed(s, root, v - 1, v, idCol)
+          .withColumn("_commit_version", lit(v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    (initial, feed) match {
+      case (Some(i), Some(f)) =>
+        i.unionByName(f, allowMissingColumns = true)
+      case (Some(i), None) => i
+      case (None, Some(f)) => f
+      case (None, None) =>
+        // every commit in the window was a no-op: an empty feed with
+        // the window's schema (the aligned empty frame diffSides built)
+        sides.head._2._1
           .withColumn("_change_type", lit("insert"))
-        else changeFeed(s, root, v - 1, v, idCol)
-      feed.withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("_commit_version", lit(diffVs.head))
+          .filter(lit(false))
+    }
+  }
+
+  /** One-pass signed-multiset diff over a WHOLE CDF window: exactly
+    * [[changeFeed]]'s algebra with `_commit_version` added to the
+    * grouping key and the pairing-window partition, so each commit's
+    * groups stay disjoint and the results are row-identical to the
+    * per-commit union — in one exchange instead of one per commit. */
+  private def fusedFeed(parts: Seq[(Int, DataFrame, DataFrame)],
+      idCol: Option[String]): DataFrame = {
+    val dataCols = parts.head._2.columns.toSeq
+    val tagged = parts.map { case (v, to, from) =>
+      to.withColumn("_graft_side", lit(1L))
+        .withColumn("_commit_version", lit(v))
+        .unionByName(from.withColumn("_graft_side", lit(-1L))
+          .withColumn("_commit_version", lit(v)))
+    }.reduce(_.unionByName(_))
+    val delta = tagged
+      .groupBy((dataCols :+ "_commit_version").map(col): _*)
+      .agg(sum(col("_graft_side")).as("_graft_delta"))
+      .filter(col("_graft_delta") =!= 0L)
+    val diffRows = delta
+      .withColumn("_graft_i",
+        explode(sequence(lit(1L), abs(col("_graft_delta")))))
+      .withColumn("_graft_side",
+        when(col("_graft_delta") > 0, 1).otherwise(-1))
+      .drop("_graft_delta", "_graft_i")
+    val taggedRows = idCol match {
+      case None =>
+        diffRows.withColumn("_change_type",
+          when(col("_graft_side") > 0, "insert").otherwise("delete"))
+      case Some(id) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_commit_version"), col(id))
+        diffRows
+          .withColumn("_graft_lo", min(col("_graft_side")).over(w))
+          .withColumn("_graft_hi", max(col("_graft_side")).over(w))
+          .withColumn("_change_type",
+            when(col(id).isNotNull &&
+                col("_graft_lo") < col("_graft_hi"),
+              when(col("_graft_side") > 0, "update_postimage")
+                .otherwise("update_preimage"))
+              .otherwise(when(col("_graft_side") > 0, "insert")
+                .otherwise("delete")))
+          .drop("_graft_lo", "_graft_hi")
+    }
+    // column order must match the per-commit form: data columns,
+    // then _change_type, then _commit_version
+    taggedRows.drop("_graft_side")
+      .select((dataCols :+ "_change_type" :+ "_commit_version")
+        .map(col): _*)
   }
 
   /** The DataFrameReader-shaped OPTION surface over the table — the
