@@ -33,12 +33,17 @@ object CurationQueries {
       zip_with(acc, slice(toks, lit(k + 1), win),
         (a, b) => concat(a, lit(" "), b))
     }
+    // per-doc dedup happens SCAN-SIDE (array_distinct over the row's
+    // own gram-hash array, then explode) — the r14 form exploded first
+    // and ran .distinct() on (doc_id, gh), a full shuffle of the train
+    // gram stream that this one-row-owns-its-grams layout never needed.
+    // Exactly the same (doc_id, gh) set; the train side of the
+    // contamination query now reaches its per-doc aggregate with NO
+    // gram-keyed exchange at all.
+    val hashes = transform(joined, g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(P)))
     docs.filter(cnt >= n)
-      .select(col("doc_id"), explode(joined).as("gram"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-          lit(P)).as("gh"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(hashes)).as("gh"))
   }
 
   /** Oracle CTE for [[ngramHashes]] over `documents`: gram hashes named

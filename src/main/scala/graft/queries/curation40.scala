@@ -138,15 +138,23 @@ object Curation40Queries {
             qd(col("x.embedding"), col("y.embedding")).as("d2"))
         val perCluster = pairs.groupBy(col("i"), col("li"), col("lj"))
           .agg(expr("sum(d2) div count(1)").as("mean_d2"))
-        val a = perCluster.filter(col("li") === col("lj"))
-          .select(col("i"), col("li"), col("mean_d2").as("a2"))
-        val b = perCluster.filter(col("li") =!= col("lj"))
-          .groupBy(col("i")).agg(min(col("mean_d2")).as("b2"))
+        // a2 (own-cluster mean: the UNIQUE lj = li row) and b2 (min
+        // other-cluster mean) fold into ONE conditional aggregate per
+        // point — the r14 form filtered perCluster into two frames and
+        // inner-joined them back on i (an extra exchange + join for
+        // rows that already live together).  The isNotNull filter
+        // reproduces the inner join's drop of singleton-cluster points
+        // (no a2) and single-cluster corpora (no b2) exactly.
+        val ab = perCluster.groupBy(col("i"))
+          .agg(max(col("li")).as("label"),
+            max(when(col("li") === col("lj"), col("mean_d2"))).as("a2"),
+            min(when(col("li") =!= col("lj"), col("mean_d2"))).as("b2"))
+          .filter(col("a2").isNotNull && col("b2").isNotNull)
         // s = (b-a)/max(a,b) in e3; numerator shifted by +max so the
         // integer division operand is non-negative (Spark div truncates
         // toward zero, DuckDB // floors — they agree only on >= 0).
-        val sv = a.join(b, Seq("i"))
-          .select(col("i"), col("li").as("label"),
+        val sv = ab
+          .select(col("i"), col("label"),
             expr("(1000 * (b2 - a2 + greatest(a2, b2, 1)))" +
               " div greatest(a2, b2, 1) - 1000").as("s_e3"))
         sv.groupBy(col("label"))

@@ -110,9 +110,13 @@ object Curation50Queries {
         Tables.documents(s, d)
           .select(col("source"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 4)
-          .select(col("source"), explode(expr(
+          // array_distinct BEFORE the explode: a gram repeated inside
+          // one document is one shuffle row, not many — collect_set
+          // output is identical (it dedups anyway); strictly fewer
+          // bytes into the one gram-keyed exchange (guide §2.3).
+          .select(col("source"), explode(array_distinct(expr(
             "transform(sequence(0, size(toks) - 4), " +
-              "i -> array_join(slice(toks, i + 1, 4), ' '))")).as("gram"))
+              "i -> array_join(slice(toks, i + 1, 4), ' '))"))).as("gram"))
           .groupBy(col("gram"))
           .agg(collect_set(col("source")).as("srcs"))
           .select(size(col("srcs")).cast("long").as("ns"),
