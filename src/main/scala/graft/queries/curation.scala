@@ -25,26 +25,21 @@ object CurationQueries {
     * Same slice/zip construction as DedupQueries.shingles — split() runs
     * once per row, never inside an interpreted HOF lambda — generalized
     * to n via a running concat over n shifted slices. */
-  private def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val cnt = size(toks)
-    val win = cnt - (n - 1)
-    val joined = (1 until n).foldLeft(slice(toks, lit(1), win)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), win),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    // per-doc dedup happens SCAN-SIDE (array_distinct over the row's
-    // own gram-hash array, then explode) — the r14 form exploded first
-    // and ran .distinct() on (doc_id, gh), a full shuffle of the train
-    // gram stream that this one-row-owns-its-grams layout never needed.
-    // Exactly the same (doc_id, gh) set; the train side of the
-    // contamination query now reaches its per-doc aggregate with NO
-    // gram-keyed exchange at all.
-    val hashes = transform(joined, g =>
-      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(P)))
-    docs.filter(cnt >= n)
-      .select(col("doc_id"), explode(array_distinct(hashes)).as("gh"))
-  }
+  private def ngramHashes(docs: DataFrame, n: Int): DataFrame =
+    // per-doc dedup happens SCAN-SIDE (the r14 form exploded first and
+    // ran .distinct() on (doc_id, gh), a full shuffle of the train
+    // gram stream that this one-row-owns-its-grams layout never
+    // needed), and since r15 through the native NGramHashSet kernel:
+    // one pass over the document bytes inside whole-stage codegen —
+    // the zip_with/concat gram build and the md5/conv/substring chain
+    // per gram ran in the interpreted HOF path and allocated a string
+    // per gram.  Exactly the same (doc_id, gh) set (GramKernelSpec
+    // pins parity, including the <n-token drop and empty-token
+    // handling); the train side of the contamination query reaches its
+    // per-doc aggregate with NO gram-keyed exchange at all.
+    docs.select(col("doc_id"),
+      explode(graft.functions.GramKernel.ngramHashSet(col("text"), n, P))
+        .as("gh"))
 
   /** Oracle CTE for [[ngramHashes]] over `documents`: gram hashes named
     * (doc_id, gh); the range(0,4096) token cap is pinned by

@@ -47,13 +47,14 @@ object Curation48Queries {
         // caching that in executor storage starves execution memory
         // at 100 TB — the parquet boundary spills to disk by
         // construction and survives executor loss.
+        // the gram build itself runs through the native PosGrams
+        // generator (one pass over the document bytes, 0-based
+        // positions matching posexplode; GramKernelSpec pins parity)
+        // instead of the interpreted transform/slice/array_join HOF
         val grams = graft.Scratch.materialize(s, corpus
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= k)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, size(toks) - $k), " +
-              s"i -> array_join(slice(toks, i + 1, $k), ' '))"))
-            .as(Seq("pos", "gram"))), "xsubgrams")
+          .select(col("doc_id"),
+            graft.functions.GramKernel.posGrams(col("text"), k)
+              .as(Seq("pos", "gram"))), "xsubgrams")
         // shuffle #1 (the only data-sized one): gram -> distinct-doc
         // count.  At 100 TB this is the canonical shuffle-the-shingles
         // MapReduce form of ExactSubstr; gram strings could carry a

@@ -108,15 +108,17 @@ object Curation50Queries {
         // frame — disappears; the explode back out is narrow and the
         // source rollup runs on a bounded key domain.
         Tables.documents(s, d)
-          .select(col("source"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 4)
-          // array_distinct BEFORE the explode: a gram repeated inside
+          // per-doc distinct BEFORE the explode: a gram repeated inside
           // one document is one shuffle row, not many — collect_set
           // output is identical (it dedups anyway); strictly fewer
-          // bytes into the one gram-keyed exchange (guide §2.3).
-          .select(col("source"), explode(array_distinct(expr(
-            "transform(sequence(0, size(toks) - 4), " +
-              "i -> array_join(slice(toks, i + 1, 4), ' '))"))).as("gram"))
+          // bytes into the one gram-keyed exchange (guide §2.3).  Since
+          // r15 through the native DistinctGrams kernel: one pass over
+          // the document bytes in whole-stage codegen instead of the
+          // interpreted transform/slice/array_join lambda per gram
+          // (GramKernelSpec pins string parity, incl. the <4-token drop).
+          .select(col("source"), explode(
+            graft.functions.GramKernel.distinctGrams(col("text"), 4))
+            .as("gram"))
           .groupBy(col("gram"))
           .agg(collect_set(col("source")).as("srcs"))
           .select(size(col("srcs")).cast("long").as("ns"),

@@ -41,21 +41,17 @@ object Curation60Queries {
 
   private val K = 8
 
-  /** (doc_id, source, pos, h) one row per k-gram occurrence; docs
-    * shorter than K tokens are filtered BEFORE sequence() (Spark's
-    * sequence(1,0) counts down — the curation55 footgun). */
+  /** (doc_id, source, pos, h) one row per k-gram occurrence, through
+    * the native [[graft.functions.GramKernel.posGramHashes60]]
+    * generator — one pass over the document bytes inside the scan
+    * stage, no interpreted HOF lambda, no per-gram string/slice
+    * allocation (GramKernelSpec pins byte parity with the declarative
+    * filter/sequence/slice/md5 form, including the <K-token drop). */
   private def gramOccurrences(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        expr("filter(split(text, ' '), w -> length(w) > 0)").as("toks"))
-      .where(size(col("toks")) >= K)
-      .select(col("doc_id"), col("source"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${K - 1}), " +
-          s"i -> struct(i as pos, " +
-          s"cast(conv(substring(md5(array_join(slice(toks, i, $K), ' ')), " +
-          s"1, 15), 16, 10) as bigint) as h))")).as("g"))
-      .select(col("doc_id"), col("source"),
-        col("g.pos").as("pos"), col("g.h").as("h"))
+        graft.functions.GramKernel.posGramHashes60(col("text"), K)
+          .as(Seq("pos", "h")))
 
   /** occurrences of grams that appear more than once corpus-wide */
   private def dupOccurrences(s: SparkSession, d: String): DataFrame = {

@@ -213,24 +213,21 @@ object Curation7Queries {
     QueryDef(
       "gopher_repetition_chars",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val n = size(toks)
-        val grams = Tables.documents(s, d).filter(n >= 2)
+        // Both signals are PER-DOCUMENT, so they are computed scan-side
+        // by the native BigramRepStats kernel (one pass over the
+        // document bytes, per-doc bigram census in a local hash map;
+        // GramKernelSpec pins parity incl. codepoint lengths): the old
+        // explode + two groupBys shuffled the entire bigram-string
+        // stream to aggregate values each row already owned.  Zero
+        // exchanges at any scale.
+        Tables.documents(s, d)
           .select(col("doc_id"),
             length(col("text")).cast("bigint").as("tlen"),
-            explode(zip_with(
-              slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-              (a, b) => concat(a, lit(" "), b))).as("g"))
-        grams.groupBy(col("doc_id"), col("tlen"), col("g"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"), col("tlen"))
-          .agg(
-            coalesce(sum(when(col("c") >= 2, col("c") * length(col("g")))),
-              lit(0L)).as("dup_chars"),
-            max(col("c") * length(col("g"))).as("top_chars"))
+            graft.functions.GramKernel.bigramRepStats(col("text")).as("r"))
+          .filter(col("r").isNotNull)
           .select(col("doc_id"),
-            expr("(dup_chars * 1000) div tlen").as("dup2_char_permille"),
-            expr("(top_chars * 1000) div tlen").as("top2_char_permille"))
+            expr("(r.dup_chars * 1000) div tlen").as("dup2_char_permille"),
+            expr("(r.top_chars * 1000) div tlen").as("top2_char_permille"))
       },
       Some("""WITH grams AS (
         |  SELECT doc_id, length(text)::BIGINT AS tlen,
@@ -254,7 +251,7 @@ object Curation7Queries {
         "bigrams, and inside the single most char-covering bigram — " +
         "complements text_repetition_ratio's distinct-share. Values can " +
         "exceed 1000 on overlapping grams (documented, matches both " +
-        "engines). Same slice/zip shingle shape as the dedup family: " +
-        "split() runs once per row, outside HOF lambdas."),
+        "engines). Per-doc signals computed scan-side by the native " +
+        "bigram census kernel — no gram stream leaves the scan stage."),
   )
 }

@@ -364,25 +364,36 @@ object DedupQueries {
         val probed = Corpus.withDups(s, d).filter(
           (pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") < 1000000L) ||
             (col("doc_id") >= 1000000L && col("doc_id") < 2000000L))
-        val sh = shingles(probed).persist()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        // Set form through the native kernels (r15): each probed doc's
+        // sorted distinct shingle-hash set is computed scan-side
+        // (ShingleHashes — same md5-mod-P grid as the declarative
+        // shingles(), MinHashKernelSpec pins parity), so the exploded
+        // (doc_id, sh) table, its distinct shuffle, the persist, the
+        // two joins ON sh, and the (a,b) re-aggregation all disappear:
+        // ninter is a linear merge of two sorted arrays
+        // (SortedIntersect) evaluated per pair inside codegen, and nsh
+        // is size(set).  filter(size > 0) reproduces the old inner
+        // joins' drop of <3-token docs (absent from sizes).  Same
+        // jaccard_e3 values: |A∩B| and |A|/|B| over the identical
+        // hashed shingle space.
+        import graft.functions.MinHashKernel.{shingleHashes, sortedIntersect}
+        val sets = probed
+          .select(col("doc_id"), shingleHashes(col("text")).as("shs"))
+          .filter(size(col("shs")) > 0)
         // the injected near-dup pairs: (id, id + 1_000_000)
         val pairs = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(50)) === 0)
           .select(col("doc_id").as("a"),
             (col("doc_id") + 1000000L).as("b"))
-        val inter = pairs
-          .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("b") === col("sb.doc_id") &&
-              col("sa.sh") === col("sb.sh"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
         pairs
-          .join(inter, Seq("a", "b"), "left")
-          .join(sizes.as("na"), col("a") === col("na.doc_id"))
-          .join(sizes.as("nb"), col("b") === col("nb.doc_id"))
+          .join(sets.as("na"), col("a") === col("na.doc_id"))
+          .join(sets.as("nb"), col("b") === col("nb.doc_id"))
           .select(col("a"), col("b"),
-            expr("(coalesce(ninter, 0) * 1000) div (na.nsh + nb.nsh - coalesce(ninter, 0))")
+            sortedIntersect(col("na.shs"), col("nb.shs")).as("ninter"),
+            size(col("na.shs")).cast("long").as("nsh_a"),
+            size(col("nb.shs")).cast("long").as("nsh_b"))
+          .select(col("a"), col("b"),
+            expr("(ninter * 1000) div (nsh_a + nsh_b - ninter)")
               .as("jaccard_e3"))
       },
       Some(s"""WITH $corpusSql,
@@ -488,11 +499,22 @@ object DedupQueries {
           (col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
             pmod(col("doc_id"), lit(50)) === 0) ||
           (col("doc_id") >= 2000000L && pmod(col("doc_id"), lit(25)) === 0)
-        val sh = shingles(Corpus.withDups(s, d).filter(pairMember)).persist()
-        val sigCols = count(lit(1)).as("nsh") +:
-          (0 until NumHashes).map(k => min(mh(k)).as(s"h$k"))
-        val sig = sh.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail: _*)
+        // Set form through the native kernels (r15): per-doc sorted
+        // shingle-hash sets and 16-slot signatures are computed
+        // scan-side (ShingleHashes/MinHashSig — same md5-mod-P grid and
+        // (a_k,b_k) mixes as the declarative shingles()/min(mh(k)),
+        // MinHashKernelSpec pins parity), so the exploded shingle
+        // table, its distinct shuffle, the persist, the signature
+        // re-aggregation, the two joins ON sh and the (a,b) re-agg all
+        // disappear: est counts matching signature slots, exact is a
+        // linear merge of the two sorted sets (SortedIntersect), both
+        // evaluated per pair inside codegen.  filter(size > 0)
+        // reproduces the old inner joins' drop of <3-token docs.
+        import graft.functions.MinHashKernel.{minhashSig, shingleHashes, sortedIntersect}
+        val sets = Corpus.withDups(s, d).filter(pairMember)
+          .select(col("doc_id"), shingleHashes(col("text")).as("shs"))
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), col("shs"), minhashSig(col("shs")).as("sig"))
         val pairs = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(50)) === 0)
           .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
@@ -500,24 +522,20 @@ object DedupQueries {
             .filter(pmod(col("doc_id"), lit(25)) === 0)
             .select(col("doc_id").as("a"), (col("doc_id") + 2000000L).as("b")))
         val matches = (0 until NumHashes)
-          .map(k => when(col(s"sa.h$k") === col(s"sb.h$k"), 1L).otherwise(0L))
+          .map(k => when(element_at(col("sa.sig"), k + 1) ===
+            element_at(col("sb.sig"), k + 1), 1L).otherwise(0L))
           .reduce(_ + _)
-        val withSig = pairs
-          .join(sig.as("sa"), col("a") === col("sa.doc_id"))
-          .join(sig.as("sb"), col("b") === col("sb.doc_id"))
-          .withColumn("nmatch", matches)
+        pairs
+          .join(sets.as("sa"), col("a") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("b") === col("sb.doc_id"))
           .select(col("a"), col("b"),
-            expr("sa.nsh").as("na"), expr("sb.nsh").as("nb"),
-            expr(s"(nmatch * 1000) div $NumHashes").as("est_e3"))
-        val inter = pairs
-          .join(sh.as("ia"), col("a") === col("ia.doc_id"))
-          .join(sh.as("ib"),
-            col("b") === col("ib.doc_id") && col("ia.sh") === col("ib.sh"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
-        withSig.join(inter, Seq("a", "b"), "left")
-          .select(col("a"), col("b"), col("est_e3"),
-            expr("(coalesce(ninter, 0L) * 1000) div " +
-              "(na + nb - coalesce(ninter, 0L))").as("exact_e3"))
+            matches.as("nmatch"),
+            sortedIntersect(col("sa.shs"), col("sb.shs")).as("ninter"),
+            size(col("sa.shs")).cast("long").as("na"),
+            size(col("sb.shs")).cast("long").as("nb"))
+          .select(col("a"), col("b"),
+            expr(s"(nmatch * 1000) div $NumHashes").as("est_e3"),
+            expr("(ninter * 1000) div (na + nb - ninter)").as("exact_e3"))
       },
       Some(s"""WITH $corpusSql,
         |$shinglesSql,

@@ -155,20 +155,20 @@ object TextQueries {
         // distinct vs total word 3-grams per doc: highly repetitive
         // (looping/boilerplate) text shows a low distinct share — the
         // standard "repeated n-gram" quality gate in pretraining
-        // pipelines. Shares the slice/zip shingle shape of the dedup
-        // family (split() runs once per row, outside HOF lambdas).
-        val toks = split(col("text"), " ")
-        val n = size(toks)
-        val t1 = slice(toks, lit(1), n - 2)
-        val t2 = slice(toks, lit(2), n - 2)
-        val t3 = slice(toks, lit(3), n - 2)
-        docs(s, d).filter(n >= 3)
+        // pipelines.  Both counts are PER-DOCUMENT, so they are
+        // computed scan-side by the native GramDistinctStats kernel
+        // (one pass over the document bytes; GramKernelSpec pins
+        // parity): the old explode + groupBy(doc_id) countDistinct
+        // shuffled the entire gram-string stream twice (distinct
+        // expand + final agg) to aggregate values each row already
+        // owned.  Zero exchanges at any scale.
+        docs(s, d)
           .select(col("doc_id"),
-            explode(zip_with(zip_with(t1, t2, (a, b) => concat(a, lit(" "), b)),
-              t3, (ab, cc) => concat(ab, lit(" "), cc))).as("g"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            countDistinct(col("g")).as("n_distinct"))
+            graft.functions.GramKernel.gramDistinctStats(col("text"), 3)
+              .as("r"))
+          .filter(col("r").isNotNull)
+          .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+            col("r.n_distinct").as("n_distinct"))
           .select(col("doc_id"), col("n_grams"), col("n_distinct"),
             expr("((n_grams - n_distinct) * 1000) div n_grams")
               .as("repetition_permille"))
@@ -187,8 +187,9 @@ object TextQueries {
         |FROM grams GROUP BY doc_id""".stripMargin),
       "Repeated-3-gram ratio per document — the boilerplate/loop-output " +
         "quality gate: permille of n-grams that are duplicates within " +
-        "the doc. One explode + one per-doc agg (map-side partial), no " +
-        "joins; integer permille for cross-engine parity."),
+        "the doc. Per-doc counts computed scan-side by the native gram " +
+        "census kernel (no explode, no distinct shuffle, no joins); " +
+        "integer permille for cross-engine parity."),
 
     // ------------------------------------------------------ quality score
     QueryDef(
