@@ -17,23 +17,21 @@ object RetrievalQueries {
   /** Distinct 5-gram shingle sets over a deterministic 1-in-5 slice of
     * the dup-injected corpus (the fixture's 31-word vocabulary makes
     * every unigram common; shingles restore a rare-feature tail). */
-  private def shingleSets(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val t = graft.Corpus.withDups(s, d)
+  private def shingleSets(s: org.apache.spark.sql.SparkSession, d: String) =
+    // Per-doc DISTINCT moved scan-side through the native DistinctGrams
+    // kernel (r15): the old explode + .distinct() shuffled the whole
+    // gram-string stream to remove within-doc repeats that each row
+    // already owned, and built every gram in an interpreted HOF lambda
+    // (5 element_at lookups + concat_ws per gram).  Same (doc_id, sh)
+    // row set — concat_ws(' ', 5 raw tokens) is exactly the joined
+    // token byte range, GramKernelSpec pins string parity — with NO
+    // pre-candidate exchange.  Kept lazy (measured, round 14): the
+    // consumers all sit inside ONE action, where runtime exchange reuse
+    // already deduplicates the repeated subtrees.
+    graft.Corpus.withDups(s, d)
       .filter(pmod(col("doc_id"), lit(5)) === 0)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 5)
-    t.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 4), i -> " +
-          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-          "element_at(toks, i + 2), element_at(toks, i + 3), " +
-          "element_at(toks, i + 4)))")).as("sh"))
-      .distinct()
-      // kept lazy (measured, round 14): the consumers all sit inside
-      // ONE action, where runtime exchange reuse already deduplicates
-      // the repeated tokenize+explode+distinct subtrees — an eager
-      // checkpoint only added its materialization job to the bench
-      // time (+0.45 s on idf_weighted_jaccard)
-  }
+      .select(col("doc_id"), explode(
+        graft.functions.GramKernel.distinctGrams(col("text"), 5)).as("sh"))
 
   private val shingleSetsSql: String =
     s"""corpus AS (${graft.Corpus.cte}),
