@@ -86,16 +86,24 @@ object AdvancedQueries {
   // driver loop does one distributed count per round; each round is a
   // shuffle join — the standard large-CC pattern, convergence in
   // O(log diameter) rounds with doubling, O(diameter) here). Returns
-  // (doc_id, cluster_id) for EVERY node — singletons label themselves.
+  // (doc_id, cluster_id) for every EDGE-INCIDENT node (r15): a
+  // singleton has no incident edge, so its label can never change and
+  // it never feeds viaNbr — and BOTH consumers drop singletons anyway
+  // (dedup_clusters filters doc_id != cluster_id, dedup_keep_best
+  // filters n_members > 1), so looping over them only inflated every
+  // per-round shuffle from corpus-size to its dup-subset (guide §2.3:
+  // shuffle fewer bytes; at 100 TB the label frame is the duplicated
+  // fraction, not the corpus).  Same labels for every returned node;
+  // round count unchanged (singleton labels never propagated — und.a
+  // never matched them).
   // ------------------------------------------------------------------
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     val edges = dupEdges(s, d)
       .select(col("a"), col("b")).persist()
     val und = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b")))
-    val nodes = Corpus.withDups(s, d).select(col("doc_id"))
-    var labels = nodes.select(col("doc_id"),
-      col("doc_id").as("lbl")).persist()
+    var labels = und.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).persist()
     // Convergence check without the per-round change join: the label
     // frame is MONOTONE — the node set only grows (the union keeps
     // every existing row) and each node's label only decreases (min
