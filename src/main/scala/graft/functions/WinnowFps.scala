@@ -59,15 +59,23 @@ object WinnowKernel {
     * Returns the sorted distinct window-min hash set; empty array when
     * the text is shorter than k + w - 1 (no complete window). */
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val text = s.toString
-    val n = text.length - k + 1
+    val bytes = s.getBytes
+    val ascii = s.numChars() == bytes.length
+    val text = if (ascii) null else s.toString
+    val n = (if (ascii) bytes.length else text.length) - k + 1
     if (n < w) return new GenericArrayData(Array.empty[Long])
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(text.substring(i, i + k)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // ASCII fast path (the common case): each char k-gram IS the
+      // byte range [i, i+k), fed to the digest with no substring or
+      // byte-array allocation per position — this kernel runs once per
+      // CHARACTER of the corpus, so the two per-position allocations
+      // of the generic path dominated its cost.  Identical digests.
+      val d = if (ascii) { md.update(bytes, i, k); md.digest() }
+        else md.digest(text.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       hs(i) = v % P
