@@ -217,6 +217,34 @@ object Scratch {
     * intermediates — each bench/oracle run computes from the parquet
     * inputs).  Paths are app-unique + call-unique; the shutdown hook
     * reclaims them. */
+  /** Spread a CPU-heavy scan across the session's full parallelism
+    * when the file layout yields fewer input splits than cores — the
+    * small-file / local-fixture case, where a per-row kernel pass
+    * (md5-per-gram, winnow-per-character) otherwise runs inside ONE
+    * scan task no matter how many cores the session has.  A
+    * round-robin repartition of the NARROW pre-kernel input costs one
+    * small exchange and buys kernel parallelism; the condition is
+    * SCALE-ADAPTIVE, not a local tuning constant: a production-scale
+    * scan already carries >= defaultParallelism splits, making this a
+    * structural no-op there (guide §2: derive partitioning from input,
+    * never hard-code either deployment).  Every caller's result is
+    * partitioning-independent (aggregates/equi-joins/per-row kernels),
+    * which the oracle re-checks.
+    *
+    * Measured r15: a WIN only where the kernel pass has no downstream
+    * exchange to hide behind (winnow_fingerprints, a pure scan ->
+    * kernel -> project path: 0.45-0.53 -> 0.20-0.28 s).  Everywhere a
+    * shuffle already follows the kernel (the gram/shingle pipelines),
+    * the extra stage + AQE re-plan COST MORE than the post-kernel-
+    * optimization single-task pass it parallelized (e.g.
+    * dup_kgram_spans 1.22-1.52 -> 1.44-1.76 s, dedup_recall_eval
+    * 1.21-1.85 -> 2.57-2.99 s) — those sites were reverted; apply this
+    * only to exchange-free kernel paths. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private val matCounter = new java.util.concurrent.atomic.AtomicLong()
   def materialize(s: org.apache.spark.sql.SparkSession,
       df: DataFrame, kind: String): DataFrame = {

@@ -259,8 +259,14 @@ object Curation4Queries {
                 (col("x.n") + col("y.n")) * 7)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
+        // sort_array once per doc so the per-pair verify is a LINEAR
+        // MERGE (SortedIntersect kernel) instead of array_intersect's
+        // per-pair hash-set build — same |intersection| on the same id
+        // sets, O(na+nb) with zero allocation per candidate (r15; the
+        // verify stage is this query's dominant cost).
         val toksets = ids.groupBy(col("doc_id"))
-          .agg(collect_set(col("tid")).as("toks"), count(lit(1)).as("n"))
+          .agg(sort_array(collect_set(col("tid"))).as("toks"),
+            count(lit(1)).as("n"))
         // Lossless length filter before the array verify: J(a,b) >= 0.7
         // forces 10*min(na,nb) >= 7*max(na,nb) (inter <= min, uni >=
         // max), so size-discordant candidates drop while carrying only
@@ -274,8 +280,8 @@ object Curation4Queries {
           .select(col("a"), col("b"))
           .join(toksets.as("ta"), col("a") === col("ta.doc_id"))
           .join(toksets.as("tb"), col("b") === col("tb.doc_id"))
-          .withColumn("inter",
-            size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("bigint"))
+          .withColumn("inter", graft.functions.MinHashKernel
+            .sortedIntersect(col("ta.toks"), col("tb.toks")))
           .withColumn("uni", col("ta.n") + col("tb.n") - col("inter"))
           .filter(col("inter") * 10 >= col("uni") * 7)
           .select(col("a"), col("b"),

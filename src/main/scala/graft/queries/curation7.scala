@@ -35,8 +35,9 @@ object Curation7Queries {
     // ------------------------------------------------ winnowing
     QueryDef(
       "winnow_fingerprints",
-      (s, d) => Tables.documents(s, d)
-        .filter(length(col("text")) >= 8 + 4 - 1)
+      (s, d) => graft.Scratch.spread(Tables.documents(s, d)
+          .filter(length(col("text")) >= 8 + 4 - 1)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           graft.functions.WinnowKernel.winnowFps(col("text")).as("fps"))
         // the kernel returns the SORTED distinct fingerprint set, so
