@@ -38,23 +38,23 @@ object Curation48Queries {
             .select((col("doc_id") + 10000L).as("doc_id"),
               expr("array_join(slice(split(text, ' '), 4, 40), ' ')")
                 .as("text")))
-        // the gram stream feeds two consumers (the dup census and the
-        // probe side of the survivor join); materializing it stops
-        // the corpus tokenize+gram-build pass — the dominant
-        // scan-side cost — from running twice (the dupOccurrences
-        // shape from curation60).  Through a per-invocation SCRATCH
-        // PARQUET, not persist(): the stream is ~k x the corpus, and
-        // caching that in executor storage starves execution memory
-        // at 100 TB — the parquet boundary spills to disk by
-        // construction and survives executor loss.
-        // the gram build itself runs through the native PosGrams
-        // generator (one pass over the document bytes, 0-based
-        // positions matching posexplode; GramKernelSpec pins parity)
-        // instead of the interpreted transform/slice/array_join HOF
-        val grams = graft.Scratch.materialize(s, corpus
+        // The gram build runs through the native PosGrams generator
+        // (one pass over the document bytes, 0-based positions matching
+        // posexplode; GramKernelSpec pins parity) instead of the
+        // interpreted transform/slice/array_join HOF.  The stream feeds
+        // two consumers (the dup census and the probe side of the
+        // survivor join) and is NOT materialized (r15 re-measure): with
+        // the generator the rebuild is one cheap kernel pass, while the
+        // r14 scratch parquet WROTE the k-x-corpus gram-string stream
+        // every invocation — measured 1.48-1.81 s with the write vs
+        // 1.18-1.58 s without, back to back.  At scale the census agg
+        // and the probe join hash-partition on the same key over the
+        // identical subtree, so runtime exchange reuse makes it one
+        // pass with no k-x-corpus scratch I/O at all.
+        val grams = corpus
           .select(col("doc_id"),
             graft.functions.GramKernel.posGrams(col("text"), k)
-              .as(Seq("pos", "gram"))), "xsubgrams")
+              .as(Seq("pos", "gram")))
         // shuffle #1 (the only data-sized one): gram -> distinct-doc
         // count.  At 100 TB this is the canonical shuffle-the-shingles
         // MapReduce form of ExactSubstr; gram strings could carry a
