@@ -24,18 +24,21 @@ package graft
 class CacheContractSpec extends SparkSpec {
 
   // every registry query whose fn persists (grep persist( over
-  // queries/): the minhash signature table, the simhash/ngram shingle
-  // tables, the jaccard-estimate verify, the MMR candidate unroll, the
-  // iterative CC labels (shared by dedup_clusters/dedup_keep_best).
+  // queries/): the minhash signature table, the simhash shingle
+  // table, the MMR candidate unroll, the iterative CC labels (shared
+  // by dedup_clusters/dedup_keep_best).
   // Round 15: exact_substring_spans and dsir_importance_proxy moved
   // their corpus-scale streams to per-invocation scratch parquet
   // (Scratch.materialize) and persist nothing anymore — the registry
   // holds NO corpus-sized persist/localCheckpoint; what remains is
-  // bounded (shingle/signature/beam/label frames).
+  // bounded (shingle/signature/beam/label frames).  dedup_ngram_jaccard
+  // and minhash_jaccard_estimate dropped their persists entirely when
+  // they moved to the scan-side set form (ShingleHashes arrays per doc,
+  // per-pair SortedIntersect — nothing shared left to cache).
   private val persistingQueries = Seq(
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "minhash_jaccard_estimate", "dedup_clusters", "dedup_keep_best",
-    "mmr_rerank_top3", "ann_graph_hier_topk", "ann_index_insert")
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_keep_best", "mmr_rerank_top3", "ann_graph_hier_topk",
+    "ann_index_insert")
 
   // PER-QUERY checkpoint-residue allowance (tightened round 15, was a
   // cumulative 256 MiB): every localCheckpointed frame in the registry
