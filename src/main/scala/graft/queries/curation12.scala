@@ -32,10 +32,16 @@ object Curation12Queries {
         // starvation + unreplicated truncated lineage); `capped`
         // likewise feeds the pair self-join twice plus the size
         // table.  Same rows, one pass each, reclaimed on shutdown.
+        // Scratch.spread inside the write job only: the materialize
+        // input is a pure scan -> kernel -> write path (no downstream
+        // exchange in that job), exactly the shape where spreading the
+        // single fixture split across cores wins (winnow_fingerprints);
+        // the reads below keep the parquet's own layout.
         val fps = graft.Scratch.materialize(s,
-          c.select(col("doc_id"),
-            explode(graft.functions.WinnowKernel.winnowFps(col("text")))
-              .as("fp")), "winfps")
+          graft.Scratch.spread(c.select(col("doc_id"), col("text")))
+            .select(col("doc_id"),
+              explode(graft.functions.WinnowKernel.winnowFps(col("text")))
+                .as("fp")), "winfps")
         val ok = fps.groupBy(col("fp"))
           .agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= MaxBucket)

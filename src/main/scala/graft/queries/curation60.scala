@@ -64,7 +64,17 @@ object Curation60Queries {
     // memory at 100 TB — the parquet boundary spills to disk by
     // construction and survives executor loss; the plan above it is
     // unchanged.
-    val occ = graft.Scratch.materialize(s, gramOccurrences(s, d), "dupocc")
+    // Scratch.spread inside the write job only (pure scan -> kernel ->
+    // write, no downstream exchange in that job — the one shape where
+    // spreading the single fixture split wins; the direct
+    // dup_gram_multiplicity path stays unspread, its kernel feeds an
+    // aggregate exchange and spreading it measured slower)
+    val occ = graft.Scratch.materialize(s,
+      graft.Scratch.spread(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          graft.functions.GramKernel.posGramHashes60(col("text"), K)
+            .as(Seq("pos", "h"))), "dupocc")
     // count per hash (map-side partials; fixed-width key), keep h>1,
     // then equi-join the occurrence stream back on the same key — at
     // sf the count side broadcasts via AQE, at corpus scale both
