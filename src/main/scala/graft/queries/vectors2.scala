@@ -45,14 +45,25 @@ object Vector2Queries {
   /** One Lloyd assignment step: nearest centroid by integer squared
     * distance, ties to the lowest centroid id. Centroid sets are k rows
     * — always broadcast; the points side never shuffles. */
-  private[queries] def assign(points: DataFrame, cents: DataFrame): DataFrame =
-    points.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("qe"), col("cid"),
-        sqDist(col("qe"), col("cvec")).as("dist"))
-      .groupBy(col("vec_id"), col("qe"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+  private[queries] def assign(points: DataFrame, cents: DataFrame): DataFrame = {
+    // Scan-local argmin (r15): the k centroids collapse to ONE array
+    // row (bounded: k <= 8 everywhere) broadcast to the points side,
+    // and each point picks its nearest centroid with array_min over a
+    // per-row transform — struct ordering (dist, cid) is exactly the
+    // old min(struct(dist, cid)) groupBy, ties to the lowest cid, so
+    // the assignment is row-identical (oracle re-proves it).  The old
+    // form exploded k rows per point and re-aggregated them with a
+    // POINTS-SIZED exchange per assign pass; this form shuffles
+    // nothing on the points side at any scale — only the k-row
+    // centroid collect pays a single tiny exchange.
+    val cl = cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cl"))
+    points.crossJoin(broadcast(cl))
+      .select(col("vec_id"), col("qe"), array_min(transform(col("cl"),
+        c => struct(sqDist(col("qe"), c.getField("cvec")).as("dist"),
+          c.getField("cid").as("cid")))).as("m"))
       .select(col("vec_id"), col("qe"),
         col("m.cid").as("cluster"), col("m.dist").as("dist"))
+  }
 
   /** Centroid recomputation: exact integer per-dimension sums, then
     * truncating integer division — Spark's `div` and DuckDB's `//`
